@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session construction + shared conf for the graft engine.
+  *
+  * All entry points (tests, Verify, Bench, driver-supplied sessions) must see
+  * the same semantics, so the data-dependent confs are also applied at runtime
+  * via [[GraftSession.tune]] — safe on an already-running session.
+  */
+object GraftSession {
+
+  /** Runtime-settable confs the engine depends on. Applied defensively at
+    * every entry point because the driver may hand us its own session.
+    *
+    *  - `nanosAsLong`: the driver test data stores `events.ts` as parquet
+    *    TIMESTAMP(NANOS) which Spark cannot read natively; with this flag it
+    *    arrives as epoch-nanos LongType (see [[Tables.events]]).
+    *  - UTC: oracle (DuckDB) timestamps are naive; pin the session zone.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // feature storage treats hive partition values as strings ("2024-01-03",
+    // "2024"); don't let Spark re-infer them as date/int
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    spark
+  }
+
+  /** Local session used by tests and mains. `local[32]`-ish parallelism with
+    * shuffle partitions matched to cores (not the 200 default), AQE on so
+    * skewed shuffles re-plan at runtime — the same settings that hold on a
+    * real cluster, minus the resource manager.
+    */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tune(spark)
+  }
+}
+
+/** Typed accessors for the driver-generated test tables (TESTDATA.md).
+  * Every query in [[SparkEntry.queries]] reads through here so the
+  * ns-timestamp handling lives in exactly one place.
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** `events` with `ts` converted from epoch-nanos long to a microsecond
+    * TimestampType column `ts` (truncated, matching DuckDB's parquet read of
+    * TIMESTAMP(NANOS)) — plus the raw nanos kept as `ts_ns`.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = read(s, d, "events")
+    raw
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  }
+}

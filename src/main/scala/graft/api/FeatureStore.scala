@@ -1,0 +1,264 @@
+package graft.api
+
+import graft.GraftSession
+import graft.catalog._
+import graft.checks.Checks
+import graft.storage.TimeseriesStorage
+import graft.ts.{Align, TimeUtil}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import java.sql.Timestamp
+
+/** Named Scala transforms (`DataFrame => DataFrame`), re-registered at startup.
+  * The durable cross-session transform format is SQL text; this registry covers
+  * arbitrary logic the way the reference's cloudpickle did
+  * (reference src/qafs/utils.py:29-58) without the unpicklable-closure trap.
+  */
+class TransformRegistry {
+  private val fns = scala.collection.concurrent.TrieMap[String, DataFrame => DataFrame]()
+  def register(name: String, fn: DataFrame => DataFrame): Unit = fns(name) = fn
+  def get(name: String): Option[DataFrame => DataFrame] = fns.get(name)
+}
+
+/** The public facade — the Spark-native equivalent of the reference's
+  * `FeatureStore` (reference src/qafs/core.py:20-600). All reads compose ONE
+  * lazy DataFrame plan per call, so Catalyst sees the whole transform DAG and
+  * pushes time filters through every level.
+  */
+class FeatureStore(
+    val storageRoot: String,
+    val spark: SparkSession,
+    val failOnCheckError: Boolean = true) {
+
+  GraftSession.tune(spark)
+  val catalog: Catalog = new JsonFileCatalog(storageRoot, spark.sparkContext.hadoopConfiguration)
+  val storage = new TimeseriesStorage(storageRoot, spark)
+  val registry = new TransformRegistry
+
+  import TimeseriesStorage._
+
+  // ---- namespace CRUD (C1) -------------------------------------------------
+
+  def createNamespace(name: String, description: String = "",
+      meta: Map[String, String] = Map.empty): Unit =
+    catalog.createNamespace(NamespaceDef(name, description, meta))
+
+  def updateNamespace(name: String, description: Option[String] = None,
+      metaPatch: Map[String, Option[String]] = Map.empty): Unit =
+    catalog.updateNamespace(name, description, metaPatch)
+
+  def deleteNamespace(name: String): Unit = catalog.deleteNamespace(name)
+
+  def listNamespaces(regex: Option[String] = None): Seq[NamespaceDef] =
+    catalog.listNamespaces(regex)
+
+  /** GC stored feature dirs that are no longer in the catalog
+    * (reference src/qafs/model.py:112-120).
+    */
+  def cleanNamespace(name: String): Seq[String] = {
+    val known = catalog.listFeatures(Some(name)).map(_.name).toSet
+    val orphans = storage.listStoredFeatures(name).filterNot(known)
+    orphans.foreach(storage.delete(name, _))
+    orphans
+  }
+
+  // ---- feature CRUD (C2-C4) -------------------------------------------------
+
+  def createFeature(qualified: String, description: String = "",
+      partition: String = "date", serialized: Boolean = false,
+      check: Option[CheckSpec] = None, meta: Map[String, String] = Map.empty): Unit = {
+    val (ns, n) = Catalog.splitName(qualified)
+    catalog.createFeature(FeatureDef(ns, n, description, partition, serialized,
+      check = check, meta = meta))
+  }
+
+  def updateFeature(qualified: String, description: Option[String] = None,
+      metaPatch: Map[String, Option[String]] = Map.empty,
+      check: Option[CheckSpec] = None): Unit = {
+    val (ns, n) = Catalog.splitName(qualified)
+    catalog.updateFeature(ns, n, description, metaPatch, None, check)
+  }
+
+  def deleteFeature(qualified: String, deleteData: Boolean = false): Unit = {
+    val (ns, n) = Catalog.splitName(qualified)
+    catalog.deleteFeature(ns, n)
+    if (deleteData) storage.delete(ns, n)
+  }
+
+  def listFeatures(namespace: Option[String] = None, regex: Option[String] = None): Seq[FeatureDef] =
+    catalog.listFeatures(namespace, regex)
+
+  /** Clone catalog entry + data (reference intent of src/qafs/core.py:315-356,
+    * re-specified from its tests since the reference impl crashes on
+    * undefined vars — SURVEY.md §2 C3).
+    */
+  def cloneFeature(from: String, to: String): Unit = {
+    val (fns, fn) = Catalog.splitName(from)
+    val (tns, tn) = Catalog.splitName(to)
+    val src = catalog.getFeature(fns, fn)
+      .getOrElse(throw new MissingFeatureException(s"no feature: $from"))
+    catalog.createFeature(src.copy(namespace = tns, name = tn, version = 1))
+    if (src.transform.isEmpty) storage.copy(fns, fn, tns, tn)
+  }
+
+  // ---- save (M1 fan-out + Q1 quality gate + S1 sink) ------------------------
+
+  /** Save a frame of one or more feature columns. Columns other than
+    * `time`/`created_time` are features; a lone `value` column requires
+    * `name`. Mirrors reference save_df (src/qafs/core.py:385-439).
+    */
+  def saveDf(df: DataFrame, name: Option[String] = None,
+      defaultNamespace: Option[String] = None): Unit = {
+    val featureCols = df.columns.filterNot(c => c == TimeCol || c == CreatedCol)
+    featureCols match {
+      case Array(ValueCol) =>
+        val q = name.getOrElse(throw new FeatureStoreException(
+          "a 'value' column needs an explicit feature name"))
+        saveOne(q, df, defaultNamespace)
+      case cols =>
+        cols.foreach { c =>
+          val base = df.columns.filter(x => x == TimeCol || x == CreatedCol) :+ c
+          saveOne(c, df.select(base.head, base.tail: _*).withColumnRenamed(c, ValueCol),
+            defaultNamespace)
+        }
+    }
+  }
+
+  private def saveOne(qualified: String, df: DataFrame, defaultNs: Option[String]): Unit = {
+    val (ns, n) = Catalog.splitName(qualified, defaultNs)
+    val f = catalog.getFeature(ns, n)
+      .getOrElse(throw new MissingFeatureException(s"no feature: $ns/$n — create it first"))
+    if (f.transform.isDefined)
+      throw new FeatureStoreException(s"cannot save data to virtual feature $ns/$n")
+    // Q1: quality gate BEFORE the write so a failing frame writes nothing
+    f.check.foreach(Checks.enforce(df, _, s"$ns/$n", failOnCheckError))
+    storage.save(ns, n, df, f.partitionScheme, f.serialized)
+  }
+
+  // ---- transforms (T1/T2) ----------------------------------------------------
+
+  /** Register a SQL-expression virtual feature. `sqlExpr` references its
+    * inputs by bare feature name (e.g. `"numbers * numbers"`).
+    */
+  def registerSqlTransform(qualified: String, inputs: Seq[String], sqlExpr: String,
+      description: String = ""): Unit = {
+    val (ns, n) = Catalog.splitName(qualified)
+    requireInputsExist(inputs, ns)
+    catalog.createFeature(FeatureDef(ns, n, description,
+      transform = Some(TransformSpec("sql", sqlExpr, qualifyAll(inputs, ns)))))
+  }
+
+  /** Register a Scala-function virtual feature. The function receives a frame
+    * with `time` plus one column per input (bare names, in `inputs` order) and
+    * must return `time` + exactly one value column
+    * (single-column rule: reference src/qafs/timeseries.py:27-30).
+    */
+  def registerScalaTransform(qualified: String, inputs: Seq[String],
+      fn: DataFrame => DataFrame, description: String = ""): Unit = {
+    val (ns, n) = Catalog.splitName(qualified)
+    requireInputsExist(inputs, ns)
+    val key = s"$ns/$n"
+    registry.register(key, fn)
+    catalog.createFeature(FeatureDef(ns, n, description,
+      transform = Some(TransformSpec("registry", key, qualifyAll(inputs, ns)))))
+  }
+
+  private def qualifyAll(inputs: Seq[String], defaultNs: String): Seq[String] =
+    inputs.map { i => val (a, b) = Catalog.splitName(i, Some(defaultNs)); s"$a/$b" }
+
+  private def requireInputsExist(inputs: Seq[String], defaultNs: String): Unit =
+    inputs.foreach { i =>
+      val (a, b) = Catalog.splitName(i, Some(defaultNs))
+      if (catalog.getFeature(a, b).isEmpty)
+        throw new MissingFeatureException(s"transform input missing: $a/$b")
+    }
+
+  // ---- load (M2 fan-in) ------------------------------------------------------
+
+  /** Load N features into a wide, outer-aligned, forward-filled frame:
+    * `time` + one column per feature named `"ns/name"`
+    * (reference load_features, src/qafs/core.py:441-488).
+    */
+  def loadFeatures(names: Seq[String], from: Option[String] = None,
+      to: Option[String] = None, freq: Option[String] = None,
+      timeTravel: Option[String] = None,
+      defaultNamespace: Option[String] = None): DataFrame = {
+    require(names.nonEmpty, "no features requested")
+    val fromTs = from.map(TimeUtil.parseTimestamp)
+    val toTs = to.map(TimeUtil.parseTimestamp)
+    val frames = names.map { q =>
+      val (ns, n) = Catalog.splitName(q, defaultNamespace)
+      val f = catalog.getFeature(ns, n)
+        .getOrElse(throw new MissingFeatureException(s"no feature: $ns/$n"))
+      s"$ns/$n" -> loadOne(f, fromTs, toTs, freq, timeTravel, Set.empty)
+    }
+    Align.alignOuter(TimeCol, frames)
+  }
+
+  /** Recursive, cycle-checked feature load (T2 — reference
+    * src/qafs/model.py:183-218). Returns df(time, value).
+    */
+  private def loadOne(f: FeatureDef, from: Option[Timestamp], to: Option[Timestamp],
+      freq: Option[String], timeTravel: Option[String],
+      callers: Set[String]): DataFrame = {
+    val key = f.qualified
+    if (callers.contains(key))
+      throw new FeatureStoreException(
+        s"circular transform dependency detected at $key (via ${callers.mkString(" -> ")})")
+    f.transform match {
+      case None =>
+        storage.load(f.namespace, f.name, from, to, freq, timeTravel,
+          f.partitionScheme, f.serialized)
+      case Some(t) =>
+        // recursively load inputs with the same from/to/freq/time_travel
+        // pushed down (reference src/qafs/model.py:196-211)
+        val inputs = t.args.map { q =>
+          val (ns, n) = Catalog.splitName(q)
+          val in = catalog.getFeature(ns, n)
+            .getOrElse(throw new MissingFeatureException(s"transform input missing: $q"))
+          q -> loadOne(in, from, to, freq, timeTravel, callers + key)
+        }
+        // align inputs on the time axis, expose them under bare names in arg order
+        val aligned = Align.alignOuter(TimeCol, inputs)
+        val bare = t.args.map(q => Catalog.splitName(q)._2)
+        val renamed = t.args.zip(bare).foldLeft(aligned) { case (d, (q, b)) =>
+          d.withColumnRenamed(q, b)
+        }
+        val out = t.format match {
+          case "sql"      => renamed.select(col(TimeCol), expr(t.body).as(ValueCol))
+          case "registry" =>
+            val fn = registry.get(t.body).getOrElse(throw new FeatureStoreException(
+              s"transform '${t.body}' not registered in this session"))
+            coerceSingleValue(fn(renamed.select((col(TimeCol) +: bare.map(col)): _*)))
+          case other => throw new FeatureStoreException(s"unknown transform format: $other")
+        }
+        out.select(TimeCol, ValueCol)
+    }
+  }
+
+  /** Enforce the one-value-column rule on transform output
+    * (reference src/qafs/timeseries.py:17-32).
+    */
+  private def coerceSingleValue(df: DataFrame): DataFrame = {
+    val valueCols = df.columns.filterNot(_ == TimeCol)
+    valueCols match {
+      case Array(ValueCol) => df
+      case Array(single)   => df.withColumnRenamed(single, ValueCol)
+      case _ => throw new FeatureStoreException(
+        s"transform must return one value column, got: ${valueCols.mkString(",")}")
+    }
+  }
+
+  // ---- A2/A3 convenience ------------------------------------------------------
+
+  def firstValue(qualified: String): Option[(Timestamp, Any)] = {
+    val (ns, n) = Catalog.splitName(qualified)
+    storage.firstValue(ns, n)
+  }
+
+  def lastValue(qualified: String): Option[(Timestamp, Any)] = {
+    val (ns, n) = Catalog.splitName(qualified)
+    storage.lastValue(ns, n)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.catalog
+
+/** Catalog data model.
+  *
+  * Mirrors the reference's SQLAlchemy model (reference: src/qafs/model.py:87-132)
+  * as plain case classes serialized to a JSON file: a namespace is a named
+  * container of features; a feature is a named single-valued timeseries with
+  * optional quality check and optional stored transform (virtual feature).
+  */
+
+/** Partition scheme for a feature's parquet layout.
+  * Reference: src/qafs/model.py:33 (enum "date" | "year"),
+  * derivation src/qafs/backend/pandas.py:62-70.
+  */
+sealed abstract class PartitionScheme(val name: String)
+object PartitionScheme {
+  case object Date extends PartitionScheme("date") // yyyy-MM-dd string
+  case object Year extends PartitionScheme("year") // int year
+  def from(s: String): PartitionScheme = s match {
+    case "date" => Date
+    case "year" => Year
+    case other  => throw new IllegalArgumentException(s"unknown partition scheme: $other")
+  }
+}
+
+/** A stored transform definition (virtual feature).
+  *
+  * The reference stores cloudpickled Python closures (src/qafs/model.py:144-162);
+  * pickled closures don't survive across JVMs, so the durable format here is
+  * SQL expression text (`format = "sql"`, `body` = an expression over columns
+  * named after `args`), with `format = "registry"` for arbitrary Scala
+  * `DataFrame => DataFrame` logic re-registered at startup by name.
+  */
+case class TransformSpec(
+    format: String,      // "sql" | "registry"
+    body: String,        // sql expression text, or registry key
+    args: Seq[String])   // input features, fully qualified "ns/name"
+
+/** Declarative quality check evaluated on write.
+  * Reference: pandera Column checks serialized to YAML (src/qafs/core.py:280-281).
+  * `dtype` is a Spark DDL type name (e.g. "bigint", "double"); `predicates`
+  * are SQL boolean expressions over the column `value`.
+  */
+case class CheckSpec(
+    dtype: Option[String] = None,
+    predicates: Seq[String] = Nil)
+
+case class NamespaceDef(
+    name: String,
+    description: String = "",
+    meta: Map[String, String] = Map.empty,
+    version: Int = 1,
+    backend: String = "spark")
+
+case class FeatureDef(
+    namespace: String,
+    name: String,
+    description: String = "",
+    partition: String = "date", // PartitionScheme name
+    serialized: Boolean = false,
+    transform: Option[TransformSpec] = None,
+    check: Option[CheckSpec] = None,
+    meta: Map[String, String] = Map.empty,
+    version: Int = 1) {
+  def qualified: String = s"$namespace/$name"
+  def partitionScheme: PartitionScheme = PartitionScheme.from(partition)
+}
+
+/** Whole catalog document persisted as one JSON file.
+  * `formatVersion` mirrors the reference's FeatureStoreVersion migration table
+  * (src/qafs/model.py:79-84, upgrade.py:12-43).
+  */
+case class CatalogDoc(
+    formatVersion: Int = Catalog.FormatVersion,
+    namespaces: Seq[NamespaceDef] = Nil,
+    features: Seq[FeatureDef] = Nil)
+
+/** Catalog operations (CRUD over namespaces + features).
+  * Mirrors reference src/qafs/core.py:71-383 semantics; see SURVEY.md §2 C1-C5.
+  */
+trait Catalog {
+  // namespaces (C1)
+  def listNamespaces(regex: Option[String] = None): Seq[NamespaceDef]
+  def getNamespace(name: String): Option[NamespaceDef]
+  def createNamespace(ns: NamespaceDef): Unit
+  def updateNamespace(name: String, description: Option[String] = None,
+      metaPatch: Map[String, Option[String]] = Map.empty): Unit
+  def deleteNamespace(name: String): Unit
+
+  // features (C2)
+  def listFeatures(namespace: Option[String] = None, regex: Option[String] = None): Seq[FeatureDef]
+  def getFeature(namespace: String, name: String): Option[FeatureDef]
+  def createFeature(f: FeatureDef): Unit
+  def updateFeature(namespace: String, name: String, description: Option[String] = None,
+      metaPatch: Map[String, Option[String]] = Map.empty,
+      transform: Option[TransformSpec] = None, check: Option[CheckSpec] = None): Unit
+  def deleteFeature(namespace: String, name: String): Unit
+}
+
+
+object Catalog {
+  val FormatVersion = 1
+
+  /** Valid feature/namespace name. Reference: src/qafs/model.py:32. */
+  private val NamePattern = "^[a-zA-Z0-9.#_-]+$".r
+  def validateName(s: String): String = {
+    require(s.nonEmpty && NamePattern.matches(s), s"invalid name: '$s'")
+    s
+  }
+
+  /** Split "ns/name" sugar; reference tests' `_split_name`
+    * (reference tests/test_feature_store.py:104-128).
+    */
+  def splitName(qualified: String, defaultNs: Option[String] = None): (String, String) =
+    qualified.split("/", 2) match {
+      case Array(ns, n) => (ns, n)
+      case Array(n) =>
+        (defaultNs.getOrElse(throw new IllegalArgumentException(
+          s"feature '$n' has no namespace and no default given")), n)
+    }
+
+  /** Merge-update semantics for meta: new keys overwrite, `None` deletes.
+    * Reference: src/qafs/model.py:62-72.
+    */
+  def mergeMeta(old: Map[String, String], patch: Map[String, Option[String]]): Map[String, String] =
+    patch.foldLeft(old) {
+      case (m, (k, Some(v))) => m.updated(k, v)
+      case (m, (k, None))    => m - k
+    }
+}
+
+class FeatureStoreException(msg: String) extends RuntimeException(msg)
+class MissingFeatureException(msg: String) extends FeatureStoreException(msg)
+class CheckFailedException(msg: String) extends FeatureStoreException(msg)

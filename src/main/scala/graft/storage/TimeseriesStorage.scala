@@ -1,0 +1,274 @@
+package graft.storage
+
+import graft.catalog.{FeatureStoreException, PartitionScheme}
+import graft.ts.{Align, TimeUtil}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.sql.Timestamp
+
+/** Partitioned-parquet timeseries storage for feature data.
+  *
+  * Physical layout mirrors the reference (src/qafs/backend/pandas.py:33-39,
+  * 72-93): `{root}/feature/{namespace}/{name}/partition={p}/part-*.parquet`,
+  * snappy parquet, append-only; logical upsert happens at read time by keeping
+  * the max-`created_time` row per `time` (src/qafs/backend/pandas.py:161).
+  *
+  * Scale design:
+  *  - writes are hive-partitioned on the derived `partition` column so reads
+  *    with a time range prune whole directories (the partition-bound filters
+  *    are derived from the time range — see [[TimeseriesStorage.scan]]);
+  *  - time filters are plain comparisons on a parquet column → pushed to the
+  *    scan by Catalyst (visible as PushedFilters in explain);
+  *  - dedup is an agg with map-side partial aggregation (`max_by`-shaped
+  *    `max(struct(created_time, value))`), not a full-sort window.
+  */
+class TimeseriesStorage(val root: String, spark: SparkSession) {
+  import TimeseriesStorage._
+
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def featurePath(namespace: String, name: String): String =
+    s"$root/feature/$namespace/$name"
+
+  // ---- S1: append sink ----------------------------------------------------
+
+  /** Validate + coerce + derive partition + append-write one feature frame.
+    * Input df columns: `time` (+ optional `created_time`) + `value`.
+    * Extraneous columns are an error (reference src/qafs/backend/pandas.py:257-260).
+    */
+  def save(namespace: String, name: String, df: DataFrame,
+      scheme: PartitionScheme = PartitionScheme.Date,
+      serialized: Boolean = false, append: Boolean = true): Unit = {
+    val extra = df.columns.toSet -- Set(TimeCol, ValueCol, CreatedCol)
+    if (extra.nonEmpty)
+      throw new FeatureStoreException(s"unexpected columns ${extra.mkString(",")} saving $namespace/$name")
+    require(df.columns.contains(TimeCol), s"missing '$TimeCol' column")
+    require(df.columns.contains(ValueCol), s"missing '$ValueCol' column")
+
+    val coerced = df
+      .withColumn(TimeCol, col(TimeCol).cast(TimestampType))
+      .withColumn(CreatedCol,
+        if (df.columns.contains(CreatedCol))
+          coalesce(col(CreatedCol).cast(TimestampType), current_timestamp())
+        else current_timestamp())
+    val encoded =
+      if (serialized)
+        coerced.withColumn(ValueCol,
+          serializeValue(coerced(ValueCol), coerced.schema(ValueCol).dataType))
+      else coerced
+    val partitioned = encoded.withColumn(PartCol, partitionExpr(scheme, col(TimeCol)))
+
+    partitioned
+      .select(TimeCol, ValueCol, CreatedCol, PartCol)
+      .write
+      .format("parquet")
+      .option("compression", "snappy")
+      .partitionBy(PartCol)
+      .mode(if (append) "append" else "overwrite")
+      .save(featurePath(namespace, name))
+  }
+
+  // ---- S2 + F1/F2: scan with pushdown -------------------------------------
+
+  /** Raw scan with time-range / exact-date / partition filters and optional
+    * time-travel predicate. All filters are Catalyst-pushable; in addition,
+    * time bounds are *translated to partition bounds* so hive pruning kicks in
+    * (the reference relies on dask's filters= for the same effect,
+    * src/qafs/backend/pandas.py:97-117).
+    */
+  def scan(namespace: String, name: String,
+      from: Option[Timestamp] = None, to: Option[Timestamp] = None,
+      exact: Option[Timestamp] = None,
+      partitions: Option[Seq[String]] = None,
+      timeTravel: Option[String] = None,
+      scheme: PartitionScheme = PartitionScheme.Date,
+      serialized: Boolean = false): DataFrame = {
+    val path = featurePath(namespace, name)
+    if (!fs.exists(new Path(path)))
+      return emptyFrame(spark)
+
+    var df = spark.read.parquet(path)
+    // degenerate range clamp: to < from → to = from (reference pandas.py:155-156)
+    val (f, t) = (from, to) match {
+      case (Some(a), Some(b)) if b.before(a) => (Some(a), Some(a))
+      case other => other
+    }
+    exact match {
+      case Some(e) => df = df.where(col(TimeCol) === lit(e))
+      case None =>
+        f.foreach(a => df = df.where(col(TimeCol) >= lit(a)))
+        t.foreach(b => df = df.where(col(TimeCol) <= lit(b)))
+    }
+    // hive partition pruning: explicit partition list, else bounds derived
+    // from the time range (the derived `partition` column is monotonic in
+    // `time` for both schemes, so range bounds are safe)
+    partitions match {
+      case Some(ps) => df = df.where(col(PartCol).isin(ps: _*))
+      case None =>
+        exact.orElse(f).foreach(a => df = df.where(col(PartCol) >= lit(partitionValue(scheme, a))))
+        exact.orElse(t).foreach(b => df = df.where(col(PartCol) <= lit(partitionValue(scheme, b))))
+    }
+    var out = df.drop(PartCol)
+    // F2: time-travel — keep rows already known at event-time + delta
+    timeTravel.foreach { tt =>
+      val delta = TimeUtil.parseMicros(tt)
+      out = out.where(unix_micros(col(CreatedCol)) <= unix_micros(col(TimeCol)) + lit(delta))
+    }
+    out
+  }
+
+  // ---- A1: latest-version dedup -------------------------------------------
+
+  /** Per `time`, keep the value with max `created_time` (ties broken by max
+    * value — deterministic). Shaped as groupBy + max(struct(...)) so Spark
+    * plans a partial (map-side) aggregate before the shuffle, instead of
+    * sorting the whole frame through a window.
+    */
+  def dedupLatest(df: DataFrame): DataFrame =
+    df.groupBy(col(TimeCol))
+      .agg(max(struct(col(CreatedCol), col(ValueCol))).as("s"))
+      .select(col(TimeCol), col("s." + ValueCol).as(ValueCol), col("s." + CreatedCol).as(CreatedCol))
+
+  // ---- load = scan → dedup → resample/ffill -------------------------------
+
+  /** Full read query for one feature (reference Backend.load,
+    * src/qafs/backend/pandas.py:148-177).
+    */
+  def load(namespace: String, name: String,
+      from: Option[Timestamp] = None, to: Option[Timestamp] = None,
+      freq: Option[String] = None, timeTravel: Option[String] = None,
+      scheme: PartitionScheme = PartitionScheme.Date,
+      serialized: Boolean = false): DataFrame = {
+    val scanned = scan(namespace, name, from, to, None, None, timeTravel, scheme, serialized)
+    val deduped = dedupLatest(scanned)
+    freq match {
+      case None => deduped.select(TimeCol, ValueCol)
+      case Some(fr) =>
+        // spine needs concrete bounds; default to data min/max like the
+        // reference (src/qafs/backend/pandas.py:151-154)
+        val bounds = (from, to) match {
+          case (Some(a), Some(b)) => Some((a, if (b.before(a)) a else b))
+          case _ =>
+            val r = deduped.agg(min(TimeCol), max(TimeCol)).head()
+            if (r.isNullAt(0)) None
+            else Some((from.getOrElse(r.getTimestamp(0)), to.getOrElse(r.getTimestamp(1))))
+        }
+        bounds match {
+          case None => deduped.select(TimeCol, ValueCol) // empty feature
+          case Some((a, b)) =>
+            Align.resampleFfill(deduped.select(TimeCol, ValueCol), TimeCol, Seq(ValueCol),
+              a, b, TimeUtil.parseMicros(fr)).select(TimeCol, ValueCol)
+        }
+    }
+  }
+
+  // ---- A2/A3: bounds + first/last via partition pruning --------------------
+
+  def timeBounds(namespace: String, name: String): Option[(Timestamp, Timestamp)] = {
+    val df = scan(namespace, name)
+    if (df.isEmpty) None
+    else {
+      val r = df.agg(min(TimeCol), max(TimeCol)).head()
+      Some((r.getTimestamp(0), r.getTimestamp(1)))
+    }
+  }
+
+  /** List hive partition values, lexically sorted. */
+  def listPartitions(namespace: String, name: String, reverse: Boolean = false): Seq[String] = {
+    val p = new Path(featurePath(namespace, name))
+    if (!fs.exists(p)) return Nil
+    val parts = fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(s"$PartCol="))
+      .map(_.stripPrefix(s"$PartCol="))
+      .sorted
+    if (reverse) parts.reverse else parts
+  }
+
+  /** First (earliest) value, reading ONLY the lexically-first partition —
+    * the reference's partition-pruned fast path (src/qafs/backend/pandas.py:196-222,
+    * re-specified without its DatetimeIndex bug).
+    */
+  def firstValue(namespace: String, name: String): Option[(Timestamp, Any)] =
+    edgeValue(namespace, name, reverse = false)
+
+  def lastValue(namespace: String, name: String): Option[(Timestamp, Any)] =
+    edgeValue(namespace, name, reverse = true)
+
+  private def edgeValue(namespace: String, name: String, reverse: Boolean): Option[(Timestamp, Any)] = {
+    val parts = listPartitions(namespace, name, reverse)
+    parts.headOption.flatMap { p =>
+      val df = spark.read.parquet(s"${featurePath(namespace, name)}/$PartCol=$p")
+      val deduped = dedupLatest(df)
+      val ordered = if (reverse) deduped.orderBy(col(TimeCol).desc) else deduped.orderBy(col(TimeCol))
+      ordered.limit(1).collect().headOption.map(r =>
+        (r.getAs[Timestamp](TimeCol), r.getAs[Any](ValueCol)))
+    }
+  }
+
+  // ---- S4/S5/S6: listing, delete, copy -------------------------------------
+
+  def listStoredFeatures(namespace: String): Seq[String] = {
+    val p = new Path(s"$root/feature/$namespace")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+  }
+
+  def delete(namespace: String, name: String): Unit = {
+    val p = new Path(featurePath(namespace, name))
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Copy one feature's data to another feature location (clone support,
+    * reference src/qafs/backend/pandas.py:274-296 — overwrite semantics).
+    */
+  def copy(fromNs: String, fromName: String, toNs: String, toName: String): Unit = {
+    val src = featurePath(fromNs, fromName)
+    if (fs.exists(new Path(src)))
+      spark.read.parquet(src).write
+        .format("parquet").option("compression", "snappy")
+        .partitionBy(PartCol).mode("overwrite")
+        .save(featurePath(toNs, toName))
+  }
+}
+
+object TimeseriesStorage {
+  val TimeCol = "time"
+  val ValueCol = "value"
+  val CreatedCol = "created_time"
+  val PartCol = "partition"
+
+  /** Derived partition column (reference src/qafs/backend/pandas.py:62-70). */
+  def partitionExpr(scheme: PartitionScheme, time: org.apache.spark.sql.Column) = scheme match {
+    case PartitionScheme.Date => date_format(time, "yyyy-MM-dd")
+    case PartitionScheme.Year => year(time).cast(StringType)
+  }
+
+  def partitionValue(scheme: PartitionScheme, t: Timestamp): String = scheme match {
+    case PartitionScheme.Date => t.toLocalDateTime.toLocalDate.toString
+    case PartitionScheme.Year => t.toLocalDateTime.getYear.toString
+  }
+
+  /** JSON-encode arbitrary values to strings for `serialized` features
+    * (reference src/qafs/backend/pandas.py:262-263). Complex types go through
+    * `to_json`; atomics are cast — the read side keeps StringType because the
+    * whole point is surviving schema drift (SURVEY.md §1.2).
+    */
+  def serializeValue(c: org.apache.spark.sql.Column, dt: DataType): org.apache.spark.sql.Column =
+    dt match {
+      case _: StructType | _: MapType | _: ArrayType => to_json(c)
+      case _ => c.cast(StringType)
+    }
+
+  def emptyFrame(spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(TimeCol, TimestampType),
+      StructField(ValueCol, DoubleType),
+      StructField(CreatedCol, TimestampType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+}

@@ -1,0 +1,169 @@
+package graft.ts
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Row}
+
+/** Time-axis operators: forward-fill, resample-to-grid, multi-series align.
+  * These implement the reference's R1/R2 operators (reference
+  * src/qafs/backend/pandas.py:163-172, src/qafs/timeseries.py:12-14) with a
+  * partition-parallel execution shape instead of the reference's
+  * single-process pandas.
+  */
+object Align {
+
+  /** Forward-fill (LOCF) of `valueCols` ordered by `timeCol`.
+    *
+    * A naive `Window.orderBy(time)` with no partitioning pulls the whole
+    * dataset through ONE task — correct at 60k rows, dead at 100 TB. This is
+    * the classic two-pass parallel prefix ("scan") shape instead:
+    *
+    *  1. range-bucket rows by time into `buckets` partitions (one shuffle);
+    *  2. forward-fill *within* each bucket via a per-bucket window;
+    *  3. take each bucket's final row (its carry-out — after step 2 that row
+    *     holds the bucket's last non-null for every column), a tiny
+    *     `buckets`-row aggregate collected to the driver;
+    *  4. prefix-scan the carries on the driver and broadcast-join the
+    *     carry-in back, coalescing leading nulls.
+    *
+    * Cost: one shuffle + one broadcast of O(buckets) rows, any data size.
+    */
+  def ffill(df: DataFrame, timeCol: String, valueCols: Seq[String],
+      buckets: Int = 0): DataFrame = {
+    if (valueCols.isEmpty) return df
+    val spark = df.sparkSession
+    val nb = if (buckets > 0) buckets else spark.sparkContext.defaultParallelism
+
+    val bounds = df.agg(
+      min(unix_micros(col(timeCol))).as("lo"),
+      max(unix_micros(col(timeCol))).as("hi")).head()
+    if (bounds.isNullAt(0)) return df // empty input
+    val lo = bounds.getLong(0); val hi = bounds.getLong(1)
+    val span = math.max(1L, hi - lo + 1)
+    val bWidth = math.max(1L, span / nb + (if (span % nb == 0) 0 else 1))
+
+    val bucketCol = ((unix_micros(col(timeCol)) - lit(lo)) / lit(bWidth)).cast("long")
+    val withB = df.withColumn("__b", bucketCol)
+
+    // pass 1: intra-bucket ffill (parallel across buckets)
+    val w = Window.partitionBy(col("__b")).orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(withB) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+
+    // pass 2: carry-out per bucket = the row at max time after intra-fill
+    val carryStruct = max(struct((col(timeCol) +: valueCols.map(col)): _*)).as("s")
+    val carryRows: Array[Row] = filled.groupBy(col("__b")).agg(carryStruct)
+      .selectExpr("__b", "s.*").collect().sortBy(_.getLong(0))
+
+    // driver-side prefix scan: carry-in of bucket b = last non-null over buckets < b
+    val running = scala.collection.mutable.Map[String, Any]()
+    val carryIn = scala.collection.mutable.ArrayBuffer[Row]()
+    carryRows.foreach { r =>
+      val b = r.getLong(0)
+      carryIn += Row.fromSeq(b +: valueCols.indices.map(i => running.getOrElse(valueCols(i), null)))
+      valueCols.zipWithIndex.foreach { case (c, i) =>
+        val v = r.get(i + 2) // 0 = __b, 1 = timeCol
+        if (v != null) running(c) = v
+      }
+    }
+    val carrySchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__b", org.apache.spark.sql.types.LongType) +:
+        valueCols.map(c => filled.schema(c).copy(name = s"__carry_$c")))
+    val carryDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(carryIn.toSeq, 1), carrySchema)
+
+    val joined = filled.join(broadcast(carryDf), Seq("__b"), "left")
+    val coalesced = valueCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), col(s"__carry_$c")))
+    }
+    coalesced.drop("__b").drop(valueCols.map(c => s"__carry_$c"): _*)
+  }
+
+  /** Resample onto a regular grid with as-of (last-known-value) semantics —
+    * the reference's spine + merge + ffill + right-join (reference
+    * src/qafs/backend/pandas.py:163-172). Grid rows only are returned; the
+    * value at grid time g is the last data value with time <= g.
+    */
+  def resampleFfill(df: DataFrame, timeCol: String, valueCols: Seq[String],
+      from: java.sql.Timestamp, to: java.sql.Timestamp, freqMicros: Long): DataFrame = {
+    require(freqMicros > 0, "resample frequency must be positive")
+    val spark = df.sparkSession
+    val spine = spark.range(0, (micros(to) - micros(from)) / freqMicros + 1)
+      .select(timestamp_micros(lit(micros(from)) + col("id") * lit(freqMicros)).as(timeCol))
+      .withColumn("__spine", lit(1))
+    val data = df.select((col(timeCol) +: valueCols.map(col)): _*)
+      .withColumn("__spine", lit(0))
+    // union with a tag; data rows sort before spine rows at equal time via the
+    // window's secondary key, so an observation AT the grid instant is seen.
+    val unioned = spine.select((col(timeCol) +: valueCols.map(c => lit(null).cast(
+        df.schema(c).dataType).as(c)) :+ col("__spine")): _*)
+      .unionByName(data)
+    val filled = ffillOrdered(unioned, timeCol, Seq(col(timeCol), col("__spine")), valueCols)
+    filled.where(col("__spine") === 1).drop("__spine")
+  }
+
+  /** ffill with a compound intra-bucket ordering (used by resample so data
+    * rows precede spine rows at the same timestamp). Same two-pass shape as
+    * [[ffill]].
+    */
+  private def ffillOrdered(df: DataFrame, timeCol: String, order: Seq[Column],
+      valueCols: Seq[String]): DataFrame = {
+    // piggyback on ffill: encode the secondary key into ordering by sorting on
+    // (time, __spine); ffill's window orders by time only, so instead reuse
+    // the bucketed machinery with a combined ordering column.
+    val spark = df.sparkSession
+    val nb = spark.sparkContext.defaultParallelism
+    val bounds = df.agg(min(unix_micros(col(timeCol))).as("lo"),
+      max(unix_micros(col(timeCol))).as("hi")).head()
+    if (bounds.isNullAt(0)) return df
+    val lo = bounds.getLong(0); val hi = bounds.getLong(1)
+    val span = math.max(1L, hi - lo + 1)
+    val bWidth = math.max(1L, span / nb + (if (span % nb == 0) 0 else 1))
+    val withB = df.withColumn("__b", ((unix_micros(col(timeCol)) - lit(lo)) / lit(bWidth)).cast("long"))
+    val w = Window.partitionBy(col("__b")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(withB) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    val carryStruct = max(struct((order :+ struct(valueCols.map(col): _*).as("__v")): _*)).as("s")
+    val carryRows = filled.groupBy(col("__b")).agg(carryStruct)
+      .select(col("__b"), col("s.__v.*")).collect().sortBy(_.getLong(0))
+    val running = scala.collection.mutable.Map[String, Any]()
+    val carryIn = scala.collection.mutable.ArrayBuffer[Row]()
+    carryRows.foreach { r =>
+      val b = r.getLong(0)
+      carryIn += Row.fromSeq(b +: valueCols.indices.map(i => running.getOrElse(valueCols(i), null)))
+      valueCols.zipWithIndex.foreach { case (c, i) =>
+        val v = r.get(i + 1)
+        if (v != null) running(c) = v
+      }
+    }
+    val carrySchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__b", org.apache.spark.sql.types.LongType) +:
+        valueCols.map(c => filled.schema(c).copy(name = s"__carry_$c")))
+    val carryDf = spark.createDataFrame(spark.sparkContext.parallelize(carryIn.toSeq, 1), carrySchema)
+    val joined = filled.join(broadcast(carryDf), Seq("__b"), "left")
+    valueCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), col(s"__carry_$c")))
+    }.drop("__b").drop(valueCols.map(c => s"__carry_$c"): _*)
+  }
+
+  /** Outer-align N named series on the time axis then forward-fill each —
+    * the reference's `pd.concat(..., join="outer", axis=1).ffill()`
+    * (src/qafs/timeseries.py:12-14). Inputs: (columnName, df(time, value)).
+    */
+  def alignOuter(timeCol: String, frames: Seq[(String, DataFrame)],
+      doFfill: Boolean = true): DataFrame = {
+    require(frames.nonEmpty, "alignOuter needs at least one frame")
+    val renamed = frames.map { case (n, d) => d.select(col(timeCol), col("value").as(n)) }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq(timeCol), "full_outer"))
+    val out = if (doFfill) ffill(joined, timeCol, frames.map(_._1)) else joined
+    out.orderBy(col(timeCol))
+  }
+
+  private def micros(t: java.sql.Timestamp): Long = {
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  }
+}

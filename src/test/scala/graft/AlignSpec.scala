@@ -1,0 +1,71 @@
+package graft
+
+import graft.ts.{Align, TimeUtil}
+import org.apache.spark.sql.functions._
+
+/** ffill / resample / align operators (SURVEY §2 R1/R2). The two-pass bucketed
+  * ffill must agree with the obvious single-window LOCF on every input.
+  */
+class AlignSpec extends SparkTestBase {
+
+  test("ffill fills gaps with last non-null, leading nulls stay null") {
+    val df = seriesDf(Seq(
+      "2021-01-01" -> null, "2021-01-02" -> 1.0, "2021-01-03" -> null,
+      "2021-01-04" -> null, "2021-01-05" -> 2.0, "2021-01-06" -> null))
+    val out = collectMap(Align.ffill(df, "time", Seq("value"), buckets = 3))
+    assert(out(ts("2021-01-01")) == null)
+    assert(out(ts("2021-01-03")) == 1.0)
+    assert(out(ts("2021-01-04")) == 1.0)
+    assert(out(ts("2021-01-06")) == 2.0)
+  }
+
+  test("bucketed ffill == global-window ffill on random data") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 500).map { i =>
+      val day = 1 + i % 28
+      val month = 1 + (i / 28) % 12
+      (f"2021-$month%02d-$day%02d ${i % 24}%02d:00:00",
+        if (rnd.nextBoolean()) rnd.nextDouble() else null)
+    }
+    val df = seriesDf(rows.distinct.map { case (t, v) => (t, v: Any) })
+    val fast = Align.ffill(df, "time", Seq("value"), buckets = 7)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("time")
+      .rowsBetween(Long.MinValue, 0)
+    val slow = df.withColumn("value", last(col("value"), ignoreNulls = true).over(w))
+    assert(collectMap(fast) == collectMap(slow))
+  }
+
+  test("resampleFfill: grid-only rows, as-of value, observation at grid instant wins") {
+    val df = seriesDf(Seq(
+      "2021-01-01 00:05:00" -> 1.0,
+      "2021-01-02 00:00:00" -> 2.0, // exactly at a grid point
+      "2021-01-04 12:00:00" -> 3.0))
+    val out = Align.resampleFfill(df, "time", Seq("value"),
+      ts("2021-01-01"), ts("2021-01-06"), TimeUtil.parseMicros("1d"))
+    val m = collectMap(out)
+    assert(m.size == 6)
+    assert(m(ts("2021-01-01")) == null) // grid point before first observation
+    assert(m(ts("2021-01-02")) == 2.0)  // at-instant observation seen
+    assert(m(ts("2021-01-03")) == 2.0)
+    assert(m(ts("2021-01-05")) == 3.0)
+    assert(m(ts("2021-01-06")) == 3.0)
+  }
+
+  test("alignOuter: full outer join on time + per-column ffill") {
+    val a = seriesDf(Seq("2021-01-01" -> 1.0, "2021-01-03" -> 3.0))
+    val b = seriesDf(Seq("2021-01-02" -> 20.0, "2021-01-04" -> 40.0))
+    val out = Align.alignOuter("time", Seq("x" -> a, "y" -> b)).collect()
+    assert(out.length == 4)
+    val at3 = out.find(_.getAs[java.sql.Timestamp]("time") == ts("2021-01-03")).get
+    assert(at3.getAs[Double]("x") == 3.0 && at3.getAs[Double]("y") == 20.0)
+    val at4 = out.find(_.getAs[java.sql.Timestamp]("time") == ts("2021-01-04")).get
+    assert(at4.getAs[Double]("x") == 3.0 && at4.getAs[Double]("y") == 40.0)
+  }
+
+  test("duration parsing") {
+    assert(TimeUtil.parseMicros("-15min") == -15L * 60 * 1000000)
+    assert(TimeUtil.parseMicros("2d") == 2L * 86400 * 1000000)
+    assert(TimeUtil.parseMicros("10min") == 600L * 1000000)
+    intercept[IllegalArgumentException](TimeUtil.parseMicros("abc"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.catalog._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Catalog CRUD semantics (SURVEY §2 C1/C2/C5; reference
+  * tests/test_feature_store.py:131-227).
+  */
+class CatalogSpec extends AnyFunSuite {
+
+  def freshCatalog(): Catalog =
+    new JsonFileCatalog(Files.createTempDirectory("cat").toString)
+
+  test("namespace create/list/get + duplicate rejected") {
+    val c = freshCatalog()
+    c.createNamespace(NamespaceDef("test", "desc", Map("k" -> "v")))
+    assert(c.getNamespace("test").exists(_.description == "desc"))
+    assert(c.listNamespaces().map(_.name) == Seq("test"))
+    intercept[FeatureStoreException](c.createNamespace(NamespaceDef("test")))
+  }
+
+  test("namespace meta merge, null-delete, version bump") {
+    val c = freshCatalog()
+    c.createNamespace(NamespaceDef("ns", meta = Map("key1" -> "a")))
+    c.updateNamespace("ns", metaPatch = Map("key2" -> Some("b")))
+    assert(c.getNamespace("ns").get.meta == Map("key1" -> "a", "key2" -> "b"))
+    c.updateNamespace("ns", metaPatch = Map("key2" -> None))
+    val ns = c.getNamespace("ns").get
+    assert(ns.meta == Map("key1" -> "a"))
+    assert(ns.version == 3) // two updates bumped 1 -> 3
+  }
+
+  test("delete namespace refuses when non-empty") {
+    val c = freshCatalog()
+    c.createNamespace(NamespaceDef("ns"))
+    c.createFeature(FeatureDef("ns", "f1"))
+    intercept[FeatureStoreException](c.deleteNamespace("ns"))
+    c.deleteFeature("ns", "f1")
+    c.deleteNamespace("ns")
+    assert(c.listNamespaces().isEmpty)
+  }
+
+  test("feature CRUD + regex list + upsert-on-create bumps version") {
+    val c = freshCatalog()
+    c.createNamespace(NamespaceDef("ns"))
+    c.createFeature(FeatureDef("ns", "alpha"))
+    c.createFeature(FeatureDef("ns", "beta"))
+    assert(c.listFeatures(Some("ns")).map(_.name) == Seq("alpha", "beta"))
+    assert(c.listFeatures(Some("ns"), Some("^al")).map(_.name) == Seq("alpha"))
+    c.createFeature(FeatureDef("ns", "alpha", description = "v2"))
+    val f = c.getFeature("ns", "alpha").get
+    assert(f.description == "v2" && f.version == 2)
+  }
+
+  test("serialized flag immutable; feature needs existing namespace") {
+    val c = freshCatalog()
+    c.createNamespace(NamespaceDef("ns"))
+    c.createFeature(FeatureDef("ns", "f", serialized = true))
+    intercept[FeatureStoreException](c.createFeature(FeatureDef("ns", "f", serialized = false)))
+    intercept[MissingFeatureException](c.createFeature(FeatureDef("nope", "f")))
+  }
+
+  test("name validation + ns/name splitting sugar") {
+    assert(Catalog.validateName("a.b#c_d-e9") == "a.b#c_d-e9")
+    intercept[IllegalArgumentException](Catalog.validateName("bad name"))
+    intercept[IllegalArgumentException](Catalog.validateName(""))
+    assert(Catalog.splitName("ns/f") == ("ns", "f"))
+    assert(Catalog.splitName("f", Some("d")) == ("d", "f"))
+    intercept[IllegalArgumentException](Catalog.splitName("f"))
+  }
+
+  test("catalog persists across instances (JSON round-trip incl. transform/check)") {
+    val root = Files.createTempDirectory("cat").toString
+    val c1 = new JsonFileCatalog(root)
+    c1.createNamespace(NamespaceDef("ns"))
+    c1.createFeature(FeatureDef("ns", "f",
+      transform = Some(TransformSpec("sql", "a + b", Seq("ns/a", "ns/b"))),
+      check = Some(CheckSpec(Some("bigint"), Seq("value > 0")))))
+    val c2 = new JsonFileCatalog(root)
+    val f = c2.getFeature("ns", "f").get
+    assert(f.transform.get.args == Seq("ns/a", "ns/b"))
+    assert(f.check.get.predicates == Seq("value > 0"))
+  }
+}

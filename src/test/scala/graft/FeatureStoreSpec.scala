@@ -1,0 +1,154 @@
+package graft
+
+import graft.api.FeatureStore
+import graft.catalog._
+import org.apache.spark.sql.functions._
+
+/** End-to-end facade spec — the README example plus the reference suite's
+  * behavioral fixtures (SURVEY §5, FIXTURES.md §A).
+  */
+class FeatureStoreSpec extends SparkTestBase {
+
+  def freshStore(): FeatureStore = new FeatureStore(tmpDir("fs"), spark)
+
+  test("README slice: check-gated save, sql transform, wide ffilled load") {
+    val fs = freshStore()
+    fs.createNamespace("example", "example namespace")
+    fs.createFeature("example/numbers", "Timeseries of numbers",
+      check = Some(CheckSpec(Some("bigint"), Seq("value > 0"))))
+    val days = (0 until 100).map { i =>
+      val d = java.time.LocalDate.of(2021, 1, 1).plusDays(i)
+      (d.toString, (i + 1).toLong: Any)
+    }
+    fs.saveDf(seriesDf(days), name = Some("example/numbers"))
+    fs.registerSqlTransform("example/squared", Seq("numbers"), "numbers * numbers")
+
+    val out = fs.loadFeatures(Seq("example/numbers", "example/squared"),
+      from = Some("2021-01-01"), to = Some("2021-01-10"))
+    val rows = out.orderBy("time").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("example/numbers")).toSeq == (1L to 10L))
+    assert(rows.map(_.getAs[Long]("example/squared")).toSeq == (1L to 10L).map(x => x * x))
+  }
+
+  test("quality gate: violating frame writes nothing and raises") {
+    val fs = freshStore()
+    fs.createNamespace("q")
+    fs.createFeature("q/pos", check = Some(CheckSpec(predicates = Seq("value > 0"))))
+    intercept[CheckFailedException] {
+      fs.saveDf(seriesDf(Seq("2021-01-01" -> 1.0, "2021-01-02" -> -5.0)),
+        name = Some("q/pos"))
+    }
+    assert(fs.storage.load("q", "pos").isEmpty)
+    // failOnCheckError=false logs and writes
+    val lax = new FeatureStore(fs.storageRoot, spark, failOnCheckError = false)
+    lax.saveDf(seriesDf(Seq("2021-01-02" -> -5.0)), name = Some("q/pos"))
+    assert(!lax.storage.load("q", "pos").isEmpty)
+  }
+
+  test("multi-feature wide save fans out per column") {
+    val fs = freshStore()
+    fs.createNamespace("test")
+    fs.createFeature("test/df3"); fs.createFeature("test/df4")
+    val wide = seriesDf(Seq("2021-01-01" -> 1.0, "2021-01-02" -> 2.0))
+      .withColumnRenamed("value", "test/df3")
+      .withColumn("test/df4", col("`test/df3`") * 10)
+    fs.saveDf(wide)
+    assert(collectMap(fs.storage.load("test", "df3")).size == 2)
+    assert(collectMap(fs.storage.load("test", "df4"))(ts("2021-01-02")) == 20.0)
+  }
+
+  test("transform-of-transform DAG with multi-input sql body") {
+    val fs = freshStore()
+    fs.createNamespace("t")
+    fs.createFeature("t/raw")
+    fs.saveDf(seriesDf((1 to 5).map(i => (f"2021-01-0$i%d", i.toDouble: Any))),
+      name = Some("t/raw"))
+    fs.registerSqlTransform("t/squared", Seq("raw"), "raw * raw")
+    fs.registerSqlTransform("t/combined", Seq("raw", "squared"), "raw + squared")
+    val out = fs.loadFeatures(Seq("t/combined")).orderBy("time").collect()
+    assert(out.map(_.getAs[Double]("t/combined")).toSeq == Seq(2.0, 6.0, 12.0, 20.0, 30.0))
+  }
+
+  test("scala registry transform") {
+    val fs = freshStore()
+    fs.createNamespace("t")
+    fs.createFeature("t/raw")
+    fs.saveDf(seriesDf(Seq("2021-01-01" -> 3.0)), name = Some("t/raw"))
+    fs.registerScalaTransform("t/neg", Seq("raw"),
+      df => df.select(col("time"), (-col("raw")).as("value")))
+    val out = fs.loadFeatures(Seq("t/neg")).collect()
+    assert(out.head.getAs[Double]("t/neg") == -3.0)
+  }
+
+  test("circular transform dependency raises") {
+    val fs = freshStore()
+    fs.createNamespace("c")
+    fs.createFeature("c/a")
+    // create b as transform of a, then redefine a as transform of b → cycle
+    fs.registerSqlTransform("c/b", Seq("a"), "a")
+    fs.catalog.updateFeature("c", "a", transform = Some(TransformSpec("sql", "b", Seq("c/b"))))
+    val ex = intercept[FeatureStoreException](fs.loadFeatures(Seq("c/a")).collect())
+    assert(ex.getMessage.contains("circular"))
+  }
+
+  test("empty feature load; resampled empty gives full spine") {
+    val fs = freshStore()
+    fs.createNamespace("e")
+    fs.createFeature("e/empty")
+    assert(fs.loadFeatures(Seq("e/empty")).isEmpty)
+    // out-of-range load on a real feature is empty
+    fs.createFeature("e/real")
+    fs.saveDf(seriesDf(Seq("2021-01-01" -> 1.0)), name = Some("e/real"))
+    assert(fs.loadFeatures(Seq("e/real"), from = Some("2022-01-01"),
+      to = Some("2022-01-05")).isEmpty)
+  }
+
+  test("clone copies metadata and data; delete_data + clean_namespace GC") {
+    val fs = freshStore()
+    fs.createNamespace("cl")
+    fs.createFeature("cl/src", description = "Will be cloned", serialized = true)
+    fs.saveDf(seriesDf(Seq("2021-01-01" -> 42)), name = Some("cl/src"))
+    fs.cloneFeature("cl/src", "cl/dst")
+    val dst = fs.catalog.getFeature("cl", "dst").get
+    assert(dst.description == "Will be cloned" && dst.serialized)
+    assert(collectMap(fs.storage.load("cl", "dst", serialized = true)).nonEmpty)
+
+    // delete feature but keep data → orphan dir → clean_namespace removes it
+    fs.deleteFeature("cl/dst", deleteData = false)
+    assert(fs.storage.listStoredFeatures("cl").contains("dst"))
+    assert(fs.cleanNamespace("cl") == Seq("dst"))
+    assert(!fs.storage.listStoredFeatures("cl").contains("dst"))
+    // delete with data
+    fs.deleteFeature("cl/src", deleteData = true)
+    assert(fs.storage.listStoredFeatures("cl").isEmpty)
+  }
+
+  test("loadFeatures aligns mixed-frequency series with ffill (reference resample golden)") {
+    val fs = freshStore()
+    fs.createNamespace("m")
+    fs.createFeature("m/daily"); fs.createFeature("m/sparse")
+    fs.saveDf(seriesDf((1 to 8).map(i => (f"2021-01-0$i%d", i.toDouble: Any))),
+      name = Some("m/daily"))
+    fs.saveDf(seriesDf(Seq("2021-01-02" -> 100.0, "2021-01-06" -> 200.0)),
+      name = Some("m/sparse"))
+    val out = fs.loadFeatures(Seq("m/daily", "m/sparse"), from = Some("2021-01-01"),
+      to = Some("2021-01-08"), freq = Some("2d")).orderBy("time").collect()
+    assert(out.length == 4) // 01,03,05,07
+    assert(out.map(_.getAs[Double]("m/daily")).toSeq == Seq(1.0, 3.0, 5.0, 7.0))
+    assert(out.map(r => Option(r.getAs[Any]("m/sparse"))).toSeq ==
+      Seq(None, Some(100.0), Some(100.0), Some(200.0)))
+  }
+
+  test("saving to a virtual feature is rejected; missing feature raises") {
+    val fs = freshStore()
+    fs.createNamespace("v")
+    fs.createFeature("v/raw")
+    fs.registerSqlTransform("v/virt", Seq("raw"), "raw")
+    intercept[FeatureStoreException](
+      fs.saveDf(seriesDf(Seq("2021-01-01" -> 1.0)), name = Some("v/virt")))
+    intercept[MissingFeatureException](
+      fs.saveDf(seriesDf(Seq("2021-01-01" -> 1.0)), name = Some("v/ghost")))
+    intercept[MissingFeatureException](fs.loadFeatures(Seq("v/ghost")))
+  }
+}

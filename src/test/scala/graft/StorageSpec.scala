@@ -1,0 +1,113 @@
+package graft
+
+import graft.catalog.PartitionScheme
+import graft.storage.TimeseriesStorage
+import org.apache.spark.sql.functions._
+
+/** Partitioned-parquet timeseries storage (SURVEY §2 S1-S6, F1/F2, A1-A3). */
+class StorageSpec extends SparkTestBase {
+
+  def freshStore(): TimeseriesStorage = new TimeseriesStorage(tmpDir("store"), spark)
+
+  test("save/load round-trip with hive date partitions, dedup collapses rewrites") {
+    val st = freshStore()
+    st.save("ns", "f", seriesDf(Seq("2021-01-01" -> 1.0, "2021-01-02" -> 2.0),
+      created = Some("2021-01-02 00:00:00")))
+    // second append rewrites 01-02 with a later created_time
+    st.save("ns", "f", seriesDf(Seq("2021-01-02" -> 99.0),
+      created = Some("2021-01-03 00:00:00")))
+    val out = collectMap(st.load("ns", "f"))
+    assert(out == Map(ts("2021-01-01") -> 1.0, ts("2021-01-02") -> 99.0))
+    // physical layout is hive-partitioned by date
+    assert(st.listPartitions("ns", "f") == Seq("2021-01-01", "2021-01-02"))
+  }
+
+  test("year partitioning scheme") {
+    val st = freshStore()
+    st.save("ns", "y", seriesDf(Seq("2020-06-01" -> 1.0, "2021-06-01" -> 2.0)),
+      scheme = PartitionScheme.Year)
+    assert(st.listPartitions("ns", "y") == Seq("2020", "2021"))
+    assert(collectMap(st.load("ns", "y", scheme = PartitionScheme.Year)).size == 2)
+  }
+
+  test("time-range filter inclusive both ends; to<from clamps to from") {
+    val st = freshStore()
+    st.save("ns", "r", seriesDf((1 to 9).map(d => (f"2021-01-0$d%d", d.toDouble: Any))))
+    val in = st.load("ns", "r", from = Some(ts("2021-01-03")), to = Some(ts("2021-01-05")))
+    assert(collectMap(in).keySet == Set(ts("2021-01-03"), ts("2021-01-04"), ts("2021-01-05")))
+    val clamped = st.load("ns", "r", from = Some(ts("2021-01-04")), to = Some(ts("2021-01-02")))
+    assert(collectMap(clamped).keySet == Set(ts("2021-01-04")))
+  }
+
+  test("time range prunes hive partitions in the plan") {
+    val st = freshStore()
+    st.save("ns", "p", seriesDf((1 to 9).map(d => (f"2021-01-0$d%d", d.toDouble: Any))))
+    val df = st.scan("ns", "p", from = Some(ts("2021-01-03")), to = Some(ts("2021-01-04")))
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    // FileScan should report pushed partition filters limiting the listing
+    assert(scan.contains("PartitionFilters") && scan.contains("partition"))
+    assert(df.select("time").distinct().count() == 2)
+  }
+
+  test("time-travel keeps rows already known at event-time + delta") {
+    val st = freshStore()
+    // reference fixture shape (tests:451-492): same keys saved 3x with
+    // created_time = time - {10,30,60}min and values 1/2/3
+    for ((mins, v) <- Seq(10 -> 1.0, 30 -> 2.0, 60 -> 3.0)) {
+      val df = seriesDf((1 to 5).map(d => (f"2021-01-0$d%d 12:00:00", v: Any)))
+        .withColumn("created_time", col("time") - expr(s"INTERVAL $mins MINUTES"))
+      st.save("ns", "tt", df)
+    }
+    def vals(tt: String) = collectMap(st.load("ns", "tt", timeTravel = Some(tt))).values.toSet
+    // no travel: latest created_time wins = the -10min save
+    assert(collectMap(st.load("ns", "tt")).values.toSet == Set(1.0))
+    assert(vals("-15min") == Set(2.0))  // only saves created <= t-15min: -30, -60 → max is -30
+    assert(vals("-45min") == Set(3.0))
+    assert(st.load("ns", "tt", timeTravel = Some("-120min")).isEmpty)
+  }
+
+  test("serialized feature JSON round-trips structs and survives drift") {
+    val st = freshStore()
+    import spark.implicits._
+    val structDf = Seq((ts("2021-01-01"), (1, "a")), (ts("2021-01-02"), (2, "b")))
+      .toDF("time", "value")
+    st.save("ns", "s", structDf, serialized = true)
+    // drift: later rows are plain ints
+    st.save("ns", "s", seriesDf(Seq("2021-01-03" -> 7)), serialized = true)
+    val out = collectMap(st.load("ns", "s"))
+    assert(out(ts("2021-01-01")).toString.contains("\"a\""))
+    assert(out(ts("2021-01-03")) == "7")
+  }
+
+  test("extraneous columns rejected on save") {
+    val st = freshStore()
+    val bad = seriesDf(Seq("2021-01-01" -> 1.0)).withColumn("junk", lit(1))
+    intercept[graft.catalog.FeatureStoreException](st.save("ns", "x", bad))
+  }
+
+  test("first/last value via edge partitions; time bounds") {
+    val st = freshStore()
+    st.save("ns", "fl", seriesDf((1 to 9).map(d => (f"2021-01-0$d%d", d * 10.0: Any))))
+    assert(st.firstValue("ns", "fl").contains((ts("2021-01-01"), 10.0)))
+    assert(st.lastValue("ns", "fl").contains((ts("2021-01-09"), 90.0)))
+    assert(st.timeBounds("ns", "fl").contains((ts("2021-01-01"), ts("2021-01-09"))))
+  }
+
+  test("resample load: freq grid with defaults from data bounds") {
+    val st = freshStore()
+    st.save("ns", "rs", seriesDf(Seq("2021-01-01" -> 1.0, "2021-01-05" -> 5.0)))
+    val out = collectMap(st.load("ns", "rs", freq = Some("2d")))
+    assert(out == Map(ts("2021-01-01") -> 1.0, ts("2021-01-03") -> 1.0, ts("2021-01-05") -> 5.0))
+  }
+
+  test("empty/missing feature loads as empty frame; delete removes dir; copy clones data") {
+    val st = freshStore()
+    assert(st.load("ns", "ghost").isEmpty)
+    st.save("ns", "c1", seriesDf(Seq("2021-01-01" -> 1.0)))
+    st.copy("ns", "c1", "ns", "c2")
+    assert(collectMap(st.load("ns", "c2")) == Map(ts("2021-01-01") -> 1.0))
+    st.delete("ns", "c1")
+    assert(st.load("ns", "c1").isEmpty)
+    assert(st.listStoredFeatures("ns") == Seq("c2"))
+  }
+}
