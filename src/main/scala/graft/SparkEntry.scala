@@ -108,7 +108,99 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
+
+    // ---- LLM-pipeline extension operators (documents/embeddings) ----------
+
+    // exact dedup: content fingerprint → canonical (min) id per group
+    "dedup_exact_map" -> ((s, dir) =>
+      operators.DedupOps.exactDedupMap(Tables.documents(s, dir), "doc_id", "text")),
+
+    // MinHash(128) + LSH(32 bands × 4 rows) near-dup pairs, exact-verified
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      operators.DedupOps.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text")),
+
+    // brute-force n-gram Jaccard baseline (same contract as the LSH path)
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      operators.DedupOps.exactJaccardPairs(Tables.documents(s, dir), "doc_id", "text")),
+
+    // SimHash signature per document (64-char bit-string)
+    "dedup_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        operators.DedupOps.simhashBits(col("text")).as("simhash"))),
+
+    // text-analysis signals: token counts, punct/stopword counts, quality
+    "text_stats" -> ((s, dir) =>
+      operators.TextOps.textStats(Tables.documents(s, dir), "doc_id", "text")),
+
+    // language-ID heuristic
+    "text_langid" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        operators.TextOps.langId(col("text")).as("lang_guess"))),
+
+    // exact cosine top-10 for the first 10 vectors as queries
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.SimilarityOps.bruteForceTopK(emb,
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", 10)
+    }),
+
+    // IVF-bucketed ANN (approximate; validated vs brute force in tests)
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.SimilarityOps.ivfTopK(emb,
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", 10)
+    }),
+
+    // embedding near-duplicate pairs (quantized-exact cosine >= 0.4)
+    "emb_neardup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).where(col("vec_id") < 500)
+      operators.SimilarityOps.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+    }),
+
+    // multimodal: metadata-only pass over the opaque binary column
+    "mm_media_meta" -> ((s, dir) =>
+      operators.MultimodalOps.mediaMeta(
+        operators.MultimodalOps.asMediaTable(Tables.documents(s, dir), "doc_id", "text"))),
+
+    // multimodal: batched per-partition decode stub → typed features
+    "mm_decode_features" -> ((s, dir) =>
+      operators.MultimodalOps.decodeFeatures(
+        operators.MultimodalOps.asMediaTable(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF().select(col("id"), col("n_bytes"),
+          col("width").cast("bigint").as("width"), col("height").cast("bigint").as("height"))),
+
+    // multimodal: frame/window sampling stub (id, frame_idx) inventory
+    "mm_frame_sample" -> ((s, dir) =>
+      operators.MultimodalOps.sampleFrames(
+        operators.MultimodalOps.asMediaTable(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF().select(col("id"), col("frame_idx").cast("bigint").as("frame_idx"),
+          length(col("frame_bytes")).cast("bigint").as("n_bytes"))),
   )
+
+  /** Shared oracle fragment: exact 3-shingle Jaccard pairs >= 1/2 over
+    * documents — the ground truth both the LSH path and the brute-force
+    * path must reproduce (integer-exact: 2*intersect >= union).
+    */
+  private val jaccardOracle =
+    """WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+       sh AS (SELECT DISTINCT doc_id, tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2] AS s
+              FROM docs, unnest(generate_series(1, len(tks) - 2)) t(i) WHERE len(tks) >= 3),
+       sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id ia, b.doc_id ib, count(*) m
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT ia AS id_a, ib AS id_b, m AS intersect_size, sa.n + sb.n - m AS union_size
+       FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+       WHERE 2 * m >= sa.n + sb.n - m ORDER BY 1, 2"""
+
+  /** Shared oracle fragment: fixed-point-quantized embeddings flattened to
+    * (vec_id, dim index, int value) — dot products and norms become
+    * integer-exact sums, so cosine is bit-reproducible across engines.
+    */
+  private val embFlat =
+    """e AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) v FROM embeddings),
+       flat AS (SELECT vec_id, unnest(v) x, unnest(range(len(v))) i FROM e),
+       norms AS (SELECT vec_id, sum(x * x) n2 FROM flat GROUP BY 1)"""
 
   def oracleSql: Map[String, String] = Map(
     "fs_load_latest" ->
@@ -175,5 +267,87 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          GROUP BY o_orderkey, o_orderdate
          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    "dedup_exact_map" ->
+      """WITH f AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) fp
+                    FROM documents)
+         SELECT doc_id, fp AS fingerprint, min(doc_id) OVER (PARTITION BY fp) AS canonical_id
+         FROM f ORDER BY doc_id""",
+
+    "dedup_minhash_lsh" -> jaccardOracle,
+    "dedup_ngram_jaccard" -> jaccardOracle,
+
+    "dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) h FROM documents),
+         bits AS (SELECT doc_id, b,
+             sum(CASE WHEN ((strpos('0123456789abcdef', substring(h, b // 4 + 1, 1)) - 1)
+                            >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END) s
+           FROM tok, unnest(generate_series(0, 63)) t(b) GROUP BY 1, 2)
+         SELECT doc_id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+         FROM bits GROUP BY doc_id ORDER BY doc_id""",
+
+    "text_stats" ->
+      """WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') tks FROM documents)
+         SELECT doc_id,
+           len(tks) AS n_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[.,;:!?''"()\-]')) AS n_punct,
+           len(list_filter(tks, x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+               'that','this','for','on','with','as','at','by','be'))) AS n_stopwords,
+           CAST(list_sum(list_transform(tks, x -> length(x))) AS DOUBLE)
+             / CAST(len(tks) AS DOUBLE) AS mean_token_len,
+           (CAST(len(list_filter(tks, x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+               'that','this','for','on','with','as','at','by','be'))) AS DOUBLE)
+             / CAST(len(tks) AS DOUBLE)) * 0.4
+           + least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0) * 0.3
+           + (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?''"()\-]')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE)) * 0.3 AS quality
+         FROM t ORDER BY doc_id""",
+
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         s AS (SELECT doc_id,
+           len(list_filter(tks, x -> x IN ('der','die','das','und','nicht','ist'))) de,
+           len(list_filter(tks, x -> x IN ('the','a','of','and','is','to'))) en,
+           len(list_filter(tks, x -> x IN ('el','la','los','que','y','es'))) es,
+           len(list_filter(tks, x -> x IN ('le','la','les','et','est','une'))) fr,
+           len(list_filter(tks, x -> x IN ('的','是','了','在','我','有'))) zh
+           FROM t)
+         SELECT doc_id, CASE
+             WHEN greatest(de, en, es, fr, zh) = 0 THEN 'unknown'
+             WHEN de = greatest(de, en, es, fr, zh) THEN 'de'
+             WHEN en = greatest(de, en, es, fr, zh) THEN 'en'
+             WHEN es = greatest(de, en, es, fr, zh) THEN 'es'
+             WHEN fr = greatest(de, en, es, fr, zh) THEN 'fr'
+             ELSE 'zh' END AS lang_guess
+         FROM s ORDER BY doc_id""",
+
+    "ann_cosine_topk" ->
+      s"""WITH $embFlat,
+          q AS (SELECT * FROM flat WHERE vec_id < 10),
+          dots AS (SELECT q.vec_id qid, c.vec_id nid, sum(q.x * c.x) dot
+                   FROM q JOIN flat c ON q.i = c.i AND q.vec_id != c.vec_id GROUP BY 1, 2),
+          scored AS (SELECT qid query_id, nid neighbor_id,
+              CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) cosine
+            FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = nid)
+          SELECT query_id, neighbor_id, rank, cosine FROM
+            (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) rank FROM scored)
+          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "emb_neardup" ->
+      s"""WITH $embFlat,
+          f5 AS (SELECT * FROM flat WHERE vec_id < 500),
+          dots AS (SELECT a.vec_id ia, b.vec_id ib, sum(a.x * b.x) dot
+                   FROM f5 a JOIN f5 b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+          SELECT ia AS id_a, ib AS id_b,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+          FROM dots JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
+          WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.4
+          ORDER BY 1, 2""",
+
+    "mm_media_meta" ->
+      """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes, 'fake/rgb8' AS format
+         FROM documents ORDER BY doc_id""",
   )
 }

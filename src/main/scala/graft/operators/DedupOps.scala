@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for training-data pipelines: exact (hash),
+  * MinHash+LSH near-dup, SimHash, and exact n-gram-Jaccard baseline.
+  *
+  * Scale design (100 TB): every stage is shuffle-minimal —
+  *  - signatures (minhash/simhash/fingerprint) are pure column expressions
+  *    computed map-side, no UDFs, whole-stage codegen;
+  *  - LSH banding shuffles only (band_key → doc_id) pairs, ~bands rows/doc;
+  *  - candidate verification joins the (small) candidate-pair set back to
+  *    shingle sets — never the full cross product;
+  *  - the only O(n²) path is [[exactJaccardPairs]], the small-data baseline
+  *    the approximate paths are validated against.
+  *
+  * Hash derivation is md5-based (not xxhash64) so results are reproducible
+  * in any engine: base(s) = first 15 hex chars of md5 → bigint (60 bits),
+  * minhash_j(s) = (a_j * (base mod 2^31) + b_j) mod (2^31 - 1).
+  */
+object DedupOps {
+
+  val MersennePrime31 = 2147483647L // 2^31 - 1
+
+  /** Deterministic per-permutation coefficients from a fixed LCG seed. */
+  def hashCoeffs(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    var x = seed
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; x }
+    (0 until numHashes).map(_ => (next() % (MersennePrime31 - 1) + 1, next() % MersennePrime31))
+  }
+
+  /** 60-bit base hash of a string, engine-reproducible. */
+  def baseHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("bigint")
+
+  /** MinHash signature (array<bigint> of length numHashes) over a
+    * set-of-strings column. Pure map-side expression.
+    */
+  def minhashSignature(set: Column, numHashes: Int): Column = {
+    val coeffs = hashCoeffs(numHashes)
+    val bases = transform(set, s => pmod(baseHash(s), lit(1L << 31)))
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(bases, h => pmod(h * a + b, lit(MersennePrime31))))
+    }: _*)
+  }
+
+  /** Exact duplicate mapping: every row keyed to the min id sharing its
+    * content fingerprint. Rows with canonical_id != id are exact dups.
+    */
+  def exactDedupMap(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = TextOps.fingerprint(col(textCol))
+    df.select(col(idCol), fp.as("fp"))
+      .withColumn("canonical_id", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .select(col(idCol), col("fp").as("fingerprint"), col("canonical_id"))
+  }
+
+  /** MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * numHashes = bands * rowsPerBand. Candidate pairs come from banding
+    * (docs agreeing on all rows of any band); each candidate is then
+    * verified with exact Jaccard over the shingle sets, so the output
+    * contains no false positives — only (possibly) missed pairs, with miss
+    * probability (1 - j^rows)^bands (≈0 for j near 1).
+    *
+    * Output: (id_a, id_b, intersect_size, union_size) with
+    * 2*intersect >= union ⟺ jaccard >= threshold (integer-exact, default
+    * threshold 1/2 generalized via `thresholdNum/thresholdDen`).
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
+      thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val docs = df.select(col(idCol).as("id"),
+      TextOps.shingles(col(textCol), shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    // band rows: (band_idx, band_key = the band's slice of the signature)
+    val banded = docs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select(col("id"), col("pos").as("band"), col("col").as("key"))
+
+    // candidate pairs within a bucket. Buckets are tiny for real near-dup
+    // distributions; a degenerate hot bucket (constant docs) would blow up
+    // combinatorially — cap per-bucket membership to bound the worst case.
+    val maxBucket = 1000
+    val buckets = banded.groupBy(col("band"), col("key"))
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+      .where(size(col("ids")) > 1)
+    val cands = buckets.select(explode(pairCombinations(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+
+    verifyJaccard(cands, docs.select(col("id"), col("sh")),
+      thresholdNum, thresholdDen)
+  }
+
+  /** All unordered pairs of a sorted array as structs (_1 < _2). */
+  private def pairCombinations(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)), y =>
+        struct(x.as("_1"), y.as("_2")))))
+
+  /** Exact n-gram (shingle) Jaccard pairs — the brute-force baseline:
+    * explode shingles, self-join, integer-exact jaccard filter.
+    */
+  def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      TextOps.shingles(col(textCol), shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+    val tok = docs.select(col("id"), explode(col("sh")).as("s"))
+    val cands = tok.as("a").join(tok.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(cands, docs, thresholdNum, thresholdDen)
+  }
+
+  /** Join candidate (id_a, id_b) pairs to shingle sets and keep pairs with
+    * jaccard >= thresholdNum/thresholdDen, integer-exact:
+    * den*inter >= num*union.
+    */
+  private def verifyJaccard(cands: DataFrame, docs: DataFrame,
+      thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    cands
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
+      .withColumn("intersect_size", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("union_size", size(col("sha")) + size(col("shb")) - col("intersect_size"))
+      .where(col("intersect_size") * thresholdDen >= col("union_size") * thresholdNum)
+      .select(col("id_a"), col("id_b"), col("intersect_size").cast("bigint").as("intersect_size"),
+        col("union_size").cast("bigint").as("union_size"))
+  }
+
+  /** SimHash as a 64-char bit-string (avoids int64 sign-bit overflow and is
+    * representable identically in any engine): bit b of md5(token) votes
+    * +1/-1; simhash bit = 1 iff the vote sum is >= 0. Near-dups have small
+    * Hamming distance between bit-strings.
+    */
+  def simhashBits(text: Column): Column = {
+    val tks = TextOps.tokens(text)
+    // per-token bit b: hex digit at b/4, bit (3 - b%4) of its value
+    def bitOf(t: Column, b: Int): Column = {
+      val digit = instr(lit("0123456789abcdef"), substring(md5(t), b / 4 + 1, 1)) - 1
+      floor(digit / math.pow(2, 3 - b % 4).toInt).cast("int") % 2
+    }
+    val bitCols = (0 until 64).map { b =>
+      val votes = aggregate(tks, lit(0L),
+        (acc, t) => acc + when(bitOf(t, b) === 1, 1L).otherwise(-1L))
+      when(votes >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bitCols: _*)
+  }
+
+  /** Hamming distance between two equal-length bit-strings. */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(split(a, ""), split(b, ""), (x, y) => when(x === y, 0).otherwise(1)),
+      lit(0), (acc, d) => acc + d)
+}

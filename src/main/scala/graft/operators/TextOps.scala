@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, BPE-ish token counting, quality signals, language-ID
+  * heuristic, document fingerprinting. All are pure column expressions
+  * (whole-stage-codegen'd, no UDFs) so they scale embarrassingly — no
+  * shuffle, no driver involvement, pushdown-friendly.
+  *
+  * Determinism contract (for the DuckDB oracle): only IEEE double ops on
+  * exact integers — no `round()` of computed doubles (Spark rounds the
+  * shortest-string repr, other engines the binary value).
+  */
+object TextOps {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, digits, or single other
+    * non-space chars — the standard pre-tokenizer shape.
+    */
+  val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Count of punctuation chars. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,;:!?'\"()\\-]"), lit(0)))
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be")
+
+  /** Number of tokens that are stopwords (quality signal: natural prose has
+    * a healthy stopword rate; keyword-stuffed or boilerplate text does not).
+    */
+  def stopwordCount(text: Column): Column = {
+    val sw = array(Stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(sw, t)))
+  }
+
+  /** Mean token length as an exact double (sum of lengths / token count). */
+  def meanTokenLength(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Composite quality score in [0,1]-ish: stopword rate (0.4 weight),
+    * length saturation at 1000 chars (0.3), inverse punct density (0.3).
+    * Pure IEEE arithmetic over integer counts — cross-engine exact.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val stopRate = stopwordCount(text).cast("double") / nTok
+    val lenScore = least(length(text).cast("double") / 1000.0, lit(1.0))
+    val punctRate = punctCount(text).cast("double") / length(text).cast("double")
+    stopRate * 0.4 + lenScore * 0.3 + (lit(1.0) - punctRate) * 0.3
+  }
+
+  /** Language-ID: argmax of marker-stopword hits per language; ties and
+    * zero-hit docs resolve to the lexically-first candidate ("unknown"
+    * sorts last). N-gram-free heuristic — a real model slots in behind the
+    * same column contract.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "la", "los", "que", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  def langId(text: Column): Column = {
+    val tks = tokens(text)
+    val scored = LangMarkers.map { case (lang, markers) =>
+      val m = array(markers.map(lit): _*)
+      struct(size(filter(tks, t => array_contains(m, t))).as("hits"), lit(lang).as("lang"))
+    }
+    // greatest(struct) = max hits, ties broken by max lang string; to get the
+    // lexically-FIRST winner on ties, compare on (hits, reversed-rank) instead
+    val ranked = scored.zipWithIndex.map { case (s, i) =>
+      struct(s.getField("hits").as("hits"), lit(-i).as("rank"), s.getField("lang").as("lang"))
+    }
+    val best = greatest(ranked: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("unknown"))
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized lowercase text —
+    * byte-identical content maps to one 128-bit key for exact dedup/sharding.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Word k-shingles (k consecutive tokens joined by one space), distinct.
+    * Empty array when the doc has fewer than k tokens.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val tks = tokens(text)
+    when(size(tks) >= k,
+      array_distinct(transform(sequence(lit(0), size(tks) - k),
+        i => concat_ws(" ", slice(tks, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Convenience: one row per doc with all text signals. */
+  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      tokenCount(t).cast("bigint").as("n_tokens"),
+      bpeTokenCount(t).cast("bigint").as("n_bpe_tokens"),
+      punctCount(t).cast("bigint").as("n_punct"),
+      stopwordCount(t).cast("bigint").as("n_stopwords"),
+      meanTokenLength(t).as("mean_token_len"),
+      qualityScore(t).as("quality"))
+  }
+}
