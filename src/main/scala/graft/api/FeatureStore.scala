@@ -187,11 +187,16 @@ class FeatureStore(
     require(names.nonEmpty, "no features requested")
     val fromTs = from.map(TimeUtil.parseTimestamp)
     val toTs = to.map(TimeUtil.parseTimestamp)
+    // memoize per-feature plans within this call: a DAG that references the
+    // same input twice (directly + through a transform) reuses ONE subtree,
+    // letting Catalyst/AQE reuse the scan+dedup exchange instead of
+    // re-reading storage per reference
+    val memo = scala.collection.mutable.Map[String, DataFrame]()
     val frames = names.map { q =>
       val (ns, n) = Catalog.splitName(q, defaultNamespace)
       val f = catalog.getFeature(ns, n)
         .getOrElse(throw new MissingFeatureException(s"no feature: $ns/$n"))
-      s"$ns/$n" -> loadOne(f, fromTs, toTs, freq, timeTravel, Set.empty)
+      s"$ns/$n" -> loadOne(f, fromTs, toTs, freq, timeTravel, Set.empty, memo)
     }
     Align.alignOuter(TimeCol, frames)
   }
@@ -201,12 +206,14 @@ class FeatureStore(
     */
   private def loadOne(f: FeatureDef, from: Option[Timestamp], to: Option[Timestamp],
       freq: Option[String], timeTravel: Option[String],
-      callers: Set[String]): DataFrame = {
+      callers: Set[String],
+      memo: scala.collection.mutable.Map[String, DataFrame] = scala.collection.mutable.Map()): DataFrame = {
     val key = f.qualified
     if (callers.contains(key))
       throw new FeatureStoreException(
         s"circular transform dependency detected at $key (via ${callers.mkString(" -> ")})")
-    f.transform match {
+    memo.get(key).foreach(return _)
+    val result = f.transform match {
       case None =>
         storage.load(f.namespace, f.name, from, to, freq, timeTravel,
           f.partitionScheme, f.serialized)
@@ -217,7 +224,7 @@ class FeatureStore(
           val (ns, n) = Catalog.splitName(q)
           val in = catalog.getFeature(ns, n)
             .getOrElse(throw new MissingFeatureException(s"transform input missing: $q"))
-          q -> loadOne(in, from, to, freq, timeTravel, callers + key)
+          q -> loadOne(in, from, to, freq, timeTravel, callers + key, memo)
         }
         // align inputs on the time axis, expose them under bare names in arg order
         val aligned = Align.alignOuter(TimeCol, inputs)
@@ -235,6 +242,8 @@ class FeatureStore(
         }
         out.select(TimeCol, ValueCol)
     }
+    memo(key) = result
+    result
   }
 
   /** Enforce the one-value-column rule on transform output

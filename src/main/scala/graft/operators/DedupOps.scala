@@ -34,12 +34,19 @@ object DedupOps {
   def baseHash(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("bigint")
 
-  /** MinHash signature (array<bigint> of length numHashes) over a
-    * set-of-strings column. Pure map-side expression.
+  /** Per-element 31-bit base hashes of a set-of-strings column. Materialize
+    * this ONCE (its own projection) before fanning out to the per-permutation
+    * minhashes — md5+conv per shingle is the expensive part and must not be
+    * duplicated into every permutation's expression tree.
     */
-  def minhashSignature(set: Column, numHashes: Int): Column = {
+  def baseHashes(set: Column): Column =
+    transform(set, s => pmod(baseHash(s), lit(1L << 31)))
+
+  /** MinHash signature (array<bigint> of length numHashes) over precomputed
+    * [[baseHashes]]. Pure map-side arithmetic — numHashes × |set| pmods.
+    */
+  def minhashSignature(bases: Column, numHashes: Int): Column = {
     val coeffs = hashCoeffs(numHashes)
-    val bases = transform(set, s => pmod(baseHash(s), lit(1L << 31)))
     array(coeffs.map { case (a, b) =>
       array_min(transform(bases, h => pmod(h * a + b, lit(MersennePrime31))))
     }: _*)
@@ -72,16 +79,30 @@ object DedupOps {
       shingleK: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
       thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
     val numHashes = bands * rowsPerBand
+    val coeffs = hashCoeffs(numHashes)
     val docs = df.select(col(idCol).as("id"),
       TextOps.shingles(col(textCol), shingleK).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
 
-    // band rows: (band_idx, band_key = the band's slice of the signature)
-    val banded = docs.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-      .select(col("id"), col("pos").as("band"), col("col").as("key"))
+    // Signature via explode + codegen'd min() aggregates instead of
+    // higher-order-function lambdas (those are interpreted per row): one
+    // md5 per (doc, shingle), then numHashes cheap pmods folded by
+    // map-side partial min aggregation — the whole signature pass is
+    // whole-stage-codegen with one shuffle of the doc ids.
+    val exploded = docs.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), pmod(baseHash(col("s")), lit(1L << 31)).as("h"))
+    val minAggs = coeffs.zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("h") * a + b, lit(MersennePrime31))).as(s"m$j")
+    }
+    val sigs = exploded.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+
+    // band rows: (band_idx, band_key = that band's slice of the signature)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        array((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*).as("key"))
+    }
+    val banded = sigs.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
     // candidate pairs within a bucket. Buckets are tiny for real near-dup
     // distributions; a degenerate hot bucket (constant docs) would blow up
@@ -112,12 +133,21 @@ object DedupOps {
     val docs = df.select(col(idCol).as("id"),
       TextOps.shingles(col(textCol), shingleK).as("sh"))
       .where(size(col("sh")) > 0)
+    // shingles are distinct per doc, so counting join matches per (a,b) IS
+    // the intersection size — no distinct pass, no per-pair array ops; the
+    // groupBy gets map-side partial aggregation for free
+    val sizes = docs.select(col("id"), size(col("sh")).cast("bigint").as("n"))
     val tok = docs.select(col("id"), explode(col("sh")).as("s"))
-    val cands = tok.as("a").join(tok.as("b"),
+    val inter = tok.as("a").join(tok.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    verifyJaccard(cands, docs, thresholdNum, thresholdDen)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("intersect_size"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("union_size", col("na") + col("nb") - col("intersect_size"))
+      .where(col("intersect_size") * thresholdDen >= col("union_size") * thresholdNum)
+      .select(col("id_a"), col("id_b"), col("intersect_size"), col("union_size"))
   }
 
   /** Join candidate (id_a, id_b) pairs to shingle sets and keep pairs with

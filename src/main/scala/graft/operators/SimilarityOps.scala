@@ -36,16 +36,27 @@ object SimilarityOps {
     dotInt(a, b).cast("double") /
       (sqrt(dotInt(a, a).cast("double")) * sqrt(dotInt(b, b).cast("double")))
 
+  /** (id, quantized vector, precomputed norm): norms are computed once per
+    * vector, not once per pair — the dominant cost in pairwise scoring.
+    */
+  private def prep(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vAs: String, nAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), quantize(col(vecCol)).as(vAs))
+      .withColumn(nAs, sqrt(dotInt(col(vAs), col(vAs)).cast("double")))
+
+  private def cosPre(va: Column, vb: Column, na: Column, nb: Column): Column =
+    dotInt(va, vb).cast("double") / (na * nb)
+
   /** Exact top-k neighbors for each query vector (excluding self-matches).
     * `queries` must be small enough to broadcast — the corpus streams by
     * once with no shuffle until the final per-query top-k aggregation.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val c = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val q = prep(queries, idCol, vecCol, "query_id", "qv", "qn")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+      .withColumn("cosine", cosPre(col("qv"), col("cv"), col("qn"), col("cn")))
     topKPerQuery(scored, k)
   }
 
@@ -58,29 +69,31 @@ object SimilarityOps {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cq = corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
+    val cq = prep(corpus, idCol, vecCol, "id", "v", "nrm")
     val centroids = cq.orderBy(col("id")).limit(nCells)
-      .select(col("id").as("cell"), col("v").as("cv")).collect()
+      .select(col("id"), col("v"), col("nrm")).collect()
     val centroidArr = array(centroids.map(r =>
       struct(lit(r.getLong(0)).as("cell"),
-        array(r.getSeq[Long](1).map(lit): _*).as("cv"))): _*)
+        array(r.getSeq[Long](1).map(lit): _*).as("cv"),
+        lit(r.getDouble(2)).as("cn"))): _*)
 
     // rank cells per vector by cosine; corpus keeps 1, queries keep nProbe
-    def cellRanks(v: Column, n: Int): Column =
+    def cellRanks(v: Column, nrm: Column, n: Int): Column =
       slice(reverse(array_sort(transform(centroidArr, c =>
-        struct(cosineQ(v, c.getField("cv")).as("cos"), c.getField("cell").as("cell"))))),
+        struct((dotInt(v, c.getField("cv")).cast("double") / (nrm * c.getField("cn"))).as("cos"),
+          c.getField("cell").as("cell"))))),
         1, n)
 
     val assigned = cq.withColumn("cell",
-      cellRanks(col("v"), 1).getItem(0).getField("cell"))
-    val probes = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
-      .withColumn("cell", explode(transform(cellRanks(col("qv"), nProbe),
+      cellRanks(col("v"), col("nrm"), 1).getItem(0).getField("cell"))
+    val probes = prep(queries, idCol, vecCol, "query_id", "qv", "qn")
+      .withColumn("cell", explode(transform(cellRanks(col("qv"), col("qn"), nProbe),
         c => c.getField("cell"))))
 
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
-        cosineQ(col("qv"), col("v")).as("cosine"), col("qv"), col("v"))
+        cosPre(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
     topKPerQuery(scored, k)
   }
 
@@ -89,10 +102,11 @@ object SimilarityOps {
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
-    v.as("a").join(broadcast(v.as("b")), col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosineQ(col("a.v"), col("b.v")).as("cosine"))
+    val a = prep(df, idCol, vecCol, "id_a", "va", "na")
+    val b = prep(df, idCol, vecCol, "id_b", "vb", "nb")
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosPre(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
       .where(col("cosine") >= minCosine)
   }
 

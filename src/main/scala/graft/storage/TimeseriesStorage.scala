@@ -63,6 +63,10 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
 
     partitioned
       .select(TimeCol, ValueCol, CreatedCol, PartCol)
+      // co-locate each hive partition's rows in one task: otherwise every
+      // writer task emits a file per partition value (tasks × partitions
+      // small files — a scan-killer at scale and locally)
+      .repartition(col(PartCol))
       .write
       .format("parquet")
       .option("compression", "snappy")

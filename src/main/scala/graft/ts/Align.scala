@@ -159,8 +159,9 @@ object Align {
     require(frames.nonEmpty, "alignOuter needs at least one frame")
     val renamed = frames.map { case (n, d) => d.select(col(timeCol), col("value").as(n)) }
     val joined = renamed.reduce((a, b) => a.join(b, Seq(timeCol), "full_outer"))
-    val out = if (doFfill) ffill(joined, timeCol, frames.map(_._1)) else joined
-    out.orderBy(col(timeCol))
+    // no presentation sort here: a global orderBy is a full-data sort the
+    // caller may not need — downstream consumers order explicitly
+    if (doFfill) ffill(joined, timeCol, frames.map(_._1)) else joined
   }
 
   private def micros(t: java.sql.Timestamp): Long = {
