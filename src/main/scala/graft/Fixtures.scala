@@ -54,4 +54,62 @@ object Fixtures {
     store.registerSqlTransform("events/click_comb", Seq("click", "click_sq"), "click + click_sq")
     store
   }
+
+  // ---- streaming fixtures ---------------------------------------------------
+
+  private val streamed = TrieMap[String, Unit]()
+  private val windowed = TrieMap[String, String]()
+
+  /** Events parquet as a bounded stream (same ns→micros handling as
+    * [[Tables.events]]).
+    */
+  def eventStream(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    GraftSession.tune(spark)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(sfDir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  }
+
+  /** Ensure events/stream_click exists in the fixture store, ingested through
+    * the STREAMING path (AvailableNow → foreachBatch → batch save).
+    * created_time is pinned to event time for determinism.
+    */
+  def streamedStore(spark: SparkSession, sfDir: String): FeatureStore = {
+    val fs = store(spark, sfDir)
+    streamed.getOrElseUpdate(sfDir, {
+      fs.createFeature("events/stream_click", "click values via streaming ingest")
+      val cp = s"/tmp/graft_fixtures/cp_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val cpPath = new org.apache.hadoop.fs.Path(cp)
+      val hfs = cpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (hfs.exists(cpPath)) hfs.delete(cpPath, true)
+      val src = eventStream(spark, sfDir)
+        .where(col("event_type") === "click")
+        .select(col("ts").as("time"), col("value"), col("ts").as("created_time"))
+      val q = graft.streaming.StreamingOps.ingestAvailableNow(fs, src, "events/stream_click", cp)
+      q.awaitTermination()
+    })
+    fs
+  }
+
+  /** Streaming windowed counts materialized once per (JVM, sf): complete-mode
+    * memory sink drained by AvailableNow, persisted to parquet for reuse.
+    */
+  def windowedCountsPath(spark: SparkSession, sfDir: String): String =
+    windowed.getOrElseUpdate(sfDir, {
+      val out = s"/tmp/graft_fixtures/wc_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val agg = graft.streaming.StreamingOps.windowedCounts(
+        eventStream(spark, sfDir).select(col("ts"), col("event_type"), col("value")),
+        "ts", "event_type", "1 hour")
+      val q = agg.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("complete")
+        .format("memory").queryName("graft_wc")
+        .start()
+      q.awaitTermination()
+      spark.table("graft_wc").write.mode("overwrite").parquet(out)
+      out
+    })
 }

@@ -157,6 +157,30 @@ object SparkEntry {
       operators.SimilarityOps.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
     }),
 
+    // ---- streaming (Structured Streaming, drained with AvailableNow) ------
+
+    // streaming ingest through the batch save path → identical storage
+    "stream_ingest_load" -> ((s, dir) =>
+      Fixtures.streamedStore(s, dir).storage.load("events", "stream_click")),
+
+    // watermarked tumbling-window agg over the event stream
+    "stream_window_counts" -> ((s, dir) =>
+      s.read.parquet(Fixtures.windowedCountsPath(s, dir))),
+
+    // custom state machine: session windows via flatMapGroupsWithState
+    "stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[streaming.StreamingOps.SessionEvent]
+      streaming.StreamingOps.sessionizeStateful(ev, 30).toDF()
+    }),
+
+    // same sessions via the declarative gaps-and-islands path
+    "sessionize_batch" -> ((s, dir) =>
+      streaming.StreamingOps.sessionizeBatch(
+        Tables.events(s, dir).select(col("user_id"), col("ts")), "ts", "user_id", 30)),
+
     // multimodal: metadata-only pass over the opaque binary column
     "mm_media_meta" -> ((s, dir) =>
       operators.MultimodalOps.mediaMeta(
@@ -349,5 +373,31 @@ object SparkEntry {
     "mm_media_meta" ->
       """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes, 'fake/rgb8' AS format
          FROM documents ORDER BY doc_id""",
+
+    "stream_ingest_load" ->
+      s"SELECT time, value FROM (${ev("click")}) ORDER BY time",
+
+    "stream_window_counts" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+           count(*) AS n,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "stream_sessionize" -> sessionizeOracle,
+    "sessionize_batch" -> sessionizeOracle,
   )
+
+  /** Gaps-and-islands sessionization (30min inactivity gap) — ground truth
+    * for both the stateful (flatMapGroupsWithState) and declarative paths.
+    */
+  private lazy val sessionizeOracle =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) t FROM events),
+       x AS (SELECT user_id, t,
+               CASE WHEN lag(t) OVER w IS NULL
+                      OR t - lag(t) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END ns
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+       y AS (SELECT user_id, t, sum(ns) OVER
+               (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) sid FROM x)
+       SELECT user_id, min(t) AS session_start, max(t) AS session_end, count(*) AS n_events
+       FROM y GROUP BY user_id, sid ORDER BY user_id, session_start"""
 }

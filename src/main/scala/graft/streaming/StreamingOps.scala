@@ -1,0 +1,134 @@
+package graft.streaming
+
+import graft.api.FeatureStore
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import java.sql.Timestamp
+
+/** Structured-Streaming operators over the same storage layout and semantics
+  * as the batch path. The reference has no streaming (SURVEY §2.2) — its
+  * append + created_time versioning is a batch approximation of an upsert
+  * stream; these operators make that stream real:
+  *
+  *  - [[StreamingOps.ingestAvailableNow]]: stream → the exact batch write
+  *    path (quality gate included) via foreachBatch, so batch and streaming
+  *    ingest produce byte-identical storage.
+  *  - [[StreamingOps.windowedCounts]]: watermarked tumbling-window agg.
+  *  - [[StreamingOps.dedupedStream]]: watermark-bounded streaming dedup —
+  *    the streaming analogue of the read-time latest-version dedup.
+  *  - [[StreamingOps.sessionizeStateful]]: custom state machine via
+  *    flatMapGroupsWithState (session windows with an inactivity gap);
+  *    [[StreamingOps.sessionizeBatch]] is the batch-equivalent oracle path.
+  */
+object StreamingOps {
+
+  case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long)
+  private case class SessionState(start: Long, end: Long, n: Long) // micros
+
+  // Timestamp <-> microseconds without precision loss (getTime alone is ms)
+  private def toMicros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000 * 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt)
+    t
+  }
+
+  /** Stream a (time,value,...) frame into a feature through the full batch
+    * save path — validation, coercion, partitioning, append — one batch per
+    * micro-batch. AvailableNow drains the source then stops, giving
+    * deterministic catch-up ingest; swap the trigger for continuous ingest.
+    */
+  def ingestAvailableNow(fs: FeatureStore, stream: DataFrame, feature: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) fs.saveDf(batch, name = Some(feature))
+      }
+      .start()
+
+  /** Watermarked tumbling-window counts/sums per key. In append mode only
+    * watermark-closed windows emit; `complete` emits everything (used by the
+    * deterministic AvailableNow gate query).
+    */
+  def windowedCounts(events: DataFrame, timeCol: String, keyCol: String,
+      windowLen: String, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowLen).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("bigint")).as("value_cents"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("n"), col("value_cents"))
+
+  /** Streaming dedup bounded by a watermark: drops rows whose key was seen
+    * within the watermark horizon — state is GC'd as the watermark advances
+    * (the unbounded-state version of dropDuplicates never GCs).
+    */
+  def dedupedStream(events: DataFrame, timeCol: String, keyCols: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Session windows via explicit state: events within `gap` of each other
+    * (per user) form one session. Works identically on a stream (state kept
+    * per key, timeout closes sessions) and on a bounded batch.
+    */
+  def sessionizeStateful(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          // batch execution hands each key its full iterator once; sort by
+          // event time and cut sessions at inactivity gaps
+          val sorted = it.toSeq.sortBy(e => toMicros(e.ts))
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          var cur: Option[SessionState] = state.getOption
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            cur match {
+              case Some(s) if t - s.end <= gapUs =>
+                cur = Some(SessionState(s.start, t, s.n + 1))
+              case Some(s) =>
+                out += Session(uid, fromMicros(s.start), fromMicros(s.end), s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          // bounded input: flush the open session; on a real stream a
+          // timeout would close it instead
+          cur.foreach(s => out += Session(uid, fromMicros(s.start), fromMicros(s.end), s.n))
+          state.remove()
+          out.iterator
+      }
+  }
+
+  /** Batch gaps-and-islands sessionization — the SQL-expressible oracle
+    * twin of [[sessionizeStateful]].
+    */
+  def sessionizeBatch(events: DataFrame, timeCol: String, userCol: String,
+      gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(timeCol))
+    events
+      .withColumn("prev", lag(col(timeCol), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev").isNull ||
+          unix_micros(col(timeCol)) - unix_micros(col("prev")) > gapMinutes * 60000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(min(col(timeCol)).as("session_start"), max(col(timeCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("session_id")
+  }
+}
