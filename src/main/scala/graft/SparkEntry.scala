@@ -109,6 +109,95 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- general relational surface (exposed to transforms, SURVEY §2.2) --
+
+    // window functions: per-user lag delta
+    "w_lag_delta" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+    }),
+
+    // window ranking: top-3 events per user by value (deterministic ties)
+    "w_rank_topn" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          row_number().over(w).cast("bigint").as("rn"))
+        .where(col("rn") <= 3)
+    }),
+
+    // set operations: nations having customers minus nations having suppliers
+    "set_ops" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      val su = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+      c.except(su).unionByName(c.intersect(su).withColumn("nationkey", col("nationkey") + 1000))
+    }),
+
+    // grouping sets: rollup over order status x priority
+    "rollup_agg" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("bigint")).as("total_cents"))),
+
+    // distinct aggregation per key
+    "distinct_agg" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          sum(floor(col("value") * 100 + 0.5).cast("bigint")).as("value_cents"))),
+
+    // 5-table broadcast-join chain: revenue per nation
+    "q5_join" -> ((s, dir) => {
+      val n = Tables.nation(s, dir); val r = Tables.region(s, dir)
+      val c = Tables.customer(s, dir); val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      li.join(broadcast(o.join(broadcast(c.join(broadcast(n.join(broadcast(r),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))),
+          col("o_custkey") === col("c_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("bigint")) / 100.0).as("revenue"))
+    }),
+
+    // scalar function surface: string/date/json over events
+    "scalar_funcs" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        upper(col("event_type")).as("type_upper"),
+        length(col("props")).cast("bigint").as("props_len"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("prop_k"),
+        year(col("ts")).cast("bigint").as("y"),
+        dayofmonth(col("ts")).cast("bigint").as("d"),
+        (floor(col("value")) % 7).cast("bigint").as("bucket"))),
+
+    // approximate aggregates (engine-specific estimates → rows-only check)
+    "approx_stats" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"))),
+
+    // catalog CRUD surface (C1-C5; driver-side metadata → rows-only check)
+    "catalog_ops" -> ((s, dir) => {
+      val fs = Fixtures.store(s, dir)
+      import s.implicits._
+      fs.listFeatures(Some("events")).map(f =>
+        (f.namespace, f.name, f.version.toLong, f.transform.isDefined))
+        .toDF("namespace", "name", "version", "is_virtual")
+    }),
+
+    // C3/S6: clone feature (catalog copy + data copy), then read it back
+    "fs_clone_load" -> ((s, dir) => {
+      val fs = Fixtures.store(s, dir)
+      if (fs.catalog.getFeature("events", "click_clone").isEmpty)
+        fs.cloneFeature("events/click", "events/click_clone")
+      fs.storage.load("events", "click_clone")
+    }),
+
     // ---- LLM-pipeline extension operators (documents/embeddings) ----------
 
     // exact dedup: content fingerprint → canonical (min) id per group
@@ -291,6 +380,54 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          GROUP BY o_orderkey, o_orderdate
          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    "w_lag_delta" ->
+      """SELECT event_id, user_id,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS delta
+         FROM events ORDER BY event_id""",
+
+    "w_rank_topn" ->
+      """SELECT user_id, event_id, value, rn FROM
+           (SELECT user_id, event_id, value, row_number() OVER
+              (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn FROM events)
+         WHERE rn <= 3 ORDER BY user_id, rn""",
+
+    "set_ops" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+            s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+         SELECT nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+         UNION ALL
+         SELECT nationkey + 1000 FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)""",
+
+    "rollup_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+
+    "distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q5_join" ->
+      """SELECT n_name,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+         FROM region, nation, customer, orders, lineitem
+         WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "scalar_funcs" ->
+      """SELECT event_id, upper(event_type) AS type_upper,
+           length(props) AS props_len,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           CAST(year(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y,
+           CAST(day(CAST(ts AS TIMESTAMP)) AS BIGINT) AS d,
+           CAST(floor(value) AS BIGINT) % 7 AS bucket
+         FROM events ORDER BY event_id""",
+
+    "fs_clone_load" ->
+      s"SELECT time, value FROM (${ev("click")}) ORDER BY time",
 
     "dedup_exact_map" ->
       """WITH f AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) fp
