@@ -128,14 +128,22 @@ object DedupOps {
   /** Exact n-gram (shingle) Jaccard pairs — the brute-force baseline:
     * explode shingles, self-join, integer-exact jaccard filter.
     */
+  /** Exact n-gram Jaccard pairs — the exhaustive baseline the approximate
+    * paths are validated against. Shingles are distinct per doc, so the
+    * self-join's match count per (a,b) IS the intersection size: no
+    * distinct pass, no per-pair array ops, map-side partial counts.
+    *
+    * Cost is inherently Σ_s C(df_s, 2) over shingle doc-frequencies; at
+    * corpus scale use [[minhashLshPairs]] (candidates only) — an AllPairs/
+    * PPJoin prefix filter was measured here and lost to this shape on
+    * small-vocabulary corpora (prefixes stay ~|doc|/2, and the extra
+    * windows + distinct cost more than the join they save).
+    */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
       TextOps.shingles(col(textCol), shingleK).as("sh"))
       .where(size(col("sh")) > 0)
-    // shingles are distinct per doc, so counting join matches per (a,b) IS
-    // the intersection size — no distinct pass, no per-pair array ops; the
-    // groupBy gets map-side partial aggregation for free
     val sizes = docs.select(col("id"), size(col("sh")).cast("bigint").as("n"))
     val tok = docs.select(col("id"), explode(col("sh")).as("s"))
     val inter = tok.as("a").join(tok.as("b"),
