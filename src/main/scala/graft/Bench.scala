@@ -17,7 +17,9 @@ object Bench {
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-24s $dt%8.2f s")
+        dt
       }
       name -> times.min // steady-state: first iteration absorbs JIT/codegen
     }

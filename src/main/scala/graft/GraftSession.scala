@@ -25,6 +25,8 @@ object GraftSession {
     // feature storage treats hive partition values as strings ("2024-01-03",
     // "2024"); don't let Spark re-infer them as date/int
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    // custom codegen'd functions available on every session we touch
+    graft.functions.LongDotProduct.register(spark)
     spark
   }
 

@@ -214,8 +214,7 @@ object SparkEntry {
 
     // SimHash signature per document (64-char bit-string)
     "dedup_simhash" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
-        operators.DedupOps.simhashBits(col("text")).as("simhash"))),
+      operators.DedupOps.simhashDf(Tables.documents(s, dir), "doc_id", "text")),
 
     // text-analysis signals: token counts, punct/stopword counts, quality
     "text_stats" -> ((s, dir) =>

@@ -80,21 +80,21 @@ object DedupOps {
       thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
     val numHashes = bands * rowsPerBand
     val coeffs = hashCoeffs(numHashes)
-    val docs = df.select(col(idCol).as("id"),
-      TextOps.shingles(col(textCol), shingleK).as("sh"))
-      .where(size(col("sh")) > 0)
-
-    // Signature via explode + codegen'd min() aggregates instead of
-    // higher-order-function lambdas (those are interpreted per row): one
-    // md5 per (doc, shingle), then numHashes cheap pmods folded by
-    // map-side partial min aggregation — the whole signature pass is
-    // whole-stage-codegen with one shuffle of the doc ids.
-    val exploded = docs.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), pmod(baseHash(col("s")), lit(1L << 31)).as("h"))
+    // exploded shingle rows (duplicates fine: min over a multiset equals
+    // min over its set), then codegen'd min() aggregates instead of
+    // higher-order-function lambdas (those run interpreted per row): one
+    // md5 per (doc, shingle), numHashes cheap pmods folded by map-side
+    // partial min aggregation — the whole signature pass is
+    // whole-stage-codegen with one shuffle on the doc id.
+    val rows = TextOps.shingleRows(df, idCol, textCol, shingleK)
+    val exploded = rows.select(col("id"), pmod(baseHash(col("s")), lit(1L << 31)).as("h"))
     val minAggs = coeffs.zipWithIndex.map { case ((a, b), j) =>
       min(pmod(col("h") * a + b, lit(MersennePrime31))).as(s"m$j")
     }
     val sigs = exploded.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+    // distinct shingle sets for exact verification of LSH candidates; the
+    // groupBy reuses the same id partitioning as the signature pass
+    val docs = rows.groupBy(col("id")).agg(collect_set(col("s")).as("sh"))
 
     // band rows: (band_idx, band_key = that band's slice of the signature)
     val bandStructs = (0 until bands).map { b =>
@@ -141,11 +141,8 @@ object DedupOps {
     */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
-      TextOps.shingles(col(textCol), shingleK).as("sh"))
-      .where(size(col("sh")) > 0)
-    val sizes = docs.select(col("id"), size(col("sh")).cast("bigint").as("n"))
-    val tok = docs.select(col("id"), explode(col("sh")).as("s"))
+    val tok = TextOps.shingleRows(df, idCol, textCol, shingleK).distinct()
+    val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = tok.as("a").join(tok.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -192,6 +189,24 @@ object DedupOps {
       when(votes >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bitCols: _*)
+  }
+
+  /** Whole-table SimHash via explode + 64 codegen'd sum aggregates — the
+    * scalable twin of the per-row [[simhashBits]] column (whose interpreted
+    * per-bit lambdas re-walk the token array 64 times). One md5 per token
+    * row, map-side partial sums, one shuffle on the id.
+    */
+  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("t"))
+      .withColumn("hh", md5(col("t")))
+    val sums = (0 until 64).map { b =>
+      val digit = instr(lit("0123456789abcdef"), substring(col("hh"), b / 4 + 1, 1)) - 1
+      val bit = floor(digit / math.pow(2, 3 - b % 4).toInt).cast("int") % 2
+      sum(when(bit === 1, 1L).otherwise(-1L)).as(s"b$b")
+    }
+    tok.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(col(idCol), concat((0 until 64).map(b =>
+        when(col(s"b$b") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
   }
 
   /** Hamming distance between two equal-length bit-strings. */

@@ -27,9 +27,16 @@ object SimilarityOps {
   def quantize(v: Column): Column =
     transform(v, x => floor(x.cast("double") * Scale).cast("bigint"))
 
-  /** Integer dot product of two quantized vectors. */
+  /** Integer dot product of two quantized vectors — the codegen'd custom
+    * expression [[graft.functions.LongDotProduct]] (a tight primitive loop)
+    * instead of interpreted `aggregate(zip_with(...))` lambdas. Callers
+    * must have registered it ([[ensureRegistered]] / GraftSession.tune).
+    */
   def dotInt(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, p) => acc + p)
+    call_function(graft.functions.LongDotProduct.name, a, b)
+
+  private def ensureRegistered(df: DataFrame): Unit =
+    graft.functions.LongDotProduct.register(df.sparkSession)
 
   /** Exact cosine between quantized vectors, as double. */
   def cosineQ(a: Column, b: Column): Column =
@@ -53,6 +60,7 @@ object SimilarityOps {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    ensureRegistered(corpus)
     val c = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     val q = prep(queries, idCol, vecCol, "query_id", "qv", "qn")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
@@ -69,6 +77,7 @@ object SimilarityOps {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    ensureRegistered(corpus)
     val cq = prep(corpus, idCol, vecCol, "id", "v", "nrm")
     val centroids = cq.orderBy(col("id")).limit(nCells)
       .select(col("id"), col("v"), col("nrm")).collect()
@@ -102,6 +111,7 @@ object SimilarityOps {
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double): DataFrame = {
+    ensureRegistered(df)
     val a = prep(df, idCol, vecCol, "id_a", "va", "na")
     val b = prep(df, idCol, vecCol, "id_b", "vb", "nb")
     a.join(broadcast(b), col("id_a") < col("id_b"))

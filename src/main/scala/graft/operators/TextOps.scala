@@ -104,6 +104,27 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Exploded (id, shingle) rows — NOT de-duplicated — via a lead() window
+    * over exploded tokens. This is the codegen-friendly twin of [[shingles]]:
+    * interpreted higher-order lambdas building per-doc string arrays cost
+    * ~4s per 5k docs; the window shape streams token rows through
+    * whole-stage codegen with one shuffle on the doc id (which downstream
+    * per-doc aggregations then reuse).
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("id"), posexplode(tokens(col(textCol))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "t")
+    val w = Window.partitionBy(col("id")).orderBy(col("p"))
+    val withLeads = (1 until k).foldLeft(tok) { (d, i) =>
+      d.withColumn(s"t$i", lead(col("t"), i).over(w))
+    }
+    withLeads
+      .where(col(s"t${k - 1}").isNotNull)
+      .select(col("id"),
+        concat_ws(" ", (col("t") +: (1 until k).map(i => col(s"t$i"))): _*).as("s"))
+  }
+
   /** Convenience: one row per doc with all text signals. */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

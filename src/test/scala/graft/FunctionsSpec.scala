@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.LongDotProduct
+import org.apache.spark.sql.functions._
+
+/** Custom codegen'd expression: graft_dot_long. */
+class FunctionsSpec extends SparkTestBase {
+
+  test("dot product matches the interpreted higher-order formulation") {
+    LongDotProduct.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextLong() % 1000000), Array.fill(64)(rnd.nextLong() % 1000000))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val out = df.select(
+      call_function(LongDotProduct.name, col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), (acc, p) => acc + p).as("slow"))
+    assert(out.where(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("null inputs yield null; SQL surface works") {
+    LongDotProduct.register(spark)
+    import spark.implicits._
+    val df = Seq((Some(Seq(1L, 2L)), Some(Seq(3L, 4L))),
+      (None, Some(Seq(1L)))).toDF("a", "b")
+    val got = df.selectExpr(s"${LongDotProduct.name}(a, b) as d").collect()
+    assert(got(0).getLong(0) == 11L)
+    assert(got(1).isNullAt(0))
+  }
+
+  test("expression participates in whole-stage codegen") {
+    LongDotProduct.register(spark)
+    val df = spark.range(10)
+      .selectExpr("array(id, id + 1) as a", "array(2L, 3L) as b")
+      .selectExpr(s"${LongDotProduct.name}(a, b) as d")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"expected codegen span:\n$plan")
+    assert(df.orderBy("d").head().getLong(0) == 3L) // id=0: 0*2 + 1*3
+  }
+
+  test("type mismatch is a clean analysis error") {
+    LongDotProduct.register(spark)
+    import spark.implicits._
+    val df = Seq((Seq("x"), Seq(1L))).toDF("a", "b")
+    val e = intercept[Exception](df.selectExpr(s"${LongDotProduct.name}(a, b)").collect())
+    assert(e.getMessage.contains("dot_long") || e.getMessage.toLowerCase.contains("type"))
+  }
+}
