@@ -79,25 +79,26 @@ object SimilarityOps {
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     ensureRegistered(corpus)
     val cq = prep(corpus, idCol, vecCol, "id", "v", "nrm")
-    val centroids = cq.orderBy(col("id")).limit(nCells)
-      .select(col("id"), col("v"), col("nrm")).collect()
-    val centroidArr = array(centroids.map(r =>
-      struct(lit(r.getLong(0)).as("cell"),
-        array(r.getSeq[Long](1).map(lit): _*).as("cv"),
-        lit(r.getDouble(2)).as("cn"))): _*)
+    // centroids as a small broadcast DataFrame — NOT a literal expression
+    // tree (16 cells x 64 dims of literals makes analysis/codegen of every
+    // derived plan pay for the constants; a broadcast join doesn't)
+    val cents = cq.orderBy(col("id")).limit(nCells)
+      .select(col("id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
 
-    // rank cells per vector by cosine; corpus keeps 1, queries keep nProbe
-    def cellRanks(v: Column, nrm: Column, n: Int): Column =
-      slice(reverse(array_sort(transform(centroidArr, c =>
-        struct((dotInt(v, c.getField("cv")).cast("double") / (nrm * c.getField("cn"))).as("cos"),
-          c.getField("cell").as("cell"))))),
-        1, n)
+    // rank cells per vector by cosine (ties → lowest cell id); corpus rows
+    // keep their top cell, queries keep nProbe cells
+    def topCells(df: DataFrame, idC: String, vC: String, nC: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idC))
+        .orderBy(cosPre(col(vC), col("cv"), col(nC), col("cn")).desc, col("cell"))
+      df.join(broadcast(cents))
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") <= n)
+        .drop("__r", "cv", "cn")
+    }
 
-    val assigned = cq.withColumn("cell",
-      cellRanks(col("v"), col("nrm"), 1).getItem(0).getField("cell"))
-    val probes = prep(queries, idCol, vecCol, "query_id", "qv", "qn")
-      .withColumn("cell", explode(transform(cellRanks(col("qv"), col("qn"), nProbe),
-        c => c.getField("cell"))))
+    val assigned = topCells(cq, "id", "v", "nrm", 1)
+    val probes = topCells(prep(queries, idCol, vecCol, "query_id", "qv", "qn"),
+      "query_id", "qv", "qn", nProbe)
 
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("id"))

