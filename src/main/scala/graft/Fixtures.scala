@@ -52,6 +52,14 @@ object Fixtures {
     // transforms over the click series (T1/T2 DAG)
     store.registerSqlTransform("events/click_sq", Seq("click"), "click * click")
     store.registerSqlTransform("events/click_comb", Seq("click", "click_sq"), "click + click_sq")
+
+    // multi-column feature group over ALL events (ts unique across table):
+    // one table, columns loadable independently via parquet pruning
+    store.createGroup("events/metrics", Seq("value", "user_val"))
+    store.saveGroup("events/metrics", Tables.events(spark, sfDir)
+      .select(col("ts").as("time"), col("value"),
+        (col("user_id") * 1000 + col("event_id") % 1000).cast("double").as("user_val"),
+        col("ts").as("created_time")))
     store
   }
 

@@ -245,6 +245,15 @@ object SparkEntry {
       operators.SimilarityOps.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
     }),
 
+    // multi-column feature group: full-width load (one scan, no join)
+    "fg_load_wide" -> ((s, dir) =>
+      Fixtures.store(s, dir).loadGroup("events/metrics")),
+
+    // group column-subset load in a time range: parquet reads ONLY `value`
+    "fg_load_pruned" -> ((s, dir) =>
+      Fixtures.store(s, dir).loadGroup("events/metrics", Seq("value"),
+        from = Some("2024-01-10"), to = Some("2024-01-20"))),
+
     // ---- streaming (Structured Streaming, drained with AvailableNow) ------
 
     // streaming ingest through the batch save path → identical storage
@@ -509,6 +518,16 @@ object SparkEntry {
     "mm_media_meta" ->
       """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes, 'fake/rgb8' AS format
          FROM documents ORDER BY doc_id""",
+
+    "fg_load_wide" ->
+      """SELECT CAST(ts AS TIMESTAMP) AS time, value,
+           CAST(user_id * 1000 + event_id % 1000 AS DOUBLE) AS user_val
+         FROM events ORDER BY time""",
+
+    "fg_load_pruned" ->
+      """SELECT CAST(ts AS TIMESTAMP) AS time, value FROM events
+         WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+           AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-20 00:00:00' ORDER BY time""",
 
     "stream_ingest_load" ->
       s"SELECT time, value FROM (${ev("click")}) ORDER BY time",

@@ -259,6 +259,38 @@ class FeatureStore(
     }
   }
 
+  // ---- feature groups (multi-column tables, extension) -----------------------
+
+  def createGroup(qualified: String, columns: Seq[String], description: String = "",
+      partition: String = "date"): Unit = {
+    val (ns, n) = Catalog.splitName(qualified)
+    catalog.createGroup(GroupDef(ns, n, columns, description, partition))
+  }
+
+  def saveGroup(qualified: String, df: DataFrame): Unit = {
+    val (ns, n) = Catalog.splitName(qualified)
+    val g = catalog.getGroup(ns, n)
+      .getOrElse(throw new MissingFeatureException(s"no group: $qualified"))
+    storage.saveGroup(ns, n, df, g.columns, g.partitionScheme)
+  }
+
+  /** Load a column subset of a group: one scan, parquet column pruning,
+    * latest-row dedup — no N-way join.
+    */
+  def loadGroup(qualified: String, columns: Seq[String] = Nil,
+      from: Option[String] = None, to: Option[String] = None,
+      timeTravel: Option[String] = None): DataFrame = {
+    val (ns, n) = Catalog.splitName(qualified)
+    val g = catalog.getGroup(ns, n)
+      .getOrElse(throw new MissingFeatureException(s"no group: $qualified"))
+    val cols = if (columns.isEmpty) g.columns else columns
+    val unknown = cols.filterNot(g.columns.contains)
+    if (unknown.nonEmpty)
+      throw new FeatureStoreException(s"group $qualified has no columns: ${unknown.mkString(",")}")
+    storage.loadGroup(ns, n, cols, from.map(TimeUtil.parseTimestamp),
+      to.map(TimeUtil.parseTimestamp), timeTravel, g.partitionScheme)
+  }
+
   // ---- A2/A3 convenience ------------------------------------------------------
 
   def firstValue(qualified: String): Option[(Timestamp, Any)] = {

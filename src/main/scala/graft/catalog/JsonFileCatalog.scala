@@ -30,6 +30,7 @@ class JsonFileCatalog(root: String, hadoopConf: Configuration = new Configuratio
       try {
         val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
         val doc = mapper.readValue(new String(bytes, StandardCharsets.UTF_8), classOf[CatalogDoc])
+          .normalized
         require(doc.formatVersion <= Catalog.FormatVersion,
           s"catalog written by newer engine (v${doc.formatVersion})")
         doc
@@ -144,5 +145,32 @@ class JsonFileCatalog(root: String, hadoopConf: Configuration = new Configuratio
     if (!doc.features.exists(e => e.namespace == namespace && e.name == name))
       throw new MissingFeatureException(s"no feature: $namespace/$name")
     doc.copy(features = doc.features.filterNot(e => e.namespace == namespace && e.name == name))
+  }
+
+  // ---- feature groups ----
+
+  override def listGroups(namespace: Option[String]): Seq[GroupDef] = {
+    val all = load().groups
+    namespace.fold(all)(ns => all.filter(_.namespace == ns)).sortBy(g => (g.namespace, g.name))
+  }
+
+  override def getGroup(namespace: String, name: String): Option[GroupDef] =
+    load().groups.find(g => g.namespace == namespace && g.name == name)
+
+  override def createGroup(g: GroupDef): Unit = mutate { doc =>
+    Catalog.validateName(g.name); Catalog.validateName(g.namespace)
+    g.columns.foreach(Catalog.validateName)
+    require(g.columns.nonEmpty, "a feature group needs at least one column")
+    if (!doc.namespaces.exists(_.name == g.namespace))
+      throw new MissingFeatureException(s"no namespace: ${g.namespace}")
+    if (doc.groups.exists(e => e.namespace == g.namespace && e.name == g.name))
+      throw new FeatureStoreException(s"group exists: ${g.qualified}")
+    doc.copy(groups = doc.groups :+ g)
+  }
+
+  override def deleteGroup(namespace: String, name: String): Unit = mutate { doc =>
+    if (!doc.groups.exists(e => e.namespace == namespace && e.name == name))
+      throw new MissingFeatureException(s"no group: $namespace/$name")
+    doc.copy(groups = doc.groups.filterNot(e => e.namespace == namespace && e.name == name))
   }
 }

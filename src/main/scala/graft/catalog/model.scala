@@ -66,6 +66,24 @@ case class FeatureDef(
   def partitionScheme: PartitionScheme = PartitionScheme.from(partition)
 }
 
+/** Multi-column feature group (extension beyond the reference's strict
+  * one-value-column features, SURVEY §7 phase 7): N named signals sharing
+  * one time axis stored as ONE partitioned parquet table — a single scan
+  * serves any column subset via parquet column pruning instead of an N-way
+  * join of per-feature directories.
+  */
+case class GroupDef(
+    namespace: String,
+    name: String,
+    columns: Seq[String],
+    description: String = "",
+    partition: String = "date",
+    meta: Map[String, String] = Map.empty,
+    version: Int = 1) {
+  def qualified: String = s"$namespace/$name"
+  def partitionScheme: PartitionScheme = PartitionScheme.from(partition)
+}
+
 /** Whole catalog document persisted as one JSON file.
   * `formatVersion` mirrors the reference's FeatureStoreVersion migration table
   * (src/qafs/model.py:79-84, upgrade.py:12-43).
@@ -73,7 +91,16 @@ case class FeatureDef(
 case class CatalogDoc(
     formatVersion: Int = Catalog.FormatVersion,
     namespaces: Seq[NamespaceDef] = Nil,
-    features: Seq[FeatureDef] = Nil)
+    features: Seq[FeatureDef] = Nil,
+    groups: Seq[GroupDef] = Nil) {
+  /** Jackson leaves absent collections null when reading docs written by
+    * older versions; normalize so the rest of the code never sees null.
+    */
+  def normalized: CatalogDoc = copy(
+    namespaces = Option(namespaces).getOrElse(Nil),
+    features = Option(features).getOrElse(Nil),
+    groups = Option(groups).getOrElse(Nil))
+}
 
 /** Catalog operations (CRUD over namespaces + features).
   * Mirrors reference src/qafs/core.py:71-383 semantics; see SURVEY.md §2 C1-C5.
@@ -95,6 +122,12 @@ trait Catalog {
       metaPatch: Map[String, Option[String]] = Map.empty,
       transform: Option[TransformSpec] = None, check: Option[CheckSpec] = None): Unit
   def deleteFeature(namespace: String, name: String): Unit
+
+  // feature groups (extension)
+  def listGroups(namespace: Option[String] = None): Seq[GroupDef]
+  def getGroup(namespace: String, name: String): Option[GroupDef]
+  def createGroup(g: GroupDef): Unit
+  def deleteGroup(namespace: String, name: String): Unit
 }
 
 

@@ -214,6 +214,78 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
     }
   }
 
+  // ---- feature groups (multi-column tables, extension) ---------------------
+
+  def groupPath(namespace: String, name: String): String =
+    s"$root/group/$namespace/$name"
+
+  /** Append a wide frame (time [+ created_time] + N signal columns) as ONE
+    * hive-partitioned table. Same coercion/partition semantics as [[save]];
+    * the win is on the read side: any column subset costs one scan with
+    * parquet column pruning, no N-way join.
+    */
+  def saveGroup(namespace: String, name: String, df: DataFrame,
+      columns: Seq[String], scheme: PartitionScheme = PartitionScheme.Date): Unit = {
+    val extra = df.columns.toSet -- (Set(TimeCol, CreatedCol) ++ columns)
+    if (extra.nonEmpty)
+      throw new FeatureStoreException(
+        s"unexpected columns ${extra.mkString(",")} saving group $namespace/$name")
+    require(df.columns.contains(TimeCol), s"missing '$TimeCol' column")
+    val missing = columns.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"group columns missing from frame: ${missing.mkString(",")}")
+
+    val coerced = df
+      .withColumn(TimeCol, col(TimeCol).cast(TimestampType))
+      .withColumn(CreatedCol,
+        if (df.columns.contains(CreatedCol))
+          coalesce(col(CreatedCol).cast(TimestampType), current_timestamp())
+        else current_timestamp())
+      .withColumn(PartCol, partitionExpr(scheme, col(TimeCol)))
+    coerced
+      .select((Seq(TimeCol, CreatedCol) ++ columns :+ PartCol).map(col): _*)
+      .repartition(col(PartCol))
+      .write.format("parquet").option("compression", "snappy")
+      .partitionBy(PartCol).mode("append")
+      .save(groupPath(namespace, name))
+  }
+
+  /** Read a column subset of a group with the feature read semantics:
+    * time-range + partition pruning, optional time-travel, then latest-ROW
+    * dedup per time (max created_time wins for the whole row — signals
+    * stay mutually consistent). Column pruning happens before dedup, so
+    * unrequested columns never leave the parquet reader.
+    */
+  def loadGroup(namespace: String, name: String, columns: Seq[String],
+      from: Option[Timestamp] = None, to: Option[Timestamp] = None,
+      timeTravel: Option[String] = None,
+      scheme: PartitionScheme = PartitionScheme.Date): DataFrame = {
+    val path = groupPath(namespace, name)
+    require(columns.nonEmpty, "no columns requested")
+    if (!fs.exists(new Path(path))) {
+      val schema = StructType(
+        StructField(TimeCol, TimestampType) +: columns.map(StructField(_, DoubleType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    var df = spark.read.parquet(path)
+    val (f, t) = (from, to) match {
+      case (Some(a), Some(b)) if b.before(a) => (Some(a), Some(a))
+      case other => other
+    }
+    f.foreach(a => df = df.where(col(TimeCol) >= lit(a) &&
+      col(PartCol) >= lit(partitionValue(scheme, a))))
+    t.foreach(b => df = df.where(col(TimeCol) <= lit(b) &&
+      col(PartCol) <= lit(partitionValue(scheme, b))))
+    timeTravel.foreach { tt =>
+      val delta = TimeUtil.parseMicros(tt)
+      df = df.where(unix_micros(col(CreatedCol)) <= unix_micros(col(TimeCol)) + lit(delta))
+    }
+    df.select((Seq(TimeCol, CreatedCol) ++ columns).map(col): _*)
+      .groupBy(col(TimeCol))
+      .agg(max(struct((CreatedCol +: columns).map(col): _*)).as("s"))
+      .select(col(TimeCol) +: columns.map(c => col(s"s.$c").as(c)): _*)
+  }
+
   // ---- S4/S5/S6: listing, delete, copy -------------------------------------
 
   def listStoredFeatures(namespace: String): Seq[String] = {

@@ -56,6 +56,12 @@ class PlanSpec extends SparkTestBase {
       s"expected 2-3 partitions contributing rows, got ${dirs.toSeq}")
   }
 
+  test("group subset load prunes unrequested columns at the parquet reader") {
+    val p = plan("fg_load_pruned")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("user_val"), s"unrequested group column must not be read:\n$p")
+  }
+
   test("minhash LSH signature pass aggregates map-side before its one shuffle") {
     val p = operators.DedupOps.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text")
       .queryExecution.executedPlan.toString

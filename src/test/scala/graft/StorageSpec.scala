@@ -100,6 +100,31 @@ class StorageSpec extends SparkTestBase {
     assert(out == Map(ts("2021-01-01") -> 1.0, ts("2021-01-03") -> 1.0, ts("2021-01-05") -> 5.0))
   }
 
+  test("feature group: wide save, subset load, latest-row dedup keeps signals consistent") {
+    val st = freshStore()
+    import spark.implicits._
+    val v1 = Seq((ts("2021-01-01"), 1.0, 10.0, ts("2021-01-01 01:00:00")),
+      (ts("2021-01-02"), 2.0, 20.0, ts("2021-01-02 01:00:00")))
+      .toDF("time", "a", "b", "created_time")
+    st.saveGroup("ns", "g", v1, Seq("a", "b"))
+    // rewrite day 2 with a later created_time: BOTH columns must flip together
+    val v2 = Seq((ts("2021-01-02"), 99.0, 990.0, ts("2021-01-03 01:00:00")))
+      .toDF("time", "a", "b", "created_time")
+    st.saveGroup("ns", "g", v2, Seq("a", "b"))
+    val wide = st.loadGroup("ns", "g", Seq("a", "b")).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("time") ->
+        (r.getAs[Double]("a"), r.getAs[Double]("b"))).toMap
+    assert(wide == Map(ts("2021-01-01") -> (1.0, 10.0), ts("2021-01-02") -> (99.0, 990.0)))
+    // subset load returns only the requested column
+    val sub = st.loadGroup("ns", "g", Seq("b"))
+    assert(sub.columns.toSeq == Seq("time", "b"))
+    // extraneous column on save rejected
+    intercept[graft.catalog.FeatureStoreException](
+      st.saveGroup("ns", "g", v1.withColumn("junk", lit(1)), Seq("a", "b")))
+    // missing group loads empty
+    assert(st.loadGroup("ns", "ghost", Seq("x")).isEmpty)
+  }
+
   test("empty/missing feature loads as empty frame; delete removes dir; copy clones data") {
     val st = freshStore()
     assert(st.load("ns", "ghost").isEmpty)
