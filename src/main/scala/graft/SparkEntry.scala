@@ -181,14 +181,42 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"))),
 
-    // catalog CRUD surface (C1-C5; driver-side metadata → rows-only check)
+    // catalog CRUD surface incl. F3 regex listing (driver-side metadata →
+    // rows-only check)
     "catalog_ops" -> ((s, dir) => {
       val fs = Fixtures.store(s, dir)
       import s.implicits._
-      fs.listFeatures(Some("events")).map(f =>
-        (f.namespace, f.name, f.version.toLong, f.transform.isDefined))
-        .toDF("namespace", "name", "version", "is_virtual")
+      val all = fs.listFeatures(Some("events")).map(f =>
+        (f.namespace, f.name, f.version.toLong, f.transform.isDefined, "all"))
+      val regexed = fs.listFeatures(Some("events"), Some("^click")).map(f =>
+        (f.namespace, f.name, f.version.toLong, f.transform.isDefined, "regex"))
+      (all ++ regexed).toDF("namespace", "name", "version", "is_virtual", "listing")
     }),
+
+    // M3: serialized (JSON-encoded) values surviving schema drift
+    "fs_serialized" -> ((s, dir) => {
+      val fs = Fixtures.store(s, dir)
+      if (fs.catalog.getFeature("events", "props_ser").isEmpty) {
+        fs.createFeature("events/props_ser", serialized = true)
+        val ev = Tables.events(s, dir).limit(500)
+        // struct values first...
+        fs.saveDf(ev.select(col("ts").as("time"),
+          struct(col("event_type"), col("user_id")).as("value"),
+          col("ts").as("created_time")), name = Some("events/props_ser"))
+        // ...then drifted plain longs appended to the same feature
+        fs.saveDf(ev.select((col("ts") + expr("INTERVAL 40 DAYS")).as("time"),
+          col("user_id").as("value"), col("ts").as("created_time")),
+          name = Some("events/props_ser"))
+      }
+      fs.storage.load("events", "props_ser", serialized = true)
+    }),
+
+    // pivot: event counts per day x type (explicit pivot values)
+    "events_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Fixtures.EventTypes)
+        .agg(count(lit(1)))),
 
     // C3/S6: clone feature (catalog copy + data copy), then read it back
     "fs_clone_load" -> ((s, dir) => {
@@ -518,6 +546,15 @@ object SparkEntry {
     "mm_media_meta" ->
       """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes, 'fake/rgb8' AS format
          FROM documents ORDER BY doc_id""",
+
+    "events_pivot" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "fg_load_wide" ->
       """SELECT CAST(ts AS TIMESTAMP) AS time, value,
