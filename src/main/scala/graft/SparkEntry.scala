@@ -273,6 +273,17 @@ object SparkEntry {
       operators.SimilarityOps.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
     }),
 
+    // point-in-time (as-of) join of features onto an arbitrary spine —
+    // the training-set constructor
+    "fs_asof_spine" -> ((s, dir) => {
+      val spine = s.range(0, 100).select(
+        expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,cast(id*7 as int),0,0)")
+          .as("time"),
+        col("id").as("spine_id"))
+      Fixtures.store(s, dir).loadFeaturesAsOf(spine,
+        Seq("events/click", "events/purchase"))
+    }),
+
     // multi-column feature group: full-width load (one scan, no join)
     "fg_load_wide" -> ((s, dir) =>
       Fixtures.store(s, dir).loadGroup("events/metrics")),
@@ -555,6 +566,15 @@ object SparkEntry {
            count(*) FILTER (WHERE event_type = 'signup') AS signup,
            count(*) FILTER (WHERE event_type = 'view') AS view
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "fs_asof_spine" ->
+      s"""WITH g AS (SELECT TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 7 HOUR AS time,
+                 i AS spine_id FROM range(100) t(i)),
+          c AS (${ev("click")}), p AS (${ev("purchase")})
+          SELECT g.time, g.spine_id, c.value AS "events/click", p.value AS "events/purchase"
+          FROM g ASOF LEFT JOIN c ON c.time <= g.time
+                 ASOF LEFT JOIN p ON p.time <= g.time
+          ORDER BY g.time""",
 
     "fg_load_wide" ->
       """SELECT CAST(ts AS TIMESTAMP) AS time, value,

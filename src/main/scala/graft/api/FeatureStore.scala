@@ -201,6 +201,26 @@ class FeatureStore(
     Align.alignOuter(TimeCol, frames)
   }
 
+  /** Point-in-time correct load: for every row of an arbitrary `spine`
+    * frame (a `time` column + any payload columns, e.g. label events),
+    * attach each requested feature's last value as of that row's time —
+    * the training-set constructor. `timeTravel` composes: "as of spine
+    * time, knowing only what had arrived by event-time+Δ".
+    */
+  def loadFeaturesAsOf(spine: DataFrame, names: Seq[String],
+      timeTravel: Option[String] = None,
+      defaultNamespace: Option[String] = None): DataFrame = {
+    require(names.nonEmpty, "no features requested")
+    val memo = scala.collection.mutable.Map[String, DataFrame]()
+    val frames = names.map { q =>
+      val (ns, n) = Catalog.splitName(q, defaultNamespace)
+      val f = catalog.getFeature(ns, n)
+        .getOrElse(throw new MissingFeatureException(s"no feature: $ns/$n"))
+      s"$ns/$n" -> loadOne(f, None, None, None, timeTravel, Set.empty, memo)
+    }
+    Align.asOfJoin(spine, TimeCol, frames)
+  }
+
   /** Recursive, cycle-checked feature load (T2 — reference
     * src/qafs/model.py:183-218). Returns df(time, value).
     */

@@ -104,6 +104,34 @@ object Align {
     filled.where(col("__spine") === 1).drop("__spine")
   }
 
+  /** Point-in-time (as-of) join of N value frames onto an ARBITRARY spine of
+    * timestamps: each spine row gets, per frame, the last value with
+    * data-time <= spine-time (inclusive). The training-set constructor —
+    * "what was known at each observation instant" — generalizing
+    * [[resampleFfill]]'s regular grid to any spine (e.g. label events).
+    *
+    * One plan: wide outer-align (no ffill) → union spine → single
+    * multi-column bucketed ffill ordered by (time, is_spine) → keep spine
+    * rows. Spine's extra columns ride along untouched.
+    */
+  def asOfJoin(spine: DataFrame, timeCol: String,
+      frames: Seq[(String, DataFrame)]): DataFrame = {
+    require(frames.nonEmpty, "asOfJoin needs at least one frame")
+    val wide = alignOuter(timeCol, frames, doFfill = false)
+    val names = frames.map(_._1)
+    val spineCols = spine.columns.filterNot(_ == timeCol).toSeq
+    val spineTagged = spine
+      .select((col(timeCol) +: spineCols.map(col)): _*)
+      .withColumn("__spine", lit(1))
+    val dataTagged = wide
+      .select((col(timeCol) +: names.map(col)): _*)
+      .withColumn("__spine", lit(0))
+    // unionByName with missing columns nulled on both sides
+    val unioned = spineTagged.unionByName(dataTagged, allowMissingColumns = true)
+    val filled = ffillOrdered(unioned, timeCol, Seq(col(timeCol), col("__spine")), names)
+    filled.where(col("__spine") === 1).drop("__spine")
+  }
+
   /** ffill with a compound intra-bucket ordering (used by resample so data
     * rows precede spine rows at the same timestamp). Same two-pass shape as
     * [[ffill]].

@@ -62,6 +62,17 @@ class AlignSpec extends SparkTestBase {
     assert(at4.getAs[Double]("x") == 3.0 && at4.getAs[Double]("y") == 40.0)
   }
 
+  test("asOfJoin: spine rows get last value at-or-before their time, payload preserved") {
+    import spark.implicits._
+    val data = seriesDf(Seq("2021-01-02" -> 2.0, "2021-01-05" -> 5.0))
+    val spine = Seq((ts("2021-01-01"), "a"), (ts("2021-01-02"), "b"),
+      (ts("2021-01-04"), "c"), (ts("2021-01-06"), "d")).toDF("time", "label")
+    val out = Align.asOfJoin(spine, "time", Seq("x" -> data))
+      .orderBy("time").collect()
+    assert(out.map(r => (Option(r.getAs[Any]("x")), r.getAs[String]("label"))).toSeq ==
+      Seq((None, "a"), (Some(2.0), "b"), (Some(2.0), "c"), (Some(5.0), "d")))
+  }
+
   test("duration parsing") {
     assert(TimeUtil.parseMicros("-15min") == -15L * 60 * 1000000)
     assert(TimeUtil.parseMicros("2d") == 2L * 86400 * 1000000)
