@@ -1,0 +1,53 @@
+package graft
+
+import graft.api.FeatureStore
+import graft.catalog.CheckSpec
+import org.apache.spark.sql.functions._
+
+/** Runnable tour of the engine — the reference's README example
+  * (reference README.md:45-101, examples/simple.py) re-expressed on this
+  * API, plus the extensions. `sbt "runMain graft.Example"`.
+  */
+object Example {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    val root = java.nio.file.Files.createTempDirectory("graft-example").toString
+    val fs = new FeatureStore(root, spark)
+
+    // catalog + quality-checked feature
+    fs.createNamespace("example", "tutorial namespace")
+    fs.createFeature("example/numbers", "Timeseries of numbers",
+      check = Some(CheckSpec(Some("bigint"), Seq("value > 0"))))
+
+    // check-gated, hive-partitioned ingest of a 406-day daily series
+    val days = spark.range(1, 407).select(
+      expr("timestamp(date_add(date'2021-01-01', cast(id as int) - 1))").as("time"),
+      col("id").as("value"))
+    fs.saveDf(days, name = Some("example/numbers"))
+
+    // virtual feature: stored SQL transform
+    fs.registerSqlTransform("example/squared", Seq("numbers"), "numbers * numbers")
+
+    // windowed, aligned, forward-filled wide load
+    println("== loadFeatures(numbers, squared), 2021-01-01..2021-01-10 ==")
+    fs.loadFeatures(Seq("example/numbers", "example/squared"),
+      from = Some("2021-01-01"), to = Some("2021-01-10"))
+      .orderBy("time").show()
+
+    // point-in-time join onto an arbitrary label spine
+    println("== point-in-time features at label instants ==")
+    val labels = spark.range(5).select(
+      expr("timestamp(date_add(date'2021-03-01', cast(id * 30 as int)))").as("time"),
+      (col("id") % 2).as("label"))
+    fs.loadFeaturesAsOf(labels, Seq("example/numbers", "example/squared"))
+      .orderBy("time").show()
+
+    // quality gate refusing bad data
+    try fs.saveDf(days.withColumn("value", -col("value")), name = Some("example/numbers"))
+    catch {
+      case e: graft.catalog.CheckFailedException =>
+        println(s"quality gate: ${e.getMessage}")
+    }
+    spark.stop()
+  }
+}
