@@ -175,6 +175,17 @@ object SparkEntry {
         dayofmonth(col("ts")).cast("bigint").as("d"),
         (floor(col("value")) % 7).cast("bigint").as("bucket"))),
 
+    // skew-safe salted aggregation: two small shuffles instead of one hot
+    // reducer per heavy key (results identical to a plain groupBy)
+    "skew_salted_agg" -> ((s, dir) =>
+      operators.SkewOps.saltedAgg(
+        Tables.events(s, dir)
+          .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("bigint").as("cents")),
+        Seq("event_type"),
+        Seq(operators.SkewOps.Agg("*", "count"), operators.SkewOps.Agg("cents", "sum"),
+          operators.SkewOps.Agg("cents", "max")),
+        buckets = 8)),
+
     // approximate aggregates (engine-specific estimates → rows-only check)
     "approx_stats" -> ((s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type"))
@@ -475,6 +486,12 @@ object SparkEntry {
 
     "fs_clone_load" ->
       s"SELECT time, value FROM (${ev("click")}) ORDER BY time",
+
+    "skew_salted_agg" ->
+      """SELECT event_type, count(*) AS count_rows,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents,
+           max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "dedup_exact_map" ->
       """WITH f AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) fp

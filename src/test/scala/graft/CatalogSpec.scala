@@ -71,6 +71,27 @@ class CatalogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Catalog.splitName("f"))
   }
 
+  test("C5 forward-compat: docs written before feature groups load cleanly") {
+    val root = Files.createTempDirectory("cat").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/_catalog"))
+    Files.writeString(java.nio.file.Paths.get(s"$root/_catalog/catalog.json"),
+      """{"formatVersion":1,"namespaces":[{"name":"old","description":"","meta":{},
+         |"version":1,"backend":"spark"}],"features":[]}""".stripMargin)
+    val c = new JsonFileCatalog(root)
+    assert(c.getNamespace("old").isDefined)
+    assert(c.listGroups().isEmpty) // absent field normalized, no NPE
+    c.createGroup(GroupDef("old", "g", Seq("a")))
+    assert(c.getGroup("old", "g").exists(_.columns == Seq("a")))
+  }
+
+  test("catalog rejects docs from a newer engine version") {
+    val root = Files.createTempDirectory("cat").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/_catalog"))
+    Files.writeString(java.nio.file.Paths.get(s"$root/_catalog/catalog.json"),
+      """{"formatVersion":99,"namespaces":[],"features":[]}""")
+    intercept[IllegalArgumentException](new JsonFileCatalog(root).listNamespaces())
+  }
+
   test("catalog persists across instances (JSON round-trip incl. transform/check)") {
     val root = Files.createTempDirectory("cat").toString
     val c1 = new JsonFileCatalog(root)
