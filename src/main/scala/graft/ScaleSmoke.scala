@@ -1,0 +1,73 @@
+package graft
+
+import graft.storage.TimeseriesStorage
+import graft.ts.Align
+import org.apache.spark.sql.functions._
+
+/** Scale validation beyond the driver test data: core operators at tens of
+  * millions of rows on local[32] — the "would this survive a 100x
+  * scale-up" check (the shapes that must NOT degrade: partial-agg dedup,
+  * bucketed ffill, as-of join, salted agg). `sbt "runMain graft.ScaleSmoke
+  * [rows]"`.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(20000000L)
+    val spark = GraftSession.local()
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $label%-38s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // n rows across 2 years, 3 versions per timestamp third → dedup-heavy
+    val base = spark.range(n).select(
+      expr("timestamp_micros(1609459200000000L + (id div 3) * 9467280L)").as("time"),
+      (col("id") % 3).as("v"),
+      (rand(42) * 100).as("value"))
+    val series = base.select(col("time"),
+      (col("value") * (col("v") + 1)).as("value"),
+      (col("time") - expr("make_interval(0,0,0,0,0,0,v)")).as("created_time"))
+
+    val root = "/tmp/graft_scale_smoke"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(p)) hfs.delete(p, true)
+    val st = new TimeseriesStorage(root, spark)
+
+    time(s"ingest $n rows (hive-partitioned write)") {
+      st.save("scale", "f", series)
+    }
+    val deduped = time("load + latest-version dedup (count)") {
+      val d = st.load("scale", "f"); d.count()
+    }
+    println(s"[scale]   deduped rows: was $n, kept ${n / 3}")
+    time("time-range month read (partition-pruned)") {
+      st.load("scale", "f",
+        from = Some(java.sql.Timestamp.valueOf("2021-06-01 00:00:00")),
+        to = Some(java.sql.Timestamp.valueOf("2021-06-30 23:59:59"))).count()
+    }
+    time("bucketed ffill over full deduped series") {
+      val withNulls = st.load("scale", "f")
+        .withColumn("value", when(pmod(unix_micros(col("time")), lit(7)) < 3, col("value")))
+      Align.ffill(withNulls, "time", Seq("value")).count()
+    }
+    time("as-of join of 100k-point spine") {
+      val spine = spark.range(100000).select(
+        timestamp_micros(lit(1609459200000000L) + col("id") * 630000000L).as("time"),
+        col("id").as("k"))
+      Align.asOfJoin(spine, "time", Seq("f" -> st.load("scale", "f"))).count()
+    }
+    time("salted aggregation over skewed key") {
+      // 90% of rows share one key — the shape AQE can't fix for groupBy
+      val skewed = spark.range(n).select(
+        when(col("id") % 10 < 9, lit(0)).otherwise(col("id") % 1000).as("k"),
+        col("id").as("x"))
+      operators.SkewOps.saltedAgg(skewed, Seq("k"),
+        Seq(operators.SkewOps.Agg("x", "sum"), operators.SkewOps.Agg("*", "count")), 32).count()
+    }
+    hfs.delete(p, true)
+    spark.stop()
+  }
+}

@@ -131,9 +131,24 @@ class FeatureStore(
       .getOrElse(throw new MissingFeatureException(s"no feature: $ns/$n — create it first"))
     if (f.transform.isDefined)
       throw new FeatureStoreException(s"cannot save data to virtual feature $ns/$n")
-    // Q1: quality gate BEFORE the write so a failing frame writes nothing
-    f.check.foreach(Checks.enforce(df, _, s"$ns/$n", failOnCheckError))
-    storage.save(ns, n, df, f.partitionScheme, f.serialized)
+    f.check match {
+      case Some(spec) if failOnCheckError =>
+        // Q1 fail-fast: the gate must run BEFORE the write so a failing
+        // frame writes nothing — one validation pass, then the write pass
+        Checks.enforce(df, spec, s"$ns/$n", failOnError = true)
+        storage.save(ns, n, df, f.partitionScheme, f.serialized)
+      case Some(spec) =>
+        // log-only mode: fuse predicate counting into the write scan via
+        // Observation — the check costs ZERO extra passes over the input
+        val (instrumented, violations) = Checks.observed(df, spec)
+        storage.save(ns, n, instrumented, f.partitionScheme, f.serialized)
+        val vs = violations()
+        if (vs.nonEmpty)
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"quality check failed for $ns/$n: ${vs.mkString("; ")}")
+      case None =>
+        storage.save(ns, n, df, f.partitionScheme, f.serialized)
+    }
   }
 
   // ---- transforms (T1/T2) ----------------------------------------------------

@@ -47,6 +47,21 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
       throw new FeatureStoreException(s"unexpected columns ${extra.mkString(",")} saving $namespace/$name")
     require(df.columns.contains(TimeCol), s"missing '$TimeCol' column")
     require(df.columns.contains(ValueCol), s"missing '$ValueCol' column")
+    // non-serialized features pin their value type at first write: a
+    // drifted append would land parquet files whose schemas can't merge
+    // (reference rejects drift too, tests/test_feature_store.py:400-427;
+    // `serialized=true` is the sanctioned drift path via JSON strings)
+    if (append && !serialized) {
+      val p = new Path(featurePath(namespace, name))
+      if (fs.exists(p)) {
+        val existing = spark.read.parquet(p.toString).schema(ValueCol).dataType
+        val incoming = df.schema(ValueCol).dataType
+        if (existing.catalogString != incoming.catalogString)
+          throw new FeatureStoreException(
+            s"schema drift on $namespace/$name: stored value is ${existing.catalogString}, " +
+              s"incoming is ${incoming.catalogString}; use serialized=true for drifting values")
+      }
+    }
 
     val coerced = df
       .withColumn(TimeCol, col(TimeCol).cast(TimestampType))

@@ -29,57 +29,8 @@ object Align {
     * Cost: one shuffle + one broadcast of O(buckets) rows, any data size.
     */
   def ffill(df: DataFrame, timeCol: String, valueCols: Seq[String],
-      buckets: Int = 0): DataFrame = {
-    if (valueCols.isEmpty) return df
-    val spark = df.sparkSession
-    val nb = if (buckets > 0) buckets else spark.sparkContext.defaultParallelism
-
-    val bounds = df.agg(
-      min(unix_micros(col(timeCol))).as("lo"),
-      max(unix_micros(col(timeCol))).as("hi")).head()
-    if (bounds.isNullAt(0)) return df // empty input
-    val lo = bounds.getLong(0); val hi = bounds.getLong(1)
-    val span = math.max(1L, hi - lo + 1)
-    val bWidth = math.max(1L, span / nb + (if (span % nb == 0) 0 else 1))
-
-    val bucketCol = ((unix_micros(col(timeCol)) - lit(lo)) / lit(bWidth)).cast("long")
-    val withB = df.withColumn("__b", bucketCol)
-
-    // pass 1: intra-bucket ffill (parallel across buckets)
-    val w = Window.partitionBy(col("__b")).orderBy(col(timeCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(withB) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-
-    // pass 2: carry-out per bucket = the row at max time after intra-fill
-    val carryStruct = max(struct((col(timeCol) +: valueCols.map(col)): _*)).as("s")
-    val carryRows: Array[Row] = filled.groupBy(col("__b")).agg(carryStruct)
-      .selectExpr("__b", "s.*").collect().sortBy(_.getLong(0))
-
-    // driver-side prefix scan: carry-in of bucket b = last non-null over buckets < b
-    val running = scala.collection.mutable.Map[String, Any]()
-    val carryIn = scala.collection.mutable.ArrayBuffer[Row]()
-    carryRows.foreach { r =>
-      val b = r.getLong(0)
-      carryIn += Row.fromSeq(b +: valueCols.indices.map(i => running.getOrElse(valueCols(i), null)))
-      valueCols.zipWithIndex.foreach { case (c, i) =>
-        val v = r.get(i + 2) // 0 = __b, 1 = timeCol
-        if (v != null) running(c) = v
-      }
-    }
-    val carrySchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("__b", org.apache.spark.sql.types.LongType) +:
-        valueCols.map(c => filled.schema(c).copy(name = s"__carry_$c")))
-    val carryDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(carryIn.toSeq, 1), carrySchema)
-
-    val joined = filled.join(broadcast(carryDf), Seq("__b"), "left")
-    val coalesced = valueCols.foldLeft(joined) { (d, c) =>
-      d.withColumn(c, coalesce(col(c), col(s"__carry_$c")))
-    }
-    coalesced.drop("__b").drop(valueCols.map(c => s"__carry_$c"): _*)
-  }
+      buckets: Int = 0): DataFrame =
+    ffillOrdered(df, timeCol, Seq(col(timeCol)), valueCols, buckets)
 
   /** Resample onto a regular grid with as-of (last-known-value) semantics —
     * the reference's spine + merge + ffill + right-join (reference
@@ -132,46 +83,69 @@ object Align {
     filled.where(col("__spine") === 1).drop("__spine")
   }
 
-  /** ffill with a compound intra-bucket ordering (used by resample so data
-    * rows precede spine rows at the same timestamp). Same two-pass shape as
-    * [[ffill]].
+  /** Generalized bucketed forward-fill with a compound ordering (e.g.
+    * `(time, is_spine)` so data rows precede spine rows at equal
+    * timestamps). The two-pass parallel-prefix shape:
+    *
+    *  1. persist the input (MEMORY_AND_DISK — reclaimed by the
+    *     ContextCleaner once the result plan is unreachable), so the three
+    *     required reads (bounds, carries, fill) evaluate the upstream ONCE;
+    *  2. range-bucket rows by time; carry-out per bucket is derived by a
+    *     plain aggregation — `max(struct(order..., c))` over non-null rows
+    *     — NOT a second window pass;
+    *  3. prefix-scan the O(buckets) carries on the driver, broadcast the
+    *     carry-ins back, intra-bucket window-fill, coalesce.
+    *
+    * Cost at any data size: one upstream evaluation + one small shuffle +
+    * one broadcast of #buckets rows.
     */
   private def ffillOrdered(df: DataFrame, timeCol: String, order: Seq[Column],
-      valueCols: Seq[String]): DataFrame = {
-    // piggyback on ffill: encode the secondary key into ordering by sorting on
-    // (time, __spine); ffill's window orders by time only, so instead reuse
-    // the bucketed machinery with a combined ordering column.
+      valueCols: Seq[String], buckets: Int = 0): DataFrame = {
+    if (valueCols.isEmpty) return df
     val spark = df.sparkSession
-    val nb = spark.sparkContext.defaultParallelism
-    val bounds = df.agg(min(unix_micros(col(timeCol))).as("lo"),
+    val nb = if (buckets > 0) buckets else spark.sparkContext.defaultParallelism
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val bounds = cached.agg(min(unix_micros(col(timeCol))).as("lo"),
       max(unix_micros(col(timeCol))).as("hi")).head()
-    if (bounds.isNullAt(0)) return df
+    if (bounds.isNullAt(0)) return df // empty input
     val lo = bounds.getLong(0); val hi = bounds.getLong(1)
     val span = math.max(1L, hi - lo + 1)
     val bWidth = math.max(1L, span / nb + (if (span % nb == 0) 0 else 1))
-    val withB = df.withColumn("__b", ((unix_micros(col(timeCol)) - lit(lo)) / lit(bWidth)).cast("long"))
-    val w = Window.partitionBy(col("__b")).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(withB) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val withB = cached.withColumn("__b",
+      ((unix_micros(col(timeCol)) - lit(lo)) / lit(bWidth)).cast("long"))
+
+    // carry-out per bucket per column: the column value on the last
+    // (by `order`) row where it is non-null — an aggregation, not a window
+    val carryAggs = valueCols.map { c =>
+      max(when(col(c).isNotNull, struct((order :+ col(c).as("__v")): _*))).as(s"__s_$c")
     }
-    val carryStruct = max(struct((order :+ struct(valueCols.map(col): _*).as("__v")): _*)).as("s")
-    val carryRows = filled.groupBy(col("__b")).agg(carryStruct)
-      .select(col("__b"), col("s.__v.*")).collect().sortBy(_.getLong(0))
+    val carryRows: Array[Row] = withB.groupBy(col("__b"))
+      .agg(carryAggs.head, carryAggs.tail: _*).collect().sortBy(_.getLong(0))
+
+    // driver prefix scan: carry-in of bucket b = last non-null over buckets < b
     val running = scala.collection.mutable.Map[String, Any]()
     val carryIn = scala.collection.mutable.ArrayBuffer[Row]()
     carryRows.foreach { r =>
       val b = r.getLong(0)
       carryIn += Row.fromSeq(b +: valueCols.indices.map(i => running.getOrElse(valueCols(i), null)))
       valueCols.zipWithIndex.foreach { case (c, i) =>
-        val v = r.get(i + 1)
-        if (v != null) running(c) = v
+        val s = r.getStruct(i + 1)
+        if (s != null) running(c) = s.get(s.size - 1)
       }
     }
     val carrySchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("__b", org.apache.spark.sql.types.LongType) +:
-        valueCols.map(c => filled.schema(c).copy(name = s"__carry_$c")))
-    val carryDf = spark.createDataFrame(spark.sparkContext.parallelize(carryIn.toSeq, 1), carrySchema)
+        valueCols.map(c => df.schema(c).copy(name = s"__carry_$c", nullable = true)))
+    val carryDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(carryIn.toSeq, 1), carrySchema)
+
+    // intra-bucket fill + carry-in coalesce
+    val w = Window.partitionBy(col("__b")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(withB) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
     val joined = filled.join(broadcast(carryDf), Seq("__b"), "left")
     valueCols.foldLeft(joined) { (d, c) =>
       d.withColumn(c, coalesce(col(c), col(s"__carry_$c")))

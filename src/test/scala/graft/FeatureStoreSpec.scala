@@ -46,6 +46,25 @@ class FeatureStoreSpec extends SparkTestBase {
     assert(!lax.storage.load("q", "pos").isEmpty)
   }
 
+  test("schema drift on append rejected unless serialized") {
+    val fs = freshStore()
+    fs.createNamespace("d")
+    fs.createFeature("d/fixed")
+    fs.saveDf(seriesDf(Seq("2021-01-01" -> 1.0)), name = Some("d/fixed"))
+    val ex = intercept[FeatureStoreException] {
+      fs.saveDf(seriesDf(Seq("2021-01-02" -> "oops")), name = Some("d/fixed"))
+    }
+    assert(ex.getMessage.contains("schema drift"))
+    // same type appends fine
+    fs.saveDf(seriesDf(Seq("2021-01-02" -> 2.0)), name = Some("d/fixed"))
+    assert(collectMap(fs.storage.load("d", "fixed")).size == 2)
+    // serialized features accept drift (JSON strings on disk)
+    fs.createFeature("d/loose", serialized = true)
+    fs.saveDf(seriesDf(Seq("2021-01-01" -> 1)), name = Some("d/loose"))
+    fs.saveDf(seriesDf(Seq("2021-01-02" -> "text")), name = Some("d/loose"))
+    assert(collectMap(fs.storage.load("d", "loose", serialized = true)).size == 2)
+  }
+
   test("multi-feature wide save fans out per column") {
     val fs = freshStore()
     fs.createNamespace("test")
