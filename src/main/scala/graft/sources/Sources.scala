@@ -35,6 +35,20 @@ object Sources {
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Bucketed table write: pre-shuffles rows into `numBuckets` by join key
+    * so later equi-joins/aggregations on that key run with NO exchange —
+    * the co-located-join strategy for repeatedly-joined big fact tables
+    * (pay the shuffle once at write, never at read). Requires a table
+    * (bucket metadata lives in the catalog, not the files).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** JDBC passthrough (catalog DBs, dimension tables). Partitioned reads
     * need (column, bounds, numPartitions) or every executor funnels through
     * one connection.

@@ -24,6 +24,29 @@ class SourcesSpec extends SparkTestBase {
     assert(collectMap(back) == collectMap(df))
   }
 
+  test("bucketed tables join with no shuffle exchange") {
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      Sources.writeBucketed(Tables.lineitem(spark, dir), "li_b", Seq("l_orderkey"), 8)
+      Sources.writeBucketed(Tables.orders(spark, dir), "ord_b", Seq("o_orderkey"), 8)
+      val joined = spark.table("li_b").join(spark.table("ord_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+      // same key aggregation: also exchange-free
+      val agg = spark.table("li_b").groupBy("l_orderkey").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
   test("explicit csv schema skips inference and pins types") {
     import org.apache.spark.sql.types._
     val df = seriesDf(Seq("2021-01-01" -> 7.0))
