@@ -326,6 +326,25 @@ class FeatureStore(
       to.map(TimeUtil.parseTimestamp), timeTravel, g.partitionScheme)
   }
 
+  // ---- SQL surface ------------------------------------------------------------
+
+  /** Expose features as a temp view so arbitrary `spark.sql` runs over the
+    * loaded (deduped, aligned, ffilled) frame — the full Spark SQL function
+    * library becomes the ad-hoc query language over features.
+    */
+  def createFeatureView(viewName: String, names: Seq[String],
+      from: Option[String] = None, to: Option[String] = None,
+      freq: Option[String] = None, timeTravel: Option[String] = None): Unit = {
+    val df = loadFeatures(names, from, to, freq, timeTravel)
+    // "ns/name" column names need backticks in SQL — expose bare feature
+    // names instead when they're unambiguous
+    val bare = df.columns.map(c => c.split("/").last)
+    val renamed = if (bare.distinct.length == bare.length)
+      df.toDF(bare.toIndexedSeq: _*)
+    else df
+    renamed.createOrReplaceTempView(viewName)
+  }
+
   // ---- A2/A3 convenience ------------------------------------------------------
 
   def firstValue(qualified: String): Option[(Timestamp, Any)] = {

@@ -159,6 +159,19 @@ class FeatureStoreSpec extends SparkTestBase {
       Seq(None, Some(100.0), Some(100.0), Some(200.0)))
   }
 
+  test("SQL over features via createFeatureView") {
+    val fs = freshStore()
+    fs.createNamespace("v")
+    fs.createFeature("v/a")
+    fs.saveDf(seriesDf((1 to 5).map(i => (f"2021-01-0$i%d", i.toDouble: Any))),
+      name = Some("v/a"))
+    fs.registerSqlTransform("v/b", Seq("a"), "a * 10")
+    fs.createFeatureView("feat", Seq("v/a", "v/b"))
+    val out = spark.sql(
+      "SELECT sum(a) AS sa, max(b) AS mb, count(*) AS n FROM feat WHERE a >= 2").head()
+    assert(out.getDouble(0) == 14.0 && out.getDouble(1) == 50.0 && out.getLong(2) == 4)
+  }
+
   test("saving to a virtual feature is rejected; missing feature raises") {
     val fs = freshStore()
     fs.createNamespace("v")
