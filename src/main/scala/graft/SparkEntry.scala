@@ -295,6 +295,16 @@ object SparkEntry {
         Seq("events/click", "events/purchase"))
     }),
 
+    // entity-keyed as-of join: per-user last click value at each purchase
+    "asof_keyed" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val spine = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("time"), col("event_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("time"), col("value").as("last_click"))
+      ts.Align.asOfJoinKeyed(spine, clicks, Seq("user_id"), "time", Seq("last_click"))
+    }),
+
     // multi-column feature group: full-width load (one scan, no join)
     "fg_load_wide" -> ((s, dir) =>
       Fixtures.store(s, dir).loadGroup("events/metrics")),
@@ -583,6 +593,15 @@ object SparkEntry {
            count(*) FILTER (WHERE event_type = 'signup') AS signup,
            count(*) FILTER (WHERE event_type = 'view') AS view
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "asof_keyed" ->
+      s"""WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, value FROM events
+                     WHERE event_type = 'click'),
+          p AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, event_id FROM events
+                WHERE event_type = 'purchase')
+          SELECT p.user_id, p.t AS time, p.event_id, c.value AS last_click
+          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.t <= p.t
+          ORDER BY p.user_id, p.t""",
 
     "fs_asof_spine" ->
       s"""WITH g AS (SELECT TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 7 HOUR AS time,

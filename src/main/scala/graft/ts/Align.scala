@@ -83,6 +83,32 @@ object Align {
     filled.where(col("__spine") === 1).drop("__spine")
   }
 
+  /** Entity-keyed as-of join: for each spine row (keys..., time, payload),
+    * attach the last `valueCols` values from `data` with the SAME keys and
+    * data-time <= spine-time. The per-entity flavor of [[asOfJoin]] —
+    * parallelism comes free from partitioning the window by the keys
+    * (millions of entities = millions of independent partitions; no
+    * bucket/carry machinery needed). A single hot entity degrades to that
+    * entity's row count — salt the key upstream if one entity dominates.
+    */
+  def asOfJoinKeyed(spine: DataFrame, data: DataFrame, keys: Seq[String],
+      timeCol: String, valueCols: Seq[String]): DataFrame = {
+    val spineCols = spine.columns.filterNot(c => c == timeCol || keys.contains(c)).toSeq
+    val spineTagged = spine.withColumn("__spine", lit(1))
+    val dataTagged = data
+      .select((keys.map(col) :+ col(timeCol)) ++ valueCols.map(col): _*)
+      .withColumn("__spine", lit(0))
+    val unioned = spineTagged.unionByName(dataTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol), col("__spine"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.where(col("__spine") === 1).drop("__spine")
+      .select((keys.map(col) :+ col(timeCol)) ++ spineCols.map(col) ++ valueCols.map(col): _*)
+  }
+
   /** Generalized bucketed forward-fill with a compound ordering (e.g.
     * `(time, is_spine)` so data rows precede spine rows at equal
     * timestamps). The two-pass parallel-prefix shape:

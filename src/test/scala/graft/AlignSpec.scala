@@ -73,6 +73,18 @@ class AlignSpec extends SparkTestBase {
       Seq((None, "a"), (Some(2.0), "b"), (Some(2.0), "c"), (Some(5.0), "d")))
   }
 
+  test("asOfJoinKeyed: values never cross entity boundaries") {
+    import spark.implicits._
+    val data = Seq((1L, ts("2021-01-01"), 10.0), (2L, ts("2021-01-01"), 20.0))
+      .toDF("k", "time", "v")
+    val spine = Seq((1L, ts("2021-01-02"), "a"), (2L, ts("2021-01-02"), "b"),
+      (3L, ts("2021-01-02"), "c")).toDF("k", "time", "tag")
+    val out = Align.asOfJoinKeyed(spine, data, Seq("k"), "time", Seq("v"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), Option(r.getAs[Any]("v")), r.getAs[String]("tag"))).toSeq ==
+      Seq((1L, Some(10.0), "a"), (2L, Some(20.0), "b"), (3L, None, "c")))
+  }
+
   test("duration parsing") {
     assert(TimeUtil.parseMicros("-15min") == -15L * 60 * 1000000)
     assert(TimeUtil.parseMicros("2d") == 2L * 86400 * 1000000)
