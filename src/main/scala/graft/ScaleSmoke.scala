@@ -59,6 +59,20 @@ object ScaleSmoke {
         col("id").as("k"))
       Align.asOfJoin(spine, "time", Seq("f" -> st.load("scale", "f"))).count()
     }
+    time("minhash LSH dedup over 100k synthetic docs") {
+      // synthetic corpus: 50-word vocab, ~60 tokens/doc, every 50th doc is
+      // a near-copy of its predecessor (same words, 3 swapped)
+      val words = (0 until 50).map(i => s"w$i")
+      val vocab = array(words.map(lit): _*)
+      val docs = spark.range(100000).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(59)),
+          i => element_at(vocab,
+            (pmod(xxhash64(expr("id div 50") * 100 + i +
+              when(col("id") % 50 === 0, (i % 3) * 7).otherwise(0)), lit(50)) + 1)
+              .cast("int")))).as("text"))
+      operators.DedupOps.minhashLshPairs(docs, "doc_id", "text").count()
+    }
     time("salted aggregation over skewed key") {
       // 90% of rows share one key — the shape AQE can't fix for groupBy
       val skewed = spark.range(n).select(

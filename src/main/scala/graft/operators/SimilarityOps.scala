@@ -76,14 +76,32 @@ object SimilarityOps {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 2): DataFrame = {
     ensureRegistered(corpus)
     val cq = prep(corpus, idCol, vecCol, "id", "v", "nrm")
     // centroids as a small broadcast DataFrame — NOT a literal expression
     // tree (16 cells x 64 dims of literals makes analysis/codegen of every
-    // derived plan pay for the constants; a broadcast join doesn't)
-    val cents = cq.orderBy(col("id")).limit(nCells)
+    // derived plan pay for the constants; a broadcast join doesn't).
+    // Seeded deterministically from the lowest-id vectors, then refined
+    // with Lloyd iterations (assign -> per-cell mean) — each iteration is
+    // one small shuffle; cells get tighter, recall per probe rises.
+    var cents = cq.orderBy(col("id")).limit(nCells)
       .select(col("id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    for (_ <- 1 to refineIters) {
+      val w = Window.partitionBy(col("id"))
+        .orderBy(cosPre(col("v"), col("cv"), col("nrm"), col("cn")).desc, col("cell"))
+      val assigned = cq.join(broadcast(cents))
+        .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"),
+          transform(col("pm"), p => p.getField("m").cast("bigint")).as("cv"))
+        .withColumn("cn", sqrt(dotInt(col("cv"), col("cv")).cast("double")))
+      cents = means.localCheckpoint(eager = true) // cut the growing lineage
+    }
 
     // rank cells per vector by cosine (ties → lowest cell id); corpus rows
     // keep their top cell, queries keep nProbe cells
