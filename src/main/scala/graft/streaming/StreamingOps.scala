@@ -27,7 +27,7 @@ object StreamingOps {
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long)
-  private case class SessionState(start: Long, end: Long, n: Long) // micros
+  case class SessionState(start: Long, end: Long, n: Long) // micros (encoder codegen needs public access)
 
   // Timestamp <-> microseconds without precision loss (getTime alone is ms)
   private def toMicros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
@@ -74,9 +74,11 @@ object StreamingOps {
     events.withWatermark(timeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
-  /** Session windows via explicit state: events within `gap` of each other
-    * (per user) form one session. Works identically on a stream (state kept
-    * per key, timeout closes sessions) and on a bounded batch.
+  /** Session windows via explicit state over a BOUNDED input: events within
+    * `gap` of each other (per user) form one session. Batch execution hands
+    * each key its whole iterator once, so open sessions are flushed at the
+    * end — use [[sessionizeStream]] on an unbounded stream (flushing per
+    * micro-batch would split sessions at batch boundaries).
     */
   def sessionizeStateful(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[Session] = {
     val spark = events.sparkSession
@@ -108,6 +110,49 @@ object StreamingOps {
           cur.foreach(s => out += Session(uid, fromMicros(s.start), fromMicros(s.end), s.n))
           state.remove()
           out.iterator
+      }
+  }
+
+  /** TRUE streaming sessionization: state persists across micro-batches;
+    * a session closes only when the event-time watermark passes its end +
+    * gap (EventTimeTimeout), so sessions spanning micro-batches stay
+    * whole. Input must carry a watermark on `ts`.
+    */
+  def sessionizeStream(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end+gap: the open session is final
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(uid, fromMicros(s.start), fromMicros(s.end), s.n))
+          } else {
+            val sorted = it.toSeq.sortBy(e => toMicros(e.ts))
+            val out = scala.collection.mutable.ArrayBuffer[Session]()
+            var cur: Option[SessionState] = state.getOption
+            sorted.foreach { e =>
+              val t = toMicros(e.ts)
+              cur match {
+                case Some(s) if t - s.end <= gapUs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1))
+                case Some(s) =>
+                  out += Session(uid, fromMicros(s.start), fromMicros(s.end), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end / 1000 + gapMinutes * 60000L)
+            }
+            out.iterator
+          }
       }
   }
 

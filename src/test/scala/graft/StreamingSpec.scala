@@ -41,6 +41,36 @@ class StreamingSpec extends SparkTestBase {
     assert(keys.toSeq == Seq(1L, 2L)) // second key=1 row dropped
   }
 
+  test("sessionizeStream merges sessions across micro-batches, closes on watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+      .as[StreamingOps.SessionEvent]
+    val q = StreamingOps.sessionizeStream(events, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    // batch 1: two events 10min apart — one OPEN session
+    mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0), (1L, ts("2024-01-01 10:10:00"), 1.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_stream").count() == 0) // still open, not emitted
+    // batch 2: continuation 10min later — must MERGE, not start a new session
+    mem.addData((1L, ts("2024-01-01 10:20:00"), 1.0))
+    q.processAllAvailable()
+    // batch 3: far-future event advances the watermark past end+gap → closes it
+    mem.addData((2L, ts("2024-01-02 00:00:00"), 1.0))
+    q.processAllAvailable()
+    mem.addData((2L, ts("2024-01-03 00:00:00"), 1.0)) // push watermark again
+    q.processAllAvailable()
+    val rows = spark.table("sess_stream").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
+        r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events")))
+    q.stop()
+    assert(rows.contains((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00"), 3L)),
+      s"user 1's three events across two micro-batches must form ONE session; got ${rows.toSeq}")
+  }
+
   test("streaming ingest produces the same stored series as batch ingest") {
     val fs = Fixtures.streamedStore(spark, dir)
     val streamed = collectMap(fs.storage.load("events", "stream_click"))
