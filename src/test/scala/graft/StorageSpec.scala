@@ -125,6 +125,26 @@ class StorageSpec extends SparkTestBase {
     assert(st.loadGroup("ns", "ghost", Seq("x")).isEmpty)
   }
 
+  test("feature group: time-range and time-travel compose") {
+    val st = freshStore()
+    import spark.implicits._
+    // two versions of day 1: created at +1h (v=1.0) and +2h (v=9.0)
+    val df = Seq(
+      (ts("2021-01-01"), 1.0, ts("2021-01-01 01:00:00")),
+      (ts("2021-01-01"), 9.0, ts("2021-01-01 02:00:00")),
+      (ts("2021-01-02"), 2.0, ts("2021-01-02 01:00:00")))
+      .toDF("time", "a", "created_time")
+    st.saveGroup("ns", "tt", df, Seq("a"))
+    // latest wins
+    assert(collectMap(st.loadGroup("ns", "tt", Seq("a")), "a")(ts("2021-01-01")) == 9.0)
+    // time-travel 90min: only the +1h version of day 1 qualifies
+    assert(collectMap(st.loadGroup("ns", "tt", Seq("a"),
+      timeTravel = Some("90min")), "a")(ts("2021-01-01")) == 1.0)
+    // range excludes day 2
+    assert(collectMap(st.loadGroup("ns", "tt", Seq("a"),
+      to = Some(ts("2021-01-01"))), "a").keySet == Set(ts("2021-01-01")))
+  }
+
   test("empty/missing feature loads as empty frame; delete removes dir; copy clones data") {
     val st = freshStore()
     assert(st.load("ns", "ghost").isEmpty)
