@@ -27,6 +27,7 @@ object GraftSession {
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     // custom codegen'd functions available on every session we touch
     graft.functions.LongDotProduct.register(spark)
+    graft.functions.Md5Prefix60.register(spark)
     spark
   }
 

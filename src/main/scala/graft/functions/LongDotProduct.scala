@@ -92,6 +92,8 @@ object LongDotProduct {
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     LongDotProduct.inject(ext)
+    Md5Prefix60.inject(ext)
+  }
 }

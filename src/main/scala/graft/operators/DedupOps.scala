@@ -30,9 +30,14 @@ object DedupOps {
     (0 until numHashes).map(_ => (next() % (MersennePrime31 - 1) + 1, next() % MersennePrime31))
   }
 
-  /** 60-bit base hash of a string, engine-reproducible. */
+  /** 60-bit base hash of a string, engine-reproducible: numerically equal
+    * to `conv(substring(md5(s),1,15),16,10)` (what the DuckDB oracle
+    * computes) but via the codegen'd digest-bytes expression — no hex
+    * string round-trip in the per-shingle inner loop. Callers must have a
+    * session that registered graft functions (GraftSession.tune does).
+    */
   def baseHash(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("bigint")
+    call_function(graft.functions.Md5Prefix60.name, s)
 
   /** Per-element 31-bit base hashes of a set-of-strings column. Materialize
     * this ONCE (its own projection) before fanning out to the per-permutation
@@ -125,9 +130,6 @@ object DedupOps {
       transform(slice(ids, i + 2, size(ids)), y =>
         struct(x.as("_1"), y.as("_2")))))
 
-  /** Exact n-gram (shingle) Jaccard pairs — the brute-force baseline:
-    * explode shingles, self-join, integer-exact jaccard filter.
-    */
   /** Exact n-gram Jaccard pairs — the exhaustive baseline the approximate
     * paths are validated against. Shingles are distinct per doc, so the
     * self-join's match count per (a,b) IS the intersection size: no

@@ -40,6 +40,18 @@ class FunctionsSpec extends SparkTestBase {
     assert(df.orderBy("d").head().getLong(0) == 3L) // id=0: 0*2 + 1*3
   }
 
+  test("md5_prefix60 equals the conv(substring(md5)) formulation on random strings") {
+    graft.functions.Md5Prefix60.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val strs = (1 to 500).map(_ => rnd.alphanumeric.take(rnd.nextInt(30) + 1).mkString)
+    val df = strs.toDF("s").select(
+      call_function(graft.functions.Md5Prefix60.name, col("s")).as("fast"),
+      expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)").as("slow"))
+    assert(df.where(col("fast") =!= col("slow")).count() == 0)
+    assert(df.where(col("fast") < 0).count() == 0) // 60 bits, never negative
+  }
+
   test("type mismatch is a clean analysis error") {
     LongDotProduct.register(spark)
     import spark.implicits._
