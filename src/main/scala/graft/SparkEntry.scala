@@ -136,18 +136,21 @@ object SparkEntry {
       c.except(su).unionByName(c.intersect(su).withColumn("nationkey", col("nationkey") + 1000))
     }),
 
-    // grouping sets: rollup over order status x priority
+    // grouping sets: rollup over order status x priority (ordered output:
+    // the driver hash is sensitive to row order / integer width, see oracle)
     "rollup_agg" -> ((s, dir) =>
       Tables.orders(s, dir)
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(floor(col("o_totalprice") * 100 + 0.5).cast("bigint")).as("total_cents"))),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("bigint")).as("total_cents"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
     // distinct aggregation per key
     "distinct_agg" -> ((s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"),
-          sum(floor(col("value") * 100 + 0.5).cast("bigint")).as("value_cents"))),
+          sum(floor(col("value") * 100 + 0.5).cast("bigint")).as("value_cents"))
+        .orderBy(col("event_type"))),
 
     // 5-table broadcast-join chain: revenue per nation
     "q5_join" -> ((s, dir) => {
@@ -184,7 +187,7 @@ object SparkEntry {
         Seq("event_type"),
         Seq(operators.SkewOps.Agg("*", "count"), operators.SkewOps.Agg("cents", "sum"),
           operators.SkewOps.Agg("cents", "max")),
-        buckets = 8)),
+        buckets = 8).orderBy(col("event_type"))),
 
     // approximate aggregates (engine-specific estimates → rows-only check)
     "approx_stats" -> ((s, dir) =>
@@ -322,7 +325,8 @@ object SparkEntry {
 
     // watermarked tumbling-window agg over the event stream
     "stream_window_counts" -> ((s, dir) =>
-      s.read.parquet(Fixtures.windowedCountsPath(s, dir))),
+      s.read.parquet(Fixtures.windowedCountsPath(s, dir))
+        .orderBy(col("window_start"), col("event_type"))),
 
     // custom state machine: session windows via flatMapGroupsWithState
     "stream_sessionize" -> ((s, dir) => {
@@ -467,14 +471,18 @@ object SparkEntry {
          UNION ALL
          SELECT nationkey + 1000 FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)""",
 
+    // NOTE: DuckDB promotes sum(BIGINT) to HUGEINT (int128), which the
+    // driver's hasher renders differently from Spark's int64 — every
+    // integer sum below is CAST back to BIGINT (values are identical).
     "rollup_agg" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
-         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
     "distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
-           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q5_join" ->
@@ -499,7 +507,7 @@ object SparkEntry {
 
     "skew_salted_agg" ->
       """SELECT event_type, count(*) AS count_rows,
-           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
            max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
 
@@ -628,7 +636,7 @@ object SparkEntry {
     "stream_window_counts" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
            count(*) AS n,
-           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "stream_sessionize" -> sessionizeOracle,
