@@ -98,6 +98,10 @@ class FeatureStore(
     val (tns, tn) = Catalog.splitName(to)
     val src = catalog.getFeature(fns, fn)
       .getOrElse(throw new MissingFeatureException(s"no feature: $from"))
+    // createFeature upserts — an existing target would silently merge
+    // metadata and then have its data replaced; the reference rejects it
+    if (catalog.getFeature(tns, tn).isDefined)
+      throw new FeatureStoreException(s"clone target exists: $to")
     catalog.createFeature(src.copy(namespace = tns, name = tn, version = 1))
     if (src.transform.isEmpty) storage.copy(fns, fn, tns, tn)
   }

@@ -38,14 +38,19 @@ class JsonFileCatalog(root: String, hadoopConf: Configuration = new Configuratio
     }
   }
 
+  /** Atomic replace: write tmp, then overwrite-rename in ONE filesystem op
+    * (a delete-then-rename pair would leave no catalog at all if the
+    * process dies between the two). `synchronized` serializes writers in
+    * this JVM only — concurrent FeatureStore *processes* on one root are a
+    * documented single-writer assumption, like the reference's sqlite.
+    */
   private def save(doc: CatalogDoc): Unit = this.synchronized {
     val tmp = new Path(catalogPath.getParent, s".catalog.json.tmp${System.nanoTime()}")
     val out = fs.create(tmp, true)
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(doc))
     finally out.close()
-    if (fs.exists(catalogPath)) fs.delete(catalogPath, false)
-    if (!fs.rename(tmp, catalogPath))
-      throw new FeatureStoreException(s"failed to commit catalog at $catalogPath")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(catalogPath.toUri, hadoopConf)
+    fc.rename(tmp, catalogPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def mutate(f: CatalogDoc => CatalogDoc): Unit = this.synchronized {

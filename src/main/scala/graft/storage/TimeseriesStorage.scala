@@ -142,13 +142,18 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
   // ---- A1: latest-version dedup -------------------------------------------
 
   /** Per `time`, keep the value with max `created_time` (ties broken by max
-    * value — deterministic). Shaped as groupBy + max(struct(...)) so Spark
-    * plans a partial (map-side) aggregate before the shuffle, instead of
-    * sorting the whole frame through a window.
+    * value — deterministic). Non-null values are preferred over null ones
+    * regardless of version, matching the reference's `groupby().last()`
+    * which skips NaN (src/qafs/backend/pandas.py:161). Shaped as groupBy +
+    * max(struct(...)) so Spark plans a partial (map-side) aggregate before
+    * the shuffle, instead of sorting the whole frame through a window.
+    * (Non-orderable value types — e.g. map — fail at analysis time; store
+    * those as `serialized` features.)
     */
   def dedupLatest(df: DataFrame): DataFrame =
     df.groupBy(col(TimeCol))
-      .agg(max(struct(col(CreatedCol), col(ValueCol))).as("s"))
+      .agg(max(struct(col(ValueCol).isNotNull.as("__nonnull"),
+        col(CreatedCol), col(ValueCol))).as("s"))
       .select(col(TimeCol), col("s." + ValueCol).as(ValueCol), col("s." + CreatedCol).as(CreatedCol))
 
   // ---- load = scan → dedup → resample/ffill -------------------------------
@@ -339,9 +344,18 @@ object TimeseriesStorage {
     case PartitionScheme.Year => year(time).cast(StringType)
   }
 
-  def partitionValue(scheme: PartitionScheme, t: Timestamp): String = scheme match {
-    case PartitionScheme.Date => t.toLocalDateTime.toLocalDate.toString
-    case PartitionScheme.Year => t.toLocalDateTime.getYear.toString
+  /** Partition bound for a time bound, rendered in UTC. MUST agree with
+    * [[partitionExpr]], which `date_format`s under the session timezone
+    * (pinned to UTC by GraftSession.tune) — deriving this from the JVM
+    * default zone would shift the bounds on non-UTC JVMs and silently
+    * prune partitions that contain matching rows.
+    */
+  def partitionValue(scheme: PartitionScheme, t: Timestamp): String = {
+    val utc = t.toInstant.atZone(java.time.ZoneOffset.UTC)
+    scheme match {
+      case PartitionScheme.Date => utc.toLocalDate.toString
+      case PartitionScheme.Year => utc.getYear.toString
+    }
   }
 
   /** JSON-encode arbitrary values to strings for `serialized` features

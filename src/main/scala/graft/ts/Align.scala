@@ -134,7 +134,7 @@ object Align {
 
     val bounds = cached.agg(min(unix_micros(col(timeCol))).as("lo"),
       max(unix_micros(col(timeCol))).as("hi")).head()
-    if (bounds.isNullAt(0)) return df // empty input
+    if (bounds.isNullAt(0)) { cached.unpersist(false); return df } // empty input
     val lo = bounds.getLong(0); val hi = bounds.getLong(1)
     val span = math.max(1L, hi - lo + 1)
     val bWidth = math.max(1L, span / nb + (if (span % nb == 0) 0 else 1))
@@ -146,8 +146,16 @@ object Align {
     val carryAggs = valueCols.map { c =>
       max(when(col(c).isNotNull, struct((order :+ col(c).as("__v")): _*))).as(s"__s_$c")
     }
-    val carryRows: Array[Row] = withB.groupBy(col("__b"))
-      .agg(carryAggs.head, carryAggs.tail: _*).collect().sortBy(_.getLong(0))
+    val carryRows: Array[Row] = {
+      val rows = withB.groupBy(col("__b"))
+        .agg(carryAggs.head, carryAggs.tail: _*).collect()
+      // a null time yields a null bucket — such rows have no defined fill
+      // order; fail loudly instead of NPE-ing in the sort below
+      if (rows.exists(_.isNullAt(0)))
+        throw new IllegalArgumentException(
+          s"ffill: rows with null '$timeCol' cannot be ordered — filter them upstream")
+      rows.sortBy(_.getLong(0))
+    }
 
     // driver prefix scan: carry-in of bucket b = last non-null over buckets < b
     val running = scala.collection.mutable.Map[String, Any]()

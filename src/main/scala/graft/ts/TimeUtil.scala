@@ -38,8 +38,14 @@ object TimeUtil {
     case _ => throw new IllegalArgumentException(s"cannot parse duration '$s'")
   }
 
+  /** Wall-clock strings are interpreted as UTC instants, matching the
+    * session timezone pinned by GraftSession.tune. `Timestamp.valueOf`
+    * would bind them to the JVM default zone instead — on a non-UTC JVM
+    * that shifts every user-supplied bound by the zone offset.
+    */
   def parseTimestamp(s: String): Timestamp = {
-    val norm = if (s.contains(" ") || s.contains("T")) s.replace('T', ' ') else s + " 00:00:00"
-    Timestamp.valueOf(norm)
+    val norm = if (s.contains(" ") || s.contains("T")) s.replace(' ', 'T') else s + "T00:00:00"
+    val ldt = java.time.LocalDateTime.parse(norm)
+    Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
   }
 }

@@ -19,6 +19,13 @@ class AlignSpec extends SparkTestBase {
     assert(out(ts("2021-01-06")) == 2.0)
   }
 
+  test("ffill fails loudly on null time rows instead of NPE") {
+    val df = seriesDf(Seq("2021-01-01" -> 1.0))
+      .unionByName(spark.sql("SELECT CAST(NULL AS TIMESTAMP) time, 2.0 value"))
+    intercept[IllegalArgumentException](
+      Align.ffill(df, "time", Seq("value"), buckets = 2).collect())
+  }
+
   test("bucketed ffill == global-window ffill on random data") {
     val rnd = new scala.util.Random(42)
     val rows = (0 until 500).map { i =>

@@ -132,6 +132,8 @@ class FeatureStoreSpec extends SparkTestBase {
     val dst = fs.catalog.getFeature("cl", "dst").get
     assert(dst.description == "Will be cloned" && dst.serialized)
     assert(collectMap(fs.storage.load("cl", "dst", serialized = true)).nonEmpty)
+    // clone onto an existing feature is rejected, not silently merged
+    intercept[graft.catalog.FeatureStoreException](fs.cloneFeature("cl/src", "cl/dst"))
 
     // delete feature but keep data → orphan dir → clean_namespace removes it
     fs.deleteFeature("cl/dst", deleteData = false)

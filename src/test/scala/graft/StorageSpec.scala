@@ -155,4 +155,35 @@ class StorageSpec extends SparkTestBase {
     assert(st.load("ns", "c1").isEmpty)
     assert(st.listStoredFeatures("ns") == Seq("c2"))
   }
+
+  test("dedupLatest prefers non-null values like pandas groupby().last()") {
+    val st = freshStore()
+    st.save("ns", "nn", seriesDf(Seq("2021-01-01" -> 5.0),
+      created = Some("2021-01-01 00:00:00")))
+    st.save("ns", "nn", seriesDf(Seq("2021-01-01" -> (null: Any)),
+      created = Some("2021-01-02 00:00:00")))
+    // newer version is null → older non-null value wins
+    assert(collectMap(st.load("ns", "nn")) == Map(ts("2021-01-01") -> 5.0))
+  }
+
+  test("partition pruning bounds are UTC-consistent on a non-UTC JVM") {
+    // Regression: partitionValue derived bounds from the JVM default zone
+    // while the stored partition column is date_format'ed under the
+    // UTC-pinned session timezone — on e.g. an EST JVM a range query near
+    // UTC midnight pruned the partition holding its own rows.
+    val prev = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("America/New_York"))
+      val st = freshStore()
+      st.save("ns", "tz", seriesDf(Seq(
+        "2021-03-01 20:00:00" -> 1.0, "2021-03-01 21:00:00" -> 2.0,
+        "2021-03-02 02:00:00" -> 3.0)))
+      // stored partitions follow the UTC calendar regardless of JVM zone
+      assert(st.listPartitions("ns", "tz") == Seq("2021-03-01", "2021-03-02"))
+      val out = st.load("ns", "tz",
+        from = Some(ts("2021-03-01 19:00:00")), to = Some(ts("2021-03-01 21:30:00")))
+      assert(collectMap(out) ==
+        Map(ts("2021-03-01 20:00:00") -> 1.0, ts("2021-03-01 21:00:00") -> 2.0))
+    } finally java.util.TimeZone.setDefault(prev)
+  }
 }
