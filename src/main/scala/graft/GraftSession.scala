@@ -28,6 +28,7 @@ object GraftSession {
     // custom codegen'd functions available on every session we touch
     graft.functions.LongDotProduct.register(spark)
     graft.functions.Md5Prefix60.register(spark)
+    graft.functions.RademacherBands.register(spark)
     spark
   }
 

@@ -81,6 +81,31 @@ object ScaleSmoke {
       operators.SkewOps.saltedAgg(skewed, Seq("k"),
         Seq(operators.SkewOps.Agg("x", "sum"), operators.SkewOps.Agg("*", "count")), 32).count()
     }
+    time("RH-LSH embedding near-dup over 1M vectors") {
+      // 950k random 64-dim vectors + 50k planted near-identical copies
+      // (ids >= 950k copy id-950k's vector with one perturbed dim).
+      // bands/rows sized for this n: background candidate rate is
+      // ~ bands * 2^-rows * n^2/2, so rows grows with log2(n); (128, 20)
+      // gives pair-miss ~0.3% at cosine 0.9 and ~6e7 background cands.
+      val nv = 1000000L; val planted = 50000L
+      // per-dim exprs (codegen'd), not a transform lambda (interpreted)
+      val dims = (0 until 64).map { i =>
+        (pmod(xxhash64(pmod(col("id"), lit(nv - planted)), lit(i)), lit(2001)) - lit(1000))
+          .cast("double") / lit(1000.0) +
+          (if (i == 0) when(col("id") >= (nv - planted), lit(0.001)).otherwise(lit(0.0))
+           else lit(0.0))
+      }
+      val vecs = spark.range(nv).select(col("id").as("vec_id"),
+        array(dims: _*).as("embedding"))
+      val pairs = operators.SimilarityOps.rhpNearDupPairs(
+        vecs, "vec_id", "embedding", 0.9, bands = 128, rowsPerBand = 20)
+      val plan = pairs.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        "LSH near-dup plan must not contain a nested-loop join")
+      val found = pairs.count()
+      println(s"[scale]   planted $planted near-dup pairs, found $found " +
+        f"(recall >= ${found.toDouble / planted}%.4f incl. any true random dups)")
+    }
     hfs.delete(p, true)
     spark.stop()
   }

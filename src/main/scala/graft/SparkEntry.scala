@@ -60,14 +60,22 @@ object SparkEntry {
       Fixtures.store(s, dir).loadFeatures(Seq("events/click_comb"),
         from = Some("2024-01-05"), to = Some("2024-01-15"))),
 
-    // A2/A3: first/last via edge-partition pruning (reads 2 of ~30 partitions)
+    // A2/A3: first/last via edge-partition pruning (reads 2 of ~30
+    // partitions), plus the reference's date-bounded forms
+    // (first(name, from_date) / last(name, to_date))
     "fs_first_last" -> ((s, dir) => {
       val fs = Fixtures.store(s, dir)
       val (ft, fv) = fs.storage.firstValue("events", "click").get
       val (lt, lv) = fs.storage.lastValue("events", "click").get
+      val b = ts.TimeUtil.parseTimestamp("2024-01-15 12:00:00")
+      val (bft, bfv) = fs.storage.firstValue("events", "click", from = Some(b)).get
+      val (blt, blv) = fs.storage.lastValue("events", "click", to = Some(b)).get
       import s.implicits._
-      Seq((ft, fv.asInstanceOf[Double], lt, lv.asInstanceOf[Double]))
-        .toDF("first_time", "first_value", "last_time", "last_value")
+      Seq((ft, fv.asInstanceOf[Double], lt, lv.asInstanceOf[Double],
+          bft, bfv.asInstanceOf[Double], blt, blv.asInstanceOf[Double]))
+        .toDF("first_time", "first_value", "last_time", "last_value",
+          "bounded_first_time", "bounded_first_value",
+          "bounded_last_time", "bounded_last_value")
     }),
 
     // Q1: quality-check evaluation — per-predicate violation counts in ONE pass
@@ -195,14 +203,24 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"))),
 
-    // catalog CRUD surface incl. F3 regex listing (driver-side metadata →
-    // rows-only check)
+    // catalog CRUD surface incl. F3 regex listing. Self-contained namespace
+    // (other gate queries add features to `events` in nondeterministic
+    // order) → the listing is literal-deterministic and oracle-checkable.
     "catalog_ops" -> ((s, dir) => {
       val fs = Fixtures.store(s, dir)
+      if (fs.catalog.getNamespace("catq").isEmpty) {
+        fs.createNamespace("catq", "catalog surface fixture")
+        fs.createFeature("catq/alpha", "plain feature")
+        fs.createFeature("catq/alpha2", "second plain feature")
+        fs.createFeature("catq/beta")
+        fs.registerSqlTransform("catq/alpha_sq", Seq("alpha"), "alpha * alpha")
+        fs.updateFeature("catq/beta", description = Some("updated")) // version bump
+        fs.deleteFeature("catq/alpha2")
+      }
       import s.implicits._
-      val all = fs.listFeatures(Some("events")).map(f =>
+      val all = fs.listFeatures(Some("catq")).map(f =>
         (f.namespace, f.name, f.version.toLong, f.transform.isDefined, "all"))
-      val regexed = fs.listFeatures(Some("events"), Some("^click")).map(f =>
+      val regexed = fs.listFeatures(Some("catq"), Some("^alpha")).map(f =>
         (f.namespace, f.name, f.version.toLong, f.transform.isDefined, "regex"))
       (all ++ regexed).toDF("namespace", "name", "version", "is_virtual", "listing")
     }),
@@ -426,7 +444,15 @@ object SparkEntry {
           SELECT min(time) AS first_time,
                  arg_min(value, time) AS first_value,
                  max(time) AS last_time,
-                 arg_max(value, time) AS last_value FROM d""",
+                 arg_max(value, time) AS last_value,
+                 min(time) FILTER (WHERE time >= TIMESTAMP '2024-01-15 12:00:00')
+                   AS bounded_first_time,
+                 arg_min(value, time) FILTER (WHERE time >= TIMESTAMP '2024-01-15 12:00:00')
+                   AS bounded_first_value,
+                 max(time) FILTER (WHERE time <= TIMESTAMP '2024-01-15 12:00:00')
+                   AS bounded_last_time,
+                 arg_max(value, time) FILTER (WHERE time <= TIMESTAMP '2024-01-15 12:00:00')
+                   AS bounded_last_value FROM d""",
 
     "fs_check_violations" ->
       s"""WITH d AS (${ev("click")})
@@ -641,6 +667,28 @@ object SparkEntry {
 
     "stream_sessionize" -> sessionizeOracle,
     "sessionize_batch" -> sessionizeOracle,
+
+    // listing after create/virtual/update/delete: literal expected rows
+    "catalog_ops" ->
+      """SELECT * FROM (VALUES
+           ('catq', 'alpha',    CAST(1 AS BIGINT), false, 'all'),
+           ('catq', 'alpha_sq', CAST(1 AS BIGINT), true,  'all'),
+           ('catq', 'beta',     CAST(2 AS BIGINT), false, 'all'),
+           ('catq', 'alpha',    CAST(1 AS BIGINT), false, 'regex'),
+           ('catq', 'alpha_sq', CAST(1 AS BIGINT), true,  'regex'))
+         t(namespace, name, version, is_virtual, listing)""",
+
+    // M3 serialized drift: struct half JSON-encoded, long half cast to
+    // string; read keeps StringType by design (SURVEY §1.2)
+    "fs_serialized" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) t, event_type, user_id
+                    FROM events LIMIT 500)
+         SELECT t AS time,
+           CAST(to_json(struct_pack(event_type := event_type, user_id := user_id)) AS VARCHAR) AS value
+         FROM e
+         UNION ALL
+         SELECT t + INTERVAL 40 DAY, CAST(user_id AS VARCHAR) FROM e
+         ORDER BY time""",
   )
 
   /** Gaps-and-islands sessionization (30min inactivity gap) — ground truth

@@ -135,23 +135,37 @@ class FeatureStore(
       .getOrElse(throw new MissingFeatureException(s"no feature: $ns/$n — create it first"))
     if (f.transform.isDefined)
       throw new FeatureStoreException(s"cannot save data to virtual feature $ns/$n")
+    // drift gate against the catalog-pinned dtype (pinned at first write) —
+    // NOT against parquet footers: a schema probe per append is a driver-
+    // side storage listing per write, a bottleneck at high write QPS
+    if (!f.serialized) {
+      val incoming = df.schema(TimeseriesStorage.ValueCol).dataType.catalogString
+      f.meta.get(Catalog.ValueDtypeKey) match {
+        case Some(stored) if stored != incoming =>
+          throw new FeatureStoreException(
+            s"schema drift on $ns/$n: stored value is $stored, incoming is $incoming; " +
+              "use serialized=true for drifting values")
+        case Some(_) => ()
+        case None => catalog.pinFeatureDtype(ns, n, incoming)
+      }
+    }
     f.check match {
       case Some(spec) if failOnCheckError =>
         // Q1 fail-fast: the gate must run BEFORE the write so a failing
         // frame writes nothing — one validation pass, then the write pass
         Checks.enforce(df, spec, s"$ns/$n", failOnError = true)
-        storage.save(ns, n, df, f.partitionScheme, f.serialized)
+        storage.save(ns, n, df, f.partitionScheme, f.serialized, checkDrift = false)
       case Some(spec) =>
         // log-only mode: fuse predicate counting into the write scan via
         // Observation — the check costs ZERO extra passes over the input
         val (instrumented, violations) = Checks.observed(df, spec)
-        storage.save(ns, n, instrumented, f.partitionScheme, f.serialized)
+        storage.save(ns, n, instrumented, f.partitionScheme, f.serialized, checkDrift = false)
         val vs = violations()
         if (vs.nonEmpty)
           org.slf4j.LoggerFactory.getLogger(getClass)
             .warn(s"quality check failed for $ns/$n: ${vs.mkString("; ")}")
       case None =>
-        storage.save(ns, n, df, f.partitionScheme, f.serialized)
+        storage.save(ns, n, df, f.partitionScheme, f.serialized, checkDrift = false)
     }
   }
 

@@ -27,14 +27,20 @@ class JsonFileCatalog(root: String, hadoopConf: Configuration = new Configuratio
     if (!fs.exists(catalogPath)) CatalogDoc()
     else {
       val in = fs.open(catalogPath)
-      try {
+      val doc = try {
         val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
-        val doc = mapper.readValue(new String(bytes, StandardCharsets.UTF_8), classOf[CatalogDoc])
+        mapper.readValue(new String(bytes, StandardCharsets.UTF_8), classOf[CatalogDoc])
           .normalized
-        require(doc.formatVersion <= Catalog.FormatVersion,
-          s"catalog written by newer engine (v${doc.formatVersion})")
-        doc
       } finally in.close()
+      require(doc.formatVersion <= Catalog.FormatVersion,
+        s"catalog written by newer engine (v${doc.formatVersion})")
+      if (doc.formatVersion < Catalog.FormatVersion) {
+        // C5: in-place upgrade, persisted so the migration runs once
+        // (reference upgrade.py:12-43 stamps the new version the same way)
+        val up = CatalogMigrations.upgrade(doc)
+        save(up)
+        up
+      } else doc
     }
   }
 
@@ -151,6 +157,18 @@ class JsonFileCatalog(root: String, hadoopConf: Configuration = new Configuratio
       throw new MissingFeatureException(s"no feature: $namespace/$name")
     doc.copy(features = doc.features.filterNot(e => e.namespace == namespace && e.name == name))
   }
+
+  override def pinFeatureDtype(namespace: String, name: String, dtype: String): Unit =
+    this.synchronized {
+      val doc = load()
+      val f = doc.features.find(e => e.namespace == namespace && e.name == name)
+        .getOrElse(throw new MissingFeatureException(s"no feature: $namespace/$name"))
+      if (!f.meta.get(Catalog.ValueDtypeKey).contains(dtype))
+        save(doc.copy(features = doc.features.map(e =>
+          if (e.namespace == namespace && e.name == name)
+            e.copy(meta = e.meta + (Catalog.ValueDtypeKey -> dtype))
+          else e)))
+    }
 
   // ---- feature groups ----
 

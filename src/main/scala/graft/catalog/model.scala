@@ -102,6 +102,35 @@ case class CatalogDoc(
     groups = Option(groups).getOrElse(Nil))
 }
 
+/** In-place catalog format migrations (C5) — the JSON-document analog of the
+  * reference's alembic upgrade (src/qafs/upgrade.py:12-43: detect stored
+  * version < code version, apply schema deltas, stamp the new version).
+  * Each step upgrades FROM version n TO n+1; [[JsonFileCatalog]] applies
+  * pending steps on load and persists the upgraded document.
+  */
+object CatalogMigrations {
+  val steps: Map[Int, CatalogDoc => CatalogDoc] = Map(
+    // v1 -> v2: namespaces gain the `backend` selector (mirrors the
+    // reference's own add_column("namespace", "backend") migration);
+    // older docs may carry null/empty after JSON decode
+    1 -> { doc =>
+      doc.copy(
+        formatVersion = 2,
+        namespaces = doc.namespaces.map { ns =>
+          if (ns.backend == null || ns.backend.isEmpty) ns.copy(backend = "spark") else ns
+        })
+    }
+  )
+
+  def upgrade(doc: CatalogDoc): CatalogDoc = {
+    var d = doc
+    while (d.formatVersion < Catalog.FormatVersion)
+      d = steps.getOrElse(d.formatVersion, throw new FeatureStoreException(
+        s"no migration from catalog format v${d.formatVersion}"))(d)
+    d
+  }
+}
+
 /** Catalog operations (CRUD over namespaces + features).
   * Mirrors reference src/qafs/core.py:71-383 semantics; see SURVEY.md §2 C1-C5.
   */
@@ -123,6 +152,14 @@ trait Catalog {
       transform: Option[TransformSpec] = None, check: Option[CheckSpec] = None): Unit
   def deleteFeature(namespace: String, name: String): Unit
 
+  /** Pin the stored value dtype (under [[Catalog.ValueDtypeKey]] in meta)
+    * at first write — idempotent, NO version bump: this is storage
+    * bookkeeping, not a user-visible definition change. Lets the save path
+    * drift-check against the catalog instead of re-reading parquet footers
+    * on every append (a driver-side file listing per write).
+    */
+  def pinFeatureDtype(namespace: String, name: String, dtype: String): Unit
+
   // feature groups (extension)
   def listGroups(namespace: Option[String] = None): Seq[GroupDef]
   def getGroup(namespace: String, name: String): Option[GroupDef]
@@ -132,7 +169,10 @@ trait Catalog {
 
 
 object Catalog {
-  val FormatVersion = 1
+  val FormatVersion = 2
+
+  /** Meta key holding a feature's pinned value dtype (catalogString). */
+  val ValueDtypeKey = "value_dtype"
 
   /** Valid feature/namespace name. Reference: src/qafs/model.py:32. */
   private val NamePattern = "^[a-zA-Z0-9.#_-]+$".r

@@ -95,5 +95,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     LongDotProduct.inject(ext)
     Md5Prefix60.inject(ext)
+    RademacherBands.inject(ext)
   }
 }

@@ -82,7 +82,8 @@ object DedupOps {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
-      thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
+      thresholdNum: Int = 1, thresholdDen: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     val coeffs = hashCoeffs(numHashes)
     // exploded shingle rows (duplicates fine: min over a multiset equals
@@ -109,19 +110,47 @@ object DedupOps {
     val banded = sigs.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
-    // candidate pairs within a bucket. Buckets are tiny for real near-dup
-    // distributions; a degenerate hot bucket (constant docs) would blow up
-    // combinatorially — cap per-bucket membership to bound the worst case.
-    val maxBucket = 1000
+    verifyJaccard(bandedCandidatePairs(banded, maxBucket), docs.select(col("id"), col("sh")),
+      thresholdNum, thresholdDen)
+  }
+
+  /** Observed-metrics name for LSH bucket accounting (see
+    * [[bandedCandidatePairs]]): read via `df.observe` listener or
+    * `qe.observedMetrics` after an action on the result.
+    */
+  val LshBucketMetrics = "graft_lsh_buckets"
+
+  /** Distinct candidate pairs from banded rows `(id, band, key)` — shared by
+    * the MinHash (text) and random-hyperplane (embedding) LSH paths.
+    *
+    * Buckets are tiny for real near-dup distributions, but a degenerate hot
+    * bucket (e.g. thousands of identical docs) would emit C(size, 2) pairs.
+    * Hot buckets are NOT silently sliced: the first `maxBucket` members form
+    * the full clique and the remainder is linked by a spanning chain
+    * (ids(i-1), ids(i)) — every member still joins the duplicate cluster via
+    * transitivity at O(size) extra pairs, and the truncation is REPORTED
+    * through the [[LshBucketMetrics]] observation (buckets, truncated
+    * buckets, max bucket size) so lost clique recall is visible, not
+    * silent.
+    */
+  def bandedCandidatePairs(banded: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val buckets = banded.groupBy(col("band"), col("key"))
-      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
-    val cands = buckets.select(explode(pairCombinations(col("ids"))).as("p"))
+      .observe(LshBucketMetrics,
+        count(lit(1)).as("buckets"),
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("truncated_buckets"),
+        max(size(col("ids"))).as("max_bucket_size"))
+    val clique = pairCombinations(slice(col("ids"), 1, maxBucket))
+    // chain over the truncated tail: (ids(maxBucket-1), ids(maxBucket)), ...
+    val tailLen = greatest(size(col("ids")) - maxBucket, lit(0))
+    val chain = zip_with(
+      slice(col("ids"), lit(maxBucket), tailLen),
+      slice(col("ids"), lit(maxBucket + 1), tailLen),
+      (x, y) => struct(x.as("_1"), y.as("_2")))
+    buckets.select(explode(concat(clique, chain)).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
-
-    verifyJaccard(cands, docs.select(col("id"), col("sh")),
-      thresholdNum, thresholdDen)
   }
 
   /** All unordered pairs of a sorted array as structs (_1 < _2). */

@@ -87,11 +87,21 @@ object SimilarityOps {
     // one small shuffle; cells get tighter, recall per probe rises.
     var cents = cq.orderBy(col("id")).limit(nCells)
       .select(col("id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    // per-row best cell as an AGGREGATION (max_by over the broadcast-joined
+    // candidates, map-side partial agg), NOT a row_number window — a window
+    // over partitionBy(id) would shuffle and sort the nCells×-exploded
+    // corpus just to pick each row's max. Ties break to the lowest cell id.
+    def bestCell(df: DataFrame, idC: String, vC: String, nC: String): DataFrame =
+      df.join(broadcast(cents))
+        .groupBy(col(idC))
+        .agg(
+          max_by(col("cell"),
+            struct(cosPre(col(vC), col("cv"), col(nC), col("cn")).as("c"),
+              (-col("cell")).as("nc"))).as("cell"),
+          first(col(vC)).as(vC), first(col(nC)).as(nC))
+
     for (_ <- 1 to refineIters) {
-      val w = Window.partitionBy(col("id"))
-        .orderBy(cosPre(col("v"), col("cv"), col("nrm"), col("cn")).desc, col("cell"))
-      val assigned = cq.join(broadcast(cents))
-        .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+      val assigned = bestCell(cq, "id", "v", "nrm")
       val means = assigned
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
@@ -103,8 +113,8 @@ object SimilarityOps {
       cents = means.localCheckpoint(eager = true) // cut the growing lineage
     }
 
-    // rank cells per vector by cosine (ties → lowest cell id); corpus rows
-    // keep their top cell, queries keep nProbe cells
+    // queries keep their nProbe closest cells — a window is fine HERE (the
+    // query set is small by contract; the corpus never goes through one)
     def topCells(df: DataFrame, idC: String, vC: String, nC: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(idC))
         .orderBy(cosPre(col(vC), col("cv"), col(nC), col("cn")).desc, col("cell"))
@@ -114,7 +124,7 @@ object SimilarityOps {
         .drop("__r", "cv", "cn")
     }
 
-    val assigned = topCells(cq, "id", "v", "nrm", 1)
+    val assigned = bestCell(cq, "id", "v", "nrm")
     val probes = topCells(prep(queries, idCol, vecCol, "query_id", "qv", "qn"),
       "query_id", "qv", "qn", nProbe)
 
@@ -125,15 +135,79 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
-  /** Embedding near-duplicate pairs above a cosine threshold (brute force
-    * over a broadcastable side; LSH-bucket first at scale).
+  /** EXACT embedding near-duplicate pairs above a cosine threshold, as a
+    * blocked distributed cartesian: rows are hashed into `blocks` even
+    * blocks; a tiny broadcast table of block pairs (i ≤ j) routes each
+    * unordered row pair to exactly ONE equi-join match, so the plan is
+    * BroadcastHashJoin + one shuffled equi-join — no
+    * BroadcastNestedLoopJoin, no whole-table broadcast, per-task memory
+    * bounded by two blocks. Compute is inherently O(n²/2) dot products
+    * (that is the price of exactness at low thresholds, where no LSH
+    * family separates near-dups from background — see
+    * [[rhpNearDupPairs]] for the high-threshold scale path); shuffle
+    * volume is O(n·blocks), so pick blocks ≈ n/8k to keep block pairs
+    * task-sized.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double): DataFrame = {
+      minCosine: Double, blocks: Int = 0): DataFrame = {
     ensureRegistered(df)
+    val spark = df.sparkSession
+    val nb = if (blocks > 0) blocks
+      else math.max(4, math.min(1024, (df.count() / 8192L).toInt + 1))
     val a = prep(df, idCol, vecCol, "id_a", "va", "na")
+      .withColumn("__ba", pmod(xxhash64(col("id_a")), lit(nb)))
     val b = prep(df, idCol, vecCol, "id_b", "vb", "nb")
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("__bb", pmod(xxhash64(col("id_b")), lit(nb)))
+    // block pairs (i, j) with i <= j: each unordered row pair matches once
+    val blockPairs = spark.range(nb.toLong * nb)
+      .select((col("id") / nb).cast("long").as("__pi"),
+        (col("id") % nb).cast("long").as("__pj"))
+      .where(col("__pi") <= col("__pj"))
+    a.join(broadcast(blockPairs), col("__ba") === col("__pi"))
+      .join(b, col("__bb") === col("__pj") &&
+        // same block: order ids; cross block: the (i,j) row is unique already
+        (col("__ba") =!= col("__bb") || col("id_a") < col("id_b")))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        cosPre(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
+  /** APPROXIMATE near-duplicate pairs at scale via random-hyperplane LSH:
+    * band keys from the codegen'd [[graft.functions.RademacherBands]]
+    * signature, candidates from the shared band-bucket machinery
+    * ([[DedupOps.bandedCandidatePairs]], hot-bucket accounting included),
+    * then EXACT cosine verification of candidates only — zero false
+    * positives, miss probability (1 - p^r)^b with p = 1 - θ/π.
+    *
+    * Meant for high thresholds (≥ ~0.8), where r rows/band kill the
+    * background collision rate while b bands keep recall ≈ 1: at
+    * minCosine = 0.9 the defaults give pair-miss < 1e-4 and background
+    * (θ ≈ π/2) bucket collision ≈ 1e-5/band. At low thresholds the p-gap
+    * vanishes — use [[cosineNearDupPairs]] and accept the quadratic cost.
+    */
+  def rhpNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, bands: Int = 64, rowsPerBand: Int = 16,
+      seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+    ensureRegistered(df)
+    graft.functions.RademacherBands.register(df.sparkSession)
+    // referenced three times (banding + both verify sides): persist so the
+    // upstream (possibly expensive) vector pipeline evaluates once
+    val p = prep(df, idCol, vecCol, "id", "v", "nrm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = p.select(col("id"),
+        posexplode(call_function(graft.functions.RademacherBands.name,
+          col("v"), lit(bands), lit(rowsPerBand), lit(seed))))
+      .select(col("id"), col("pos").as("band"), col("col").as("key"))
+    val cands = DedupOps.bandedCandidatePairs(banded, maxBucket)
+    // large-large equi-joins: hint shuffle-hash so the planner never tries
+    // to BROADCAST the corpus side (a driver-side collect of the whole
+    // vector table — exactly the failure mode this operator exists to avoid)
+    cands
+      .join(p.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(p.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+        .hint("shuffle_hash"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         cosPre(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
       .where(col("cosine") >= minCosine)

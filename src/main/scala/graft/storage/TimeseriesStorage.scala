@@ -41,7 +41,8 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
     */
   def save(namespace: String, name: String, df: DataFrame,
       scheme: PartitionScheme = PartitionScheme.Date,
-      serialized: Boolean = false, append: Boolean = true): Unit = {
+      serialized: Boolean = false, append: Boolean = true,
+      checkDrift: Boolean = true): Unit = {
     val extra = df.columns.toSet -- Set(TimeCol, ValueCol, CreatedCol)
     if (extra.nonEmpty)
       throw new FeatureStoreException(s"unexpected columns ${extra.mkString(",")} saving $namespace/$name")
@@ -50,8 +51,10 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
     // non-serialized features pin their value type at first write: a
     // drifted append would land parquet files whose schemas can't merge
     // (reference rejects drift too, tests/test_feature_store.py:400-427;
-    // `serialized=true` is the sanctioned drift path via JSON strings)
-    if (append && !serialized) {
+    // `serialized=true` is the sanctioned drift path via JSON strings).
+    // FeatureStore.saveOne passes checkDrift=false — it already enforced
+    // the catalog-pinned dtype without this footer probe.
+    if (checkDrift && append && !serialized) {
       val p = new Path(featurePath(namespace, name))
       if (fs.exists(p)) {
         val existing = spark.read.parquet(p.toString).schema(ValueCol).dataType
@@ -213,25 +216,43 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
     if (reverse) parts.reverse else parts
   }
 
-  /** First (earliest) value, reading ONLY the lexically-first partition —
-    * the reference's partition-pruned fast path (src/qafs/backend/pandas.py:196-222,
-    * re-specified without its DatetimeIndex bug).
+  /** First (earliest) value at-or-after the optional bound, reading edge
+    * partitions only — the reference's partition-pruned fast path with its
+    * `from_date`/`to_date` forms (src/qafs/backend/pandas.py:196-222,
+    * re-specified without its DatetimeIndex bug). Partitions are visited
+    * lazily in order, so the usual cost is ONE partition read; a bound
+    * landing in an empty/filtered-out partition advances to the next.
     */
-  def firstValue(namespace: String, name: String): Option[(Timestamp, Any)] =
-    edgeValue(namespace, name, reverse = false)
+  def firstValue(namespace: String, name: String,
+      from: Option[Timestamp] = None,
+      scheme: PartitionScheme = PartitionScheme.Date): Option[(Timestamp, Any)] =
+    edgeValue(namespace, name, reverse = false, from, scheme)
 
-  def lastValue(namespace: String, name: String): Option[(Timestamp, Any)] =
-    edgeValue(namespace, name, reverse = true)
+  /** Last (latest) value at-or-before the optional bound; see [[firstValue]]. */
+  def lastValue(namespace: String, name: String,
+      to: Option[Timestamp] = None,
+      scheme: PartitionScheme = PartitionScheme.Date): Option[(Timestamp, Any)] =
+    edgeValue(namespace, name, reverse = true, to, scheme)
 
-  private def edgeValue(namespace: String, name: String, reverse: Boolean): Option[(Timestamp, Any)] = {
-    val parts = listPartitions(namespace, name, reverse)
-    parts.headOption.flatMap { p =>
-      val df = spark.read.parquet(s"${featurePath(namespace, name)}/$PartCol=$p")
+  private def edgeValue(namespace: String, name: String, reverse: Boolean,
+      bound: Option[Timestamp], scheme: PartitionScheme): Option[(Timestamp, Any)] = {
+    val all = listPartitions(namespace, name, reverse)
+    // both schemes' partition strings compare lexically in time order
+    val parts = bound match {
+      case Some(b) =>
+        val bv = partitionValue(scheme, b)
+        if (reverse) all.filter(_ <= bv) else all.filter(_ >= bv)
+      case None => all
+    }
+    parts.iterator.map { p =>
+      var df = spark.read.parquet(s"${featurePath(namespace, name)}/$PartCol=$p")
+      bound.foreach { b =>
+        df = if (reverse) df.where(col(TimeCol) <= lit(b)) else df.where(col(TimeCol) >= lit(b))
+      }
       val deduped = dedupLatest(df)
       val ordered = if (reverse) deduped.orderBy(col(TimeCol).desc) else deduped.orderBy(col(TimeCol))
-      ordered.limit(1).collect().headOption.map(r =>
-        (r.getAs[Timestamp](TimeCol), r.getAs[Any](ValueCol)))
-    }
+      ordered.limit(1).collect().headOption
+    }.collectFirst { case Some(r) => (r.getAs[Timestamp](TimeCol), r.getAs[Any](ValueCol)) }
   }
 
   // ---- feature groups (multi-column tables, extension) ---------------------

@@ -84,6 +84,37 @@ class CatalogSpec extends AnyFunSuite {
     assert(c.getGroup("old", "g").exists(_.columns == Seq("a")))
   }
 
+  test("C5 migration: v1 doc upgrades in place to the current format") {
+    val root = Files.createTempDirectory("cat").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/_catalog"))
+    // v1 document whose namespace predates the backend selector
+    Files.writeString(java.nio.file.Paths.get(s"$root/_catalog/catalog.json"),
+      """{"formatVersion":1,"namespaces":[{"name":"legacy","description":"",
+         |"meta":{},"version":1,"backend":""}],
+         |"features":[{"namespace":"legacy","name":"f","description":"",
+         |"partition":"date","serialized":false,"meta":{},"version":3}]}""".stripMargin)
+    val c = new JsonFileCatalog(root)
+    // definitions survive, backend backfilled
+    assert(c.getNamespace("legacy").exists(_.backend == "spark"))
+    assert(c.getFeature("legacy", "f").exists(_.version == 3))
+    // migration was persisted: the raw document is now current-format
+    val raw = Files.readString(java.nio.file.Paths.get(s"$root/_catalog/catalog.json"))
+    assert(raw.contains(s""""formatVersion" : ${Catalog.FormatVersion}"""))
+    // a second instance loads without re-migrating
+    assert(new JsonFileCatalog(root).getNamespace("legacy").isDefined)
+  }
+
+  test("pinFeatureDtype is idempotent and does not bump the version") {
+    val c = freshCatalog()
+    c.createNamespace(NamespaceDef("p"))
+    c.createFeature(FeatureDef("p", "f"))
+    c.pinFeatureDtype("p", "f", "double")
+    c.pinFeatureDtype("p", "f", "double")
+    val f = c.getFeature("p", "f").get
+    assert(f.meta(Catalog.ValueDtypeKey) == "double" && f.version == 1)
+    intercept[MissingFeatureException](c.pinFeatureDtype("p", "ghost", "double"))
+  }
+
   test("catalog rejects docs from a newer engine version") {
     val root = Files.createTempDirectory("cat").toString
     Files.createDirectories(java.nio.file.Paths.get(s"$root/_catalog"))

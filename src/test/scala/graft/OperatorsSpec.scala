@@ -21,6 +21,76 @@ class OperatorsSpec extends SparkTestBase {
     assert(lsh == exact) // j≈0.99 pairs: miss probability (1-j^4)^32 ≈ 0
   }
 
+  test("blocked exact near-dup pairs == single-broadcast all-pairs result") {
+    // the blocked equi-join cartesian must reproduce the naive all-pairs
+    // exactly (it is the same computation, just routed without a
+    // BroadcastNestedLoopJoin)
+    val sub = emb.where(col("vec_id") < 200)
+    val blocked = SimilarityOps.cosineNearDupPairs(sub, "vec_id", "embedding", 0.3)
+    val rows = blocked.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (a, b, c) => a < b && c >= 0.3 })
+    // each unordered pair exactly once
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+    // no nested-loop / cartesian in the physical plan
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("RH-LSH near-dup pairs find planted high-cosine dups with exact scores") {
+    import spark.implicits._
+    // 300 random 32-dim vectors + 20 planted near-identical pairs
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val base = (0 until 300).map(i => (i.toLong, vec()))
+    val planted = (0 until 20).map { i =>
+      val (_, v) = base(i)
+      val w = v.clone(); w(0) = w(0) + 0.01f // tiny perturbation: cosine ≈ 1
+      (1000L + i, w)
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val got = SimilarityOps.rhpNearDupPairs(df, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = SimilarityOps.cosineNearDupPairs(df, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.size >= 20, s"fixture should plant >= 20 pairs, got ${want.size}")
+    assert(got == want) // deterministic seed; miss prob < 1e-4 per pair
+  }
+
+  test("hot LSH buckets are capped with spanning chains and REPORTED, not silent") {
+    import spark.implicits._
+    // degenerate corpus: 500 identical docs -> every band key collides
+    val clones = (0L until 500L).map(i => (i, "the same exact text repeated verbatim"))
+      .toDF("doc_id", "text")
+    var observed: Map[String, Any] = Map.empty
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = {
+        qe.observedMetrics.get(DedupOps.LshBucketMetrics).foreach { row =>
+          observed = row.getValuesMap(Seq("buckets", "truncated_buckets", "max_bucket_size"))
+        }
+      }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pairs = DedupOps.minhashLshPairs(clones, "doc_id", "text", maxBucket = 100)
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // clique over the first 100 + chain over the rest: all 500 docs remain
+      // connected into one duplicate cluster
+      val ids = got.flatMap(p => Set(p._1, p._2))
+      assert(ids == (0L until 500L).toSet, "every clone must appear in some pair")
+      assert(got.size == 100 * 99 / 2 + 400)
+      // listener delivery is async — poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (observed.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(observed.get("truncated_buckets").exists(_.asInstanceOf[Long] > 0),
+        s"truncation must be reported via observed metrics, got $observed")
+      assert(observed.get("max_bucket_size").exists(_.asInstanceOf[Int] == 500))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("exact dedup map: identical texts collapse to one canonical id") {
     import spark.implicits._
     val withDup = docs.select("doc_id", "text").unionByName(

@@ -91,6 +91,19 @@ class StorageSpec extends SparkTestBase {
     assert(st.firstValue("ns", "fl").contains((ts("2021-01-01"), 10.0)))
     assert(st.lastValue("ns", "fl").contains((ts("2021-01-09"), 90.0)))
     assert(st.timeBounds("ns", "fl").contains((ts("2021-01-01"), ts("2021-01-09"))))
+    // date-bounded forms: first at-or-after / last at-or-before
+    assert(st.firstValue("ns", "fl", from = Some(ts("2021-01-04"))) ==
+      Some((ts("2021-01-04"), 40.0)))
+    assert(st.lastValue("ns", "fl", to = Some(ts("2021-01-04"))) ==
+      Some((ts("2021-01-04"), 40.0)))
+    // bound between rows: advances to the nearest row inside the bound
+    assert(st.firstValue("ns", "fl", from = Some(ts("2021-01-03 12:00:00"))) ==
+      Some((ts("2021-01-04"), 40.0)))
+    assert(st.lastValue("ns", "fl", to = Some(ts("2021-01-03 12:00:00"))) ==
+      Some((ts("2021-01-03"), 30.0)))
+    // bound outside the data: empty
+    assert(st.firstValue("ns", "fl", from = Some(ts("2022-01-01"))).isEmpty)
+    assert(st.lastValue("ns", "fl", to = Some(ts("2020-01-01"))).isEmpty)
   }
 
   test("resample load: freq grid with defaults from data bounds") {
