@@ -53,6 +53,19 @@ object ScaleSmoke {
         .withColumn("value", when(pmod(unix_micros(col("time")), lit(7)) < 3, col("value")))
       Align.ffill(withNulls, "time", Seq("value")).count()
     }
+    time("ffill under heavy event-time skew (90% in 1h)") {
+      // 90% of rows inside one hour of a 2-year span: uniform time-range
+      // buckets would funnel the hot hour through one window partition;
+      // quantile buckets keep every partition ≈1/nb of the rows
+      val skewedTimes = spark.range(n / 2).select(
+        when(col("id") % 10 < 9,
+          timestamp_micros(lit(1609459200000000L) + pmod(xxhash64(col("id")), lit(3600000000L))))
+          .otherwise(timestamp_micros(lit(1609459200000000L) +
+            pmod(xxhash64(col("id"), lit(1)), lit(63072000000000L)))).as("time"),
+        when(pmod(xxhash64(col("id"), lit(2)), lit(7)) < 3, (col("id") % 1000).cast("double"))
+          .as("value"))
+      Align.ffill(skewedTimes, "time", Seq("value")).count()
+    }
     time("as-of join of 100k-point spine") {
       val spine = spark.range(100000).select(
         timestamp_micros(lit(1609459200000000L) + col("id") * 630000000L).as("time"),
@@ -88,6 +101,11 @@ object ScaleSmoke {
       // ~ bands * 2^-rows * n^2/2, so rows grows with log2(n); (128, 20)
       // gives pair-miss ~0.3% at cosine 0.9 and ~6e7 background cands.
       val nv = 1000000L; val planted = 50000L
+      // Params scale with n: background candidates/band ≈ C(n,2)/2^rows, so
+      // rows must grow with log2(n²) — at (192, 24): ~5.5e6 background
+      // pairs (the verify-join intermediate carries a 512B vector per
+      // candidate, so candidate count IS the shuffle budget), pair-miss at
+      // cosine 0.9 ≈ (1-0.856^24)^192 ≈ 1%.
       // per-dim exprs (codegen'd), not a transform lambda (interpreted)
       val dims = (0 until 64).map { i =>
         (pmod(xxhash64(pmod(col("id"), lit(nv - planted)), lit(i)), lit(2001)) - lit(1000))
@@ -98,7 +116,7 @@ object ScaleSmoke {
       val vecs = spark.range(nv).select(col("id").as("vec_id"),
         array(dims: _*).as("embedding"))
       val pairs = operators.SimilarityOps.rhpNearDupPairs(
-        vecs, "vec_id", "embedding", 0.9, bands = 128, rowsPerBand = 20)
+        vecs, "vec_id", "embedding", 0.9, bands = 192, rowsPerBand = 24)
       val plan = pairs.queryExecution.executedPlan.toString
       require(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
         "LSH near-dup plan must not contain a nested-loop join")

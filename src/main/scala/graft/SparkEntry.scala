@@ -668,6 +668,18 @@ object SparkEntry {
     "stream_sessionize" -> sessionizeOracle,
     "sessionize_batch" -> sessionizeOracle,
 
+    // frame sampling stub is pure block arithmetic: every `stride`-th
+    // 64-byte block of the UTF-8 payload. (mm_decode_features stays
+    // rows-only: its stub rolls a 64-bit wrapping hash DuckDB can't
+    // express; ann_ivf_topk stays rows-only: kmeans means are
+    // float-accumulation-order dependent.)
+    "mm_frame_sample" ->
+      """WITH d AS (SELECT doc_id AS id, octet_length(encode(text)) AS len
+                    FROM documents)
+         SELECT id, CAST(b AS BIGINT) AS frame_idx, CAST(64 AS BIGINT) AS n_bytes
+         FROM d, unnest(range(0, len // 64, 4)) t(b)
+         ORDER BY id, frame_idx""",
+
     // listing after create/virtual/update/delete: literal expected rows
     "catalog_ops" ->
       """SELECT * FROM (VALUES

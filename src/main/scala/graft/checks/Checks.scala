@@ -24,12 +24,14 @@ object Checks {
     override def toString = s"check '$predicate' failed for $count rows"
   }
 
-  private def violationCols(spec: CheckSpec, valueCol: String): Seq[(String, Column)] = {
-    val preds = spec.predicates.map { p =>
+  /** Per-predicate violation-count aggregates. Predicates are full SQL
+    * boolean expressions over the frame's columns (by contract over
+    * `value` — the dtype check is what consumes an explicit column name).
+    */
+  private def violationCols(spec: CheckSpec): Seq[(String, Column)] =
+    spec.predicates.map { p =>
       p -> sum(when(!expr(p), 1L).otherwise(0L))
     }
-    preds
-  }
 
   /** Validate dtype + predicates; returns violations (empty = pass).
     * One Spark job total for all predicates.
@@ -44,7 +46,7 @@ object Checks {
     val predViolations =
       if (spec.predicates.isEmpty) Nil
       else {
-        val aggs = violationCols(spec, valueCol).map { case (p, c) => c.as(p) }
+        val aggs = violationCols(spec).map { case (p, c) => c.as(p) }
         val row = df.agg(aggs.head, aggs.tail: _*).head()
         spec.predicates.zipWithIndex.collect {
           case (p, i) if !row.isNullAt(i) && row.getLong(i) > 0 => Violation(p, row.getLong(i))

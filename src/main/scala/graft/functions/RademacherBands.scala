@@ -37,12 +37,17 @@ case class RademacherBands(child: Expression, bands: Int, rowsPerBand: Int,
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) =>
+      case ArrayType(LongType, _) | ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"${RademacherBands.name} expects array<bigint>, got ${other.simpleString}")
+          s"${RademacherBands.name} expects array<int>/array<bigint>, got ${other.simpleString}")
     }
+
+  @transient private lazy val elemIsInt = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+    case _ => false
+  }
 
   // one ±1 matrix per vector dimensionality, built lazily per JVM
   @transient private lazy val planes =
@@ -74,7 +79,8 @@ case class RademacherBands(child: Expression, bands: Int, rowsPerBand: Int,
         val h = pl(j * rowsPerBand + r)
         var acc = 0L
         var i = 0
-        while (i < dim) { acc += v.getLong(i) * h(i); i += 1 }
+        if (elemIsInt) while (i < dim) { acc += v.getInt(i) * h(i); i += 1 }
+        else while (i < dim) { acc += v.getLong(i) * h(i); i += 1 }
         key = (key << 1) | (if (acc >= 0L) 1L else 0L)
         r += 1
       }

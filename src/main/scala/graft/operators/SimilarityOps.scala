@@ -23,9 +23,13 @@ object SimilarityOps {
 
   val Scale = 1000000L
 
-  /** array<float> → array<bigint> fixed-point. */
+  /** array<float> → array<int> fixed-point (floor(x·1e6); |x| < 2147 by
+    * contract — embeddings are unit-ish scale). Int elements halve every
+    * vector shuffle vs bigint; dot products still accumulate in long
+    * ([[graft.functions.LongDotProduct]] takes either element type).
+    */
   def quantize(v: Column): Column =
-    transform(v, x => floor(x.cast("double") * Scale).cast("bigint"))
+    transform(v, x => floor(x.cast("double") * Scale).cast("int"))
 
   /** Integer dot product of two quantized vectors — the codegen'd custom
     * expression [[graft.functions.LongDotProduct]] (a tight primitive loop)
@@ -185,6 +189,13 @@ object SimilarityOps {
     * minCosine = 0.9 the defaults give pair-miss < 1e-4 and background
     * (θ ≈ π/2) bucket collision ≈ 1e-5/band. At low thresholds the p-gap
     * vanishes — use [[cosineNearDupPairs]] and accept the quadratic cost.
+    *
+    * SIZE THE PARAMS TO THE CORPUS: background candidates ≈
+    * bands · C(n,2) / 2^rowsPerBand, and each candidate carries a full
+    * quantized vector through the verify-join shuffle — candidate count IS
+    * the shuffle budget. The defaults (64 × 16) suit n ≤ ~100k; at n = 1M
+    * use ≥ 24 rows/band with bands raised to hold recall (e.g. 192 × 24:
+    * ~5e6 background candidates, ~1% pair-miss at cosine 0.9).
     */
   def rhpNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, bands: Int = 64, rowsPerBand: Int = 16,

@@ -18,7 +18,7 @@ object Align {
     * dataset through ONE task — correct at 60k rows, dead at 100 TB. This is
     * the classic two-pass parallel prefix ("scan") shape instead:
     *
-    *  1. range-bucket rows by time into `buckets` partitions (one shuffle);
+    *  1. quantile-bucket rows by time into `buckets` partitions (one shuffle);
     *  2. forward-fill *within* each bucket via a per-bucket window;
     *  3. take each bucket's final row (its carry-out — after step 2 that row
     *     holds the bucket's last non-null for every column), a tiny
@@ -116,9 +116,12 @@ object Align {
     *  1. persist the input (MEMORY_AND_DISK — reclaimed by the
     *     ContextCleaner once the result plan is unreachable), so the three
     *     required reads (bounds, carries, fill) evaluate the upstream ONCE;
-    *  2. range-bucket rows by time; carry-out per bucket is derived by a
-    *     plain aggregation — `max(struct(order..., c))` over non-null rows
-    *     — NOT a second window pass;
+    *  2. QUANTILE-bucket rows by time (boundaries from percentile_approx,
+    *     computed in the same job as the bounds — skew-robust: every
+    *     bucket holds ≈1/nb of the rows whatever the time distribution);
+    *     carry-out per bucket is derived by a plain aggregation —
+    *     `max(struct(order..., c))` over non-null rows — NOT a second
+    *     window pass;
     *  3. prefix-scan the O(buckets) carries on the driver, broadcast the
     *     carry-ins back, intra-bucket window-fill, coalesce.
     *
@@ -132,14 +135,23 @@ object Align {
     val nb = if (buckets > 0) buckets else spark.sparkContext.defaultParallelism
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val bounds = cached.agg(min(unix_micros(col(timeCol))).as("lo"),
-      max(unix_micros(col(timeCol))).as("hi")).head()
+    // bucket boundaries from approximate time QUANTILES, not uniform range
+    // splits: under event-time skew (90% of rows in one hour of a 2-year
+    // span) uniform buckets funnel the hot mass through ONE window
+    // partition. percentile_approx rides the SAME single aggregation job
+    // that was already computing the bounds — no extra pass.
+    val probs = (1 until nb).map(_.toDouble / nb)
+    val us = unix_micros(col(timeCol))
+    val bounds = cached.agg(min(us).as("lo"),
+      percentile_approx(us, array(probs.map(lit): _*), lit(10000)).as("cuts")).head()
     if (bounds.isNullAt(0)) { cached.unpersist(false); return df } // empty input
-    val lo = bounds.getLong(0); val hi = bounds.getLong(1)
-    val span = math.max(1L, hi - lo + 1)
-    val bWidth = math.max(1L, span / nb + (if (span % nb == 0) 0 else 1))
-    val withB = cached.withColumn("__b",
-      ((unix_micros(col(timeCol)) - lit(lo)) / lit(bWidth)).cast("long"))
+    val cuts = bounds.getSeq[Long](1).distinct.sorted
+    // monotone codegen'd bucket id: #cuts <= t (equal times → equal bucket);
+    // null time stays a null bucket so the guard below still fires
+    val bucketOf = cuts.zipWithIndex.reverse.foldLeft(lit(cuts.length.toLong): Column) {
+      case (acc, (c, i)) => when(us < lit(c), lit(i.toLong)).otherwise(acc)
+    }
+    val withB = cached.withColumn("__b", when(us.isNull, lit(null)).otherwise(bucketOf))
 
     // carry-out per bucket per column: the column value on the last
     // (by `order`) row where it is non-null — an aggregation, not a window
