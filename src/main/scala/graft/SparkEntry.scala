@@ -285,6 +285,10 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"),
         operators.TextOps.langId(col("text")).as("lang_guess"))),
 
+    // winnowing fingerprints: k-gram rolling selection (SIGMOD'03)
+    "text_winnow" -> ((s, dir) =>
+      operators.TextOps.winnowingFingerprints(Tables.documents(s, dir), "doc_id", "text")),
+
     // exact cosine top-10 for the first 10 vectors as queries
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -590,6 +594,24 @@ object SparkEntry {
              WHEN fr = greatest(de, en, es, fr, zh) THEN 'fr'
              ELSE 'zh' END AS lang_guess
          FROM s ORDER BY doc_id""",
+
+    // winnowing: same k-gram hash (md5-prefix60), same window-min with
+    // rightmost tie-break (struct min on (hash, -pos)), full windows only
+    "text_winnow" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         g AS (SELECT doc_id, i, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3] || ' ' || tks[i+4] AS s
+               FROM d, unnest(range(len(tks) - 3)) t(i) WHERE len(tks) >= 4),
+         h AS (SELECT doc_id, i, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) hh FROM g),
+         sel AS (SELECT doc_id,
+                   min(struct_pack(hh := hh, np := -i))
+                     OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) win,
+                   count(*) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) cnt
+                 FROM h)
+         SELECT DISTINCT doc_id AS id, CAST(-win.np AS BIGINT) AS pos,
+           win.hh AS fingerprint
+         FROM sel WHERE cnt = 5 ORDER BY id, pos""",
 
     "ann_cosine_topk" ->
       s"""WITH $embFlat,

@@ -172,7 +172,8 @@ object DedupOps {
     */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
-    val tok = TextOps.shingleRows(df, idCol, textCol, shingleK).distinct()
+    val tok = TextOps.shingleRows(df, idCol, textCol, shingleK)
+      .select(col("id"), col("s")).distinct()
     val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = tok.as("a").join(tok.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))

@@ -104,12 +104,13 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Exploded (id, shingle) rows — NOT de-duplicated — via a lead() window
-    * over exploded tokens. This is the codegen-friendly twin of [[shingles]]:
-    * interpreted higher-order lambdas building per-doc string arrays cost
-    * ~4s per 5k docs; the window shape streams token rows through
-    * whole-stage codegen with one shuffle on the doc id (which downstream
-    * per-doc aggregations then reuse).
+  /** Exploded (id, p, shingle) rows — NOT de-duplicated — via a lead()
+    * window over exploded tokens (`p` = 0-based shingle start position).
+    * This is the codegen-friendly twin of [[shingles]]: interpreted
+    * higher-order lambdas building per-doc string arrays cost ~4s per 5k
+    * docs; the window shape streams token rows through whole-stage codegen
+    * with one shuffle on the doc id (which downstream per-doc aggregations
+    * then reuse).
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -121,8 +122,38 @@ object TextOps {
     }
     withLeads
       .where(col(s"t${k - 1}").isNotNull)
-      .select(col("id"),
+      .select(col("id"), col("p"),
         concat_ws(" ", (col("t") +: (1 until k).map(i => col(s"t$i"))): _*).as("s"))
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * standard public local-fingerprinting construction): hash every token
+    * k-gram, slide a window of `w` consecutive k-gram hashes, keep each
+    * window's minimum (ties → rightmost), and de-duplicate the selections.
+    * Any substring of ≥ w+k-1 shared tokens yields ≥ 1 shared fingerprint;
+    * selection density ≈ 2/(w+1) of the k-grams.
+    *
+    * Hashes are the engine-reproducible md5-prefix base hash, the per-doc
+    * window parallelizes across docs (one shuffle on the id), and the
+    * min-of-window is a struct min — no per-row UDF. Docs with fewer than
+    * w k-grams emit nothing (no full window exists).
+    *
+    * Output: (id, pos, fingerprint) — pos is the selected k-gram's start.
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = shingleRows(df, idCol, textCol, k)
+      .select(col("id"), col("p"), DedupOps.baseHash(col("s")).as("h"))
+    val wspec = Window.partitionBy(col("id")).orderBy(col("p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    rows
+      .withColumn("win", min(struct(col("h"), (-col("p")).as("np"))).over(wspec))
+      .withColumn("cnt", count(lit(1)).over(wspec))
+      .where(col("cnt") === w) // only full windows select a fingerprint
+      .select(col("id"), (-col("win.np")).cast("bigint").as("pos"),
+        col("win.h").as("fingerprint"))
+      .distinct()
   }
 
   /** Convenience: one row per doc with all text signals. */

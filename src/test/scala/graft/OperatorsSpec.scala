@@ -91,6 +91,35 @@ class OperatorsSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("winnowing: shared runs share fingerprints; selections are window minima") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"common$i").mkString(" ") // 12 shared tokens
+    val a = s"alpha beta $shared gamma delta epsilon zeta eta theta"
+    val b = s"one two three four five $shared six seven eight nine"
+    val c = "totally different words that never overlap with anything else here at all"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val fp = TextOps.winnowingFingerprints(df, "doc_id", "text", k = 4, w = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // guarantee: a shared token run of >= w+k-1 = 8 yields >= 1 shared fp
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // each selection is the min of SOME w-window of that doc's k-gram hashes
+    val hashes = TextOps.shingleRows(df, "doc_id", "text", 4)
+      .select(col("id"), col("p"), DedupOps.baseHash(col("s")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    fp.foreach { case (id, pos, h) =>
+      val hs = hashes(id)
+      val isMinOfSomeWindow = (math.max(0, pos.toInt - 4) to pos.toInt)
+        .filter(_ + 5 <= hs.length)
+        .exists(s => hs.slice(s, s + 5).min == h)
+      assert(isMinOfSomeWindow, s"fp at doc $id pos $pos is not a window min")
+    }
+    // density sanity: selections are a strict subset of k-grams
+    assert(byDoc(3L).size < hashes(3L).length)
+  }
+
   test("exact dedup map: identical texts collapse to one canonical id") {
     import spark.implicits._
     val withDup = docs.select("doc_id", "text").unionByName(
