@@ -112,7 +112,10 @@ object SimilarityOps {
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"),
-          transform(col("pm"), p => p.getField("m").cast("bigint")).as("cv"))
+          // floor (not cast): exact-integer avg of int components, floored
+          // identically in any engine — the whole refinement is then
+          // cross-engine deterministic and oracle-checkable
+          transform(col("pm"), p => floor(p.getField("m")).cast("bigint")).as("cv"))
         .withColumn("cn", sqrt(dotInt(col("cv"), col("cv")).cast("double")))
       cents = means.localCheckpoint(eager = true) // cut the growing lineage
     }
