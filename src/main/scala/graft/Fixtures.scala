@@ -102,6 +102,36 @@ object Fixtures {
     fs
   }
 
+  private val deduped = TrieMap[String, String]()
+
+  /** Streaming watermark-bounded dedup materialized once per (JVM, sf):
+    * every event injected 3×, deduped on event_id by
+    * [[graft.streaming.StreamingOps.dedupedStream]], drained AvailableNow
+    * into parquet. The duplicates are byte-identical, so the surviving set
+    * must equal the distinct source events regardless of emission order.
+    */
+  def dedupedStreamPath(spark: SparkSession, sfDir: String): String =
+    deduped.getOrElseUpdate(sfDir, {
+      val out = s"/tmp/graft_fixtures/dd_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val cp = s"${out}_cp"
+      for (p <- Seq(out, cp)) {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (hfs.exists(hp)) hfs.delete(hp, true)
+      }
+      val tripled = eventStream(spark, sfDir)
+        .select(col("ts"), col("event_id"), col("event_type"), col("value"))
+        .withColumn("__c", explode(array(lit(1), lit(2), lit(3)))).drop("__c")
+      val q = graft.streaming.StreamingOps.dedupedStream(tripled, "ts", Seq("event_id"))
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .format("parquet").option("path", out)
+        .start()
+      q.awaitTermination()
+      out
+    })
+
   /** Streaming windowed counts materialized once per (JVM, sf): complete-mode
     * memory sink drained by AvailableNow, persisted to parquet for reuse.
     */

@@ -350,6 +350,13 @@ object SparkEntry {
       s.read.parquet(Fixtures.windowedCountsPath(s, dir))
         .orderBy(col("window_start"), col("event_type"))),
 
+    // watermark-bounded streaming dedup: 3x-duplicated stream collapses
+    // back to the distinct source events
+    "stream_dedup" -> ((s, dir) =>
+      s.read.parquet(Fixtures.dedupedStreamPath(s, dir))
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))),
+
     // custom state machine: session windows via flatMapGroupsWithState
     "stream_sessionize" -> ((s, dir) => {
       import s.implicits._
@@ -746,6 +753,10 @@ object SparkEntry {
            count(*) AS n,
            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "stream_dedup" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+         FROM events ORDER BY event_id""",
 
     "stream_sessionize" -> sessionizeOracle,
     "sessionize_batch" -> sessionizeOracle,
