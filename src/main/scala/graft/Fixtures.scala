@@ -53,6 +53,18 @@ object Fixtures {
     store.registerSqlTransform("events/click_sq", Seq("click"), "click * click")
     store.registerSqlTransform("events/click_comb", Seq("click", "click_sq"), "click + click_sq")
 
+    // entity-keyed feature: per-user click values, tripled versions so the
+    // per-(entity, time) dedup is observable like the plain features
+    val keyedTripled = Tables.events(spark, sfDir)
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("time"), col("value"))
+      .crossJoin(spark.range(3).select(col("id").as("v")))
+      .select(col("user_id"), col("time"),
+        (col("value") * (col("v") + 1)).as("value"),
+        expr("time - make_interval(0, 0, 0, 0, 0, v, 0)").as("created_time"))
+    store.createKeyedFeature("events/click_by_user", Seq("user_id"))
+    store.saveKeyed("events/click_by_user", keyedTripled)
+
     // multi-column feature group over ALL events (ts unique across table):
     // one table, columns loadable independently via parquet pruning
     store.createGroup("events/metrics", Seq("value", "user_val"))

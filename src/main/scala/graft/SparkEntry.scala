@@ -330,6 +330,19 @@ object SparkEntry {
       ts.Align.asOfJoinKeyed(spine, clicks, Seq("user_id"), "time", Seq("last_click"))
     }),
 
+    // entity-keyed feature: per-(user, time) latest-version dedup load
+    "fs_keyed_load" -> ((s, dir) =>
+      Fixtures.store(s, dir).loadKeyed("events/click_by_user")),
+
+    // entity-keyed point-in-time join THROUGH the store (vs asof_keyed's
+    // raw-operator path): last stored click per user at each purchase
+    "fs_keyed_asof" -> ((s, dir) => {
+      val spine = Tables.events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("time"), col("event_id"))
+      Fixtures.store(s, dir)
+        .loadKeyedAsOf(spine, "events/click_by_user", as = Some("last_click"))
+    }),
+
     // multi-column feature group: full-width load (one scan, no join)
     "fg_load_wide" -> ((s, dir) =>
       Fixtures.store(s, dir).loadGroup("events/metrics")),
@@ -734,6 +747,19 @@ object SparkEntry {
           FROM g ASOF LEFT JOIN c ON c.time <= g.time
                  ASOF LEFT JOIN p ON p.time <= g.time
           ORDER BY g.time""",
+
+    "fs_keyed_load" ->
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS time, value FROM events
+         WHERE event_type = 'click' ORDER BY time, user_id""",
+
+    "fs_keyed_asof" ->
+      s"""WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, value FROM events
+                     WHERE event_type = 'click'),
+          p AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, event_id FROM events
+                WHERE event_type = 'purchase')
+          SELECT p.user_id, p.t AS time, p.event_id, c.value AS last_click
+          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.t <= p.t
+          ORDER BY p.user_id, p.t""",
 
     "fg_load_wide" ->
       """SELECT CAST(ts AS TIMESTAMP) AS time, value,

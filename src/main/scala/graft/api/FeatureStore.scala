@@ -344,6 +344,61 @@ class FeatureStore(
       to.map(TimeUtil.parseTimestamp), timeTravel, g.partitionScheme)
   }
 
+  // ---- entity-keyed features (extension) --------------------------------------
+
+  /** Create a per-entity feature: values are keyed by (entity keys, time)
+    * instead of time alone — the "feature per user" shape a training-data
+    * pipeline needs and the reference's single-series model cannot hold.
+    * Keys live in feature meta (additive — no catalog format change).
+    */
+  def createKeyedFeature(qualified: String, keys: Seq[String],
+      description: String = "", partition: String = "date"): Unit = {
+    require(keys.nonEmpty, "keyed feature needs at least one key column")
+    val (ns, n) = Catalog.splitName(qualified)
+    catalog.createFeature(FeatureDef(ns, n, description, partition,
+      meta = Map(FeatureStore.EntityKeysMeta -> keys.mkString(","))))
+  }
+
+  private def keyedKeys(ns: String, n: String): Seq[String] = {
+    val f = catalog.getFeature(ns, n)
+      .getOrElse(throw new MissingFeatureException(s"no feature: $ns/$n"))
+    f.meta.get(FeatureStore.EntityKeysMeta)
+      .map(_.split(",").toSeq)
+      .getOrElse(throw new FeatureStoreException(s"$ns/$n is not an entity-keyed feature"))
+  }
+
+  def saveKeyed(qualified: String, df: DataFrame): Unit = {
+    val (ns, n) = Catalog.splitName(qualified)
+    val f = catalog.getFeature(ns, n)
+      .getOrElse(throw new MissingFeatureException(s"no feature: $qualified"))
+    f.check.foreach(spec => Checks.enforce(df, spec, s"$ns/$n", failOnCheckError))
+    storage.saveKeyed(ns, n, df, keyedKeys(ns, n), f.partitionScheme)
+  }
+
+  /** Deduped per-entity read (latest version per (keys, time)). */
+  def loadKeyed(qualified: String, from: Option[String] = None,
+      to: Option[String] = None, timeTravel: Option[String] = None): DataFrame = {
+    val (ns, n) = Catalog.splitName(qualified)
+    val f = catalog.getFeature(ns, n)
+      .getOrElse(throw new MissingFeatureException(s"no feature: $qualified"))
+    storage.loadKeyed(ns, n, keyedKeys(ns, n), from.map(TimeUtil.parseTimestamp),
+      to.map(TimeUtil.parseTimestamp), timeTravel, f.partitionScheme)
+  }
+
+  /** Point-in-time per-entity join: each spine row (keys..., time, payload)
+    * gets the feature's last value for the SAME entity at-or-before its
+    * time — the per-entity training-set constructor
+    * ([[graft.ts.Align.asOfJoinKeyed]] over the stored feature).
+    */
+  def loadKeyedAsOf(spine: DataFrame, qualified: String,
+      as: Option[String] = None): DataFrame = {
+    val (ns, n) = Catalog.splitName(qualified)
+    val keys = keyedKeys(ns, n)
+    val data = loadKeyed(qualified)
+      .withColumnRenamed(ValueCol, as.getOrElse(s"$ns/$n"))
+    Align.asOfJoinKeyed(spine, data, keys, TimeCol, Seq(as.getOrElse(s"$ns/$n")))
+  }
+
   // ---- SQL surface ------------------------------------------------------------
 
   /** Expose features as a temp view so arbitrary `spark.sql` runs over the
@@ -374,4 +429,9 @@ class FeatureStore(
     val (ns, n) = Catalog.splitName(qualified)
     storage.lastValue(ns, n)
   }
+}
+
+object FeatureStore {
+  /** Feature-meta key listing an entity-keyed feature's key columns. */
+  val EntityKeysMeta = "entity_keys"
 }

@@ -327,6 +327,80 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
       .select(col(TimeCol) +: columns.map(c => col(s"s.$c").as(c)): _*)
   }
 
+  // ---- entity-keyed features (extension) -----------------------------------
+
+  def keyedPath(namespace: String, name: String): String =
+    s"$root/keyed/$namespace/$name"
+
+  /** Append a per-entity feature frame (keys... + time + value
+    * [+ created_time]) — the training-data shape ("feature per user"),
+    * which the reference's single-series features cannot hold. Same
+    * coercion / hive-date-partition / append semantics as [[save]]; the
+    * logical upsert key becomes (keys, time) instead of (time).
+    */
+  def saveKeyed(namespace: String, name: String, df: DataFrame, keys: Seq[String],
+      scheme: PartitionScheme = PartitionScheme.Date): Unit = {
+    require(keys.nonEmpty, "keyed feature needs at least one key column")
+    val extra = df.columns.toSet -- (Set(TimeCol, ValueCol, CreatedCol) ++ keys)
+    if (extra.nonEmpty)
+      throw new FeatureStoreException(
+        s"unexpected columns ${extra.mkString(",")} saving keyed $namespace/$name")
+    require(df.columns.contains(TimeCol), s"missing '$TimeCol' column")
+    require(df.columns.contains(ValueCol), s"missing '$ValueCol' column")
+    val missing = keys.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"key columns missing from frame: ${missing.mkString(",")}")
+
+    val coerced = df
+      .withColumn(TimeCol, col(TimeCol).cast(TimestampType))
+      .withColumn(CreatedCol,
+        if (df.columns.contains(CreatedCol))
+          coalesce(col(CreatedCol).cast(TimestampType), current_timestamp())
+        else current_timestamp())
+      .withColumn(PartCol, partitionExpr(scheme, col(TimeCol)))
+    coerced
+      .select((keys ++ Seq(TimeCol, ValueCol, CreatedCol) :+ PartCol).map(col): _*)
+      .repartition(col(PartCol))
+      .write.format("parquet").option("compression", "snappy")
+      .partitionBy(PartCol).mode("append")
+      .save(keyedPath(namespace, name))
+  }
+
+  /** Read a keyed feature: time-range + partition pruning + optional
+    * time-travel, then latest-version dedup per (keys, time) — the same
+    * map-side-partial `max(struct)` shape as [[dedupLatest]], sharded
+    * across entities by the groupBy hash. Per-entity parallelism is free;
+    * no single-entity hotspot short of one entity owning most rows.
+    */
+  def loadKeyed(namespace: String, name: String, keys: Seq[String],
+      from: Option[Timestamp] = None, to: Option[Timestamp] = None,
+      timeTravel: Option[String] = None,
+      scheme: PartitionScheme = PartitionScheme.Date): DataFrame = {
+    val path = keyedPath(namespace, name)
+    if (!fs.exists(new Path(path))) {
+      val schema = StructType(
+        keys.map(StructField(_, LongType)) ++
+          Seq(StructField(TimeCol, TimestampType), StructField(ValueCol, DoubleType)))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    var df = spark.read.parquet(path)
+    val (f, t) = (from, to) match {
+      case (Some(a), Some(b)) if b.before(a) => (Some(a), Some(a))
+      case other => other
+    }
+    f.foreach(a => df = df.where(col(TimeCol) >= lit(a) &&
+      col(PartCol) >= lit(partitionValue(scheme, a))))
+    t.foreach(b => df = df.where(col(TimeCol) <= lit(b) &&
+      col(PartCol) <= lit(partitionValue(scheme, b))))
+    timeTravel.foreach { tt =>
+      val delta = TimeUtil.parseMicros(tt)
+      df = df.where(unix_micros(col(CreatedCol)) <= unix_micros(col(TimeCol)) + lit(delta))
+    }
+    df.groupBy((keys :+ TimeCol).map(col): _*)
+      .agg(max(struct(col(ValueCol).isNotNull.as("__nonnull"),
+        col(CreatedCol), col(ValueCol))).as("s"))
+      .select((keys :+ TimeCol).map(col) :+ col("s." + ValueCol).as(ValueCol): _*)
+  }
+
   // ---- S4/S5/S6: listing, delete, copy -------------------------------------
 
   def listStoredFeatures(namespace: String): Seq[String] = {

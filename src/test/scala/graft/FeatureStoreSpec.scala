@@ -46,6 +46,39 @@ class FeatureStoreSpec extends SparkTestBase {
     assert(!lax.storage.load("q", "pos").isEmpty)
   }
 
+  test("entity-keyed feature: per-(entity,time) dedup, as-of join, checks") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val fs = freshStore()
+    fs.createNamespace("k")
+    fs.createKeyedFeature("k/score", Seq("uid"))
+    val schema = StructType(Seq(StructField("uid", LongType),
+      StructField("time", TimestampType), StructField("value", DoubleType),
+      StructField("created_time", TimestampType)))
+    def kdf(rows: Seq[(Long, String, Double, String)]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        rows.map { case (u, t, v, c) => Row(u, ts(t), v, ts(c)) }), schema)
+    fs.saveKeyed("k/score", kdf(Seq(
+      (1L, "2021-01-01", 10.0, "2021-01-01"), (2L, "2021-01-01", 20.0, "2021-01-01"),
+      (1L, "2021-01-03", 11.0, "2021-01-03"))))
+    // rewrite of (1, 2021-01-01) with newer created_time wins
+    fs.saveKeyed("k/score", kdf(Seq((1L, "2021-01-01", 99.0, "2021-02-01"))))
+    val got = fs.loadKeyed("k/score").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, ts("2021-01-01"), 99.0), (2L, ts("2021-01-01"), 20.0),
+      (1L, ts("2021-01-03"), 11.0)))
+    // per-entity as-of: each spine row sees ITS user's last value only
+    val spine = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(1L, ts("2021-01-02")), Row(2L, ts("2021-01-05")), Row(3L, ts("2021-01-05")))),
+      StructType(Seq(StructField("uid", LongType), StructField("time", TimestampType))))
+    val asof = fs.loadKeyedAsOf(spine, "k/score", as = Some("score")).collect()
+      .map(r => (r.getLong(0), r.getAs[Any]("score"))).toMap
+    assert(asof == Map(1L -> 99.0, 2L -> 20.0, 3L -> null))
+    // saving to a non-keyed feature via saveKeyed is rejected
+    fs.createFeature("k/plain")
+    intercept[FeatureStoreException](fs.saveKeyed("k/plain", kdf(Nil)))
+  }
+
   test("schema drift on append rejected unless serialized") {
     val fs = freshStore()
     fs.createNamespace("d")
