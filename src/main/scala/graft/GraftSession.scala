@@ -29,6 +29,7 @@ object GraftSession {
     graft.functions.LongDotProduct.register(spark)
     graft.functions.Md5Prefix60.register(spark)
     graft.functions.RademacherBands.register(spark)
+    graft.functions.QuantizeVec.register(spark)
     spark
   }
 

@@ -13,12 +13,16 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(20000000L)
+    // optional 2nd arg: label substring filter — ONLY for self-contained
+    // entries (lsh/minhash/skew/salted); store-backed entries need the
+    // ingest entry to have run
+    val only = args.lift(1).map(_.toLowerCase)
     val spark = GraftSession.local()
-    def time[T](label: String)(f: => T): T = {
+    def time[T](label: String)(f: => T): Unit = {
+      if (only.exists(o => !label.toLowerCase.contains(o))) return
       val t0 = System.nanoTime()
-      val r = f
+      f
       println(f"[scale] $label%-38s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
     }
 
     // n rows across 2 years, 3 versions per timestamp third → dedup-heavy

@@ -109,5 +109,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     LongDotProduct.inject(ext)
     Md5Prefix60.inject(ext)
     RademacherBands.inject(ext)
+    QuantizeVec.inject(ext)
   }
 }

@@ -134,13 +134,24 @@ object DedupOps {
     * silent.
     */
   def bandedCandidatePairs(banded: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    val buckets = banded.groupBy(col("band"), col("key"))
+    // Bucket cardinality ≈ row count at corpus scale (nearly every bucket
+    // is a singleton), so ANY groupBy over (band, key) — even a codegen'd
+    // count — builds a hash map with one entry per row (measured: the
+    // aggregation map's page allocation dominated the 1M-vector smoke).
+    // A WINDOW count over the same keys sorts the one shuffle instead and
+    // streams each group with O(group) memory; the collect_list then runs
+    // only over the non-singleton survivors, which inherit the window's
+    // partitioning (no further exchange).
+    import org.apache.spark.sql.expressions.Window
+    val sized = banded.withColumn("__n",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+    val buckets = sized.where(col("__n") > 1)
+      .groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")) > 1)
       .observe(LshBucketMetrics,
         count(lit(1)).as("buckets"),
         sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("truncated_buckets"),
-        max(size(col("ids"))).as("max_bucket_size"))
+        max(size(col("ids"))).cast("long").as("max_bucket_size"))
     val clique = pairCombinations(slice(col("ids"), 1, maxBucket))
     // chain over the truncated tail: (ids(maxBucket-1), ids(maxBucket)), ...
     val tailLen = greatest(size(col("ids")) - maxBucket, lit(0))

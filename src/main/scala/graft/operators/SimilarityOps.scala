@@ -27,9 +27,11 @@ object SimilarityOps {
     * contract — embeddings are unit-ish scale). Int elements halve every
     * vector shuffle vs bigint; dot products still accumulate in long
     * ([[graft.functions.LongDotProduct]] takes either element type).
+    * Codegen'd ([[graft.functions.QuantizeVec]]) — the transform-lambda
+    * spelling runs interpreted per element on every vector touched.
     */
   def quantize(v: Column): Column =
-    transform(v, x => floor(x.cast("double") * Scale).cast("int"))
+    call_function(graft.functions.QuantizeVec.name, v, lit(Scale))
 
   /** Integer dot product of two quantized vectors — the codegen'd custom
     * expression [[graft.functions.LongDotProduct]] (a tight primitive loop)
@@ -39,8 +41,10 @@ object SimilarityOps {
   def dotInt(a: Column, b: Column): Column =
     call_function(graft.functions.LongDotProduct.name, a, b)
 
-  private def ensureRegistered(df: DataFrame): Unit =
+  private def ensureRegistered(df: DataFrame): Unit = {
     graft.functions.LongDotProduct.register(df.sparkSession)
+    graft.functions.QuantizeVec.register(df.sparkSession)
+  }
 
   /** Exact cosine between quantized vectors, as double. */
   def cosineQ(a: Column, b: Column): Column =

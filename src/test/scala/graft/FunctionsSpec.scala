@@ -52,6 +52,25 @@ class FunctionsSpec extends SparkTestBase {
     assert(df.where(col("fast") < 0).count() == 0) // 60 bits, never negative
   }
 
+  test("quantize_vec matches the interpreted transform formulation, int and mixed dots agree") {
+    graft.functions.QuantizeVec.register(spark)
+    graft.functions.LongDotProduct.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 100).map(i => (i.toLong, Array.fill(32)(rnd.nextFloat() * 4 - 2)))
+      .toDF("id", "v")
+    val q = df.select(
+      call_function(graft.functions.QuantizeVec.name, col("v"), lit(1000000L)).as("fast"),
+      transform(col("v"), x => floor(x.cast("double") * 1000000L).cast("int")).as("slow"))
+    assert(q.where(col("fast") =!= col("slow")).count() == 0)
+    // dot over (int, int) equals dot over (bigint, bigint) of the same values
+    val d = q.select(
+      call_function(graft.functions.LongDotProduct.name, col("fast"), col("fast")).as("ii"),
+      call_function(graft.functions.LongDotProduct.name,
+        transform(col("slow"), _.cast("bigint")), transform(col("slow"), _.cast("bigint"))).as("ll"))
+    assert(d.where(col("ii") =!= col("ll")).count() == 0)
+  }
+
   test("type mismatch is a clean analysis error") {
     LongDotProduct.register(spark)
     import spark.implicits._

@@ -87,7 +87,7 @@ class OperatorsSpec extends SparkTestBase {
       while (observed.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
       assert(observed.get("truncated_buckets").exists(_.asInstanceOf[Long] > 0),
         s"truncation must be reported via observed metrics, got $observed")
-      assert(observed.get("max_bucket_size").exists(_.asInstanceOf[Int] == 500))
+      assert(observed.get("max_bucket_size").exists(_.asInstanceOf[Long] == 500L))
     } finally spark.listenerManager.unregister(listener)
   }
 
