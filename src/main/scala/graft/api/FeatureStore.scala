@@ -262,6 +262,9 @@ class FeatureStore(
       callers: Set[String],
       memo: scala.collection.mutable.Map[String, DataFrame] = scala.collection.mutable.Map()): DataFrame = {
     val key = f.qualified
+    if (f.meta.contains(FeatureStore.EntityKeysMeta))
+      throw new FeatureStoreException(
+        s"$key is entity-keyed — load it with loadKeyed/loadKeyedAsOf, not loadFeatures")
     if (callers.contains(key))
       throw new FeatureStoreException(
         s"circular transform dependency detected at $key (via ${callers.mkString(" -> ")})")

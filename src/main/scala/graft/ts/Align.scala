@@ -142,8 +142,11 @@ object Align {
     // that was already computing the bounds — no extra pass.
     val probs = (1 until nb).map(_.toDouble / nb)
     val us = unix_micros(col(timeCol))
+    // accuracy 1000 is plenty: the cuts are load-balancing hints, not
+    // semantics (any monotone bucketing is correct); higher accuracy just
+    // taxes the aggregation
     val bounds = cached.agg(min(us).as("lo"),
-      percentile_approx(us, array(probs.map(lit): _*), lit(10000)).as("cuts")).head()
+      percentile_approx(us, array(probs.map(lit): _*), lit(1000)).as("cuts")).head()
     if (bounds.isNullAt(0)) { cached.unpersist(false); return df } // empty input
     val cuts = bounds.getSeq[Long](1).distinct.sorted
     // monotone codegen'd bucket id: #cuts <= t (equal times → equal bucket);
