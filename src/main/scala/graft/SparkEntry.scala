@@ -343,6 +343,11 @@ object SparkEntry {
         .loadKeyedAsOf(spine, "events/click_by_user", as = Some("last_click"))
     }),
 
+    // per-entity resample: every user × a 12h grid, LOCF per user
+    "fs_keyed_resample" -> ((s, dir) =>
+      Fixtures.store(s, dir).loadKeyedResampled("events/click_by_user",
+        "2024-01-01", "2024-01-08", "12h")),
+
     // multi-column feature group: full-width load (one scan, no join)
     "fg_load_wide" -> ((s, dir) =>
       Fixtures.store(s, dir).loadGroup("events/metrics")),
@@ -760,6 +765,17 @@ object SparkEntry {
           SELECT p.user_id, p.t AS time, p.event_id, c.value AS last_click
           FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.t <= p.t
           ORDER BY p.user_id, p.t""",
+
+    "fs_keyed_resample" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, value FROM events
+                    WHERE event_type = 'click'),
+         u AS (SELECT DISTINCT user_id FROM c),
+         g AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                TIMESTAMP '2024-01-08 00:00:00', INTERVAL 12 HOUR)) AS time),
+         s AS (SELECT u.user_id, g.time FROM u, g)
+         SELECT s.user_id, s.time, c.value
+         FROM s ASOF LEFT JOIN c ON s.user_id = c.user_id AND c.t <= s.time
+         ORDER BY s.user_id, s.time""",
 
     "fg_load_wide" ->
       """SELECT CAST(ts AS TIMESTAMP) AS time, value,

@@ -402,6 +402,27 @@ class FeatureStore(
     Align.asOfJoinKeyed(spine, data, keys, TimeCol, Seq(as.getOrElse(s"$ns/$n")))
   }
 
+  /** Per-entity resample: every observed entity × a regular [from, to] grid,
+    * each cell holding the entity's last value at-or-before the grid
+    * instant (as-of/LOCF semantics) — the periodic-training-snapshot
+    * generator. Output size is |entities| × |grid| by design; the as-of
+    * machinery parallelizes per entity.
+    */
+  def loadKeyedResampled(qualified: String, from: String, to: String,
+      freq: String): DataFrame = {
+    val (ns, n) = Catalog.splitName(qualified)
+    val keys = keyedKeys(ns, n)
+    val data = loadKeyed(qualified)
+    val f = TimeUtil.parseTimestamp(from); val t = TimeUtil.parseTimestamp(to)
+    val step = TimeUtil.parseMicros(freq)
+    require(step > 0, "resample frequency must be positive")
+    def us(x: Timestamp): Long = x.getTime / 1000 * 1000000L + x.getNanos / 1000
+    val grid = spark.range(0, (us(t) - us(f)) / step + 1)
+      .select(timestamp_micros(lit(us(f)) + col("id") * lit(step)).as(TimeCol))
+    val spine = data.select(keys.map(col): _*).distinct().crossJoin(grid)
+    Align.asOfJoinKeyed(spine, data, keys, TimeCol, Seq(ValueCol))
+  }
+
   // ---- SQL surface ------------------------------------------------------------
 
   /** Expose features as a temp view so arbitrary `spark.sql` runs over the

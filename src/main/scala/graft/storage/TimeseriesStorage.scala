@@ -410,8 +410,11 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
   }
 
   def delete(namespace: String, name: String): Unit = {
-    val p = new Path(featurePath(namespace, name))
-    if (fs.exists(p)) fs.delete(p, true)
+    // a feature's data lives in exactly one of the two layouts — remove both
+    for (dir <- Seq(featurePath(namespace, name), keyedPath(namespace, name))) {
+      val p = new Path(dir)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 
   /** Copy one feature's data to another feature location (clone support,

@@ -52,6 +52,20 @@ object StreamingOps {
       }
       .start()
 
+  /** Stream a (keys... + time + value) frame into an entity-keyed feature
+    * through the batch keyed save path — the per-entity twin of
+    * [[ingestAvailableNow]].
+    */
+  def ingestKeyedAvailableNow(fs: FeatureStore, stream: DataFrame, feature: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) fs.saveKeyed(feature, batch)
+      }
+      .start()
+
   /** Watermarked tumbling-window counts/sums per key. In append mode only
     * watermark-closed windows emit; `complete` emits everything (used by the
     * deterministic AvailableNow gate query).

@@ -71,6 +71,28 @@ class StreamingSpec extends SparkTestBase {
       s"user 1's three events across two micro-batches must form ONE session; got ${rows.toSeq}")
   }
 
+  test("streaming keyed ingest matches batch keyed save; delete removes keyed dir") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val fs = new graft.api.FeatureStore(tmpDir("kstream"), spark)
+    fs.createNamespace("ks")
+    fs.createKeyedFeature("ks/v", Seq("uid"))
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    mem.addData((1L, ts("2021-01-01"), 1.0), (2L, ts("2021-01-01"), 2.0))
+    mem.addData((1L, ts("2021-01-02"), 3.0))
+    val q = StreamingOps.ingestKeyedAvailableNow(fs,
+      mem.toDF().toDF("uid", "time", "value"), "ks/v", tmpDir("kcp"))
+    q.awaitTermination()
+    val got = fs.loadKeyed("ks/v").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, ts("2021-01-01"), 1.0), (2L, ts("2021-01-01"), 2.0),
+      (1L, ts("2021-01-02"), 3.0)))
+    fs.deleteFeature("ks/v", deleteData = true)
+    assert(fs.catalog.getFeature("ks", "v").isEmpty)
+    val kp = new org.apache.hadoop.fs.Path(fs.storage.keyedPath("ks", "v"))
+    assert(!kp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(kp))
+  }
+
   test("streaming ingest produces the same stored series as batch ingest") {
     val fs = Fixtures.streamedStore(spark, dir)
     val streamed = collectMap(fs.storage.load("events", "stream_click"))
