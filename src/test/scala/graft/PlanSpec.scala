@@ -67,4 +67,29 @@ class PlanSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(p.contains("partial_min"), "signature mins must partial-aggregate")
   }
+
+  test("keyed load: time bounds prune keyed hive partitions; dedup partial-aggregates") {
+    val fs = Fixtures.store(spark, dir)
+    val df = fs.storage.loadKeyed("events", "click_by_user", Seq("user_id"),
+      from = Some(ts("2024-01-10 00:00:00")), to = Some(ts("2024-01-12 00:00:00")))
+    val p = df.queryExecution.executedPlan.toString
+    val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(leaves.contains("PartitionFilters") && leaves.contains("partition"))
+    assert(p.contains("partial_max") || p.contains("ObjectHashAggregate")
+      || p.contains("SortAggregate"),
+      s"keyed dedup should partial-aggregate before the shuffle:\n$p")
+    assert(!p.contains("Window"), "keyed dedup must not use a window sort")
+  }
+
+  test("exact near-dup routes pairs through equi-joins; IVF never a shuffled cartesian") {
+    // emb_neardup: the blocked cartesian must be equi-join routed — an
+    // unbounded nested-loop/cartesian is the exact failure mode it replaces
+    val p = plan("emb_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"emb_neardup must route pairs through equi-joins:\n${p.take(800)}")
+    // ann_ivf: corpus × 16-centroid BROADCAST cross joins are by design
+    // (bounded build side); what must never appear is a non-broadcast
+    // cartesian of two unbounded sides
+    assert(!plan("ann_ivf_topk").contains("CartesianProduct"))
+  }
 }
