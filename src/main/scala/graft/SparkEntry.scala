@@ -276,6 +276,12 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       operators.DedupOps.simhashDf(Tables.documents(s, dir), "doc_id", "text")),
 
+    // SimHash near-dup pairs: hamming <= 7 via EXACT bit-block banding
+    // (pigeonhole over 8 blocks — 100% recall, equals the exhaustive scan)
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      operators.DedupOps.simhashNearDupPairs(Tables.documents(s, dir),
+        "doc_id", "text", maxHamming = 7)),
+
     // text-analysis signals: token counts, punct/stopword counts, quality
     "text_stats" -> ((s, dir) =>
       operators.TextOps.textStats(Tables.documents(s, dir), "doc_id", "text")),
@@ -583,6 +589,25 @@ object SparkEntry {
            FROM tok, unnest(generate_series(0, 63)) t(b) GROUP BY 1, 2)
          SELECT doc_id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
          FROM bits GROUP BY doc_id ORDER BY doc_id""",
+
+    // exhaustive-scan twin of the banded Spark path (banding is exact here)
+    "dedup_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) h FROM documents),
+         bits AS (SELECT doc_id, b,
+             sum(CASE WHEN ((strpos('0123456789abcdef', substring(h, b // 4 + 1, 1)) - 1)
+                            >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END) s
+           FROM tok, unnest(generate_series(0, 63)) t(b) GROUP BY 1, 2),
+         sh AS (SELECT doc_id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS sig
+                FROM bits GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id ia, b.doc_id ib, a.sig sa, b.sig sb
+                   FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         h AS (SELECT ia, ib,
+                 CAST(len(list_filter(range(64),
+                   i -> substring(sa, CAST(i + 1 AS INT), 1)
+                        != substring(sb, CAST(i + 1 AS INT), 1))) AS BIGINT) hamming
+               FROM pairs)
+         SELECT ia AS id_a, ib AS id_b, hamming FROM h
+         WHERE hamming <= 7 ORDER BY 1, 2""",
 
     "text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') tks FROM documents)

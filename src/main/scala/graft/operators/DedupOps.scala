@@ -257,4 +257,32 @@ object DedupOps {
     aggregate(
       zip_with(split(a, ""), split(b, ""), (x, y) => when(x === y, 0).otherwise(1)),
       lit(0), (acc, d) => acc + d)
+
+  /** SimHash near-duplicate pairs with hamming distance ≤ `maxHamming`,
+    * found EXACTLY via bit-block banding: split the 64-bit signature into
+    * `maxHamming + 1` blocks — by pigeonhole, two signatures within the
+    * hamming budget agree on at least one whole block, so the block-bucket
+    * candidates have 100% recall (unlike probabilistic minhash/RH bands)
+    * and the verified result equals the exhaustive O(n²) scan. Candidate
+    * generation shares [[bandedCandidatePairs]] (hot-bucket accounting
+    * included); verification touches candidates only.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val sigs = simhashDf(df, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash"))
+    val nBlocks = maxHamming + 1
+    val blockLen = (64 + nBlocks - 1) / nBlocks
+    val blocks = (0 until nBlocks).map(i =>
+      substring(col("simhash"), i * blockLen + 1, blockLen))
+    val banded = sigs.select(col("id"), posexplode(array(blocks: _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("key"))
+    bandedCandidatePairs(banded, maxBucket)
+      .join(sigs.select(col("id").as("id_a"), col("simhash").as("sa")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("simhash").as("sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sa"), col("sb")).cast("bigint").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 }

@@ -130,6 +130,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(dups.forall(r => r.getAs[Long]("doc_id") == r.getAs[Long]("canonical_id") + 100000))
   }
 
+  test("simhash banded pairs == exhaustive hamming scan (pigeonhole exactness)") {
+    val sub = docs.limit(120)
+    val banded = DedupOps.simhashNearDupPairs(sub, "doc_id", "text", maxHamming = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exhaustive scan over all signature pairs
+    val sigs = DedupOps.simhashDf(sub, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val exhaustive = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = sa.zip(sb).count { case (x, y) => x != y } if h <= 9
+    } yield (ia, ib, h.toLong)).toSet
+    assert(exhaustive.nonEmpty && banded == exhaustive)
+  }
+
   test("simhash: near-dup pairs have smaller hamming distance than random pairs") {
     import spark.implicits._
     val sigs = docs.select($"doc_id", DedupOps.simhashBits($"text").as("sh"))
