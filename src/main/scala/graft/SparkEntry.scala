@@ -276,11 +276,12 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       operators.DedupOps.simhashDf(Tables.documents(s, dir), "doc_id", "text")),
 
-    // SimHash near-dup pairs: hamming <= 7 via EXACT bit-block banding
-    // (pigeonhole over 8 blocks — 100% recall, equals the exhaustive scan)
+    // SimHash near-dup pairs: hamming <= 3 via EXACT bit-block banding
+    // (pigeonhole over 4 x 16-bit blocks — 100% recall, equals the
+    // exhaustive scan; h=3 on 64 bits is the classic operating point)
     "dedup_simhash_pairs" -> ((s, dir) =>
       operators.DedupOps.simhashNearDupPairs(Tables.documents(s, dir),
-        "doc_id", "text", maxHamming = 7)),
+        "doc_id", "text", maxHamming = 3)),
 
     // text-analysis signals: token counts, punct/stopword counts, quality
     "text_stats" -> ((s, dir) =>
@@ -607,7 +608,7 @@ object SparkEntry {
                         != substring(sb, CAST(i + 1 AS INT), 1))) AS BIGINT) hamming
                FROM pairs)
          SELECT ia AS id_a, ib AS id_b, hamming FROM h
-         WHERE hamming <= 7 ORDER BY 1, 2""",
+         WHERE hamming <= 3 ORDER BY 1, 2""",
 
     "text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') tks FROM documents)

@@ -270,8 +270,11 @@ object DedupOps {
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    // referenced three times (banding + both verify sides): persist so the
+    // signature pass (explode + 64 sums) evaluates once
     val sigs = simhashDf(df, idCol, textCol)
       .select(col(idCol).as("id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBlocks = maxHamming + 1
     val blockLen = (64 + nBlocks - 1) / nBlocks
     val blocks = (0 until nBlocks).map(i =>
