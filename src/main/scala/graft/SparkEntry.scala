@@ -197,11 +197,25 @@ object SparkEntry {
           operators.SkewOps.Agg("cents", "max")),
         buckets = 8).orderBy(col("event_type"))),
 
-    // approximate aggregates (engine-specific estimates → rows-only check)
+    // approximate aggregates. Estimates are engine-specific, so the oracle
+    // checks BOUNDS instead of values: the query itself computes the exact
+    // answers alongside the sketches and emits pass/fail booleans —
+    // approx_count_distinct(rsd=0.01) within 5% relative error (5σ; the
+    // default rsd 0.05 measurably misses 5% at ~1.5k distincts),
+    // percentile_approx(accuracy=1000 → rank error 1e-3) inside the exact
+    // [0.495, 0.505] quantile envelope. The oracle recomputes exact_users
+    // and expects every bound to hold.
     "approx_stats" -> ((s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"))),
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+          expr("percentile(value, 0.495)").as("lo"),
+          expr("percentile(value, 0.505)").as("hi"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users").cast("double") / col("exact_users") - 1) <= 0.05).as("users_ok"),
+          (col("p50") >= col("lo") && col("p50") <= col("hi")).as("p50_ok"))
+        .orderBy(col("event_type"))),
 
     // catalog CRUD surface incl. F3 regex listing. Self-contained namespace
     // (other gate queries add features to `events` in nondeterministic
@@ -406,7 +420,11 @@ object SparkEntry {
       operators.MultimodalOps.decodeFeatures(
         operators.MultimodalOps.asMediaTable(Tables.documents(s, dir), "doc_id", "text"))
         .toDF().select(col("id"), col("n_bytes"),
-          col("width").cast("bigint").as("width"), col("height").cast("bigint").as("height"))),
+          col("width").cast("bigint").as("width"), col("height").cast("bigint").as("height"),
+          posexplode(col("feature")))
+        .select(col("id"), col("n_bytes"), col("width"), col("height"),
+          col("pos").cast("bigint").as("dim"), col("col").cast("bigint").as("fval"))
+        .orderBy(col("id"), col("dim"))),
 
     // multimodal: frame/window sampling stub (id, frame_idx) inventory
     "mm_frame_sample" -> ((s, dir) =>
@@ -830,16 +848,43 @@ object SparkEntry {
     "sessionize_batch" -> sessionizeOracle,
 
     // frame sampling stub is pure block arithmetic: every `stride`-th
-    // 64-byte block of the UTF-8 payload. (mm_decode_features stays
-    // rows-only: its stub rolls a 64-bit wrapping hash DuckDB can't
-    // express; ann_ivf_topk stays rows-only: kmeans means are
-    // float-accumulation-order dependent.)
+    // 64-byte block of the UTF-8 payload.
     "mm_frame_sample" ->
       """WITH d AS (SELECT doc_id AS id, octet_length(encode(text)) AS len
                     FROM documents)
          SELECT id, CAST(b AS BIGINT) AS frame_idx, CAST(64 AS BIGINT) AS n_bytes
          FROM d, unnest(range(0, len // 64, 4)) t(b)
          ORDER BY id, frame_idx""",
+
+    // decode stub: per-64-byte-block 32-bit md5-prefix digests summed per
+    // dim (i % 8), width/height from the whole-payload digest. Documents
+    // text is pure ASCII (verified: octet_length(encode(text)) == length
+    // for every row), so VARCHAR substring == byte slicing and DuckDB's
+    // md5(VARCHAR) hashes the same bytes the Scala side digests.
+    "mm_decode_features" ->
+      """WITH d AS (SELECT doc_id AS id, text, octet_length(encode(text)) AS len
+                    FROM documents),
+         blk AS (SELECT id, i,
+                   CAST('0x' || substring(md5(substring(text, CAST(i*64+1 AS BIGINT), 64)), 1, 8) AS BIGINT) v
+                 FROM d, unnest(range(0, len // 64)) t(i)),
+         feat AS (SELECT id, i % 8 AS dim, CAST(sum(v) AS BIGINT) fval FROM blk GROUP BY 1, 2),
+         dims AS (SELECT id, unnest(range(0, 8)) dim FROM d),
+         wh AS (SELECT id, len, CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) h FROM d)
+         SELECT w.id, CAST(w.len AS BIGINT) AS n_bytes,
+           CAST(16 + w.h % 16 AS BIGINT) AS width,
+           CAST(16 + (w.h // 16) % 16 AS BIGINT) AS height,
+           CAST(dm.dim AS BIGINT) AS dim, COALESCE(f.fval, 0) AS fval
+         FROM wh w JOIN dims dm ON dm.id = w.id
+         LEFT JOIN feat f ON f.id = dm.id AND f.dim = dm.dim
+         ORDER BY 1, 5""",
+
+    // approximate aggregates: the Spark side emits bound-check booleans
+    // (sketch vs exact computed in the same query); the oracle recomputes
+    // the exact distinct counts and expects every bound to hold.
+    "approx_stats" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS users_ok, true AS p50_ok
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     // listing after create/virtual/update/delete: literal expected rows
     "catalog_ops" ->

@@ -31,22 +31,43 @@ object MultimodalOps {
       encode(col(payloadCol), "UTF-8").as("media"),
       lit(format).as("format"))
 
+  /** First 8 hex chars of md5(bytes) as a non-negative 32-bit value in a
+    * Long — the same digest any SQL engine can derive via
+    * `CAST('0x' || substring(md5(s), 1, 8) AS BIGINT)`, which is what the
+    * `mm_decode_features` oracle does.
+    */
+  private def md5Prefix32(md: java.security.MessageDigest, bytes: Array[Byte]): Long = {
+    md.reset()
+    val d = md.digest(bytes)
+    // first 4 digest bytes == first 8 hex chars of the lowercase digest
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   /** STUB decode: deterministic pseudo-features from the media bytes.
     * A real implementation would decode pixels/samples here.
+    *
+    * The fake is deliberately oracle-expressible: each full 64-byte block
+    * gets a 32-bit md5-prefix digest; `feature(k)` is the exact sum of the
+    * digests of blocks `i` with `i % dims == k` (integral, exact in a
+    * Double — ≤2^32 per block keeps even thousands of blocks under 2^53);
+    * width/height come from the whole-payload digest. A SQL oracle
+    * reproduces all of it with substring+md5 (see SparkEntry's
+    * `mm_decode_features` oracle).
     */
-  def fakeDecode(bytes: Array[Byte], dims: Int): (Int, Int, Array[Double]) = {
+  def fakeDecode(bytes: Array[Byte], dims: Int,
+      md: java.security.MessageDigest = java.security.MessageDigest.getInstance("MD5")): (Int, Int, Array[Double]) = {
     // ??? real codec goes here; deterministic fake below
-    var h = 1125899906842597L
     val acc = new Array[Long](dims)
+    val nBlocks = bytes.length / 64
     var i = 0
-    while (i < bytes.length) {
-      h = h * 31 + bytes(i)
-      acc(i % dims) += (h & 0xffffL)
+    while (i < nBlocks) {
+      acc(i % dims) += md5Prefix32(md, bytes.slice(i * 64, (i + 1) * 64))
       i += 1
     }
-    val width = 16 + (math.abs(h) % 16).toInt // fake "decoded" dimensions
-    val height = 16 + (math.abs(h / 16) % 16).toInt
-    (width, height, acc.map(_.toDouble / math.max(1, bytes.length)))
+    val h = md5Prefix32(md, bytes)
+    val width = 16 + (h % 16).toInt // fake "decoded" dimensions
+    val height = 16 + ((h / 16) % 16).toInt
+    (width, height, acc.map(_.toDouble))
   }
 
   /** Batched per-partition "decode + featurize" over the media table.
@@ -59,8 +80,9 @@ object MultimodalOps {
     media.select(col("id"), col("media"), col("format")).as[MediaRow]
       .mapPartitions { rows =>
         // per-partition init happens once here (codec handles, model weights)
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
-          val (w, h, feat) = fakeDecode(r.media, dims)
+          val (w, h, feat) = fakeDecode(r.media, dims, md)
           MediaFeatures(r.id, r.media.length.toLong, w, h, feat)
         }
       }
