@@ -364,6 +364,18 @@ object SparkEntry {
         .loadKeyedAsOf(spine, "events/click_by_user", as = Some("last_click"))
     }),
 
+    // keyed as-of WITH time travel: "-30s" excludes the v=0 version of
+    // every stored click (created_time == time), so the per-user as-of
+    // sees v=1 → value*2 — the leakage-audited keyed training set:
+    // "as of spine time, knowing only what had arrived 30s before event".
+    "fs_keyed_asof_tt" -> ((s, dir) => {
+      val spine = Tables.events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("time"), col("event_id"))
+      Fixtures.store(s, dir)
+        .loadKeyedAsOf(spine, "events/click_by_user", as = Some("last_click"),
+          timeTravel = Some("-30s"))
+    }),
+
     // per-entity resample: every user × a 12h grid, LOCF per user
     "fs_keyed_resample" -> ((s, dir) =>
       Fixtures.store(s, dir).loadKeyedResampled("events/click_by_user",
@@ -804,6 +816,17 @@ object SparkEntry {
     "fs_keyed_asof" ->
       s"""WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, value FROM events
                      WHERE event_type = 'click'),
+          p AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, event_id FROM events
+                WHERE event_type = 'purchase')
+          SELECT p.user_id, p.t AS time, p.event_id, c.value AS last_click
+          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.t <= p.t
+          ORDER BY p.user_id, p.t""",
+
+    // time travel drops the v=0 version (created_time == event time), so
+    // the surviving latest version is v=1 → value*2
+    "fs_keyed_asof_tt" ->
+      s"""WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, value * 2 AS value
+                     FROM events WHERE event_type = 'click'),
           p AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, event_id FROM events
                 WHERE event_type = 'purchase')
           SELECT p.user_id, p.t AS time, p.event_id, c.value AS last_click

@@ -394,10 +394,10 @@ class FeatureStore(
     * ([[graft.ts.Align.asOfJoinKeyed]] over the stored feature).
     */
   def loadKeyedAsOf(spine: DataFrame, qualified: String,
-      as: Option[String] = None): DataFrame = {
+      as: Option[String] = None, timeTravel: Option[String] = None): DataFrame = {
     val (ns, n) = Catalog.splitName(qualified)
     val keys = keyedKeys(ns, n)
-    val data = loadKeyed(qualified)
+    val data = loadKeyed(qualified, timeTravel = timeTravel)
       .withColumnRenamed(ValueCol, as.getOrElse(s"$ns/$n"))
     Align.asOfJoinKeyed(spine, data, keys, TimeCol, Seq(as.getOrElse(s"$ns/$n")))
   }
@@ -409,10 +409,10 @@ class FeatureStore(
     * machinery parallelizes per entity.
     */
   def loadKeyedResampled(qualified: String, from: String, to: String,
-      freq: String): DataFrame = {
+      freq: String, timeTravel: Option[String] = None): DataFrame = {
     val (ns, n) = Catalog.splitName(qualified)
     val keys = keyedKeys(ns, n)
-    val data = loadKeyed(qualified)
+    val data = loadKeyed(qualified, timeTravel = timeTravel)
     val f = TimeUtil.parseTimestamp(from); val t = TimeUtil.parseTimestamp(to)
     val step = TimeUtil.parseMicros(freq)
     require(step > 0, "resample frequency must be positive")
