@@ -327,7 +327,9 @@ object SparkEntry {
     // embedding near-duplicate pairs (quantized-exact cosine >= 0.4)
     "emb_neardup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).where(col("vec_id") < 500)
-      operators.SimilarityOps.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      // unified entry point: 0.4 < RhpCosineThreshold routes to the exact
+      // blocked-cartesian path (LSH cannot separate at low thresholds)
+      operators.SimilarityOps.nearDupPairs(emb, "vec_id", "embedding", 0.4)
     }),
 
     // point-in-time (as-of) join of features onto an arbitrary spine —

@@ -6,6 +6,7 @@ import graft.checks.Checks
 import graft.storage.TimeseriesStorage
 import graft.ts.{Align, TimeUtil}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import java.sql.Timestamp
@@ -135,20 +136,24 @@ class FeatureStore(
       .getOrElse(throw new MissingFeatureException(s"no feature: $ns/$n — create it first"))
     if (f.transform.isDefined)
       throw new FeatureStoreException(s"cannot save data to virtual feature $ns/$n")
-    // drift gate against the catalog-pinned dtype (pinned at first write) —
-    // NOT against parquet footers: a schema probe per append is a driver-
-    // side storage listing per write, a bottleneck at high write QPS
-    if (!f.serialized) {
+    // drift gate against the catalog-pinned dtype (pinned at first
+    // SUCCESSFUL write) — NOT against parquet footers: a schema probe per
+    // append is a driver-side storage listing per write, a bottleneck at
+    // high write QPS
+    val pinAfterSave: () => Unit = if (!f.serialized) {
       val incoming = df.schema(TimeseriesStorage.ValueCol).dataType.catalogString
       f.meta.get(Catalog.ValueDtypeKey) match {
         case Some(stored) if stored != incoming =>
           throw new FeatureStoreException(
             s"schema drift on $ns/$n: stored value is $stored, incoming is $incoming; " +
               "use serialized=true for drifting values")
-        case Some(_) => ()
-        case None => catalog.pinFeatureDtype(ns, n, incoming)
+        case Some(_) => () => ()
+        // pin only once the check gate AND the write succeed — pinning
+        // up front would let a wrong-typed FAILED first save poison every
+        // subsequent correctly-typed save as "drift"
+        case None => () => catalog.pinFeatureDtype(ns, n, incoming)
       }
-    }
+    } else () => ()
     f.check match {
       case Some(spec) if failOnCheckError =>
         // Q1 fail-fast: the gate must run BEFORE the write so a failing
@@ -167,6 +172,7 @@ class FeatureStore(
       case None =>
         storage.save(ns, n, df, f.partitionScheme, f.serialized, checkDrift = false)
     }
+    pinAfterSave()
   }
 
   // ---- transforms (T1/T2) ----------------------------------------------------
@@ -354,12 +360,21 @@ class FeatureStore(
     * pipeline needs and the reference's single-series model cannot hold.
     * Keys live in feature meta (additive — no catalog format change).
     */
+  /** `schemaDDL` (optional) declares key/value dtypes up front (e.g.
+    * `"user_id STRING, time TIMESTAMP, value DOUBLE"`) so reads BEFORE the
+    * first write return a correctly-typed empty frame instead of the
+    * LongType/DoubleType default — without it, a string-keyed feature
+    * joined against a spine pre-write fails at analysis time. The same
+    * schema is pinned automatically on the first successful save.
+    */
   def createKeyedFeature(qualified: String, keys: Seq[String],
-      description: String = "", partition: String = "date"): Unit = {
+      description: String = "", partition: String = "date",
+      schemaDDL: Option[String] = None): Unit = {
     require(keys.nonEmpty, "keyed feature needs at least one key column")
     val (ns, n) = Catalog.splitName(qualified)
     catalog.createFeature(FeatureDef(ns, n, description, partition,
-      meta = Map(FeatureStore.EntityKeysMeta -> keys.mkString(","))))
+      meta = Map(FeatureStore.EntityKeysMeta -> keys.mkString(",")) ++
+        schemaDDL.map(FeatureStore.KeyedSchemaMeta -> _)))
   }
 
   private def keyedKeys(ns: String, n: String): Seq[String] = {
@@ -375,7 +390,17 @@ class FeatureStore(
     val f = catalog.getFeature(ns, n)
       .getOrElse(throw new MissingFeatureException(s"no feature: $qualified"))
     f.check.foreach(spec => Checks.enforce(df, spec, s"$ns/$n", failOnCheckError))
-    storage.saveKeyed(ns, n, df, keyedKeys(ns, n), f.partitionScheme)
+    val keys = keyedKeys(ns, n)
+    storage.saveKeyed(ns, n, df, keys, f.partitionScheme)
+    // pin the (keys, time, value) schema AFTER a successful save so
+    // pre-first-write reads return a correctly-typed empty frame (same
+    // after-the-write contract as the value-dtype pin in saveOne)
+    if (!f.meta.contains(FeatureStore.KeyedSchemaMeta)) {
+      val sch = StructType(keys.map(k => df.schema(k)) :+
+        StructField(TimeseriesStorage.TimeCol, TimestampType) :+
+        df.schema(TimeseriesStorage.ValueCol))
+      catalog.pinFeatureMeta(ns, n, FeatureStore.KeyedSchemaMeta, sch.toDDL)
+    }
   }
 
   /** Deduped per-entity read (latest version per (keys, time)). */
@@ -385,7 +410,8 @@ class FeatureStore(
     val f = catalog.getFeature(ns, n)
       .getOrElse(throw new MissingFeatureException(s"no feature: $qualified"))
     storage.loadKeyed(ns, n, keyedKeys(ns, n), from.map(TimeUtil.parseTimestamp),
-      to.map(TimeUtil.parseTimestamp), timeTravel, f.partitionScheme)
+      to.map(TimeUtil.parseTimestamp), timeTravel, f.partitionScheme,
+      emptySchema = f.meta.get(FeatureStore.KeyedSchemaMeta).map(StructType.fromDDL))
   }
 
   /** Point-in-time per-entity join: each spine row (keys..., time, payload)
@@ -458,4 +484,10 @@ class FeatureStore(
 object FeatureStore {
   /** Feature-meta key listing an entity-keyed feature's key columns. */
   val EntityKeysMeta = "entity_keys"
+
+  /** Feature-meta key holding the keyed feature's (keys..., time, value)
+    * schema as Spark DDL — declared at create time or pinned on first
+    * successful save; drives the typed empty frame for pre-write reads.
+    */
+  val KeyedSchemaMeta = "keyed_schema"
 }

@@ -159,14 +159,18 @@ class JsonFileCatalog(root: String, hadoopConf: Configuration = new Configuratio
   }
 
   override def pinFeatureDtype(namespace: String, name: String, dtype: String): Unit =
+    pinFeatureMeta(namespace, name, Catalog.ValueDtypeKey, dtype)
+
+  override def pinFeatureMeta(namespace: String, name: String, key: String,
+      value: String): Unit =
     this.synchronized {
       val doc = load()
       val f = doc.features.find(e => e.namespace == namespace && e.name == name)
         .getOrElse(throw new MissingFeatureException(s"no feature: $namespace/$name"))
-      if (!f.meta.get(Catalog.ValueDtypeKey).contains(dtype))
+      if (!f.meta.get(key).contains(value))
         save(doc.copy(features = doc.features.map(e =>
           if (e.namespace == namespace && e.name == name)
-            e.copy(meta = e.meta + (Catalog.ValueDtypeKey -> dtype))
+            e.copy(meta = e.meta + (key -> value))
           else e)))
     }
 

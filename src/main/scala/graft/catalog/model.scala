@@ -160,6 +160,12 @@ trait Catalog {
     */
   def pinFeatureDtype(namespace: String, name: String, dtype: String): Unit
 
+  /** Generic storage-bookkeeping meta pin: set `key -> value` in feature
+    * meta, idempotent, NO version bump (same contract as
+    * [[pinFeatureDtype]], which is the `ValueDtypeKey` instance of this).
+    */
+  def pinFeatureMeta(namespace: String, name: String, key: String, value: String): Unit
+
   // feature groups (extension)
   def listGroups(namespace: Option[String] = None): Seq[GroupDef]
   def getGroup(namespace: String, name: String): Option[GroupDef]

@@ -263,9 +263,18 @@ object DedupOps {
     * `maxHamming + 1` blocks — by pigeonhole, two signatures within the
     * hamming budget agree on at least one whole block, so the block-bucket
     * candidates have 100% recall (unlike probabilistic minhash/RH bands)
-    * and the verified result equals the exhaustive O(n²) scan. Candidate
-    * generation shares [[bandedCandidatePairs]] (hot-bucket accounting
-    * included); verification touches candidates only.
+    * and the verified result equals the exhaustive O(n²) scan — PROVIDED
+    * no block bucket overflows `maxBucket`: an overflowing bucket is
+    * truncated to a clique + spanning chain (cluster connectivity kept,
+    * pair-level completeness not), and the pigeonhole argument then only
+    * bounds recall. Truncation never happens silently — check the run's
+    * [[LshBucketMetrics]] (observed metrics) and raise `maxBucket` if
+    * `truncated_buckets > 0` and pair-level exactness matters.
+    *
+    * The internal signature cache is non-eager and session-scoped (it is
+    * released by `unpersist`/`spark.catalog.clearCache()`, not by GC);
+    * long-lived sessions issuing many near-dup calls should clear between
+    * batches.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
@@ -276,9 +285,14 @@ object DedupOps {
       .select(col(idCol).as("id"), col("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBlocks = maxHamming + 1
-    val blockLen = (64 + nBlocks - 1) / nBlocks
+    // near-even split with boundaries at i*64/nBlocks: every block is
+    // non-empty for nBlocks <= 64. (ceil(64/n)-sized blocks would make the
+    // LAST block empty whenever ceil(64/n)*(n-1) >= 64 — e.g. maxHamming=8
+    // or 31 — putting every row in one "" bucket and silently voiding the
+    // pigeonhole guarantee over the remaining blocks.)
+    val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
     val blocks = (0 until nBlocks).map(i =>
-      substring(col("simhash"), i * blockLen + 1, blockLen))
+      substring(col("simhash"), bounds(i) + 1, bounds(i + 1) - bounds(i)))
     val banded = sigs.select(col("id"), posexplode(array(blocks: _*)))
       .select(col("id"), col("pos").as("band"), col("col").as("key"))
     bandedCandidatePairs(banded, maxBucket)

@@ -163,11 +163,17 @@ object SimilarityOps {
       minCosine: Double, blocks: Int = 0): DataFrame = {
     ensureRegistered(df)
     val spark = df.sparkSession
+    // persisted ONCE and referenced by both join sides (and by the
+    // autosizing count below) — without this, autosizing re-evaluated the
+    // whole upstream pipeline a second time just to count it. The cache is
+    // non-eager and session-scoped (see simhashNearDupPairs scaladoc).
+    val base = prep(df, idCol, vecCol, "id", "v", "nrm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nb = if (blocks > 0) blocks
-      else math.max(4, math.min(1024, (df.count() / 8192L).toInt + 1))
-    val a = prep(df, idCol, vecCol, "id_a", "va", "na")
+      else math.max(4, math.min(1024, (base.count() / 8192L).toInt + 1))
+    val a = base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
       .withColumn("__ba", pmod(xxhash64(col("id_a")), lit(nb)))
-    val b = prep(df, idCol, vecCol, "id_b", "vb", "nb")
+    val b = base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
       .withColumn("__bb", pmod(xxhash64(col("id_b")), lit(nb)))
     // block pairs (i, j) with i <= j: each unordered row pair matches once
     val blockPairs = spark.range(nb.toLong * nb)
@@ -203,6 +209,10 @@ object SimilarityOps {
     * the shuffle budget. The defaults (64 × 16) suit n ≤ ~100k; at n = 1M
     * use ≥ 24 rows/band with bands raised to hold recall (e.g. 192 × 24:
     * ~5e6 background candidates, ~1% pair-miss at cosine 0.9).
+    *
+    * The internal vector cache is non-eager and session-scoped (released
+    * by `spark.catalog.clearCache()`, not by GC) — clear between batches
+    * in long-lived sessions.
     */
   def rhpNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, bands: Int = 64, rowsPerBand: Int = 16,
@@ -230,6 +240,29 @@ object SimilarityOps {
         cosPre(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
       .where(col("cosine") >= minCosine)
   }
+
+  /** Threshold above which random-hyperplane LSH separates near-dups from
+    * background well enough for candidate volume to stay sub-quadratic
+    * (see [[rhpNearDupPairs]]: at lower thresholds the per-band collision
+    * gap vanishes and no banding scheme helps).
+    */
+  val RhpCosineThreshold = 0.8
+
+  /** Unified embedding near-duplicate entry point — the scaladoc routing
+    * policy as code: at `minCosine >= RhpCosineThreshold` take the
+    * sub-quadratic LSH path ([[rhpNearDupPairs]] — approximate, miss
+    * probability documented there); below it, no LSH family separates
+    * near-dups from background, so take the exact blocked-cartesian path
+    * ([[cosineNearDupPairs]]) and pay the O(n²/2) dot products that
+    * exactness costs. Both routes return (id_a, id_b, cosine) with
+    * id_a < id_b and cosine >= minCosine.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, blocks: Int = 0, bands: Int = 64,
+      rowsPerBand: Int = 16, seed: Long = 42L, maxBucket: Int = 1000): DataFrame =
+    if (minCosine >= RhpCosineThreshold)
+      rhpNearDupPairs(df, idCol, vecCol, minCosine, bands, rowsPerBand, seed, maxBucket)
+    else cosineNearDupPairs(df, idCol, vecCol, minCosine, blocks)
 
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))

@@ -374,12 +374,16 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
   def loadKeyed(namespace: String, name: String, keys: Seq[String],
       from: Option[Timestamp] = None, to: Option[Timestamp] = None,
       timeTravel: Option[String] = None,
-      scheme: PartitionScheme = PartitionScheme.Date): DataFrame = {
+      scheme: PartitionScheme = PartitionScheme.Date,
+      emptySchema: Option[StructType] = None): DataFrame = {
     val path = keyedPath(namespace, name)
     if (!fs.exists(new Path(path))) {
-      val schema = StructType(
+      // not yet written: honor the declared/pinned schema when the caller
+      // knows it — the LongType/DoubleType fallback makes string-keyed
+      // features fail at analysis time when joined against a spine
+      val schema = emptySchema.getOrElse(StructType(
         keys.map(StructField(_, LongType)) ++
-          Seq(StructField(TimeCol, TimestampType), StructField(ValueCol, DoubleType)))
+          Seq(StructField(TimeCol, TimestampType), StructField(ValueCol, DoubleType))))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
     var df = spark.read.parquet(path)

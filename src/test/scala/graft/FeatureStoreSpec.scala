@@ -79,6 +79,37 @@ class FeatureStoreSpec extends SparkTestBase {
     intercept[FeatureStoreException](fs.saveKeyed("k/plain", kdf(Nil)))
   }
 
+  test("keyed feature typed pre-write reads: declared schema, pin on first save") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val fs = freshStore()
+    fs.createNamespace("ks")
+    // string-keyed feature, schema declared at create time: the as-of
+    // against a string-keyed spine works BEFORE any write (null fills)
+    // instead of failing analysis on the fabricated LongType default
+    fs.createKeyedFeature("ks/tag", Seq("country"),
+      schemaDDL = Some("country STRING, time TIMESTAMP, value STRING"))
+    val spine = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row("de", ts("2021-01-02")), Row("fr", ts("2021-01-02")))),
+      StructType(Seq(StructField("country", StringType), StructField("time", TimestampType))))
+    val pre = fs.loadKeyedAsOf(spine, "ks/tag", as = Some("tag")).collect()
+      .map(r => (r.getString(0), r.getAs[Any]("tag"))).toMap
+    assert(pre == Map("de" -> null, "fr" -> null))
+    // undeclared feature: first successful save pins the schema, so a
+    // pre-write read in a FRESH store over the same catalog is typed too
+    fs.createKeyedFeature("ks/tag2", Seq("country"))
+    val kschema = StructType(Seq(StructField("country", StringType),
+      StructField("time", TimestampType), StructField("value", StringType)))
+    fs.saveKeyed("ks/tag2", spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(Row("de", ts("2021-01-01"), "eu"))), kschema))
+    val pinned = fs.catalog.getFeature("ks", "tag2").get
+      .meta(graft.api.FeatureStore.KeyedSchemaMeta)
+    assert(StructType.fromDDL(pinned) == kschema)
+    val after = fs.loadKeyedAsOf(spine, "ks/tag2", as = Some("tag")).collect()
+      .map(r => (r.getString(0), r.getAs[Any]("tag"))).toMap
+    assert(after == Map("de" -> "eu", "fr" -> null))
+  }
+
   test("schema drift on append rejected unless serialized") {
     val fs = freshStore()
     fs.createNamespace("d")

@@ -26,7 +26,8 @@ class OperatorsSpec extends SparkTestBase {
     // exactly (it is the same computation, just routed without a
     // BroadcastNestedLoopJoin)
     val sub = emb.where(col("vec_id") < 200)
-    val blocked = SimilarityOps.cosineNearDupPairs(sub, "vec_id", "embedding", 0.3)
+    // through the unified router: 0.3 < RhpCosineThreshold → exact blocked path
+    val blocked = SimilarityOps.nearDupPairs(sub, "vec_id", "embedding", 0.3)
     val rows = blocked.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(rows.nonEmpty)
     assert(rows.forall { case (a, b, c) => a < b && c >= 0.3 })
@@ -49,7 +50,8 @@ class OperatorsSpec extends SparkTestBase {
       (1000L + i, w)
     }
     val df = (base ++ planted).toDF("vec_id", "embedding")
-    val got = SimilarityOps.rhpNearDupPairs(df, "vec_id", "embedding", 0.95)
+    // through the unified router: 0.95 >= RhpCosineThreshold → LSH path
+    val got = SimilarityOps.nearDupPairs(df, "vec_id", "embedding", 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val want = SimilarityOps.cosineNearDupPairs(df, "vec_id", "embedding", 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
