@@ -11,6 +11,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // measurement context: a contended machine (concurrent Spark jobs,
+    // driver-side builds) silently inflates wall times 3-4x — record the
+    // 1-min load average around the run so a contaminated artifact is
+    // distinguishable from a regression (round-2 lesson: the driver's
+    // 96.8 s BENCH vs 25.6 s uncontended was pure contention)
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = os.getSystemLoadAverage
     // warm up: fixture-store ingestion is one-time setup, not query time
     Fixtures.store(spark, sfDir)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
@@ -22,12 +29,21 @@ object Bench {
         System.err.println(f"[bench] $name%-24s $dt%8.2f s")
         dt
       }
-      name -> times.min // steady-state: first iteration absorbs JIT/codegen
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val loadEnd = os.getSystemLoadAverage
+    def f3(d: Double) = f"$d%.3f"
+    // "queries" stays min-per-query (steady state: first iteration absorbs
+    // JIT/codegen); "iterations" carries every raw timing for auditability
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v.min) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val raw = results.map { case (k, v) =>
+      s"\"" + k + "\":[" + v.map(f3).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
+      s""""iterations":$raw,"load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},""" +
+      s""""cpus":$cpus,"sf":"$sfDir"}"""
     println(json)
     // stdout goes through sbt's logger ("[info] " prefix) when run via
     // `sbt runMain` — ALSO drop the line in a file the driver can read raw
