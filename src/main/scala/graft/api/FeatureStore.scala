@@ -237,7 +237,18 @@ class FeatureStore(
         .getOrElse(throw new MissingFeatureException(s"no feature: $ns/$n"))
       s"$ns/$n" -> loadOne(f, fromTs, toTs, freq, timeTravel, Set.empty, memo)
     }
-    Align.alignOuter(TimeCol, frames)
+    // per-read-shape cuts memo: the second identical read skips the ffill
+    // bucket-cuts job (cuts are load-balancing hints — stale ones cost
+    // balance, never answers)
+    Align.alignOuter(TimeCol, frames, memo = Some(cutsMemoFor(
+      s"align|${frames.map(_._1).mkString(",")}|$from|$to|$freq|$timeTravel")))
+  }
+
+  private val cutsMemos =
+    new java.util.concurrent.ConcurrentHashMap[String, Align.CutsMemo]()
+  private def cutsMemoFor(key: String): Align.CutsMemo = {
+    if (cutsMemos.size > 1024) cutsMemos.clear()
+    cutsMemos.computeIfAbsent(key, _ => new Align.CutsMemo)
   }
 
   /** Point-in-time correct load: for every row of an arbitrary `spine`
@@ -257,7 +268,12 @@ class FeatureStore(
         .getOrElse(throw new MissingFeatureException(s"no feature: $ns/$n"))
       s"$ns/$n" -> loadOne(f, None, None, None, timeTravel, Set.empty, memo)
     }
-    Align.asOfJoin(spine, TimeCol, frames)
+    // keyed by feature set only: a DIFFERENT spine with the same features
+    // reuses cuts quantiled over the previous spine — safe (cuts are
+    // balance hints; a radically different spine just rebalances worse
+    // until the memo is refreshed by a new store instance)
+    Align.asOfJoin(spine, TimeCol, frames, memo = Some(cutsMemoFor(
+      s"asof|${frames.map(_._1).mkString(",")}|$timeTravel")))
   }
 
   /** Recursive, cycle-checked feature load (T2 — reference
@@ -289,7 +305,8 @@ class FeatureStore(
           q -> loadOne(in, from, to, freq, timeTravel, callers + key, memo)
         }
         // align inputs on the time axis, expose them under bare names in arg order
-        val aligned = Align.alignOuter(TimeCol, inputs)
+        val aligned = Align.alignOuter(TimeCol, inputs, memo = Some(cutsMemoFor(
+          s"transform|$key|${t.args.mkString(",")}|$from|$to|$freq|$timeTravel")))
         val bare = t.args.map(q => Catalog.splitName(q)._2)
         val renamed = t.args.zip(bare).foldLeft(aligned) { case (d, (q, b)) =>
           d.withColumnRenamed(q, b)

@@ -170,26 +170,46 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
       scheme: PartitionScheme = PartitionScheme.Date,
       serialized: Boolean = false): DataFrame = {
     val scanned = scan(namespace, name, from, to, None, None, timeTravel, scheme, serialized)
-    val deduped = dedupLatest(scanned)
     freq match {
-      case None => deduped.select(TimeCol, ValueCol)
+      case None => dedupLatest(scanned).select(TimeCol, ValueCol)
       case Some(fr) =>
         // spine needs concrete bounds; default to data min/max like the
-        // reference (src/qafs/backend/pandas.py:151-154)
-        val bounds = (from, to) match {
-          case (Some(a), Some(b)) => Some((a, if (b.before(a)) a else b))
+        // reference (src/qafs/backend/pandas.py:151-154). When bounds must
+        // be computed, persist the scan+dedup frame FIRST so the bounds
+        // job materializes the same cache the fill reads — one evaluation
+        // of the storage pipeline instead of two.
+        val (deduped, bounds) = (from, to) match {
+          case (Some(a), Some(b)) =>
+            (dedupLatest(scanned), Some((a, if (b.before(a)) a else b)))
           case _ =>
-            val r = deduped.agg(min(TimeCol), max(TimeCol)).head()
-            if (r.isNullAt(0)) None
-            else Some((from.getOrElse(r.getTimestamp(0)), to.getOrElse(r.getTimestamp(1))))
+            val cached = dedupLatest(scanned)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val r = cached.agg(min(TimeCol), max(TimeCol)).head()
+            (cached,
+              if (r.isNullAt(0)) None
+              else Some((from.getOrElse(r.getTimestamp(0)), to.getOrElse(r.getTimestamp(1)))))
         }
         bounds match {
           case None => deduped.select(TimeCol, ValueCol) // empty feature
           case Some((a, b)) =>
             Align.resampleFfill(deduped.select(TimeCol, ValueCol), TimeCol, Seq(ValueCol),
-              a, b, TimeUtil.parseMicros(fr)).select(TimeCol, ValueCol)
+              a, b, TimeUtil.parseMicros(fr),
+              memo = Some(cutsMemoFor(s"$namespace/$name|$from|$to|$fr|$timeTravel")))
+              .select(TimeCol, ValueCol)
         }
     }
+  }
+
+  /** Per-read-shape [[Align.CutsMemo]] registry: repeated identical resample
+    * reads skip the bucket-cuts job (stale cuts cost balance, never
+    * answers). Coarsely bounded — a clear() at 1024 shapes beats an LRU's
+    * bookkeeping for what is a pure performance hint.
+    */
+  private val cutsMemos =
+    new java.util.concurrent.ConcurrentHashMap[String, Align.CutsMemo]()
+  private def cutsMemoFor(key: String): Align.CutsMemo = {
+    if (cutsMemos.size > 1024) cutsMemos.clear()
+    cutsMemos.computeIfAbsent(key, _ => new Align.CutsMemo)
   }
 
   // ---- A2/A3: bounds + first/last via partition pruning --------------------
