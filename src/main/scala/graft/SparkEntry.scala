@@ -240,22 +240,17 @@ object SparkEntry {
     }),
 
     // M3: serialized (JSON-encoded) values surviving schema drift
-    "fs_serialized" -> ((s, dir) => {
-      val fs = Fixtures.store(s, dir)
-      if (fs.catalog.getFeature("events", "props_ser").isEmpty) {
-        fs.createFeature("events/props_ser", serialized = true)
-        val ev = Tables.events(s, dir).limit(500)
-        // struct values first...
-        fs.saveDf(ev.select(col("ts").as("time"),
-          struct(col("event_type"), col("user_id")).as("value"),
-          col("ts").as("created_time")), name = Some("events/props_ser"))
-        // ...then drifted plain longs appended to the same feature
-        fs.saveDf(ev.select((col("ts") + expr("INTERVAL 40 DAYS")).as("time"),
-          col("user_id").as("value"), col("ts").as("created_time")),
-          name = Some("events/props_ser"))
-      }
-      fs.storage.load("events", "props_ser", serialized = true)
-    }),
+    "fs_serialized" -> ((s, dir) => serializedLoad(s, dir)),
+
+    // read-side decode of the same drifted feature: the struct generation
+    // parses, the drifted long generation nulls out — the caller-chosen
+    // static schema replacing the reference's dynamic json.loads
+    "fs_serialized_decoded" -> ((s, dir) =>
+      api.FeatureStore.decodeSerialized(
+        serializedLoad(s, dir), "value", "event_type STRING, user_id BIGINT")
+        .select(col("time"), col("value.event_type").as("event_type"),
+          col("value.user_id").as("user_id"))
+        .orderBy(col("time"))),
 
     // pivot: event counts per day x type (explicit pivot values)
     "events_pivot" -> ((s, dir) =>
@@ -447,6 +442,28 @@ object SparkEntry {
         .toDF().select(col("id"), col("frame_idx").cast("bigint").as("frame_idx"),
           length(col("frame_bytes")).cast("bigint").as("n_bytes"))),
   )
+
+  /** Fixture + load for the `serialized` drift feature: 500 struct values,
+    * then the same 500 times shifted +40d with plain-long values appended
+    * to the SAME feature — the sanctioned drift path. Shared by the raw
+    * (`fs_serialized`) and decoded (`fs_serialized_decoded`) gates.
+    */
+  private def serializedLoad(s: SparkSession, dir: String): DataFrame = {
+    val fs = Fixtures.store(s, dir)
+    if (fs.catalog.getFeature("events", "props_ser").isEmpty) {
+      fs.createFeature("events/props_ser", serialized = true)
+      val ev = Tables.events(s, dir).limit(500)
+      // struct values first...
+      fs.saveDf(ev.select(col("ts").as("time"),
+        struct(col("event_type"), col("user_id")).as("value"),
+        col("ts").as("created_time")), name = Some("events/props_ser"))
+      // ...then drifted plain longs appended to the same feature
+      fs.saveDf(ev.select((col("ts") + expr("INTERVAL 40 DAYS")).as("time"),
+        col("user_id").as("value"), col("ts").as("created_time")),
+        name = Some("events/props_ser"))
+    }
+    fs.storage.load("events", "props_ser", serialized = true)
+  }
 
   /** Shared oracle fragment: exact 3-shingle Jaccard pairs >= 1/2 over
     * documents — the ground truth both the LSH path and the brute-force
@@ -931,6 +948,16 @@ object SparkEntry {
          FROM e
          UNION ALL
          SELECT t + INTERVAL 40 DAY, CAST(user_id AS VARCHAR) FROM e
+         ORDER BY time""",
+
+    // decoded form: struct generation parses, drifted long generation is
+    // NULLed by the static schema
+    "fs_serialized_decoded" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) t, event_type, user_id
+                    FROM events LIMIT 500)
+         SELECT t AS time, event_type, user_id FROM e
+         UNION ALL
+         SELECT t + INTERVAL 40 DAY, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) FROM e
          ORDER BY time""",
   )
 

@@ -507,4 +507,33 @@ object FeatureStore {
     * successful save; drives the typed empty frame for pre-write reads.
     */
   val KeyedSchemaMeta = "keyed_schema"
+
+  /** Read-side decode for `serialized` feature values: parse the stored
+    * JSON strings of `column` into `ddl`-typed values, NULL on rows whose
+    * stored shape drifted away from that schema — the Spark-typed analogue
+    * of the reference's read-side `json.loads`
+    * (/root/reference/src/qafs/backend/pandas.py:133-140); a static schema
+    * replaces Python's dynamic objects, and the caller picks WHICH drift
+    * generation to decode by the schema it passes (decode twice with two
+    * schemas to split generations). Complex types (`"a INT, b STRING"`,
+    * `"array<double>"`, ...) go through `from_json`; atomics (`"bigint"`)
+    * through `try_cast`. A struct decode that matches NO field (PERMISSIVE
+    * from_json hands back an all-null row for e.g. a drifted scalar) is
+    * normalized to NULL — the one ambiguity is a legitimately-stored
+    * all-null object, which also decodes to NULL.
+    */
+  def decodeSerialized(df: DataFrame, column: String, ddl: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+    DataType.fromDDL(ddl) match {
+      case st: StructType =>
+        val parsed = from_json(col(column), st, Map.empty[String, String])
+        val allNull = st.fieldNames.map(f => parsed.getField(f).isNull).reduce(_ && _)
+        df.withColumn(column,
+          when(parsed.isNull || allNull, lit(null).cast(st)).otherwise(parsed))
+      case t @ (_: ArrayType | _: MapType) =>
+        df.withColumn(column, from_json(col(column), t, Map.empty[String, String]))
+      case t =>
+        df.withColumn(column, expr(s"try_cast(`$column` AS ${t.sql})"))
+    }
+  }
 }

@@ -77,6 +77,19 @@ class StorageSpec extends SparkTestBase {
     val out = collectMap(st.load("ns", "s"))
     assert(out(ts("2021-01-01")).toString.contains("\"a\""))
     assert(out(ts("2021-01-03")) == "7")
+    // read-side decode: the struct schema parses generation 1, NULLs the
+    // drifted long generation; the atomic schema does the reverse
+    val loaded = st.load("ns", "s")
+    val structs = graft.api.FeatureStore
+      .decodeSerialized(loaded, "value", "_1 BIGINT, _2 STRING")
+      .collect().map(r => r.getTimestamp(0) -> Option(r.getStruct(1))).toMap
+    assert(structs(ts("2021-01-01")).map(s => (s.getLong(0), s.getString(1))) == Some((1L, "a")))
+    assert(structs(ts("2021-01-03")).isEmpty)
+    val longs = graft.api.FeatureStore
+      .decodeSerialized(loaded, "value", "bigint")
+      .collect().map(r => r.getTimestamp(0) -> Option(r.get(1))).toMap
+    assert(longs(ts("2021-01-03")) == Some(7L))
+    assert(longs(ts("2021-01-01")).isEmpty)
   }
 
   test("extraneous columns rejected on save") {
