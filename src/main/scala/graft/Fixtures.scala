@@ -144,6 +144,76 @@ object Fixtures {
       out
     })
 
+  private val sessionizedMb = TrieMap[String, String]()
+
+  /** TRUE multi-micro-batch sessionization materialized once per (JVM, sf):
+    * events split into two time-halves as separate source FILES, streamed
+    * with maxFilesPerTrigger=1 under Trigger.AvailableNow (which honors it,
+    * so the split really executes as separate micro-batches), through
+    * [[graft.streaming.StreamingOps.sessionizeStream]] (EventTimeTimeout
+    * state). Sessions straddling the file boundary must stay whole across
+    * batches. Two far-future sentinel files (negative user_ids, +10d/+20d)
+    * push the watermark so every real session times out and emits —
+    * timeouts fire one batch after the watermark passes, hence two
+    * sentinels; the sentinels' own sessions stay open and are filtered by
+    * the gate. Output must equal the batch gaps-and-islands oracle over
+    * the full events table.
+    */
+  def sessionizedMbPath(spark: SparkSession, sfDir: String): String =
+    sessionizedMb.getOrElseUpdate(sfDir, {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"/tmp/graft_fixtures/smb_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val (src, out, cp, stage) = (s"$base/src", s"$base/out", s"$base/cp", s"$base/stage")
+      val hfs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (hfs.exists(new org.apache.hadoop.fs.Path(base)))
+        hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+      hfs.mkdirs(new org.apache.hadoop.fs.Path(src))
+
+      val ev = Tables.events(spark, sfDir).select(col("user_id"), col("ts"), col("value"))
+      val mrow = ev.agg(expr("percentile_approx(unix_micros(ts), 0.5, 1000)").as("m"),
+        max(unix_micros(col("ts"))).as("mx")).head()
+      val (m, mx) = (mrow.getLong(0), mrow.getLong(1))
+      def sentinel(uid: Long, us: Long) = {
+        import spark.implicits._
+        Seq((uid, us)).toDF("user_id", "us")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+            lit(0.0).as("value"))
+      }
+      val files = Seq(
+        ev.where(unix_micros(col("ts")) <= m),
+        ev.where(unix_micros(col("ts")) > m),
+        sentinel(-1L, mx + 10L * 86400000000L),
+        sentinel(-2L, mx + 20L * 86400000000L))
+      files.zipWithIndex.foreach { case (df, i) =>
+        val st = s"$stage/$i"
+        df.coalesce(1).write.mode("overwrite").parquet(st)
+        val part = hfs.listStatus(new org.apache.hadoop.fs.Path(st))
+          .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+        val dst = new org.apache.hadoop.fs.Path(s"$src/batch_$i.parquet")
+        hfs.rename(part, dst)
+        // distinct ascending mtimes pin the file-source processing order
+        hfs.setTimes(dst, 1000000L * (i + 1), -1)
+      }
+      hfs.delete(new org.apache.hadoop.fs.Path(stage), true)
+
+      import spark.implicits._
+      val stream = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+        .as[graft.streaming.StreamingOps.SessionEvent]
+      val q = graft.streaming.StreamingOps.sessionizeStream(stream, gapMinutes = 30)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .format("parquet").option("path", out)
+        .start()
+      q.awaitTermination()
+      out
+    })
+
   /** Streaming windowed counts materialized once per (JVM, sf): complete-mode
     * memory sink drained by AvailableNow, persisted to parquet for reuse.
     */

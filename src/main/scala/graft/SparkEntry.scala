@@ -414,6 +414,17 @@ object SparkEntry {
       streaming.StreamingOps.sessionizeStateful(ev, 30).toDF()
     }),
 
+    // the TRUE streaming sessionizer (EventTimeTimeout state) over a real
+    // multi-micro-batch file stream (maxFilesPerTrigger=1): sessions
+    // straddling the batch boundary must stay whole; watermark sentinels
+    // (negative user_ids, filtered here) close the tail sessions. Must
+    // reproduce the batch gaps-and-islands oracle exactly.
+    "stream_sessionize_mb" -> ((s, dir) =>
+      s.read.parquet(Fixtures.sessionizedMbPath(s, dir))
+        .where(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // same sessions via the declarative gaps-and-islands path
     "sessionize_batch" -> ((s, dir) =>
       streaming.StreamingOps.sessionizeBatch(
@@ -887,6 +898,7 @@ object SparkEntry {
          FROM events ORDER BY event_id""",
 
     "stream_sessionize" -> sessionizeOracle,
+    "stream_sessionize_mb" -> sessionizeOracle,
     "sessionize_batch" -> sessionizeOracle,
 
     // frame sampling stub is pure block arithmetic: every `stride`-th
