@@ -84,6 +84,46 @@ case class GroupDef(
   def partitionScheme: PartitionScheme = PartitionScheme.from(partition)
 }
 
+/** Typed accessors over the string-valued `meta` maps: the reference's meta
+  * is free-form JSON with NESTED values (src/qafs/model.py:62-72 — its
+  * tests store dicts), while this catalog keeps `Map[String, String]` on
+  * the wire. Nested structures round-trip as JSON TEXT values — write with
+  * [[Meta.encode]], read typed with [[Meta.at]]/[[Meta.string]]/etc. Plain
+  * string values need no encoding and are read with `meta.get` as before;
+  * the merge/null-delete patch semantics ([[Catalog.mergeMeta]]) are
+  * value-agnostic and apply unchanged.
+  */
+object Meta {
+  import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+  import com.fasterxml.jackson.module.scala.DefaultScalaModule
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  /** Encode a nested value (Map/Seq/number/string/bool, arbitrarily deep)
+    * as a JSON text meta value.
+    */
+  def encode(v: Any): String = mapper.writeValueAsString(v)
+
+  /** Parse a meta value as JSON; None when absent or not valid JSON
+    * (plain unencoded strings are by design not JSON documents).
+    */
+  def json(meta: Map[String, String], key: String): Option[JsonNode] =
+    meta.get(key).flatMap(s => scala.util.Try(mapper.readTree(s)).toOption)
+
+  /** Navigate `path` field names into a nested JSON meta value. */
+  def at(meta: Map[String, String], key: String, path: String*): Option[JsonNode] =
+    json(meta, key).flatMap(root =>
+      path.foldLeft(Option(root))((n, p) => n.flatMap(x => Option(x.get(p)))))
+
+  def string(meta: Map[String, String], key: String, path: String*): Option[String] =
+    at(meta, key, path: _*).filter(_.isTextual).map(_.asText)
+  def long(meta: Map[String, String], key: String, path: String*): Option[Long] =
+    at(meta, key, path: _*).filter(_.canConvertToLong).map(_.asLong)
+  def double(meta: Map[String, String], key: String, path: String*): Option[Double] =
+    at(meta, key, path: _*).filter(_.isNumber).map(_.asDouble)
+  def bool(meta: Map[String, String], key: String, path: String*): Option[Boolean] =
+    at(meta, key, path: _*).filter(_.isBoolean).map(_.asBoolean)
+}
+
 /** Whole catalog document persisted as one JSON file.
   * `formatVersion` mirrors the reference's FeatureStoreVersion migration table
   * (src/qafs/model.py:79-84, upgrade.py:12-43).

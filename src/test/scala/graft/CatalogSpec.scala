@@ -32,6 +32,32 @@ class CatalogSpec extends AnyFunSuite {
     assert(ns.version == 3) // two updates bumped 1 -> 3
   }
 
+  test("nested meta values round-trip as JSON text with typed accessors") {
+    val dir = Files.createTempDirectory("cat").toString
+    val c = new JsonFileCatalog(dir)
+    // the reference's meta holds nested dicts (model.py:62-72); here a
+    // nested structure is one ENCODED value, merged/deleted like any other
+    val nested = Meta.encode(Map(
+      "owner" -> Map("team" -> "ml-infra", "priority" -> 3),
+      "tags" -> Seq("prod", "pii"),
+      "sampled" -> true))
+    c.createNamespace(NamespaceDef("ns"))
+    c.createFeature(FeatureDef("ns", "f", meta = Map("info" -> nested, "plain" -> "x")))
+    c.updateFeature("ns", "f", metaPatch = Map("extra" -> Some(Meta.encode(Map("a" -> 1)))))
+    c.updateFeature("ns", "f", metaPatch = Map("plain" -> None)) // null-delete
+    // read through a FRESH instance: survives the catalog JSON round-trip
+    val f = new JsonFileCatalog(dir).getFeature("ns", "f").get
+    assert(f.meta.keySet == Set("info", "extra"))
+    assert(Meta.string(f.meta, "info", "owner", "team").contains("ml-infra"))
+    assert(Meta.long(f.meta, "info", "owner", "priority").contains(3L))
+    assert(Meta.bool(f.meta, "info", "sampled").contains(true))
+    assert(Meta.at(f.meta, "info", "tags").exists(n => n.isArray && n.size == 2))
+    assert(Meta.long(f.meta, "extra", "a").contains(1L))
+    // absent paths and non-JSON plain values are None, not errors
+    assert(Meta.at(f.meta, "info", "owner", "missing").isEmpty)
+    assert(Meta.json(Map("p" -> "plain text"), "p").isEmpty)
+  }
+
   test("delete namespace refuses when non-empty") {
     val c = freshCatalog()
     c.createNamespace(NamespaceDef("ns"))
