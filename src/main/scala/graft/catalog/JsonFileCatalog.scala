@@ -13,7 +13,8 @@ import java.nio.charset.StandardCharsets
   * of *data*, because the catalog holds feature definitions, not rows.
   * (Reference keeps this in SQLAlchemy/sqlite: src/qafs/model.py.)
   */
-class JsonFileCatalog(root: String, hadoopConf: Configuration = new Configuration())
+class JsonFileCatalog(root: String, hadoopConf: Configuration = new Configuration(),
+    lockWaitMs: Long = 10000, lockStaleMs: Long = 60000)
     extends Catalog {
 
   private val mapper = new ObjectMapper()
@@ -59,8 +60,42 @@ class JsonFileCatalog(root: String, hadoopConf: Configuration = new Configuratio
     fc.rename(tmp, catalogPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Cross-writer mutual exclusion via an exclusive-create lock file:
+    * `fs.create(path, overwrite = false)` is the one atomic
+    * test-and-acquire primitive every Hadoop filesystem offers. A second
+    * writer (another JVM, or another catalog instance over the same root —
+    * `synchronized` covers neither) WAITS up to `lockWaitMs`, then fails
+    * LOUDLY instead of silently losing the first writer's definitions in a
+    * read-modify-write race. A lock older than `lockStaleMs` is presumed
+    * abandoned (crashed writer) and broken. Reads never lock — they see
+    * the last atomically-renamed document.
+    */
+  private def withLock[T](f: => T): T = {
+    val lock = new Path(catalogPath.getParent, ".catalog.lock")
+    val deadline = System.currentTimeMillis() + lockWaitMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        fs.mkdirs(catalogPath.getParent)
+        fs.create(lock, false).close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val stale = scala.util.Try(fs.getFileStatus(lock)).toOption
+            .exists(s => System.currentTimeMillis() - s.getModificationTime > lockStaleMs)
+          if (stale) fs.delete(lock, false)
+          else if (System.currentTimeMillis() > deadline)
+            throw new FeatureStoreException(
+              s"catalog locked by another writer (lock file $lock older than " +
+                s"${lockWaitMs}ms wait); delete it only if that writer is dead")
+          else Thread.sleep(20)
+      }
+    }
+    try f finally fs.delete(lock, false)
+  }
+
   private def mutate(f: CatalogDoc => CatalogDoc): Unit = this.synchronized {
-    save(f(load()))
+    withLock { save(f(load())) }
   }
 
   // ---- namespaces ----
@@ -163,7 +198,7 @@ class JsonFileCatalog(root: String, hadoopConf: Configuration = new Configuratio
 
   override def pinFeatureMeta(namespace: String, name: String, key: String,
       value: String): Unit =
-    this.synchronized {
+    this.synchronized { withLock {
       val doc = load()
       val f = doc.features.find(e => e.namespace == namespace && e.name == name)
         .getOrElse(throw new MissingFeatureException(s"no feature: $namespace/$name"))
@@ -172,7 +207,7 @@ class JsonFileCatalog(root: String, hadoopConf: Configuration = new Configuratio
           if (e.namespace == namespace && e.name == name)
             e.copy(meta = e.meta + (key -> value))
           else e)))
-    }
+    } }
 
   // ---- feature groups ----
 

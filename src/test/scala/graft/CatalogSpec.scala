@@ -58,6 +58,39 @@ class CatalogSpec extends AnyFunSuite {
     assert(Meta.json(Map("p" -> "plain text"), "p").isEmpty)
   }
 
+  test("concurrent writers over one root lose no updates (lock file)") {
+    val dir = Files.createTempDirectory("cat").toString
+    new JsonFileCatalog(dir).createNamespace(NamespaceDef("ns"))
+    // two SEPARATE instances (distinct monitors — JVM synchronized alone
+    // cannot serialize them) interleave read-modify-write meta patches;
+    // without the exclusive-create lock some patches vanish
+    val writers = (0 until 2).map(_ => new JsonFileCatalog(dir))
+    val threads = writers.zipWithIndex.map { case (c, w) =>
+      new Thread(() =>
+        (0 until 15).foreach(i =>
+          c.updateNamespace("ns", metaPatch = Map(s"w${w}_k$i" -> Some("v")))))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val meta = new JsonFileCatalog(dir).getNamespace("ns").get.meta
+    assert(meta.size == 30, s"lost updates: ${30 - meta.size} of 30 patches missing")
+    // a stale lock (crashed writer) is broken, not waited on forever
+    val lockDir = new org.apache.hadoop.fs.Path(s"$dir/_catalog")
+    val lock = new org.apache.hadoop.fs.Path(lockDir, ".catalog.lock")
+    val hfs = lock.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    hfs.create(lock, false).close()
+    hfs.setTimes(lock, System.currentTimeMillis() - 3600 * 1000, -1)
+    new JsonFileCatalog(dir).updateNamespace("ns", metaPatch = Map("after" -> Some("ok")))
+    assert(new JsonFileCatalog(dir).getNamespace("ns").get.meta.contains("after"))
+    // a FRESH lock makes a competing writer fail loudly after the wait
+    hfs.create(lock, false).close()
+    val ex = intercept[FeatureStoreException] {
+      new JsonFileCatalog(dir, lockWaitMs = 200)
+        .updateNamespace("ns", metaPatch = Map("blocked" -> Some("x")))
+    }
+    assert(ex.getMessage.contains("locked by another writer"))
+    hfs.delete(lock, false)
+  }
+
   test("delete namespace refuses when non-empty") {
     val c = freshCatalog()
     c.createNamespace(NamespaceDef("ns"))
