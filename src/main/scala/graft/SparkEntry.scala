@@ -305,6 +305,36 @@ object SparkEntry {
     "text_winnow" -> ((s, dir) =>
       operators.TextOps.winnowingFingerprints(Tables.documents(s, dir), "doc_id", "text")),
 
+    // corpus vocabulary: top-100 tokens by frequency (+ doc frequency)
+    "text_token_topk" -> ((s, dir) =>
+      operators.TextOps.tokenHistogram(Tables.documents(s, dir), "doc_id", "text", 100)),
+
+    // deterministic stratified sample: per-language keep rates over a
+    // content hash of the id — reproducible across engines/partitionings
+    "sample_stratified" -> ((s, dir) =>
+      operators.SampleOps.stratifiedSample(Tables.documents(s, dir),
+          "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"))),
+
+    // deterministic quota sample: 20 smallest-hash docs per language
+    "sample_quota" -> ((s, dir) =>
+      operators.SampleOps.quotaSample(Tables.documents(s, dir),
+          "doc_id", "lang", n = 20)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))),
+
+    // connected components: dedup pairs -> duplicate clusters (min-id
+    // label) via alternating large-star/small-star contraction. Edges are
+    // a deterministic fixture (7-blocks chained every 3rd block) so the
+    // oracle can rebuild them and close them transitively in SQL.
+    "dedup_clusters" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val stars = d.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") - col("doc_id") % 7).as("id_b"))
+      val bridges = d.where(col("doc_id") % 21 === 0 && col("doc_id") > 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") - 1).as("id_b"))
+      operators.DedupOps.connectedComponents(stars.union(bridges), "id_a", "id_b")
+    }),
+
     // exact cosine top-10 for the first 10 vectors as queries
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -723,6 +753,51 @@ object SparkEntry {
          SELECT DISTINCT doc_id AS id, CAST(-win.np AS BIGINT) AS pos,
            win.hh AS fingerprint
          FROM sel WHERE cnt = 5 ORDER BY id, pos""",
+
+    "text_token_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                      FROM documents)
+         SELECT token, CAST(count(*) AS BIGINT) AS freq,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+         FROM tok GROUP BY token
+         ORDER BY freq DESC, token LIMIT 100""",
+
+    // same 60-bit md5-prefix slot hash as the Spark side; ppm thresholds
+    // are floor(rate * 1e6)
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000000
+             < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                         ELSE 100000 END
+         ORDER BY doc_id""",
+
+    "sample_quota" ->
+      """WITH h AS (SELECT doc_id, lang,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000000 AS slot
+           FROM documents),
+         r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY slot, doc_id) AS rk
+           FROM h)
+         SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank
+         FROM r WHERE rk <= 20 ORDER BY doc_id""",
+
+    // transitive closure of the same deterministic edge fixture; component
+    // = min reachable id
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+         e AS (SELECT doc_id AS a, doc_id - doc_id % 7 AS b FROM documents
+               WHERE doc_id % 7 != 0
+               UNION ALL
+               SELECT doc_id, doc_id - 1 FROM documents
+               WHERE doc_id % 21 = 0 AND doc_id > 0),
+         sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+         reach(id, r) AS (
+           SELECT DISTINCT a AS id, a AS r FROM sym
+           UNION
+           SELECT s.a AS id, rc.r FROM sym s JOIN reach rc ON s.b = rc.id)
+         SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""",
 
     "ann_cosine_topk" ->
       s"""WITH $embFlat,

@@ -302,4 +302,81 @@ object DedupOps {
         hammingDistance(col("sa"), col("sb")).cast("bigint").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Connected components over an undirected pair list — the last step of
+    * every dedup pipeline: near-dup PAIRS (from [[minhashLshPairs]],
+    * [[simhashNearDupPairs]], [[SimilarityOps.nearDupPairs]], …) become
+    * CLUSTERS, so "keep one doc per duplicate cluster" is a groupBy away.
+    * Returns one row per node: (id, component), component = the minimum
+    * node id reachable from it.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+    * is two self-join+min-aggregate passes, and the edge set converges to
+    * disjoint stars rooted at component minima in O(log²n) rounds
+    * REGARDLESS of graph diameter. That matters here: the hot-bucket
+    * spanning chains emitted by [[bandedCandidatePairs]] have diameter
+    * O(bucket size), which would cost min-label propagation that many
+    * rounds, while star contraction collapses them logarithmically.
+    *
+    * Each round materializes via `localCheckpoint` (lineage would double
+    * per iteration); convergence is detected by an (order-insensitive
+    * xxhash64-sum, count) checksum of the canonical edge set staying fixed
+    * across a round — one tiny 1-row action per round, no driver-side edge
+    * collection.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val nodes = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id"))).distinct()
+    // canonical directed form: u = max endpoint, v = min endpoint, no loops
+    var e = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(eager = true)
+
+    def checksum(d: DataFrame): (Long, Long) = {
+      // bit_xor: order-insensitive and overflow-free under ANSI mode
+      // (a sum of xxhash64 longs overflows)
+      val r = d.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prev = checksum(e)
+    var round = 0
+    var converged = prev._1 == 0L
+    while (!converged && round < maxRounds) {
+      // large-star: m(x) = min(Γ(x) ∪ {x}); every strictly-larger neighbor
+      // of x re-hangs onto m(x). Both passes shuffle on the SAME key (x),
+      // so the groupBy's exchange is reused by the join.
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mL = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u").as("x"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.join(mL, sym("u") === mL("x"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star: per u over its (all-smaller) neighborhood N(u),
+      // m = min(N(u)); re-hang N(u) ∪ {u} \ {m} onto m.
+      val mS = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = ls.join(mS.select(col("u").as("x"), col("m")), ls("u") === col("x"))
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mS.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint(eager = true)
+      val cur = checksum(ss)
+      converged = cur == prev
+      prev = cur
+      e = ss
+      round += 1
+    }
+    // converged edge set is a union of stars (u → component root): roots
+    // appear only on the right, every other node exactly once on the left
+    // (min() guards the invariant rather than assuming it)
+    nodes.join(e.groupBy(col("u")).agg(min(col("v")).as("__c")),
+        nodes("id") === col("u"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
+  }
 }

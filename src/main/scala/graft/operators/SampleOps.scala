@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic sampling operators for training-data curation.
+  *
+  * A 100 TB corpus is never used whole: pipelines mix sources with
+  * per-source/per-language quotas ("20% web, cap code at 10M docs, upsample
+  * wiki 2x"). `df.sample()` is non-reproducible across runs/engines (seeded
+  * per-partition, partitioning-dependent), so every operator here derives
+  * its keep/drop decision from a content hash of the row's id — the same
+  * row set comes back on every engine, every partitioning, every rerun.
+  * That reproducibility is what makes ablations and incremental re-runs
+  * comparable, and it is what the DuckDB oracle checks.
+  *
+  * Hash = the engine-reproducible 60-bit md5 prefix
+  * ([[DedupOps.baseHash]], numerically `conv(substring(md5(s),1,15),16,10)`)
+  * over the id rendered as a decimal string, optionally salted — so
+  * resampling with a different salt draws an independent sample.
+  */
+object SampleOps {
+
+  /** Hash of an id column mapped into [0, 1e6) — the sampling universe.
+    * Million-slot granularity keeps rate thresholds integer-exact
+    * (ppm = parts per million) across engines.
+    */
+  val Ppm = 1000000L
+
+  private def slot(idCol: Column, salt: String): Column =
+    pmod(DedupOps.baseHash(concat(lit(salt), idCol.cast("string"))), lit(Ppm))
+
+  /** Uniform deterministic sample: keep rows whose hash slot < rate·1e6.
+    * Map-side filter, no shuffle, pushdown-friendly.
+    */
+  def hashSample(df: DataFrame, idCol: String, rate: Double,
+      salt: String = ""): DataFrame =
+    df.where(slot(col(idCol), salt) < lit(math.floor(rate * Ppm).toLong))
+
+  /** Stratified deterministic sample: per-stratum keep rates, e.g.
+    * `Map("en" -> 0.5, "de" -> 0.25)` over a language column, with
+    * `defaultRate` for strata not in the map.
+    *
+    * The rate table is a tiny broadcast-joined DataFrame, NOT a literal
+    * CASE chain — hundreds of strata (source × lang cells) stay O(1) in
+    * the expression tree and the corpus still streams map-side with no
+    * shuffle. Scale shape: broadcast join + filter; the corpus is touched
+    * once.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateDf = rates.toSeq
+      .map { case (s, r) => (s, math.floor(r * Ppm).toLong) }
+      .toDF("__stratum", "__ppm")
+    val defPpm = math.floor(defaultRate * Ppm).toLong
+    df.join(broadcast(rateDf), df(stratumCol) === col("__stratum"), "left")
+      .where(slot(col(idCol), salt) < coalesce(col("__ppm"), lit(defPpm)))
+      .drop("__stratum", "__ppm")
+  }
+
+  /** Deterministic quota sample: the `n` rows with the smallest id-hashes
+    * per stratum (a fixed-size uniform draw without replacement). Adds
+    * `sample_rank` (1-based within the stratum, ordered by hash then id).
+    *
+    * Scale note: the per-stratum window sorts each stratum's rows once
+    * (one shuffle on the stratum key). When quotas are small relative to
+    * huge strata, pre-filter with [[hashSample]] at a rate comfortably
+    * above n/|stratum| and quota the survivors — same result, a fraction
+    * of the sort. Rate-based [[stratifiedSample]] remains the preferred
+    * shuffle-free shape when an exact count isn't required.
+    */
+  def quotaSample(df: DataFrame, idCol: String, stratumCol: String, n: Int,
+      salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(slot(col(idCol), salt), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("bigint"))
+      .where(col("sample_rank") <= n)
+  }
+}

@@ -156,6 +156,26 @@ object TextOps {
       .distinct()
   }
 
+  /** Corpus vocabulary top-k: the `k` most frequent whitespace tokens with
+    * total occurrence count (`freq`) and document frequency (`doc_freq`),
+    * ties broken by token text — a deterministic total order, so the row
+    * set is engine-exact even at the cut boundary.
+    *
+    * Scale shape: explode → groupBy(token) partial-aggregates map-side
+    * (vocab ≪ corpus, Zipf head combines before the one shuffle);
+    * `orderBy.limit(k)` plans as TakeOrdered — per-partition top-k heaps,
+    * no global sort. doc_freq's distinct pass expands to (token, doc)
+    * pairs which partial-aggregate the same way.
+    */
+  def tokenHistogram(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("__doc"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"),
+        count_distinct(col("__doc")).as("doc_freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+
   /** Convenience: one row per doc with all text signals. */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

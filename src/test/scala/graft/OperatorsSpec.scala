@@ -220,4 +220,94 @@ class OperatorsSpec extends SparkTestBase {
     assert(frames.forall(_.frame_bytes.length == 64))
     assert(frames.forall(_.frame_idx % 4 == 0))
   }
+
+  test("connectedComponents == brute-force union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // random sparse graph + a 60-node chain (diameter stress: min-label
+    // propagation would need 60 rounds; star contraction must not)
+    val randomEdges = Seq.fill(150)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      .filter { case (a, b) => a != b }
+    val chain = (200L until 260L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val edges = randomEdges ++ chain
+    // brute-force union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n)).toMap
+    // find() roots at the min id because unions always hang max under min
+    val got = DedupOps.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("connectedComponents handles empty and single-edge inputs") {
+    import spark.implicits._
+    val empty = DedupOps.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
+    assert(empty.count() == 0)
+    val one = DedupOps.connectedComponents(
+        Seq((5L, 3L)).toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(5L -> 3L, 3L -> 3L))
+  }
+
+  test("stratifiedSample: deterministic, rate-ordered, salt-sensitive") {
+    val rates = Map("en" -> 0.5, "de" -> 0.1)
+    val s1 = SampleOps.stratifiedSample(docs, "doc_id", "lang", rates, defaultRate = 0.02)
+    val s2 = SampleOps.stratifiedSample(docs, "doc_id", "lang", rates, defaultRate = 0.02)
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == s2.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // same columns out as in (the rate plumbing must not leak)
+    assert(s1.columns.toSeq == docs.columns.toSeq)
+    // per-stratum keep fraction tracks the requested rate (hash-uniform)
+    val byLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    assert(math.abs(enRate - 0.5) < 0.2, s"en keep rate $enRate far from 0.5")
+    // a different salt draws a different (independent) sample
+    val salted = SampleOps.stratifiedSample(docs, "doc_id", "lang", rates,
+      defaultRate = 0.02, salt = "v2")
+    assert(salted.select("doc_id").collect().map(_.getLong(0)).toSet != ids1)
+  }
+
+  test("quotaSample: exactly n per stratum with ranks 1..n") {
+    val q = SampleOps.quotaSample(docs, "doc_id", "lang", n = 5).collect()
+    val byLang = q.groupBy(_.getAs[String]("lang"))
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, rows) =>
+      val expect = math.min(5L, totals(lang))
+      assert(rows.length == expect, s"$lang: ${rows.length} != $expect")
+      assert(rows.map(_.getAs[Long]("sample_rank")).sorted.toSeq == (1L to expect))
+    }
+    // deterministic across runs
+    val again = SampleOps.quotaSample(docs, "doc_id", "lang", n = 5).collect()
+    assert(q.map(_.getAs[Long]("doc_id")).toSet == again.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("tokenHistogram counts frequencies and doc frequencies exactly") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b a c"),
+      (2L, "a b b"),
+      (3L, "c")).toDF("id", "text")
+    val h = TextOps.tokenHistogram(fixture, "id", "text", 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a: 3 occurrences / 2 docs; b: 3 / 2; c: 2 / 2 — ties break by token
+    assert(h.toSeq == Seq(("a", 3L, 2L), ("b", 3L, 2L), ("c", 2L, 2L)))
+    // top-k cut respects the (freq desc, token) total order
+    val top1 = TextOps.tokenHistogram(fixture, "id", "text", 1).collect()
+    assert(top1.head.getString(0) == "a")
+  }
 }
