@@ -21,16 +21,27 @@ object Bench {
     // warm up: fixture-store ingestion is one-time setup, not query time
     Fixtures.store(spark, sfDir)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // a crashing query must not bench as "fast": record the failure per
+    // query instead of timing a swallowed exception (CORRECTNESS catches
+    // breakage independently, but the bench artifact should carry its own
+    // error flag so a -1-ish timing is never mistaken for a result)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to iters).map { _ =>
+      val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            errors(name) = (e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString)
+              .take(200)
+            false
+        }
         val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-24s $dt%8.2f s")
-        dt
+        System.err.println(f"[bench] $name%-24s $dt%8.2f s" + (if (ok) "" else "  FAILED"))
+        if (ok) Some(dt) else None
       }
       name -> times
-    }
+    }.filter(_._2.nonEmpty)
     val loadEnd = os.getSystemLoadAverage
     def f3(d: Double) = f"$d%.3f"
     // "queries" stays min-per-query (steady state: first iteration absorbs
@@ -41,8 +52,11 @@ object Bench {
       s"\"" + k + "\":[" + v.map(f3).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
-      s""""iterations":$raw,"load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},""" +
+      s""""iterations":$raw,"errors":$errs,""" +
+      s""""load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},""" +
       s""""cpus":$cpus,"sf":"$sfDir"}"""
     println(json)
     // stdout goes through sbt's logger ("[info] " prefix) when run via

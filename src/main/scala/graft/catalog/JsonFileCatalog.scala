@@ -7,6 +7,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 import java.nio.charset.StandardCharsets
 
+/** Thrown (internally) when the commit-time ownership check finds another
+  * writer's token in the lock file: our lock was judged stale and broken
+  * while we held it. The mutation retries on a fresh snapshot.
+  */
+private[graft] class LockStolenException extends RuntimeException("catalog lock stolen")
+
 /** Durable catalog: one JSON document at `{root}/_catalog/catalog.json`,
   * written atomically (tmp + rename). Catalog traffic is low-QPS driver-side
   * metadata — a single small file is the right scale tradeoff even at 100 TB
@@ -24,24 +30,50 @@ class JsonFileCatalog(root: String, hadoopConf: Configuration = new Configuratio
   private val catalogPath = new Path(s"$root/_catalog/catalog.json")
   private def fs: FileSystem = catalogPath.getFileSystem(hadoopConf)
 
-  private def load(): CatalogDoc = this.synchronized {
-    if (!fs.exists(catalogPath)) CatalogDoc()
+  /** (mtime, length) fingerprint of the file backing the last parse, plus the
+    * parsed document. A `loadFeatures` of N features (plus transform-DAG
+    * recursion) issues N+ catalog reads per query; without this cache each
+    * one re-read and re-parsed the whole JSON document — the dominant share
+    * of the per-query driver floor on small reads. The reference amortizes
+    * the same traffic through a session-scoped SQLAlchemy connection
+    * (src/qafs/connection.py:13-24).
+    */
+  @volatile private var docCache: (Long, Long, CatalogDoc) = _
+
+  /** Read the document; repeat reads are served from [[docCache]] after ONE
+    * cheap `getFileStatus` probe validating (mtime, length) — a foreign
+    * process's write changes both. `fresh = true` (the locked mutate path)
+    * bypasses the fingerprint check entirely: local-fs mtimes have
+    * millisecond granularity, and a read-modify-write under the lock must
+    * never bet correctness on it.
+    */
+  private def load(fresh: Boolean = false): CatalogDoc = this.synchronized {
+    val st = try fs.getFileStatus(catalogPath)
+      catch { case _: java.io.FileNotFoundException => null }
+    if (st == null) CatalogDoc()
     else {
-      val in = fs.open(catalogPath)
-      val doc = try {
-        val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
-        mapper.readValue(new String(bytes, StandardCharsets.UTF_8), classOf[CatalogDoc])
-          .normalized
-      } finally in.close()
-      require(doc.formatVersion <= Catalog.FormatVersion,
-        s"catalog written by newer engine (v${doc.formatVersion})")
-      if (doc.formatVersion < Catalog.FormatVersion) {
-        // C5: in-place upgrade, persisted so the migration runs once
-        // (reference upgrade.py:12-43 stamps the new version the same way)
-        val up = CatalogMigrations.upgrade(doc)
-        save(up)
-        up
-      } else doc
+      val c = docCache
+      if (!fresh && c != null && c._1 == st.getModificationTime && c._2 == st.getLen) c._3
+      else {
+        val in = fs.open(catalogPath)
+        val doc = try {
+          val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
+          mapper.readValue(new String(bytes, StandardCharsets.UTF_8), classOf[CatalogDoc])
+            .normalized
+        } finally in.close()
+        require(doc.formatVersion <= Catalog.FormatVersion,
+          s"catalog written by newer engine (v${doc.formatVersion})")
+        if (doc.formatVersion < Catalog.FormatVersion) {
+          // C5: in-place upgrade, persisted so the migration runs once
+          // (reference upgrade.py:12-43 stamps the new version the same way)
+          val up = CatalogMigrations.upgrade(doc)
+          save(up)
+          up
+        } else {
+          docCache = (st.getModificationTime, st.getLen, doc)
+          doc
+        }
+      }
     }
   }
 
@@ -58,44 +90,128 @@ class JsonFileCatalog(root: String, hadoopConf: Configuration = new Configuratio
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(catalogPath.toUri, hadoopConf)
     fc.rename(tmp, catalogPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // refresh the cache from what was just committed so same-JVM readers
+    // never reparse (and never depend on sub-ms mtime resolution)
+    docCache = try {
+      val st = fs.getFileStatus(catalogPath)
+      (st.getModificationTime, st.getLen, doc)
+    } catch { case _: java.io.IOException => null }
   }
 
-  /** Cross-writer mutual exclusion via an exclusive-create lock file:
-    * `fs.create(path, overwrite = false)` is the one atomic
-    * test-and-acquire primitive every Hadoop filesystem offers. A second
-    * writer (another JVM, or another catalog instance over the same root —
-    * `synchronized` covers neither) WAITS up to `lockWaitMs`, then fails
-    * LOUDLY instead of silently losing the first writer's definitions in a
-    * read-modify-write race. A lock older than `lockStaleMs` is presumed
-    * abandoned (crashed writer) and broken. Reads never lock — they see
-    * the last atomically-renamed document.
+  private val lockPath = new Path(s"$root/_catalog/.catalog.lock")
+
+  /** Atomically create the lock file containing `token`; false if it exists.
+    * Hadoop's `create(overwrite = false)` on LocalFileSystem is
+    * exists-check-then-create (NOT atomic), so `file://` roots go through
+    * `java.io.File.createNewFile` (O_CREAT|O_EXCL — atomic); other
+    * filesystems use `create(overwrite = false)` (atomic server-side on
+    * HDFS; best-effort on object stores, backstopped by the commit-time
+    * token verify in [[mutate]]).
     */
-  private def withLock[T](f: => T): T = {
-    val lock = new Path(catalogPath.getParent, ".catalog.lock")
+  private[graft] def tryCreateLock(token: String): Boolean = {
+    fs.mkdirs(lockPath.getParent)
+    if (fs.getScheme == "file") {
+      val f = new java.io.File(lockPath.toUri.getPath)
+      if (!f.createNewFile()) false
+      else {
+        java.nio.file.Files.write(f.toPath, token.getBytes(StandardCharsets.UTF_8))
+        true
+      }
+    } else {
+      try {
+        val out = fs.create(lockPath, false)
+        try out.write(token.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  private[graft] def readLockToken(): Option[String] =
+    try {
+      val in = fs.open(lockPath)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8))
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Break an abandoned (crashed-writer) lock with exactly ONE winner:
+    * staleness is re-checked immediately before an atomic rename to a
+    * unique per-breaker tombstone — of N racing breakers one rename
+    * succeeds and the losers' sources are gone, so a winner can never
+    * remove another breaker's FRESH replacement lock the way the old
+    * observe-then-delete protocol could (two breakers both judging the
+    * original stale → A deletes+recreates → B deletes A's fresh lock).
+    * The residual stat→rename window (a live lock created in between is
+    * renamed away) is caught by the commit-time token verify.
+    */
+  private[graft] def breakStaleLock(): Unit = {
+    val st = try fs.getFileStatus(lockPath)
+      catch { case _: java.io.FileNotFoundException => return }
+    if (System.currentTimeMillis() - st.getModificationTime <= lockStaleMs) return
+    val tomb = new Path(lockPath.getParent,
+      s".catalog.lock.broken.${java.util.UUID.randomUUID()}")
+    if (scala.util.Try(fs.rename(lockPath, tomb)).getOrElse(false))
+      fs.delete(tomb, false)
+  }
+
+  /** Cross-writer mutual exclusion via an exclusive-create lock file holding
+    * a unique owner token. A second writer (another JVM, or another catalog
+    * instance over the same root — `synchronized` covers neither) WAITS up
+    * to `lockWaitMs`, then fails LOUDLY instead of silently losing the
+    * first writer's definitions in a read-modify-write race. A lock older
+    * than `lockStaleMs` is presumed abandoned and broken (single-winner,
+    * see [[breakStaleLock]]). Release deletes the lock only while it still
+    * carries OUR token — blind delete would remove a thief's
+    * now-legitimate lock. Reads never lock — they see the last
+    * atomically-renamed document. Exclusion assumes lockStaleMs far
+    * exceeds the critical-section time (the standard lease caveat).
+    */
+  private def withLock[T](f: String => T): T = {
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + lockWaitMs
     var acquired = false
     while (!acquired) {
-      try {
-        fs.mkdirs(catalogPath.getParent)
-        fs.create(lock, false).close()
-        acquired = true
-      } catch {
-        case _: java.io.IOException =>
-          val stale = scala.util.Try(fs.getFileStatus(lock)).toOption
-            .exists(s => System.currentTimeMillis() - s.getModificationTime > lockStaleMs)
-          if (stale) fs.delete(lock, false)
-          else if (System.currentTimeMillis() > deadline)
-            throw new FeatureStoreException(
-              s"catalog locked by another writer (lock file $lock older than " +
-                s"${lockWaitMs}ms wait); delete it only if that writer is dead")
-          else Thread.sleep(20)
+      if (tryCreateLock(token)) acquired = true
+      else {
+        breakStaleLock()
+        if (System.currentTimeMillis() > deadline)
+          throw new FeatureStoreException(
+            s"catalog locked by another writer (lock file $lockPath older than " +
+              s"${lockWaitMs}ms wait); delete it only if that writer is dead")
+        else Thread.sleep(20)
       }
     }
-    try f finally fs.delete(lock, false)
+    try f(token)
+    finally if (readLockToken().contains(token)) fs.delete(lockPath, false)
   }
 
+  /** Throws [[LockStolenException]] unless the lock still carries `token`. */
+  private[graft] def verifyHeld(token: String): Unit =
+    if (!readLockToken().contains(token)) throw new LockStolenException
+
+  /** Locked read-modify-write with a commit-time ownership check: if our
+    * lock was stolen between acquire and commit (stale-break racer), the
+    * save is refused and the whole mutation re-runs on a fresh snapshot —
+    * at most one writer's commit follows any given load.
+    */
   private def mutate(f: CatalogDoc => CatalogDoc): Unit = this.synchronized {
-    withLock { save(f(load())) }
+    var done = false
+    var attempts = 0
+    while (!done) {
+      attempts += 1
+      try {
+        withLock { token =>
+          val cur = load(fresh = true)
+          val next = f(cur)
+          if (next ne cur) { // reference-equal result = declared no-op, skip the rewrite
+            verifyHeld(token)
+            save(next)
+          }
+        }
+        done = true
+      } catch {
+        case _: LockStolenException if attempts < 5 => // retry on a fresh snapshot
+      }
+    }
   }
 
   // ---- namespaces ----
@@ -197,17 +313,15 @@ class JsonFileCatalog(root: String, hadoopConf: Configuration = new Configuratio
     pinFeatureMeta(namespace, name, Catalog.ValueDtypeKey, dtype)
 
   override def pinFeatureMeta(namespace: String, name: String, key: String,
-      value: String): Unit =
-    this.synchronized { withLock {
-      val doc = load()
-      val f = doc.features.find(e => e.namespace == namespace && e.name == name)
-        .getOrElse(throw new MissingFeatureException(s"no feature: $namespace/$name"))
-      if (!f.meta.get(key).contains(value))
-        save(doc.copy(features = doc.features.map(e =>
-          if (e.namespace == namespace && e.name == name)
-            e.copy(meta = e.meta + (key -> value))
-          else e)))
-    } }
+      value: String): Unit = mutate { doc =>
+    val f = doc.features.find(e => e.namespace == namespace && e.name == name)
+      .getOrElse(throw new MissingFeatureException(s"no feature: $namespace/$name"))
+    if (f.meta.get(key).contains(value)) doc // idempotent: no version bump, no rewrite
+    else doc.copy(features = doc.features.map(e =>
+      if (e.namespace == namespace && e.name == name)
+        e.copy(meta = e.meta + (key -> value))
+      else e))
+  }
 
   // ---- feature groups ----
 

@@ -142,11 +142,20 @@ object DedupOps {
     // streams each group with O(group) memory; the collect_list then runs
     // only over the non-singleton survivors, which inherit the window's
     // partitioning (no further exchange).
+    //
+    // The (band, key) pair is packed map-side into ONE 64-bit hash before
+    // the exchange: the banded row count is rows×bands (192M at the
+    // 1M-vector smoke) and the raw key (a signature slice — array or
+    // string) dominated shuffle width; (id, bucket:long) halves it. A
+    // 64-bit collision only MERGES two buckets, producing extra candidate
+    // pairs that the callers' exact verification discards — correctness is
+    // unaffected, expected extra work ~n²·2⁻⁶⁴ pairs.
     import org.apache.spark.sql.expressions.Window
-    val sized = banded.withColumn("__n",
-      count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+    val packed = banded.select(col("id"), xxhash64(col("band"), col("key")).as("__bucket"))
+    val sized = packed.withColumn("__n",
+      count(lit(1)).over(Window.partitionBy(col("__bucket"))))
     val buckets = sized.where(col("__n") > 1)
-      .groupBy(col("band"), col("key"))
+      .groupBy(col("__bucket"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .observe(LshBucketMetrics,
         count(lit(1)).as("buckets"),
@@ -271,19 +280,17 @@ object DedupOps {
     * [[LshBucketMetrics]] (observed metrics) and raise `maxBucket` if
     * `truncated_buckets > 0` and pair-level exactness matters.
     *
-    * The internal signature cache is non-eager and session-scoped (it is
-    * released by `unpersist`/`spark.catalog.clearCache()`, not by GC);
-    * long-lived sessions issuing many near-dup calls should clear between
-    * batches.
+    * The internal signature cache is non-eager and tracked by
+    * [[graft.CacheScope]] — long-lived sessions issuing many near-dup
+    * calls release it between batches with `CacheScope.release()`.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     // referenced three times (banding + both verify sides): persist so the
     // signature pass (explode + 64 sums) evaluates once
-    val sigs = simhashDf(df, idCol, textCol)
-      .select(col(idCol).as("id"), col("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = graft.CacheScope.persist(
+      simhashDf(df, idCol, textCol).select(col(idCol).as("id"), col("simhash")))
     val nBlocks = maxHamming + 1
     // near-even split with boundaries at i*64/nBlocks: every block is
     // non-empty for nBlocks <= 64. (ceil(64/n)-sized blocks would make the
@@ -372,6 +379,15 @@ object DedupOps {
       e = ss
       round += 1
     }
+    // star contraction converges in O(log²n) rounds, so exhausting
+    // maxRounds means something is genuinely wrong (or maxRounds was set
+    // absurdly low) — the residual edge set is NOT a star decomposition and
+    // extracting labels from it would return wrong components with no
+    // signal. Fail loudly instead of silently mislabeling.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds " +
+          s"(edge checksum still changing: $prev); raise maxRounds")
     // converged edge set is a union of stars (u → component root): roots
     // appear only on the right, every other node exactly once on the left
     // (min() guards the invariant rather than assuming it)

@@ -166,9 +166,8 @@ object SimilarityOps {
     // persisted ONCE and referenced by both join sides (and by the
     // autosizing count below) — without this, autosizing re-evaluated the
     // whole upstream pipeline a second time just to count it. The cache is
-    // non-eager and session-scoped (see simhashNearDupPairs scaladoc).
-    val base = prep(df, idCol, vecCol, "id", "v", "nrm")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // non-eager and tracked by graft.CacheScope (release() between batches).
+    val base = graft.CacheScope.persist(prep(df, idCol, vecCol, "id", "v", "nrm"))
     val nb = if (blocks > 0) blocks
       else math.max(4, math.min(1024, (base.count() / 8192L).toInt + 1))
     val a = base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
@@ -210,9 +209,9 @@ object SimilarityOps {
     * use ≥ 24 rows/band with bands raised to hold recall (e.g. 192 × 24:
     * ~5e6 background candidates, ~1% pair-miss at cosine 0.9).
     *
-    * The internal vector cache is non-eager and session-scoped (released
-    * by `spark.catalog.clearCache()`, not by GC) — clear between batches
-    * in long-lived sessions.
+    * The internal vector cache is non-eager and tracked by
+    * [[graft.CacheScope]] — release between batches in long-lived sessions
+    * with `CacheScope.release()`.
     */
   def rhpNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, bands: Int = 64, rowsPerBand: Int = 16,
@@ -221,8 +220,7 @@ object SimilarityOps {
     graft.functions.RademacherBands.register(df.sparkSession)
     // referenced three times (banding + both verify sides): persist so the
     // upstream (possibly expensive) vector pipeline evaluates once
-    val p = prep(df, idCol, vecCol, "id", "v", "nrm")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = graft.CacheScope.persist(prep(df, idCol, vecCol, "id", "v", "nrm"))
     val banded = p.select(col("id"),
         posexplode(call_function(graft.functions.RademacherBands.name,
           col("v"), lit(bands), lit(rowsPerBand), lit(seed))))

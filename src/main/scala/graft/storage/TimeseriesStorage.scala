@@ -109,10 +109,17 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
       scheme: PartitionScheme = PartitionScheme.Date,
       serialized: Boolean = false): DataFrame = {
     val path = featurePath(namespace, name)
-    if (!fs.exists(new Path(path)))
-      return emptyFrame(spark)
-
-    var df = spark.read.parquet(path)
+    // no driver-side existence probe: spark.read's own file listing is the
+    // single storage round-trip per feature (an extra fs.exists here is one
+    // more remote call per feature per query — N+ on a wide loadFeatures);
+    // a feature that was never written (or written then emptied) maps to
+    // the empty frame, same as before
+    var df = try spark.read.parquet(path) catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(c =>
+            c == "PATH_NOT_FOUND" || c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+        return emptyFrame(spark)
+    }
     // degenerate range clamp: to < from → to = from (reference pandas.py:155-156)
     val (f, t) = (from, to) match {
       case (Some(a), Some(b)) if b.before(a) => (Some(a), Some(a))
@@ -182,8 +189,7 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
           case (Some(a), Some(b)) =>
             (dedupLatest(scanned), Some((a, if (b.before(a)) a else b)))
           case _ =>
-            val cached = dedupLatest(scanned)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val cached = graft.CacheScope.persist(dedupLatest(scanned))
             val r = cached.agg(min(TimeCol), max(TimeCol)).head()
             (cached,
               if (r.isNullAt(0)) None

@@ -152,7 +152,9 @@ object Align {
     if (valueCols.isEmpty) return df
     val spark = df.sparkSession
     val nb = if (buckets > 0) buckets else spark.sparkContext.defaultParallelism
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tracked persist: released in bulk by graft.CacheScope.release() (the
+    // ContextCleaner otherwise reclaims it only once the plan is unreachable)
+    val cached = graft.CacheScope.persist(df)
     val us = unix_micros(col(timeCol))
 
     // bucket boundaries from approximate time QUANTILES, not uniform range

@@ -249,6 +249,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("connectedComponents fails loudly when maxRounds is exhausted unconverged") {
+    import spark.implicits._
+    // a 10-node chain cannot converge in one round — the old behavior
+    // silently returned the residual edge set as if it were stars
+    val chain = (0L until 10L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val ex = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(chain.toDF("id_a", "id_b"), "id_a", "id_b", maxRounds = 1)
+        .count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // the same graph converges fine with the default budget
+    val ok = DedupOps.connectedComponents(chain.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(ok == Set(0L))
+  }
+
   test("connectedComponents handles empty and single-edge inputs") {
     import spark.implicits._
     val empty = DedupOps.connectedComponents(

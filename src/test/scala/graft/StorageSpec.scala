@@ -182,6 +182,26 @@ class StorageSpec extends SparkTestBase {
     assert(st.listStoredFeatures("ns") == Seq("c2"))
   }
 
+  test("CacheScope.release returns operator caches to baseline") {
+    val st = freshStore()
+    st.save("ns", "c", seriesDf((1 to 9).map(d => (f"2021-01-0$d%d", d.toDouble: Any))))
+    CacheScope.release() // start from a clean slate whatever ran before
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    // bounds-defaulted resample: persists the scan+dedup frame (storage)
+    // AND the aligned ffill input (Align) — both must be tracked
+    val out = st.load("ns", "c", freq = Some("1d"))
+    assert(out.count() == 9)
+    assert(CacheScope.trackedCount > 0)
+    val released = CacheScope.release()
+    assert(released >= 1 && CacheScope.trackedCount == 0)
+    // cached blocks are gone (localCheckpoint RDDs from other suites are
+    // not CacheScope's to release — compare against the baseline, not 0)
+    assert(spark.sparkContext.getPersistentRDDs.size <= baseline)
+    // released caches are a perf hint, not state: the same read still works
+    assert(st.load("ns", "c", freq = Some("1d")).count() == 9)
+    CacheScope.release()
+  }
+
   test("dedupLatest prefers non-null values like pandas groupby().last()") {
     val st = freshStore()
     st.save("ns", "nn", seriesDf(Seq("2021-01-01" -> 5.0),
