@@ -11,6 +11,22 @@ import org.apache.spark.sql.functions._
   * [rows]"`.
   */
 object ScaleSmoke {
+
+  /** Synthetic text corpus: 50-word vocab, ~60 tokens/doc, every 50th doc a
+    * near-copy of its predecessor (same words, 3 swapped) — shared by the
+    * minhash / top-k / sampling smokes.
+    */
+  private def syntheticDocs(spark: org.apache.spark.sql.SparkSession, n: Long) = {
+    val vocab = array((0 until 50).map(i => lit(s"w$i")): _*)
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(59)),
+        i => element_at(vocab,
+          (pmod(xxhash64(expr("id div 50") * 100 + i +
+            when(col("id") % 50 === 0, (i % 3) * 7).otherwise(0)), lit(50)) + 1)
+            .cast("int")))).as("text"))
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(20000000L)
     // optional 2nd arg: label substring filter — ONLY for self-contained
@@ -23,6 +39,12 @@ object ScaleSmoke {
       val t0 = System.nanoTime()
       f
       println(f"[scale] $label%-38s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      // each entry is self-contained: drop its operator caches so entries
+      // don't contaminate each other's memory budget (measured: the 10M-
+      // spine as-of's leftover cache inflated the following minhash entry
+      // 68 -> 225 s) — and exercise the release hook at scale while at it
+      val released = CacheScope.release()
+      if (released > 0) println(s"[scale]   released $released operator cache(s)")
     }
 
     // n rows across 2 years, 3 versions per timestamp third → dedup-heavy
@@ -76,19 +98,65 @@ object ScaleSmoke {
         col("id").as("k"))
       Align.asOfJoin(spine, "time", Seq("f" -> st.load("scale", "f"))).count()
     }
+    time("as-of join of 10M-point spine (bucketed, shuffle-bounded)") {
+      // spine AND data both large: the union still goes through ONE
+      // quantile-bucketed two-pass prefix scan (never a global-sort
+      // window) — assert the plan holds that shape at this scale
+      val spine = spark.range(10000000).select(
+        timestamp_micros(lit(1609459200000000L) + col("id") * 6300000L).as("time"),
+        col("id").as("k"))
+      val out = Align.asOfJoin(spine, "time", Seq("f" -> st.load("scale", "f")))
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString
+      require(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        "as-of plan must stay equi/broadcast-joined")
+      require(plan.linesIterator.filter(_.contains("windowspecdefinition"))
+          .forall(_.contains("__b")),
+        "as-of windows must be bucket-partitioned, not global")
+    }
     time("minhash LSH dedup over 100k synthetic docs") {
-      // synthetic corpus: 50-word vocab, ~60 tokens/doc, every 50th doc is
-      // a near-copy of its predecessor (same words, 3 swapped)
-      val words = (0 until 50).map(i => s"w$i")
-      val vocab = array(words.map(lit): _*)
-      val docs = spark.range(100000).select(
-        col("id").as("doc_id"),
-        concat_ws(" ", transform(sequence(lit(0), lit(59)),
-          i => element_at(vocab,
-            (pmod(xxhash64(expr("id div 50") * 100 + i +
-              when(col("id") % 50 === 0, (i % 3) * 7).otherwise(0)), lit(50)) + 1)
-              .cast("int")))).as("text"))
-      operators.DedupOps.minhashLshPairs(docs, "doc_id", "text").count()
+      operators.DedupOps.minhashLshPairs(syntheticDocs(spark, 100000), "doc_id", "text").count()
+    }
+    time("token top-k over 100k docs") {
+      // Zipf-ish head: map-side partial counts then TakeOrdered — no
+      // global sort; the result is tiny regardless of corpus size
+      val top = operators.TextOps.tokenHistogram(syntheticDocs(spark, 100000),
+        "doc_id", "text", 20).collect()
+      require(top.length == 20 && top.head.getLong(1) >= top.last.getLong(1))
+    }
+    time("stratified sample over 100k docs") {
+      val langed = syntheticDocs(spark, 100000)
+        .withColumn("lang", concat(lit("l"), pmod(xxhash64(col("doc_id")), lit(5))))
+      val kept = operators.SampleOps.stratifiedSample(langed, "doc_id", "lang",
+        Map("l0" -> 0.5, "l1" -> 0.1), defaultRate = 0.02).count()
+      // ~20k l0-docs * 0.5 + ~20k * 0.1 + ~60k * 0.02 ≈ 13.2k; md5-slot
+      // keep decisions are uniform enough for a wide sanity band
+      require(kept > 10000 && kept < 17000, s"stratified sample kept $kept, expected ~13k")
+    }
+    time("connected components: 10M star edges + 64k-node chain") {
+      // 1M disjoint 11-node stars (components known exactly by
+      // construction) + one 65536-node path at a disjoint id range — the
+      // diameter stress star contraction exists for: min-label
+      // propagation would need 64k rounds, alternating large/small star
+      // must finish in O(log² n). Exactness is checked per node.
+      val blocks = 1000000L; val bsize = 11L
+      val stars = spark.range(blocks * (bsize - 1)).select(
+        ((col("id") / (bsize - 1)).cast("long") * bsize).as("id_a"),
+        ((col("id") / (bsize - 1)).cast("long") * bsize + pmod(col("id"), lit(bsize - 1)) + 1)
+          .as("id_b"))
+      val cbase = 100000000L; val chainLen = 65536L
+      val chain = spark.range(chainLen - 1).select(
+        (col("id") + cbase).as("id_a"), (col("id") + cbase + 1).as("id_b"))
+      val cc = operators.DedupOps.connectedComponents(stars.unionByName(chain), "id_a", "id_b")
+      val mislabeled = cc.where(
+        when(col("id") >= cbase, col("component") =!= cbase)
+          .otherwise(col("component") =!= (col("id") - pmod(col("id"), lit(bsize))))).count()
+      val counts = cc.agg(count(lit(1)), count_distinct(col("component"))).head()
+      require(mislabeled == 0, s"$mislabeled nodes got a wrong component label")
+      require(counts.getLong(0) == blocks * bsize + chainLen &&
+        counts.getLong(1) == blocks + 1,
+        s"expected ${blocks * bsize + chainLen} nodes in ${blocks + 1} components, " +
+          s"got ${counts.getLong(0)} in ${counts.getLong(1)}")
     }
     time("salted aggregation over skewed key") {
       // 90% of rows share one key — the shape AQE can't fix for groupBy

@@ -309,6 +309,11 @@ object SparkEntry {
     "text_token_topk" -> ((s, dir) =>
       operators.TextOps.tokenHistogram(Tables.documents(s, dir), "doc_id", "text", 100)),
 
+    // Gopher-style repetition filters: top-token / top-bigram / duplicated-
+    // bigram shares per doc (boilerplate and spam score high)
+    "text_repetition" -> ((s, dir) =>
+      operators.TextOps.repetitionStats(Tables.documents(s, dir), "doc_id", "text")),
+
     // deterministic stratified sample: per-language keep rates over a
     // content hash of the id — reproducible across engines/partitionings
     "sample_stratified" -> ((s, dir) =>
@@ -761,6 +766,31 @@ object SparkEntry {
            CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
          FROM tok GROUP BY token
          ORDER BY freq DESC, token LIMIT 100""",
+
+    // token/bigram repetition shares; bigram i pairs tks[i], tks[i+1]
+    // (1-based, range end-exclusive = Spark's zip_with of the two slices);
+    // fractions are IEEE divisions of exact integers on both sides
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tks FROM documents),
+         tc AS (SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(tks) AS tok FROM t) GROUP BY 1, 2),
+         ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_tok
+                FROM tc GROUP BY 1),
+         bgr AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(tks)),
+                     i -> tks[i] || ' ' || tks[i + 1])) AS bg
+                 FROM t WHERE len(tks) >= 2),
+         bc AS (SELECT doc_id, bg, count(*) AS c FROM bgr GROUP BY 1, 2),
+         bs AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bg,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bg
+                FROM bc GROUP BY 1)
+         SELECT ts.doc_id, ts.n_tokens,
+           CAST(top_tok AS DOUBLE) / CAST(ts.n_tokens AS DOUBLE) AS top_token_frac,
+           coalesce(CAST(top_bg AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0)
+             AS top_bigram_frac,
+           coalesce(CAST(dup_bg AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0)
+             AS dup_bigram_frac
+         FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id""",
 
     // same 60-bit md5-prefix slot hash as the Spark side; ppm thresholds
     // are floor(rate * 1e6)

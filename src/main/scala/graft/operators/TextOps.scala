@@ -167,6 +167,47 @@ object TextOps {
     * no global sort. doc_freq's distinct pass expands to (token, doc)
     * pairs which partial-aggregate the same way.
     */
+  /** Gopher-style repetition quality signals (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1 — "fraction in the most frequent n-gram" /
+    * "fraction in duplicated n-grams", re-expressed over word unigrams and
+    * bigrams; original implementation): boilerplate and spam score high,
+    * natural prose low. Per doc:
+    *  - `n_tokens`, `top_token_frac` — share of the most frequent token;
+    *  - `top_bigram_frac` — share of the most frequent word bigram;
+    *  - `dup_bigram_frac` — share of bigram occurrences whose bigram
+    *    appears more than once (0.0 for docs with < 2 tokens).
+    *
+    * Shape at scale: bigrams are built map-side from the token array (one
+    * interpreted zip_with pass per doc — chosen over a posexplode+window
+    * build, which would add a second shuffle), then ONE doc-id-partial
+    * groupBy per gram size. Fractions are IEEE divisions of exact longs —
+    * cross-engine reproducible.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+    val tokCounts = toks.select(col("id"), explode(col("t")).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+    val tokStats = tokCounts.groupBy(col("id")).agg(
+      sum(col("c")).as("n_tokens"), max(col("c")).as("top_tok"))
+    val bg = toks.where(size(col("t")) >= 2).select(col("id"),
+      explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val bgCounts = bg.groupBy(col("id"), col("bg")).agg(count(lit(1)).as("c"))
+    val bgStats = bgCounts.groupBy(col("id")).agg(
+      sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bg"),
+      sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_bg"))
+    tokStats.join(bgStats, Seq("id"), "left").select(
+      col("id").as(idCol),
+      col("n_tokens").cast("bigint").as("n_tokens"),
+      (col("top_tok").cast("double") / col("n_tokens").cast("double")).as("top_token_frac"),
+      coalesce(col("top_bg").cast("double") / col("n_bigrams").cast("double"), lit(0.0))
+        .as("top_bigram_frac"),
+      coalesce(col("dup_bg").cast("double") / col("n_bigrams").cast("double"), lit(0.0))
+        .as("dup_bigram_frac"))
+  }
+
   def tokenHistogram(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     df.select(col(idCol).as("__doc"), explode(tokens(col(textCol))).as("token"))

@@ -81,6 +81,14 @@ object Align {
     * One plan: wide outer-align (no ffill) → union spine → single
     * multi-column bucketed ffill ordered by (time, is_spine) → keep spine
     * rows. Spine's extra columns ride along untouched.
+    *
+    * Scale: the union rides [[ffillOrdered]]'s quantile-bucketed two-pass
+    * prefix scan — one shuffle of |spine| + Σ|data| rows, per-bucket
+    * windows, an O(buckets) driver carry — so a huge spine costs the same
+    * shape as huge data (a 10M-row spine is gated in ScaleSmoke with the
+    * plan asserted bucket-partitioned). There is no global-sort window at
+    * any size; if one keyed entity dominates instead, that is
+    * [[asOfJoinKeyed]]'s documented salt-upstream case.
     */
   def asOfJoin(spine: DataFrame, timeCol: String,
       frames: Seq[(String, DataFrame)], memo: Option[CutsMemo] = None): DataFrame = {

@@ -312,6 +312,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(q.map(_.getAs[Long]("doc_id")).toSet == again.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("repetitionStats: exact fractions on crafted docs, single-token safe") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a a a b"),    // top token 3/4; bigrams "a a","a a","a b": top 2/3, dup 2/3
+      (2L, "x"),          // no bigrams: fracs defined as 0.0
+      (3L, "p q p q p")   // top token 3/5; bigrams "p q","q p","p q","q p": top 2/4, dup 4/4
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(fixture, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) == ((4L, 0.75, 2.0 / 3, 2.0 / 3)))
+    assert(got(2L) == ((1L, 1.0, 0.0, 0.0)))
+    assert(got(3L) == ((5L, 0.6, 0.5, 1.0)))
+  }
+
   test("tokenHistogram counts frequencies and doc frequencies exactly") {
     import spark.implicits._
     val fixture = Seq(
