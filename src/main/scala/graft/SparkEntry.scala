@@ -314,6 +314,10 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       operators.TextOps.repetitionStats(Tables.documents(s, dir), "doc_id", "text")),
 
+    // PII/link scrubbing: URL -> email -> phone redaction with counts
+    "text_redact" -> ((s, dir) =>
+      operators.TextOps.redactionStats(Tables.documents(s, dir), "doc_id", "text")),
+
     // deterministic stratified sample: per-language keep rates over a
     // content hash of the id — reproducible across engines/partitionings
     "sample_stratified" -> ((s, dir) =>
@@ -766,6 +770,26 @@ object SparkEntry {
            CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
          FROM tok GROUP BY token
          ORDER BY freq DESC, token LIMIT 100""",
+
+    // same Java-regex/RE2-common patterns and URL -> email -> phone
+    // order as TextOps.redactionStats; counts on progressively redacted text
+    "text_redact" ->
+      """WITH s1 AS (SELECT doc_id, text,
+              regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t1
+            FROM documents),
+         s2 AS (SELECT doc_id, text, t1,
+              regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g') AS t2
+            FROM s1)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(t1,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t2,
+             '\+?[0-9][0-9 ()\-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+           regexp_replace(t2, '\+?[0-9][0-9 ()\-]{6,}[0-9]', '<PHONE>', 'g')
+             AS redacted_text
+         FROM s2""",
 
     // token/bigram repetition shares; bigram i pairs tks[i], tks[i+1]
     // (1-based, range end-exclusive = Spark's zip_with of the two slices);

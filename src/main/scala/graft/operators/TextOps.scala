@@ -167,6 +167,36 @@ object TextOps {
     * no global sort. doc_freq's distinct pass expands to (token, doc)
     * pairs which partial-aggregate the same way.
     */
+  /** Redaction patterns: the common Java-regex/RE2 subset (no
+    * backreferences, no lookaround) so Spark and any RE2-based engine
+    * (the DuckDB oracle) match identically; both use leftmost greedy
+    * semantics on these character-class shapes.
+    */
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9 ()\\-]{6,}[0-9]"
+
+  /** PII/link scrubbing for training corpora: URLs, then emails, then
+    * phone-shaped digit runs are replaced with sentinel tokens, with
+    * per-kind match counts. Counts are taken on the PROGRESSIVELY redacted
+    * text (emails inside URLs count as the URL that swallowed them, not
+    * twice). Pure column expressions — shuffle-free, whole-stage codegen,
+    * embarrassingly parallel at any corpus size.
+    */
+  def redactionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val afterUrl = regexp_replace(col(textCol), UrlPattern, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, EmailPattern, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhonePattern, "<PHONE>")
+    df.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))
+        .cast("bigint").as("n_urls"),
+      size(regexp_extract_all(afterUrl, lit(EmailPattern), lit(0)))
+        .cast("bigint").as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(PhonePattern), lit(0)))
+        .cast("bigint").as("n_phones"),
+      afterPhone.as("redacted_text"))
+  }
+
   /** Gopher-style repetition quality signals (Rae et al. 2021,
     * arXiv:2112.11446 Table A1 — "fraction in the most frequent n-gram" /
     * "fraction in duplicated n-grams", re-expressed over word unigrams and

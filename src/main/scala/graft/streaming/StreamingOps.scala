@@ -52,6 +52,39 @@ object StreamingOps {
       }
       .start()
 
+  /** Paced file-stream source: bounds every micro-batch to
+    * `maxFilesPerTrigger` files, so a catch-up ingest over a deep backlog
+    * drains in bounded-size batches instead of one giant batch that swamps
+    * executor memory and starves concurrent queries — the production
+    * ingest-pacing knob. Composes with both triggers: AvailableNow drains
+    * the whole backlog in paced steps then stops; ProcessingTime paces a
+    * live tail. Schema must be given explicitly (streaming sources do not
+    * infer).
+    */
+  def pacedFileSource(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType, format: String = "parquet",
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    require(maxFilesPerTrigger > 0, "maxFilesPerTrigger must be positive")
+    spark.readStream.format(format).schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(path)
+  }
+
+  /** Continuous ingest: same exact batch write path as
+    * [[ingestAvailableNow]] but on a ProcessingTime trigger, for a live
+    * source that never drains. Pair with [[pacedFileSource]] to bound the
+    * per-trigger batch size.
+    */
+  def ingestProcessingTime(fs: FeatureStore, stream: DataFrame, feature: String,
+      checkpoint: String, interval: String = "30 seconds"): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.ProcessingTime(interval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) fs.saveDf(batch, name = Some(feature))
+      }
+      .start()
+
   /** Stream a (keys... + time + value) frame into an entity-keyed feature
     * through the batch keyed save path — the per-entity twin of
     * [[ingestAvailableNow]].

@@ -144,6 +144,23 @@ class CatalogSpec extends AnyFunSuite {
     assert(c2.getFeature("ns", "g").get.description == "d2")
   }
 
+  test("non-spark backend selector is rejected at create, loaded leniently") {
+    val dir = Files.createTempDirectory("cat").toString
+    val c = new JsonFileCatalog(dir)
+    intercept[FeatureStoreException](c.createNamespace(NamespaceDef("p", backend = "pandas")))
+    c.createNamespace(NamespaceDef("s", backend = "spark"))
+    // a foreign document carrying another selector still loads (strict
+    // write, lenient read) — written into a FRESH root: overwriting a
+    // Hadoop-written file out-of-band would orphan its .crc sidecar
+    val dir2 = Files.createTempDirectory("cat").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir2/_catalog"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir2/_catalog/catalog.json"),
+      s"""{"formatVersion":${Catalog.FormatVersion},"namespaces":[{"name":"ext",
+         |"description":"","meta":{},"version":1,"backend":"pandas"}],
+         |"features":[],"groups":[]}""".stripMargin)
+    assert(new JsonFileCatalog(dir2).getNamespace("ext").exists(_.backend == "pandas"))
+  }
+
   test("delete namespace refuses when non-empty") {
     val c = freshCatalog()
     c.createNamespace(NamespaceDef("ns"))

@@ -327,6 +327,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(got(3L) == ((5L, 0.6, 0.5, 1.0)))
   }
 
+  test("redactionStats: URL swallows embedded email, counts match sentinels") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "visit https://x.io/a?u=bob@x.io and mail bob@x.io or call +1 (555) 123-4567 now"),
+      (2L, "no pii here"),
+      (3L, "two mails a@b.co c@d.org one url http://e.fi/z")
+    ).toDF("doc_id", "text")
+    val got = TextOps.redactionStats(fixture, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    // the mail inside the URL is swallowed by the URL redaction (counted once, as a URL)
+    assert(got(1L) == ((1L, 1L, 1L, "visit <URL> and mail <EMAIL> or call <PHONE> now")))
+    assert(got(2L) == ((0L, 0L, 0L, "no pii here")))
+    assert(got(3L) == ((1L, 2L, 0L, "two mails <EMAIL> <EMAIL> one url <URL>")))
+  }
+
   test("tokenHistogram counts frequencies and doc frequencies exactly") {
     import spark.implicits._
     val fixture = Seq(

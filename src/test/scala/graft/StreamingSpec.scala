@@ -100,4 +100,29 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
     assert(streamed == batch) // click feature deduped-latest == raw values
   }
+
+  test("paced file source drains a backlog in bounded micro-batches") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("paced")
+    val fs = new graft.api.FeatureStore(s"$root/store", spark)
+    fs.createNamespace("p")
+    fs.createFeature("p/v")
+    // a 3-file backlog: each file is one (time, value) row
+    val src = s"$root/src"
+    (1 to 3).foreach { d =>
+      seriesDf(Seq((f"2021-01-0$d%d", d.toDouble))).repartition(1)
+        .write.mode("append").parquet(src)
+    }
+    val schema = spark.read.parquet(src).schema
+    val stream = graft.streaming.StreamingOps.pacedFileSource(
+      spark, src, schema, maxFilesPerTrigger = 1)
+    val q = graft.streaming.StreamingOps.ingestAvailableNow(
+      fs, stream, "p/v", s"$root/ckpt")
+    q.awaitTermination(120000)
+    // pacing: the 3-file backlog drained across >= 3 micro-batches, and the
+    // stored result equals what one unpaced batch write would produce
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    assert(collectMap(fs.storage.load("p", "v")) ==
+      Map(ts("2021-01-01") -> 1.0, ts("2021-01-02") -> 2.0, ts("2021-01-03") -> 3.0))
+  }
 }
