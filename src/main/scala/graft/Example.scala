@@ -48,6 +48,29 @@ object Example {
       case e: graft.catalog.CheckFailedException =>
         println(s"quality gate: ${e.getMessage}")
     }
+
+    // curation tour: dedup -> clusters -> quality -> redaction -> sample
+    println("== corpus curation pipeline ==")
+    val docs = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (3L, "contact me at alice@example.com or https://example.com/alice for details"),
+      (4L, "buy now buy now buy now buy now buy now buy now buy now buy now"),
+      (5L, "a genuinely different document about distributed query engines and parquet")
+    )).toDF("doc_id", "text")
+    val pairs = operators.DedupOps.minhashLshPairs(docs, "doc_id", "text",
+      thresholdNum = 4, thresholdDen = 5)
+    val clusters = operators.DedupOps.connectedComponents(pairs, "id_a", "id_b")
+    println("near-dup clusters (keep one doc per component):")
+    clusters.show()
+    println("repetition filters (the spammy doc 4 scores high):")
+    operators.TextOps.repetitionStats(docs, "doc_id", "text").orderBy("doc_id").show()
+    println("PII/link redaction:")
+    operators.TextOps.redactionStats(docs, "doc_id", "text")
+      .where(col("n_urls") + col("n_emails") + col("n_phones") > 0)
+      .show(truncate = false)
+    // done with the operator caches this tour created
+    CacheScope.release()
     spark.stop()
   }
 }

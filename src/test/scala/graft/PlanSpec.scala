@@ -29,10 +29,22 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("text_stats and scalar_funcs are shuffle-free single-pass projections") {
-    Seq("text_stats", "scalar_funcs", "mm_media_meta").foreach { q =>
+    Seq("text_stats", "scalar_funcs", "mm_media_meta", "text_redact").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q must not shuffle")
     }
+  }
+
+  test("LSH banding shuffles the packed 64-bit bucket, not the raw band key") {
+    // the banded exchange must carry (id, __bucket: long) — the raw key (a
+    // signature slice array/string) dominated shuffle width before packing
+    val p = plan("dedup_minhash_lsh")
+    assert(p.contains("__bucket"), "banding must pack (band, key) into __bucket")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.exists(_.contains("__bucket")),
+      "the bucket-count window must partition by the packed key")
+    assert(!windows.exists(w => w.contains("band#") && w.contains("key#")),
+      "no window may partition by the unpacked (band, key) pair")
   }
 
   test("fs_load_latest: dedup is a partial (map-side) aggregation, not a window sort") {
