@@ -358,6 +358,17 @@ object SparkEntry {
         emb.where(col("vec_id") < 10), "vec_id", "embedding", 10)
     }),
 
+    // same IVF search through a PERSISTED index (build once, probe many;
+    // assignments hive-partitioned by cell -> probes prune directories);
+    // results — and the oracle — are identical to ann_ivf_topk
+    "ann_ivf_persisted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_gate_index"
+      operators.SimilarityOps.buildIvfIndex(emb, "vec_id", "embedding", path)
+      operators.SimilarityOps.ivfTopKIndexed(s,
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", path, 10)
+    }),
+
     // embedding near-duplicate pairs (quantized-exact cosine >= 0.4)
     "emb_neardup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).where(col("vec_id") < 500)
@@ -540,7 +551,12 @@ object SparkEntry {
        flat AS (SELECT vec_id, unnest(v) x, unnest(range(len(v))) i FROM e),
        norms AS (SELECT vec_id, sum(x * x) n2 FROM flat GROUP BY 1)"""
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // the persisted-index probe computes the same answer as the in-memory
+    // IVF search — one oracle, two execution paths
+    ("ann_ivf_persisted" -> oracleSqlBase("ann_ivf_topk"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "fs_load_latest" ->
       s"SELECT time, value FROM (${ev("click")}) ORDER BY time",
 

@@ -293,8 +293,13 @@ class FeatureStore(
     memo.get(key).foreach(return _)
     val result = f.transform match {
       case None =>
+        // serialized values are stored as JSON strings (dtype known);
+        // otherwise the catalog-pinned dtype lets the scan skip its
+        // parquet footer probe (pin gates every write, so they agree)
+        val dtype = if (f.serialized) Some("string")
+          else f.meta.get(Catalog.ValueDtypeKey)
         storage.load(f.namespace, f.name, from, to, freq, timeTravel,
-          f.partitionScheme, f.serialized)
+          f.partitionScheme, f.serialized, valueDtype = dtype)
       case Some(t) =>
         // recursively load inputs with the same from/to/freq/time_travel
         // pushed down (reference src/qafs/model.py:196-211)

@@ -87,29 +87,51 @@ object SimilarityOps {
       nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 2): DataFrame = {
     ensureRegistered(corpus)
     val cq = prep(corpus, idCol, vecCol, "id", "v", "nrm")
-    // centroids as a small broadcast DataFrame — NOT a literal expression
-    // tree (16 cells x 64 dims of literals makes analysis/codegen of every
-    // derived plan pay for the constants; a broadcast join doesn't).
-    // Seeded deterministically from the lowest-id vectors, then refined
-    // with Lloyd iterations (assign -> per-cell mean) — each iteration is
-    // one small shuffle; cells get tighter, recall per probe rises.
+    val cents = refinedCentroids(cq, nCells, refineIters)
+    probeIvf(bestCell(cq, cents, "id", "v", "nrm"), cents, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** Build the IVF index ONCE and persist it: `{path}/centroids` (tiny) and
+    * `{path}/assigned` — the quantized corpus hive-partitioned BY CELL, so
+    * a probe reads only its nProbe cells' directories (dynamic partition
+    * pruning against the broadcast probe set). The build-once/probe-many
+    * split is the actual ANN serving shape: the assign+refine cost is paid
+    * at ingest, per-query cost is nProbe/nCells of the corpus.
+    */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      nCells: Int = 16, refineIters: Int = 2): Unit = {
+    ensureRegistered(corpus)
+    val cq = prep(corpus, idCol, vecCol, "id", "v", "nrm")
+    val cents = refinedCentroids(cq, nCells, refineIters)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    bestCell(cq, cents, "id", "v", "nrm")
+      .repartition(col("cell")) // one writer task per cell — no small files
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/assigned")
+  }
+
+  /** Probe a persisted IVF index (see [[buildIvfIndex]]); same results as
+    * [[ivfTopK]] with the same parameters, minus the per-query build cost.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+      idCol: String, vecCol: String, path: String, k: Int, nProbe: Int = 4): DataFrame = {
+    ensureRegistered(queries)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assigned = spark.read.parquet(s"$path/assigned")
+    probeIvf(assigned, cents, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** Lloyd-refined coarse centroids: seeded deterministically from the
+    * lowest-id vectors, then `refineIters` assign → floored-integer-mean
+    * rounds — each one small shuffle; cells get tighter, recall per probe
+    * rises. Centroids are a small broadcast DataFrame — NOT a literal
+    * expression tree (16 cells × 64 dims of literals would make every
+    * derived plan pay analysis/codegen for the constants).
+    */
+  private def refinedCentroids(cq: DataFrame, nCells: Int, refineIters: Int): DataFrame = {
     var cents = cq.orderBy(col("id")).limit(nCells)
       .select(col("id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
-    // per-row best cell as an AGGREGATION (max_by over the broadcast-joined
-    // candidates, map-side partial agg), NOT a row_number window — a window
-    // over partitionBy(id) would shuffle and sort the nCells×-exploded
-    // corpus just to pick each row's max. Ties break to the lowest cell id.
-    def bestCell(df: DataFrame, idC: String, vC: String, nC: String): DataFrame =
-      df.join(broadcast(cents))
-        .groupBy(col(idC))
-        .agg(
-          max_by(col("cell"),
-            struct(cosPre(col(vC), col("cv"), col(nC), col("cn")).as("c"),
-              (-col("cell")).as("nc"))).as("cell"),
-          first(col(vC)).as(vC), first(col(nC)).as(nC))
-
     for (_ <- 1 to refineIters) {
-      val assigned = bestCell(cq, "id", "v", "nrm")
+      val assigned = bestCell(cq, cents, "id", "v", "nrm")
       val means = assigned
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
@@ -123,22 +145,38 @@ object SimilarityOps {
         .withColumn("cn", sqrt(dotInt(col("cv"), col("cv")).cast("double")))
       cents = means.localCheckpoint(eager = true) // cut the growing lineage
     }
+    cents
+  }
 
-    // queries keep their nProbe closest cells — a window is fine HERE (the
-    // query set is small by contract; the corpus never goes through one)
-    def topCells(df: DataFrame, idC: String, vC: String, nC: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(idC))
-        .orderBy(cosPre(col(vC), col("cv"), col(nC), col("cn")).desc, col("cell"))
-      df.join(broadcast(cents))
-        .withColumn("__r", row_number().over(w))
-        .where(col("__r") <= n)
-        .drop("__r", "cv", "cn")
-    }
+  /** Per-row best cell as an AGGREGATION (max_by over the broadcast-joined
+    * candidates, map-side partial agg), NOT a row_number window — a window
+    * over partitionBy(id) would shuffle and sort the nCells×-exploded
+    * corpus just to pick each row's max. Ties break to the lowest cell id.
+    */
+  private def bestCell(df: DataFrame, cents: DataFrame,
+      idC: String, vC: String, nC: String): DataFrame =
+    df.join(broadcast(cents))
+      .groupBy(col(idC))
+      .agg(
+        max_by(col("cell"),
+          struct(cosPre(col(vC), col("cv"), col(nC), col("cn")).as("c"),
+            (-col("cell")).as("nc"))).as("cell"),
+        first(col(vC)).as(vC), first(col(nC)).as(nC))
 
-    val assigned = bestCell(cq, "id", "v", "nrm")
-    val probes = topCells(prep(queries, idCol, vecCol, "query_id", "qv", "qn"),
-      "query_id", "qv", "qn", nProbe)
-
+  /** Rerank stage shared by the in-memory and persisted-index paths:
+    * queries keep their nProbe closest cells (a window is fine HERE — the
+    * query set is small by contract; the corpus never goes through one),
+    * then exact cosine over only those cells' members.
+    */
+  private def probeIvf(assigned: DataFrame, cents: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val q = prep(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(cosPre(col("qv"), col("cv"), col("qn"), col("cn")).desc, col("cell"))
+    val probes = q.join(broadcast(cents))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= nProbe)
+      .drop("__r", "cv", "cn")
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),

@@ -185,6 +185,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall >= 0.5, s"IVF recall $recall too low even for half-probe")
   }
 
+  test("persisted IVF index probes to the same results as in-memory ivfTopK") {
+    val path = tmpDir("ivfidx")
+    val queries = emb.where(col("vec_id") < 10)
+    val direct = SimilarityOps.ivfTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    SimilarityOps.buildIvfIndex(emb, "vec_id", "embedding", path)
+    val indexed = SimilarityOps.ivfTopKIndexed(spark, queries, "vec_id", "embedding", path, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(indexed == direct)
+    // the index is hive-partitioned by cell, so probes prune directories
+    val parts = new java.io.File(s"$path/assigned").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(parts > 1, "assignments must be partitioned by cell")
+  }
+
   test("text stats: counts consistent and quality bounded") {
     val st = TextOps.textStats(docs, "doc_id", "text").collect()
     assert(st.length == docs.count())
