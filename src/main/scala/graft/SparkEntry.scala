@@ -318,6 +318,25 @@ object SparkEntry {
     "text_redact" -> ((s, dir) =>
       operators.TextOps.redactionStats(Tables.documents(s, dir), "doc_id", "text")),
 
+    // benchmark decontamination: word-4-gram overlap of the corpus (doc_id %
+    // 17 != 0) against the benchmark split (doc_id % 17 == 0), GPT-3-style
+    // any-collision contamination flag; benchmark n-grams broadcast
+    "text_contam" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.CurationOps.ngramOverlap(
+        d.where(col("doc_id") % 17 =!= 0), d.where(col("doc_id") % 17 === 0),
+        "doc_id", "text", k = 4)
+    }),
+
+    // end-to-end curation: exact-dedup canonical ∧ decontaminated ∧
+    // length/repetition quality cuts -> the kept corpus
+    "curate_keep" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.CurationOps.curateKeep(
+        d.where(col("doc_id") % 17 =!= 0), d.where(col("doc_id") % 17 === 0),
+        "doc_id", "text", "lang", k = 4, minTokens = 20, maxTopTokenFrac = 0.12)
+    }),
+
     // deterministic stratified sample: per-language keep rates over a
     // content hash of the id — reproducible across engines/partitionings
     "sample_stratified" -> ((s, dir) =>
@@ -831,6 +850,53 @@ object SparkEntry {
            coalesce(CAST(dup_bg AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0)
              AS dup_bigram_frac
          FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id""",
+
+    // 4-grams via 1-based list indexing over range(len-3) (end-exclusive) =
+    // Spark's sequence(0, size-4) shingle starts; corpus/bench split on
+    // doc_id % 17; DISTINCT-per-doc overlap counts, any-collision flag
+    "text_contam" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         g AS (SELECT doc_id, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3]
+                 || ' ' || tks[i+4] AS s
+               FROM d, unnest(range(len(tks) - 3)) t(i) WHERE len(tks) >= 4),
+         bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 17 = 0),
+         corp AS (SELECT doc_id, count(DISTINCT s) n_shingles,
+                    count(DISTINCT s) FILTER (s IN (SELECT s FROM bench)) n_overlap
+                  FROM g WHERE doc_id % 17 != 0 GROUP BY 1)
+         SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           n_overlap > 0 AS contaminated
+         FROM corp ORDER BY doc_id""",
+
+    // composition of the text_contam, text_repetition and dedup_exact_map
+    // oracles restricted to the corpus split, with the keep thresholds
+    // applied; fractions are IEEE divisions of exact integers on both sides
+    "curate_keep" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 17 != 0),
+         d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         g AS (SELECT doc_id, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3]
+                 || ' ' || tks[i+4] AS s
+               FROM d, unnest(range(len(tks) - 3)) t(i) WHERE len(tks) >= 4),
+         bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 17 = 0),
+         contam AS (SELECT doc_id FROM g WHERE doc_id % 17 != 0
+                    GROUP BY 1
+                    HAVING count(DISTINCT s) FILTER (s IN (SELECT s FROM bench)) > 0),
+         tc AS (SELECT doc_id, tok, count(*) c
+                FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) tok
+                      FROM corpus) GROUP BY 1, 2),
+         rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_tokens,
+                   CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) top_token_frac
+                 FROM tc GROUP BY 1),
+         canon AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY
+                     md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) cid
+                   FROM corpus)
+         SELECT r.doc_id, c2.lang, r.n_tokens, r.top_token_frac
+         FROM rep r
+         JOIN corpus c2 ON c2.doc_id = r.doc_id
+         JOIN canon cn ON cn.doc_id = r.doc_id AND cn.cid = r.doc_id
+         WHERE r.doc_id NOT IN (SELECT doc_id FROM contam)
+           AND r.n_tokens >= 20 AND r.top_token_frac <= 0.12
+         ORDER BY r.doc_id""",
 
     // same 60-bit md5-prefix slot hash as the Spark side; ppm thresholds
     // are floor(rate * 1e6)

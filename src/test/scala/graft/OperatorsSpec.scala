@@ -358,6 +358,43 @@ class OperatorsSpec extends SparkTestBase {
     assert(got(3L) == ((1L, 2L, 0L, "two mails <EMAIL> <EMAIL> one url <URL>")))
   }
 
+  test("ngramOverlap: planted 4-gram collision flags doc, disjoint doc clean") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "he said the quick brown fox ran away"), // shares "the quick brown fox"
+      (2L, "entirely different words in this one here"),
+      (3L, "too short")                             // < 4 tokens: no row
+    ).toDF("doc_id", "text")
+    val got = CurationOps.ngramOverlap(corpus, bench, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((5L, 1L, true))) // 5 windows; only "the quick brown fox" is in bench
+    assert(got(2L) == ((4L, 0L, false)))
+    assert(!got.contains(3L))
+    // benchmark membership is a broadcast join; corpus never shuffles on the
+    // shingle key (one id-exchange from the shingle window, nothing after)
+    val plan = CurationOps.ngramOverlap(corpus, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("curateKeep drops dup/contaminated/repetitive/short docs, keeps clean") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val clean = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, clean, "en"),                                    // kept
+      (2L, clean, "en"),                                    // exact dup of 1 -> dropped
+      (3L, clean + " alpha beta gamma delta", "en"),        // contaminated -> dropped
+      (4L, (1 to 30).map(_ => "spam").mkString(" "), "en"), // top_token_frac 1.0 -> dropped
+      (5L, "few tokens only here", "en")                    // < 20 tokens -> dropped
+    ).toDF("doc_id", "text", "lang")
+    val kept = CurationOps.curateKeep(corpus, bench, "doc_id", "text", "lang")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("tokenHistogram counts frequencies and doc frequencies exactly") {
     import spark.implicits._
     val fixture = Seq(
