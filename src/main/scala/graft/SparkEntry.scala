@@ -337,6 +337,13 @@ object SparkEntry {
         "doc_id", "text", "lang", k = 4, minTokens = 20, maxTopTokenFrac = 0.12)
     }),
 
+    // sequence packing: concat docs in id order, cut into 512-token training
+    // chunks (docs split across cut points); distributed prefix sum + map-
+    // side span arithmetic
+    "corpus_pack" -> ((s, dir) =>
+      operators.CurationOps.packChunks(Tables.documents(s, dir),
+        "doc_id", "text", chunkTokens = 512)),
+
     // deterministic stratified sample: per-language keep rates over a
     // content hash of the id — reproducible across engines/partitionings
     "sample_stratified" -> ((s, dir) =>
@@ -897,6 +904,23 @@ object SparkEntry {
          WHERE r.doc_id NOT IN (SELECT doc_id FROM contam)
            AND r.n_tokens >= 20 AND r.top_token_frac <= 0.12
          ORDER BY r.doc_id""",
+
+    // inclusive running token count over doc_id order (sum OVER = Spark's
+    // bucketed prefix scan); chunk ids via BIGINT floor division (`//` =
+    // Spark's `div`) on exact longs; range end-exclusive = sequence
+    // inclusive + 1
+    "corpus_pack" ->
+      """WITH t AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n
+                    FROM documents),
+         c AS (SELECT doc_id, n,
+                 CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) cum FROM t),
+         s AS (SELECT doc_id, n, cum - n AS strt, cum FROM c WHERE n > 0)
+         SELECT CAST(b AS BIGINT) AS chunk_id, doc_id,
+           CAST(greatest(0, b * 512 - strt) AS BIGINT) AS tok_from,
+           CAST(least(n, (b + 1) * 512 - strt) AS BIGINT) AS tok_to
+         FROM s, unnest(range(strt // 512, ((cum - 1) // 512) + 1)) u(b)
+         ORDER BY chunk_id, doc_id""",
 
     // same 60-bit md5-prefix slot hash as the Spark side; ppm thresholds
     // are floor(rate * 1e6)

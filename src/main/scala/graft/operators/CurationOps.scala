@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination + end-to-end corpus curation.
@@ -86,5 +88,85 @@ object CurationOps {
       .where(col("n_tokens") >= minTokens &&
         col("top_token_frac") <= maxTopTokenFrac)
       .select(col(idCol), col(langCol), col("n_tokens"), col("top_token_frac"))
+  }
+
+  /** Distributed inclusive prefix sum of `valueCol` in `orderCol` order,
+    * appended as `cumCol` — the same two-pass parallel-scan shape as
+    * [[graft.ts.Align]]'s bucketed ffill: quantile-bucket by the order key
+    * (skew-robust), per-bucket window sums, an O(buckets)-row driver prefix
+    * of bucket totals broadcast back as carry-ins. One shuffle + one tiny
+    * broadcast at any data size; a naive `Window.orderBy` with no
+    * partitioning would pull the corpus through ONE task.
+    *
+    * `orderCol` must be numeric, non-null and UNIQUE per row (ties make an
+    * inclusive running sum engine-dependent); `valueCol` must be non-null
+    * integral.
+    */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+      cumCol: String = "cum", buckets: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val nb = if (buckets > 0) buckets else spark.sparkContext.defaultParallelism
+    val cached = graft.CacheScope.persist(df)
+    val oc = col(orderCol).cast("long")
+    // quantile cuts ride the same single aggregation as the row count
+    val probs = (1 until nb).map(_.toDouble / nb)
+    val r = cached.agg(count(lit(1)).as("n"),
+      (if (probs.nonEmpty) percentile_approx(oc, array(probs.map(lit): _*), lit(1000))
+       else array()).as("cuts")).head()
+    if (r.getLong(0) == 0L) return df.withColumn(cumCol, lit(0L))
+    val cuts: Seq[Long] =
+      if (probs.isEmpty) Nil else r.getSeq[Long](1).distinct.sorted
+    val bucketOf = cuts.zipWithIndex.reverse.foldLeft(lit(cuts.length.toLong): Column) {
+      case (acc, (c, i)) => when(oc < lit(c), lit(i.toLong)).otherwise(acc)
+    }
+    val withB = cached.withColumn("__b", bucketOf)
+    // bucket totals -> driver prefix scan -> broadcast carry-ins
+    val totals = withB.groupBy(col("__b"))
+      .agg(sum(col(valueCol).cast("long")).as("__s")).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val carryIn = totals.map { case (b, s) => val in = Row(b, acc); acc += s; in }
+    val carryDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(carryIn.toSeq, 1),
+      StructType(Seq(StructField("__b", LongType), StructField("__carry", LongType))))
+    val w = Window.partitionBy(col("__b")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.withColumn("__ps", sum(col(valueCol).cast("long")).over(w))
+      .join(broadcast(carryDf), Seq("__b"), "left")
+      .withColumn(cumCol, col("__ps") + coalesce(col("__carry"), lit(0L)))
+      .drop("__b", "__ps", "__carry")
+  }
+
+  /** Sequence packing — the concat-and-chunk construction every pretraining
+    * pipeline runs between the curated corpus and the trainer: documents are
+    * concatenated in `idCol` order and cut into fixed `chunkTokens`-token
+    * training sequences, docs spanning cut points split across chunks.
+    *
+    * Output: one row per (chunk, doc) incidence —
+    * `(chunk_id, idCol, tok_from, tok_to)` with `[tok_from, tok_to)` the
+    * 0-based within-doc token span that lands in `chunk_id`; every chunk
+    * except the last covers exactly `chunkTokens` tokens. Deterministic
+    * given ids — independent of partitioning, engine, or rerun.
+    *
+    * Cost: [[prefixSum]]'s one shuffle + carry broadcast; the chunk-span
+    * explosion is map-side arithmetic on exact longs (`div`, no
+    * floating-point floor — survives token offsets past 2^53).
+    */
+  def packChunks(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Long): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val counts = df.select(col(idCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("__n"))
+    prefixSum(counts, idCol, "__n", "__cum")
+      .where(col("__n") > 0)
+      .withColumn("__start", col("__cum") - col("__n"))
+      .withColumn("chunk_id",
+        explode(sequence(expr(s"__start div ${chunkTokens}L"),
+          expr(s"(__cum - 1L) div ${chunkTokens}L"))))
+      .select(col("chunk_id").cast("bigint").as("chunk_id"), col(idCol),
+        greatest(lit(0L), col("chunk_id") * chunkTokens - col("__start"))
+          .cast("bigint").as("tok_from"),
+        least(col("__n"), (col("chunk_id") + 1) * chunkTokens - col("__start"))
+          .cast("bigint").as("tok_to"))
   }
 }

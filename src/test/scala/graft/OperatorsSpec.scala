@@ -395,6 +395,42 @@ class OperatorsSpec extends SparkTestBase {
     assert(kept == Set(1L))
   }
 
+  test("prefixSum matches the single-window result under repartitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 1000L).map(i => (i, rnd.nextInt(50).toLong))
+    val df = rows.toDF("id", "v").repartition(17) // scatter input arbitrarily
+    val got = CurationOps.prefixSum(df, "id", "v", "cum", buckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    var acc = 0L
+    rows.foreach { case (i, v) =>
+      acc += v
+      assert(got(i) == acc, s"cum mismatch at id=$i")
+    }
+    graft.CacheScope.release()
+  }
+
+  test("packChunks: exact spans, every chunk full except the last") {
+    import spark.implicits._
+    // 3+4+2 tokens, chunk budget 5 -> chunk0 = doc1[0,3)+doc2[0,2),
+    // chunk1 = doc2[2,4)+doc3[0,2)
+    val fixture = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i")).toDF("doc_id", "text")
+    val got = CurationOps.packChunks(fixture, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((0L, 1L, 0L, 3L), (0L, 2L, 0L, 2L),
+      (1L, 2L, 2L, 4L), (1L, 3L, 0L, 2L)))
+    // invariant on real data: every chunk except the max covers exactly K
+    val K = 128L
+    val spans = CurationOps.packChunks(docs, "doc_id", "text", K)
+      .groupBy(col("chunk_id")).agg(sum(col("tok_to") - col("tok_from")).as("sz"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val last = spans.keys.max
+    assert(spans.filter(_._1 != last).values.forall(_ == K))
+    assert(spans(last) <= K)
+    graft.CacheScope.release()
+  }
+
   test("tokenHistogram counts frequencies and doc frequencies exactly") {
     import spark.implicits._
     val fixture = Seq(
