@@ -133,6 +133,44 @@ object ScaleSmoke {
       // keep decisions are uniform enough for a wide sanity band
       require(kept > 10000 && kept < 17000, s"stratified sample kept $kept, expected ~13k")
     }
+    time("decontamination: 1M docs vs 2k-doc benchmark") {
+      // benchmark = blocks 0..39 (2k docs); corpus = the other 980k PLUS
+      // 2k planted copies of benchmark texts under fresh ids — every
+      // planted id must be flagged (exactness), the rest of the corpus
+      // only collides at the ~4-gram-birthday rate. Bench n-grams
+      // broadcast; corpus shuffles once (the shingle window's id key).
+      val bench = syntheticDocs(spark, 2000)
+      val planted = bench.select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val corpus = syntheticDocs(spark, 1000000).where(col("doc_id") >= 2000)
+        .unionByName(planted)
+      val ov = operators.CurationOps.ngramOverlap(corpus, bench, "doc_id", "text", k = 4)
+      val plan = ov.queryExecution.executedPlan.toString
+      require(plan.contains("BroadcastHashJoin"),
+        "benchmark membership must be a broadcast join")
+      val flaggedPlanted = ov.where(col("contaminated") && col("doc_id") >= 2000000L).count()
+      require(flaggedPlanted == 2000L,
+        s"all 2000 planted benchmark copies must be flagged, got $flaggedPlanted")
+      val flagged = ov.where(col("contaminated")).count()
+      println(s"[scale]   flagged $flagged of 1M docs (2000 planted + background collisions)")
+    }
+    time("sequence packing: 1M docs into 2048-token chunks") {
+      // 60M tokens -> ~29.3k chunks through the distributed prefix sum; no
+      // global-order window anywhere in the plan, and every chunk except
+      // the last must hold exactly 2048 tokens
+      val K = 2048L
+      val packed = operators.CurationOps.packChunks(
+        syntheticDocs(spark, 1000000), "doc_id", "text", K)
+      require(packed.queryExecution.executedPlan.toString
+          .linesIterator.filter(_.contains("windowspecdefinition"))
+          .forall(_.contains("__b")),
+        "packing windows must be bucket-partitioned, not global")
+      val sizes = packed.groupBy(col("chunk_id"))
+        .agg(sum(col("tok_to") - col("tok_from")).as("sz"))
+      val bad = sizes.where(col("sz") =!= K).collect()
+      val total = 1000000L * 60L
+      require(bad.length <= 1 && bad.forall(_.getLong(1) == total % K),
+        s"every chunk but the tail must hold exactly $K tokens: ${bad.mkString(",")}")
+    }
     time("connected components: 10M star edges + 64k-node chain") {
       // 1M disjoint 11-node stars (components known exactly by
       // construction) + one 65536-node path at a disjoint id range — the
