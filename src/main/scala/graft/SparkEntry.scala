@@ -403,6 +403,13 @@ object SparkEntry {
       operators.SimilarityOps.nearDupPairs(emb, "vec_id", "embedding", 0.4)
     }),
 
+    // SemDeDup: near-dup pairs -> transitive clusters -> keep one
+    // representative per cluster (exact pair path at this threshold)
+    "semdedup_keep" -> ((s, dir) =>
+      operators.SimilarityOps.semanticDedupKeep(
+        Tables.embeddings(s, dir).where(col("vec_id") < 500),
+        "vec_id", "embedding", 0.4)),
+
     // point-in-time (as-of) join of features onto an arbitrary spine —
     // the training-set constructor
     "fs_asof_spine" -> ((s, dir) => {
@@ -1042,6 +1049,27 @@ object SparkEntry {
           FROM dots JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
           WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.4
           ORDER BY 1, 2""",
+
+    // transitive closure over the emb_neardup pair set; kept = singletons
+    // plus each cluster's min id (DuckDB needs RECURSIVE on the first CTE
+    // of the chain even though only `reach` recurses)
+    "semdedup_keep" ->
+      s"""WITH RECURSIVE $embFlat,
+          f5 AS (SELECT * FROM flat WHERE vec_id < 500),
+          dots AS (SELECT a.vec_id ia, b.vec_id ib, sum(a.x * b.x) dot
+                   FROM f5 a JOIN f5 b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+          pairs AS (SELECT ia a, ib b
+            FROM dots JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
+            WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.4),
+          sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+          reach(id, r) AS (SELECT DISTINCT a, a FROM sym
+                           UNION SELECT s.a, rc.r FROM sym s JOIN reach rc ON s.b = rc.id),
+          comp AS (SELECT id, min(r) component FROM reach GROUP BY id)
+          SELECT f.vec_id, coalesce(c.component, f.vec_id) AS component
+          FROM (SELECT DISTINCT vec_id FROM flat WHERE vec_id < 500) f
+          LEFT JOIN comp c ON c.id = f.vec_id
+          WHERE c.component IS NULL OR c.component = f.vec_id
+          ORDER BY f.vec_id""",
 
     "mm_media_meta" ->
       """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes, 'fake/rgb8' AS format

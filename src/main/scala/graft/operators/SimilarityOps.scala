@@ -300,6 +300,29 @@ object SimilarityOps {
       rhpNearDupPairs(df, idCol, vecCol, minCosine, bands, rowsPerBand, seed, maxBucket)
     else cosineNearDupPairs(df, idCol, vecCol, minCosine, blocks)
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540, re-expressed over this module's exact/LSH pair
+    * machinery): embedding near-duplicate PAIRS → transitive clusters →
+    * keep the min-id representative of each cluster (singletons keep
+    * themselves). Returns `(idCol, component)` for KEPT rows only —
+    * `component` is the cluster label the row represents, so the dropped
+    * set is recoverable by anti-join.
+    *
+    * Composition of [[nearDupPairs]] (routing and its cost model documented
+    * there) and [[DedupOps.connectedComponents]] (logarithmic-round star
+    * contraction) — both already 100 TB-shaped; the final keep is one
+    * id-keyed left join against the tiny (|clustered nodes|) label map.
+    */
+  def semanticDedupKeep(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, vecCol, minCosine)
+    val cc = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+    df.select(col(idCol))
+      .join(cc, col(idCol) === cc("id"), "left")
+      .where(col("component").isNull || col("component") === col(idCol))
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
+  }
+
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

@@ -395,6 +395,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(kept == Set(1L))
   }
 
+  test("semanticDedupKeep keeps one representative per planted cluster") {
+    import spark.implicits._
+    // ids 1,2,3 share a vector (one cluster), 10 and 20 are orthogonal
+    val v = Array(1.0, 0.0, 0.5, 0.25)
+    val fixture = Seq(
+      (1L, v), (2L, v), (3L, v),
+      (10L, Array(0.0, 1.0, -0.5, 0.0)),
+      (20L, Array(-1.0, 0.0, 0.0, 0.9))).toDF("vec_id", "embedding")
+    val kept = SimilarityOps.semanticDedupKeep(fixture, "vec_id", "embedding", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(1L -> 1L, 10L -> 10L, 20L -> 20L))
+    graft.CacheScope.release()
+  }
+
   test("prefixSum matches the single-window result under repartitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
