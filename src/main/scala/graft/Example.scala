@@ -69,6 +69,13 @@ object Example {
     operators.TextOps.redactionStats(docs, "doc_id", "text")
       .where(col("n_urls") + col("n_emails") + col("n_phones") > 0)
       .show(truncate = false)
+    println("benchmark decontamination (docs 1-2 share 4-grams with the eval set):")
+    val evalSet = spark.createDataFrame(Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"))).toDF("doc_id", "text")
+    operators.CurationOps.ngramOverlap(docs, evalSet, "doc_id", "text").show()
+    println("sequence packing into 16-token training chunks:")
+    operators.CurationOps.packChunks(docs, "doc_id", "text", chunkTokens = 16)
+      .orderBy("chunk_id", "doc_id").show()
     // done with the operator caches this tour created
     CacheScope.release()
     spark.stop()

@@ -47,6 +47,27 @@ class PlanSpec extends SparkTestBase {
       "no window may partition by the unpacked (band, key) pair")
   }
 
+  test("text_contam: benchmark broadcast, corpus shuffles once on the doc id") {
+    val p = plan("text_contam")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark n-gram membership must be a broadcast join")
+    // the ONLY non-broadcast exchanges allowed are the corpus shingle
+    // window's id shuffle and the (tiny) bench-side distinct — the two
+    // post-join groupBys must reuse the window's id partitioning
+    val wide = p.linesIterator.filter(l =>
+      l.trim.startsWith("+- Exchange") || l.trim.startsWith(":- Exchange") ||
+        l.trim.startsWith("Exchange")).size
+    assert(wide <= 2, s"expected <= 2 hash exchanges (corpus id + bench distinct):\n$p")
+  }
+
+  test("corpus_pack: prefix-sum windows are bucket-partitioned, never global") {
+    val p = plan("corpus_pack")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.contains("__b")),
+      s"packing must use the bucketed prefix scan, not a global-order window:\n$windows")
+  }
+
   test("fs_load_latest: dedup is a partial (map-side) aggregation, not a window sort") {
     val p = plan("fs_load_latest")
     assert(p.contains("partial_max") || p.contains("HashAggregate"),
