@@ -90,6 +90,43 @@ object CurationOps {
       .select(col(idCol), col(langCol), col("n_tokens"), col("top_token_frac"))
   }
 
+  /** Curation accounting — the per-language outcome breakdown every real
+    * curation run reports (what fraction of docs/tokens each rule dropped).
+    * Outcomes use first-failing-rule precedence `duplicate` →
+    * `contaminated` → `short` → `repetitive` → `kept`, so the `kept` rows
+    * are EXACTLY [[curateKeep]]'s result set and the outcome counts
+    * partition the corpus. Output: `(langCol, outcome, n_docs, n_tokens)`.
+    *
+    * Same join graph as [[curateKeep]] (all keyed by the doc id, benchmark
+    * broadcast) plus one tiny final groupBy on (lang, outcome) — partial
+    * aggregates collapse it map-side to ≤ |langs|×5 rows before the
+    * exchange.
+    */
+  def curationReport(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, langCol: String, k: Int = 4, minTokens: Long = 20,
+      maxTopTokenFrac: Double = 0.12): DataFrame = {
+    val rep = TextOps.repetitionStats(docs, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("top_token_frac"))
+    val contaminated = ngramOverlap(docs, bench, idCol, textCol, k)
+      .where(col("contaminated"))
+      .select(col(idCol), lit(1).as("__contam"))
+    val canon = DedupOps.exactDedupMap(docs, idCol, textCol)
+      .select(col(idCol), col("canonical_id"))
+    docs.select(col(idCol), col(langCol))
+      .join(rep, Seq(idCol))
+      .join(canon, Seq(idCol))
+      .join(contaminated, Seq(idCol), "left")
+      .withColumn("outcome",
+        when(col("canonical_id") =!= col(idCol), "duplicate")
+          .when(col("__contam") === 1, "contaminated")
+          .when(col("n_tokens") < minTokens, "short")
+          .when(col("top_token_frac") > maxTopTokenFrac, "repetitive")
+          .otherwise("kept"))
+      .groupBy(col(langCol), col("outcome"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("n_tokens"))
+  }
+
   /** Distributed inclusive prefix sum of `valueCol` in `orderCol` order,
     * appended as `cumCol` — the same two-pass parallel-scan shape as
     * [[graft.ts.Align]]'s bucketed ffill: quantile-bucket by the order key

@@ -393,6 +393,13 @@ class OperatorsSpec extends SparkTestBase {
     val kept = CurationOps.curateKeep(corpus, bench, "doc_id", "text", "lang")
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L))
+    // the report assigns each doc its first-failing rule and partitions the corpus
+    val report = CurationOps.curationReport(corpus, bench, "doc_id", "text", "lang")
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(report == Map(
+      "kept" -> ((1L, 30L)), "duplicate" -> ((1L, 30L)),
+      "contaminated" -> ((1L, 34L)), "repetitive" -> ((1L, 30L)),
+      "short" -> ((1L, 4L))))
   }
 
   test("semanticDedupKeep keeps one representative per planted cluster") {
