@@ -76,4 +76,48 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  // n >= 1: an empty string still tokenizes to one (empty) token in both
+  // Spark and DuckDB (split('', ' ') = ['']), so zero-token docs don't exist
+  private val docsGen: Gen[List[(Long, Int)]] =
+    Gen.listOfN(60, Gen.choose(1, 10)).map(_.zipWithIndex.map {
+      case (n, i) => (i.toLong, n)
+    })
+
+  test("property: packChunks spans partition the concatenated token stream") {
+    import spark.implicits._
+    (1 to 5).flatMap(i => docsGen.apply(Gen.Parameters.default, Seed(100L + i)))
+      .foreach { rows =>
+        val docs = rows.map { case (id, n) =>
+          (id, (0 until n).map(j => s"t$j").mkString(" "))
+        }.toDF("doc_id", "text")
+        val k = 7L
+        val spans = operators.CurationOps.packChunks(docs, "doc_id", "text", k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        // within-doc spans are contiguous, non-empty and cover [0, n)
+        val byDoc = spans.groupBy(_._2)
+        val nOf = rows.toMap
+        byDoc.foreach { case (id, ss) =>
+          val sorted = ss.sortBy(_._1)
+          assert(sorted.head._3 == 0L && sorted.last._4 == nOf(id).toLong)
+          assert(sorted.forall { case (_, _, a, b) => a < b })
+          sorted.sliding(2).foreach {
+            case Array((c1, _, _, b1), (c2, _, a2, _)) =>
+              assert(c2 == c1 + 1 && a2 == b1)
+            case _ =>
+          }
+        }
+        // every doc appears (no doc is lost at a chunk boundary)
+        assert(byDoc.keySet == rows.map(_._1).toSet)
+        // every chunk except the last holds exactly k tokens
+        val perChunk = spans.groupBy(_._1).view
+          .mapValues(_.map(s => s._4 - s._3).sum).toMap
+        if (perChunk.nonEmpty) {
+          val last = perChunk.keys.max
+          assert(perChunk.filter(_._1 != last).values.forall(_ == k))
+          assert(perChunk(last) <= k)
+        }
+        graft.CacheScope.release()
+      }
+  }
 }
