@@ -133,6 +133,35 @@ object ScaleSmoke {
       // keep decisions are uniform enough for a wide sanity band
       require(kept > 10000 && kept < 17000, s"stratified sample kept $kept, expected ~13k")
     }
+    time("incremental dedup: 200k-doc store build") {
+      operators.DedupOps.buildMinhashStore(syntheticDocs(spark, 200000),
+        "doc_id", "text", "/tmp/graft_scale_mhstore")
+    }
+    time("incremental dedup: 5k probe vs 200k store") {
+      // realistic batch: 4900 FRESH docs (disjoint text blocks, ids spaced
+      // 50 so every fresh doc is unique) + 100 planted copies of corpus
+      // blocks 0-1. Every planted doc must rediscover its block's corpus
+      // dups WITHOUT re-running the corpus-side signature pass (store sigs
+      // are read, store rows outside probe buckets pruned map-side).
+      val vocab = array((0 until 50).map(i => lit(s"w$i")): _*)
+      val fresh = spark.range(150000000000L, 150000000000L + 4900L * 50, 50).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(59)),
+          i => element_at(vocab,
+            (pmod(xxhash64(expr("id div 50") * 100 + i), lit(50)) + 1)
+              .cast("int")))).as("text"))
+      val planted = syntheticDocs(spark, 100)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("text"))
+      val pairs = operators.DedupOps.incrementalNearDupPairs(
+        fresh.unionByName(planted), "doc_id", "text", "/tmp/graft_scale_mhstore")
+      val n = pairs.count()
+      val plantedSeen = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .where(col("id") >= 4000000L && col("id") < 5000000L).distinct().count()
+      require(plantedSeen == 100L,
+        s"all 100 planted copies must find their block dups, got $plantedSeen")
+      println(s"[scale]   $n incremental pairs (old-old excluded)")
+    }
     time("decontamination: 1M docs vs 2k-doc benchmark") {
       // benchmark = blocks 0..39 (2k docs); corpus = the other 980k PLUS
       // 2k planted copies of benchmark texts under fresh ids — every

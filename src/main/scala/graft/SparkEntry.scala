@@ -292,6 +292,19 @@ object SparkEntry {
       operators.DedupOps.simhashNearDupPairs(Tables.documents(s, dir),
         "doc_id", "text", maxHamming = 3)),
 
+    // incremental dedup: build a signature store from docs < 250, probe
+    // docs >= 250 against it (old-new + new-new pairs only; the corpus-side
+    // minhash pass runs once, probes prune store rows by the probe's
+    // bucket set)
+    "dedup_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_minhash_store_gate"
+      operators.DedupOps.buildMinhashStore(
+        d.where(col("doc_id") < 250), "doc_id", "text", path)
+      operators.DedupOps.incrementalNearDupPairs(
+        d.where(col("doc_id") >= 250), "doc_id", "text", path)
+    }),
+
     // text-analysis signals: token counts, punct/stopword counts, quality
     "text_stats" -> ((s, dir) =>
       operators.TextOps.textStats(Tables.documents(s, dir), "doc_id", "text")),
@@ -737,6 +750,28 @@ object SparkEntry {
          FROM f ORDER BY doc_id""",
 
     "dedup_minhash_lsh" -> jaccardOracle,
+
+    // same ground truth restricted to pairs touching the new split
+    // (doc_id >= 250), but over 31-bit shingle-hash sets — exactly what the
+    // store persists; both engines hash identically so sizes agree by
+    // construction
+    "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         g AS (SELECT DISTINCT doc_id, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3] AS s
+               FROM d, unnest(range(len(tks) - 2)) t(i) WHERE len(tks) >= 3),
+         h AS (SELECT DISTINCT doc_id,
+                 CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % 2147483648 AS hh
+               FROM g),
+         sizes AS (SELECT doc_id, count(*) n FROM h GROUP BY 1),
+         inter AS (SELECT a.doc_id ia, b.doc_id ib, count(*) isz
+                   FROM h a JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id
+                   WHERE a.doc_id >= 250 OR b.doc_id >= 250
+                   GROUP BY 1, 2)
+         SELECT ia id_a, ib id_b, CAST(isz AS BIGINT) intersect_size,
+           CAST(sa.n + sb.n - isz AS BIGINT) union_size
+         FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+         WHERE 2 * isz >= (sa.n + sb.n - isz)
+         ORDER BY 1, 2""",
     "dedup_ngram_jaccard" -> jaccardOracle,
 
     "dedup_simhash" ->

@@ -114,6 +114,98 @@ object DedupOps {
       thresholdNum, thresholdDen)
   }
 
+  /** (id, sig: array<bigint>[numHashes], hs: sorted array<bigint> of the
+    * doc's DISTINCT 31-bit shingle base hashes) — one groupBy: the minhash
+    * partial-min aggregates and the hash-set collection share the single
+    * id shuffle. `hs` stands in for the shingle set at ~8 bytes/shingle
+    * (verification Jaccard over hash sets differs from string sets only on
+    * md5 collisions, and both engines hash identically, so oracles agree
+    * BY CONSTRUCTION even when collisions happen).
+    */
+  private def sigAndHashes(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int): DataFrame = {
+    val rows = TextOps.shingleRows(df, idCol, textCol, shingleK)
+    val exploded = rows.select(col("id"), pmod(baseHash(col("s")), lit(1L << 31)).as("h"))
+    val coeffs = hashCoeffs(numHashes)
+    val minAggs = coeffs.zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("h") * a + b, lit(MersennePrime31))).as(s"m$j")
+    }
+    exploded.groupBy(col("id"))
+      .agg(minAggs.head, (minAggs.tail :+ collect_set(col("h")).as("hs")): _*)
+      .select(col("id"),
+        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"),
+        sort_array(col("hs")).as("hs"))
+  }
+
+  /** Banded (id, band, key) rows from stored signature arrays. */
+  private def bandRows(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("id"), posexplode(array((0 until bands).map(b =>
+        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("key"))
+
+  /** Build (overwrite) a persisted minhash store at `path`: one parquet row
+    * per doc with the signature and the verification hash set. Compute the
+    * signatures ONCE, then dedup every future batch against the corpus with
+    * [[incrementalNearDupPairs]] — at 100 TB the corpus-side md5+minhash
+    * pass is the expensive part and must not be repeated per probe.
+    */
+  def buildMinhashStore(df: DataFrame, idCol: String, textCol: String,
+      path: String, shingleK: Int = 3, numHashes: Int = 128): Unit =
+    sigAndHashes(df, idCol, textCol, shingleK, numHashes)
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a new batch's signatures to the store (call AFTER probing the
+    * batch with [[incrementalNearDupPairs]]; ids must be new to the store).
+    */
+  def appendMinhashStore(df: DataFrame, idCol: String, textCol: String,
+      path: String, shingleK: Int = 3, numHashes: Int = 128): Unit =
+    sigAndHashes(df, idCol, textCol, shingleK, numHashes)
+      .write.mode("append").parquet(path)
+
+  /** Near-dup pairs of a NEW batch against a persisted corpus store (plus
+    * new-new pairs), without re-pairing the corpus: the incremental shape
+    * of [[minhashLshPairs]], same banding/threshold semantics, output
+    * restricted to pairs touching >= 1 new id. New ids must be disjoint
+    * from stored ids.
+    *
+    * Scale: the store is SCANNED (sig column only — no md5/minhash
+    * recompute) but only rows whose bucket also appears in the probe batch
+    * survive to the shuffle: the probe's bucket set is broadcast and old
+    * rows are pruned map-side (probe batches are small next to the corpus
+    * — a day's crawl vs 100 TB). Verification joins hash sets only for ids
+    * that appear in surviving candidates.
+    */
+  def incrementalNearDupPairs(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String, shingleK: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
+      thresholdNum: Int = 1, thresholdDen: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val spark = newDocs.sparkSession
+    val old = spark.read.parquet(path)
+    val fresh = graft.CacheScope.persist(
+      sigAndHashes(newDocs, idCol, textCol, shingleK, bands * rowsPerBand))
+    def pack(d: DataFrame) = bandRows(d, bands, rowsPerBand)
+      .select(col("id"), xxhash64(col("band"), col("key")).as("__bucket"))
+    val newPacked = pack(fresh)
+    // map-side prune: only store rows in buckets the probe batch touches
+    val oldPruned = pack(old.select(col("id"), col("sig")))
+      .join(broadcast(newPacked.select(col("__bucket")).distinct()),
+        Seq("__bucket"), "left_semi")
+    val cands = packedCandidatePairs(newPacked.unionByName(oldPruned), maxBucket)
+    val nids = fresh.select(col("id"))
+    // old-old pairs inside a shared bucket were found when the store side
+    // was deduped — keep only pairs touching the new batch
+    val touchingNew = cands
+      .join(broadcast(nids.select(col("id").as("id_a"), lit(1).as("__na"))),
+        Seq("id_a"), "left")
+      .join(broadcast(nids.select(col("id").as("id_b"), lit(1).as("__nb"))),
+        Seq("id_b"), "left")
+      .where(col("__na").isNotNull || col("__nb").isNotNull)
+      .select(col("id_a"), col("id_b"))
+    val docs = old.select(col("id"), col("hs").as("sh"))
+      .unionByName(fresh.select(col("id"), col("hs").as("sh")))
+    verifyJaccard(touchingNew, docs, thresholdNum, thresholdDen)
+  }
+
   /** Observed-metrics name for LSH bucket accounting (see
     * [[bandedCandidatePairs]]): read via `df.observe` listener or
     * `qe.observedMetrics` after an action on the result.
@@ -133,7 +225,16 @@ object DedupOps {
     * buckets, max bucket size) so lost clique recall is visible, not
     * silent.
     */
-  def bandedCandidatePairs(banded: DataFrame, maxBucket: Int = 1000): DataFrame = {
+  def bandedCandidatePairs(banded: DataFrame, maxBucket: Int = 1000): DataFrame =
+    packedCandidatePairs(
+      banded.select(col("id"), xxhash64(col("band"), col("key")).as("__bucket")),
+      maxBucket)
+
+  /** [[bandedCandidatePairs]] over rows whose (band, key) is already packed
+    * into a 64-bit `__bucket` — the incremental path pre-packs so it can
+    * prune store rows against the probe's bucket set before any shuffle.
+    */
+  private def packedCandidatePairs(packed: DataFrame, maxBucket: Int): DataFrame = {
     // Bucket cardinality ≈ row count at corpus scale (nearly every bucket
     // is a singleton), so ANY groupBy over (band, key) — even a codegen'd
     // count — builds a hash map with one entry per row (measured: the
@@ -151,7 +252,6 @@ object DedupOps {
     // pairs that the callers' exact verification discards — correctness is
     // unaffected, expected extra work ~n²·2⁻⁶⁴ pairs.
     import org.apache.spark.sql.expressions.Window
-    val packed = banded.select(col("id"), xxhash64(col("band"), col("key")).as("__bucket"))
     val sized = packed.withColumn("__n",
       count(lit(1)).over(Window.partitionBy(col("__bucket"))))
     val buckets = sized.where(col("__n") > 1)

@@ -402,6 +402,24 @@ class OperatorsSpec extends SparkTestBase {
       "short" -> ((1L, 4L))))
   }
 
+  test("incremental near-dup == full-corpus pairs touching the new split") {
+    val path = tmpDir("mhstore")
+    val split = 200L
+    DedupOps.buildMinhashStore(docs.where(col("doc_id") < split), "doc_id", "text", path)
+    val inc = DedupOps.incrementalNearDupPairs(
+        docs.where(col("doc_id") >= split), "doc_id", "text", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allPairs: Set[(Long, Long)] = DedupOps.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = allPairs.filter { case (a, b) => a >= split || b >= split }
+    assert(full.nonEmpty, "fixture must contain pairs that touch the new split")
+    assert(inc == full)
+    // appending the probe batch makes the store answer future probes
+    DedupOps.appendMinhashStore(docs.where(col("doc_id") >= split), "doc_id", "text", path)
+    assert(spark.read.parquet(path).count() == docs.count())
+    graft.CacheScope.release()
+  }
+
   test("semanticDedupKeep keeps one representative per planted cluster") {
     import spark.implicits._
     // ids 1,2,3 share a vector (one cluster), 10 and 20 are orthogonal
