@@ -214,6 +214,59 @@ object Fixtures {
       out
     })
 
+  private val incDedupMb = TrieMap[String, String]()
+
+  /** TRUE multi-micro-batch incremental dedup materialized once per
+    * (JVM, sf): a store is built from docs < 250, docs >= 250 are split
+    * into three source FILES (distinct mtimes pin processing order) and
+    * streamed with maxFilesPerTrigger=1 under AvailableNow through
+    * [[graft.streaming.StreamingOps.dedupIncrementalAvailableNow]] — each
+    * micro-batch probes the store and then appends its own signatures, so
+    * cross-batch pairs (an early doc duplicated by a later one) must be
+    * found by the LATER batch against the grown store. The drained pair
+    * set must equal the one-shot dedup_incremental oracle.
+    */
+  def incrementalDedupMbPath(spark: SparkSession, sfDir: String): String =
+    incDedupMb.getOrElseUpdate(sfDir, {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"/tmp/graft_fixtures/idm_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val (src, out, cp, store, stage) =
+        (s"$base/src", s"$base/out", s"$base/cp", s"$base/store", s"$base/stage")
+      val hfs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (hfs.exists(new org.apache.hadoop.fs.Path(base)))
+        hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+      hfs.mkdirs(new org.apache.hadoop.fs.Path(src))
+
+      val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      graft.operators.DedupOps.buildMinhashStore(
+        d.where(col("doc_id") < 250), "doc_id", "text", store)
+      val newDocs = d.where(col("doc_id") >= 250)
+      val files = Seq(
+        newDocs.where(col("doc_id") % 3 === 0),
+        newDocs.where(col("doc_id") % 3 === 1),
+        newDocs.where(col("doc_id") % 3 === 2))
+      files.zipWithIndex.foreach { case (df, i) =>
+        val st = s"$stage/$i"
+        df.coalesce(1).write.mode("overwrite").parquet(st)
+        val part = hfs.listStatus(new org.apache.hadoop.fs.Path(st))
+          .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+        val dst = new org.apache.hadoop.fs.Path(s"$src/batch_$i.parquet")
+        hfs.rename(part, dst)
+        hfs.setTimes(dst, 1000000L * (i + 1), -1)
+      }
+      hfs.delete(new org.apache.hadoop.fs.Path(stage), true)
+
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      val q = graft.streaming.StreamingOps.dedupIncrementalAvailableNow(
+        stream, "doc_id", "text", store, out, cp)
+      q.awaitTermination()
+      out
+    })
+
   /** Streaming windowed counts materialized once per (JVM, sf): complete-mode
     * memory sink drained by AvailableNow, persisted to parquet for reuse.
     */

@@ -305,6 +305,12 @@ object SparkEntry {
         d.where(col("doc_id") >= 250), "doc_id", "text", path)
     }),
 
+    // the same incremental dedup as TRUE STREAMING: three micro-batches
+    // probe-then-append against the store; cross-batch pairs must be found
+    // by the later batch. Drained pairs == the one-shot oracle.
+    "stream_dedup_incremental" -> ((s, dir) =>
+      s.read.parquet(Fixtures.incrementalDedupMbPath(s, dir))),
+
     // text-analysis signals: token counts, punct/stopword counts, quality
     "text_stats" -> ((s, dir) =>
       operators.TextOps.textStats(Tables.documents(s, dir), "doc_id", "text")),
@@ -609,7 +615,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleSqlBase +
     // the persisted-index probe computes the same answer as the in-memory
     // IVF search — one oracle, two execution paths
-    ("ann_ivf_persisted" -> oracleSqlBase("ann_ivf_topk"))
+    ("ann_ivf_persisted" -> oracleSqlBase("ann_ivf_topk")) +
+    // micro-batched incremental dedup drains to the same pair set as the
+    // one-shot probe — one oracle, two execution paths
+    ("stream_dedup_incremental" -> oracleSqlBase("dedup_incremental"))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "fs_load_latest" ->

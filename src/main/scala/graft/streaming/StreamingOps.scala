@@ -99,6 +99,36 @@ object StreamingOps {
       }
       .start()
 
+  /** Continuous-crawl dedup: probe each micro-batch of new documents
+    * against the persisted minhash store ([[graft.operators.DedupOps
+    * .incrementalNearDupPairs]]), append discovered pairs to `pairsOut`,
+    * THEN append the batch's own signatures to the store — so later
+    * micro-batches dedup against earlier ones as well as the base corpus.
+    * Any near-dup pair is discovered exactly once (when its later member's
+    * batch is probed), so the drained pair set equals the one-shot batch
+    * probe of the whole stream. AvailableNow + a paced source gives
+    * deterministic catch-up; swap the trigger for a live tail.
+    */
+  def dedupIncrementalAvailableNow(stream: DataFrame, idCol: String,
+      textCol: String, storePath: String, pairsOut: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.persist()
+          graft.operators.DedupOps
+            .incrementalNearDupPairs(b, idCol, textCol, storePath)
+            .write.mode("append").parquet(pairsOut)
+          graft.operators.DedupOps
+            .appendMinhashStore(b, idCol, textCol, storePath)
+          b.unpersist()
+          ()
+        }
+      }
+      .start()
+
   /** Watermarked tumbling-window counts/sums per key. In append mode only
     * watermark-closed windows emit; `complete` emits everything (used by the
     * deterministic AvailableNow gate query).

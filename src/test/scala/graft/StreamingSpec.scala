@@ -125,4 +125,26 @@ class StreamingSpec extends SparkTestBase {
     assert(collectMap(fs.storage.load("p", "v")) ==
       Map(ts("2021-01-01") -> 1.0, ts("2021-01-02") -> 2.0, ts("2021-01-03") -> 3.0))
   }
+
+  test("micro-batched incremental dedup == one-shot probe, incl. cross-batch pairs") {
+    import org.apache.spark.sql.functions._
+    val streamed = spark.read.parquet(Fixtures.incrementalDedupMbPath(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val store = tmpDir("oneshot_store")
+    val d = Tables.documents(spark, dir)
+    graft.operators.DedupOps.buildMinhashStore(
+      d.where(col("doc_id") < 250), "doc_id", "text", store)
+    val oneShot = graft.operators.DedupOps.incrementalNearDupPairs(
+        d.where(col("doc_id") >= 250), "doc_id", "text", store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == oneShot)
+    // the fixture's mod-3 batch split must include new-new pairs whose ends
+    // landed in DIFFERENT micro-batches — found only because each batch
+    // appends its signatures before the next probes
+    val crossBatch = streamed.filter { case (a, b) =>
+      a >= 250 && b >= 250 && a % 3 != b % 3
+    }
+    assert(crossBatch.nonEmpty, "fixture must exercise cross-batch discovery")
+    graft.CacheScope.release()
+  }
 }
