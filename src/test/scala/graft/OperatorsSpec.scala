@@ -420,6 +420,29 @@ class OperatorsSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("curation edge cases: empty benchmark, empty store, empty prefix input") {
+    import spark.implicits._
+    val docs5 = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // empty benchmark: nothing can be contaminated
+    val ov = CurationOps.ngramOverlap(docs5, emptyDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(ov == Map(1L -> false, 2L -> false))
+    // empty store: probe finds only new-new pairs
+    val store = tmpDir("empty_store")
+    DedupOps.buildMinhashStore(emptyDocs, "doc_id", "text", store)
+    val selfPair = Seq((10L, "x y z x y z x y"), (11L, "x y z x y z x y"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.incrementalNearDupPairs(selfPair, "doc_id", "text", store)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((10L, 11L)))
+    // empty prefix-sum input keeps the schema contract
+    val cum = CurationOps.prefixSum(
+      Seq.empty[(Long, Long)].toDF("id", "v"), "id", "v")
+    assert(cum.columns.toSeq == Seq("id", "v", "cum") && cum.count() == 0)
+    graft.CacheScope.release()
+  }
+
   test("semanticDedupKeep keeps one representative per planted cluster") {
     import spark.implicits._
     // ids 1,2,3 share a vector (one cluster), 10 and 20 are orthogonal
