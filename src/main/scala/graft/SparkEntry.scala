@@ -371,6 +371,12 @@ object SparkEntry {
       operators.CurationOps.packChunks(Tables.documents(s, dir),
         "doc_id", "text", chunkTokens = 512)),
 
+    // materialized training sequences: the packed spans joined back to
+    // tokens and concatenated per chunk (512 tokens each except the tail)
+    "corpus_pack_text" -> ((s, dir) =>
+      operators.CurationOps.packChunkText(Tables.documents(s, dir),
+        "doc_id", "text", chunkTokens = 512)),
+
     // deterministic stratified sample: per-language keep rates over a
     // content hash of the id — reproducible across engines/partitionings
     "sample_stratified" -> ((s, dir) =>
@@ -1013,6 +1019,25 @@ object SparkEntry {
            CAST(least(n, (b + 1) * 512 - strt) AS BIGINT) AS tok_to
          FROM s, unnest(range(strt // 512, ((cum - 1) // 512) + 1)) u(b)
          ORDER BY chunk_id, doc_id""",
+
+    // corpus_pack's span arithmetic + DuckDB 1-based inclusive list slice
+    // tks[a+1:e] == Spark slice(t, a+1, e-a); fragment order pinned by
+    // doc_id on both sides
+    "corpus_pack_text" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tks
+                    FROM documents),
+         c AS (SELECT doc_id, tks, len(tks) n,
+                 CAST(sum(len(tks)) OVER (ORDER BY doc_id ROWS UNBOUNDED
+                   PRECEDING) AS BIGINT) cum FROM t),
+         s AS (SELECT doc_id, tks, n, cum - n AS strt, cum FROM c WHERE n > 0),
+         sp AS (SELECT CAST(b AS BIGINT) chunk_id, doc_id, tks,
+                  CAST(greatest(0, b * 512 - strt) AS BIGINT) a,
+                  CAST(least(n, (b + 1) * 512 - strt) AS BIGINT) e
+                FROM s, unnest(range(strt // 512, ((cum - 1) // 512) + 1)) u(b))
+         SELECT chunk_id,
+           string_agg(array_to_string(tks[a+1:e], ' '), ' ' ORDER BY doc_id)
+             AS text
+         FROM sp GROUP BY 1 ORDER BY 1""",
 
     // same 60-bit md5-prefix slot hash as the Spark side; ppm thresholds
     // are floor(rate * 1e6)

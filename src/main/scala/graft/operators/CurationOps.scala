@@ -206,4 +206,30 @@ object CurationOps {
         least(col("__n"), (col("chunk_id") + 1) * chunkTokens - col("__start"))
           .cast("bigint").as("tok_to"))
   }
+
+  /** Materialized training sequences: [[packChunks]] spans joined back to
+    * the token arrays and concatenated per chunk — `(chunk_id, text)` with
+    * every chunk except the last holding exactly `chunkTokens` tokens.
+    * This is the frame a writer partitions into train-ready shards.
+    *
+    * Cost on top of the spans: one id-keyed join (span side already
+    * carries the id) and one shuffle on `chunk_id`; fragments order by
+    * doc id inside a sorted-struct aggregate, so output text is
+    * partitioning-independent. A doc appears in at most
+    * ⌈|doc|/chunkTokens⌉+1 chunks, so the join fans out by ~1 — no
+    * amplification at any corpus size.
+    */
+  def packChunkText(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Long): DataFrame = {
+    val spans = packChunks(df, idCol, textCol, chunkTokens)
+    val toks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+    spans.join(toks, Seq(idCol))
+      .select(col("chunk_id"), col(idCol),
+        concat_ws(" ", slice(col("__t"), (col("tok_from") + 1).cast("int"),
+          (col("tok_to") - col("tok_from")).cast("int"))).as("__frag"))
+      .groupBy(col("chunk_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(idCol).as("i"), col("__frag").as("f")))),
+        s => s.getField("f")), " ").as("text"))
+  }
 }

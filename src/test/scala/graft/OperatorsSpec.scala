@@ -482,6 +482,10 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == Set((0L, 1L, 0L, 3L), (0L, 2L, 0L, 2L),
       (1L, 2L, 2L, 4L), (1L, 3L, 0L, 2L)))
+    // materialized chunk text concatenates fragments in doc order
+    val texts = CurationOps.packChunkText(fixture, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts == Map(0L -> "a b c d e", 1L -> "f g h i"))
     // invariant on real data: every chunk except the max covers exactly K
     val K = 128L
     val spans = CurationOps.packChunks(docs, "doc_id", "text", K)
