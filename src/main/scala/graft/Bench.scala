@@ -37,6 +37,11 @@ object Bench {
             false
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        // drop the iteration's tracked operator persists OUTSIDE the timed
+        // window: per-call persists are never reused across calls, so
+        // leftovers are pure memory pressure on later queries (the
+        // ScaleSmoke cross-entry contamination lesson)
+        CacheScope.release()
         System.err.println(f"[bench] $name%-24s $dt%8.2f s" + (if (ok) "" else "  FAILED"))
         if (ok) Some(dt) else None
       }
