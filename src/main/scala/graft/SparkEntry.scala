@@ -390,6 +390,14 @@ object SparkEntry {
           "doc_id", "lang", n = 20)
         .select(col("doc_id"), col("lang"), col("sample_rank"))),
 
+    // token-budget sample: per-lang TOKEN budgets filled in hash order
+    // (corpus mixing by token share)
+    "sample_token_budget" -> ((s, dir) =>
+      operators.SampleOps.tokenBudgetSample(Tables.documents(s, dir),
+          "doc_id", "text", "lang",
+          Map("en" -> 5000L, "de" -> 2000L), defaultBudget = 1000L)
+        .select(col("doc_id"), col("lang"), col("cum_tokens"))),
+
     // connected components: dedup pairs -> duplicate clusters (min-id
     // label) via alternating large-star/small-star contraction. Edges are
     // a deterministic fixture (7-blocks chained every 3rd block) so the
@@ -1047,6 +1055,21 @@ object SparkEntry {
                % 1000000
              < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                          ELSE 100000 END
+         ORDER BY doc_id""",
+
+    // same slot hash + (slot, doc_id) order; inclusive running token sum
+    // within budget (prefix semantics on both sides)
+    "sample_token_budget" ->
+      """WITH t AS (SELECT doc_id, lang, len(string_split(lower(text), ' ')) n,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000000 AS slot
+           FROM documents),
+         c AS (SELECT doc_id, lang, CAST(sum(n) OVER (PARTITION BY lang
+                 ORDER BY slot, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+               FROM t)
+         SELECT doc_id, lang, cum AS cum_tokens FROM c
+         WHERE cum <= CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+                      ELSE 1000 END
          ORDER BY doc_id""",
 
     "sample_quota" ->

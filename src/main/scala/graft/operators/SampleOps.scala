@@ -80,4 +80,33 @@ object SampleOps {
     df.withColumn("sample_rank", row_number().over(w).cast("bigint"))
       .where(col("sample_rank") <= n)
   }
+
+  /** Token-budget sample: per stratum, keep docs in hash order while the
+    * cumulative TOKEN count stays within the stratum's budget — corpus
+    * mixing by token share ("5M tokens of wiki, 1M of code"), the unit
+    * mixtures are actually specified in. Prefix semantics: a doc is kept
+    * iff it fits entirely within the budget at its hash position, so the
+    * kept set is a deterministic prefix of the stratum's hash order
+    * (engine/partitioning/rerun-independent, like every operator here).
+    * Adds `cum_tokens` (the running total through the kept doc).
+    *
+    * Scale shape: one shuffle on the stratum key (per-stratum window,
+    * strata are independent partitions); budgets are a tiny broadcast
+    * table, not a CASE chain.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = 0L, salt: String = ""): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgetDf = budgets.toSeq.toDF("__stratum", "__budget")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(slot(col(idCol), salt), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__n", TextOps.tokenCount(col(textCol)).cast("long"))
+      .withColumn("cum_tokens", sum(col("__n")).over(w))
+      .join(broadcast(budgetDf), df(stratumCol) === col("__stratum"), "left")
+      .where(col("cum_tokens") <= coalesce(col("__budget"), lit(defaultBudget)))
+      .drop("__stratum", "__budget", "__n")
+  }
 }

@@ -327,6 +327,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(q.map(_.getAs[Long]("doc_id")).toSet == again.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("tokenBudgetSample: prefix semantics per stratum, budget respected") {
+    val kept = SampleOps.tokenBudgetSample(docs, "doc_id", "text", "lang",
+        Map("en" -> 500L), defaultBudget = 200L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("cum_tokens")))
+    assert(kept.nonEmpty)
+    val perLang = kept.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    perLang.foreach { case (l, maxCum) =>
+      assert(maxCum <= (if (l == "en") 500L else 200L), s"$l over budget: $maxCum")
+    }
+    // deterministic: same kept set on rerun over a different partitioning
+    val again = SampleOps.tokenBudgetSample(docs.repartition(7), "doc_id", "text",
+        "lang", Map("en" -> 500L), defaultBudget = 200L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+
   test("repetitionStats: exact fractions on crafted docs, single-token safe") {
     import spark.implicits._
     val fixture = Seq(
