@@ -76,6 +76,9 @@ object Example {
     println("sequence packing into 16-token training chunks:")
     operators.CurationOps.packChunks(docs, "doc_id", "text", chunkTokens = 16)
       .orderBy("chunk_id", "doc_id").show()
+    println("materialized training sequences:")
+    operators.CurationOps.packChunkText(docs, "doc_id", "text", chunkTokens = 16)
+      .orderBy("chunk_id").show(truncate = false)
     // done with the operator caches this tour created
     CacheScope.release()
     spark.stop()
