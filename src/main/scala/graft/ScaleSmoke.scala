@@ -200,6 +200,19 @@ object ScaleSmoke {
       require(bad.length <= 1 && bad.forall(_.getLong(1) == total % K),
         s"every chunk but the tail must hold exactly $K tokens: ${bad.mkString(",")}")
     }
+    time("sequence packing: materialize 1M docs of chunk text") {
+      val K = 2048L
+      val chunks = operators.CurationOps.packChunkText(
+        syntheticDocs(spark, 1000000), "doc_id", "text", K)
+      // spot-check materialized width on a sample (full width check is the
+      // span invariant above); count materializes every chunk string
+      val sampled = chunks.where(pmod(col("chunk_id"), lit(997)) === 0)
+        .select(size(split(col("text"), " ")).as("w"), col("chunk_id")).collect()
+      val n = chunks.count()
+      require(n == (1000000L * 60L + K - 1) / K, s"chunk count $n")
+      require(sampled.forall(r => r.getInt(0) == K || r.getLong(1) == n - 1),
+        "sampled chunks must be exactly K tokens wide")
+    }
     time("connected components: 10M star edges + 64k-node chain") {
       // 1M disjoint 11-node stars (components known exactly by
       // construction) + one 65536-node path at a disjoint id range — the
