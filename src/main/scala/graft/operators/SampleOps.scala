@@ -92,7 +92,12 @@ object SampleOps {
     *
     * Scale shape: one shuffle on the stratum key (per-stratum window,
     * strata are independent partitions); budgets are a tiny broadcast
-    * table, not a CASE chain.
+    * table, not a CASE chain. A stratum's whole row set sorts through one
+    * window partition — when budgets are small next to a huge stratum
+    * (the normal case), pre-filter with [[hashSample]] at a rate
+    * comfortably above budget/E[stratum tokens] first, exactly like
+    * [[quotaSample]]'s documented escape: the kept prefix is unchanged as
+    * long as the pre-filter retains every doc the budget admits.
     */
   def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
       stratumCol: String, budgets: Map[String, Long],
