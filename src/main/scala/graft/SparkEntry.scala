@@ -308,7 +308,8 @@ object SparkEntry {
     // probe-then-append against the store; cross-batch pairs must be found
     // by the later batch. Drained pairs == the one-shot oracle.
     "stream_dedup_incremental" -> ((s, dir) =>
-      s.read.parquet(Fixtures.incrementalDedupMbPath(s, dir))),
+      s.read.parquet(Fixtures.incrementalDedupMbPath(s, dir))
+        .select("id_a", "id_b", "intersect_size", "union_size")),
 
     // text-analysis signals: token counts, punct/stopword counts, quality
     "text_stats" -> ((s, dir) =>

@@ -70,9 +70,13 @@ object CurationOps {
     *
     * Output: `(idCol, langCol, n_tokens, top_token_frac)` for kept docs.
     */
-  def curateKeep(docs: DataFrame, bench: DataFrame, idCol: String,
+  def curateKeep(docs0: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, langCol: String, k: Int = 4, minTokens: Long = 20,
       maxTopTokenFrac: Double = 0.12): DataFrame = {
+    // null text = empty text: tokenizes to one empty token (n_tokens = 1),
+    // so such docs flow through every rule (and fail the length cut)
+    // instead of silently vanishing from the inner joins below
+    val docs = docs0.withColumn(textCol, coalesce(col(textCol), lit("")))
     val rep = TextOps.repetitionStats(docs, idCol, textCol)
       .select(col(idCol), col("n_tokens"), col("top_token_frac"))
     val contaminated = ngramOverlap(docs, bench, idCol, textCol, k)
@@ -102,9 +106,13 @@ object CurationOps {
     * aggregates collapse it map-side to ≤ |langs|×5 rows before the
     * exchange.
     */
-  def curationReport(docs: DataFrame, bench: DataFrame, idCol: String,
+  def curationReport(docs0: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, langCol: String, k: Int = 4, minTokens: Long = 20,
       maxTopTokenFrac: Double = 0.12): DataFrame = {
+    // null text = empty text (see [[curateKeep]]) — the partition contract
+    // (outcome counts sum to the corpus size) must hold for crawl rows
+    // with missing text too
+    val docs = docs0.withColumn(textCol, coalesce(col(textCol), lit("")))
     val rep = TextOps.repetitionStats(docs, idCol, textCol)
       .select(col(idCol), col("n_tokens"), col("top_token_frac"))
     val contaminated = ngramOverlap(docs, bench, idCol, textCol, k)

@@ -84,53 +84,57 @@ object DedupOps {
       shingleK: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
       thresholdNum: Int = 1, thresholdDen: Int = 2,
       maxBucket: Int = 1000): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val coeffs = hashCoeffs(numHashes)
     // exploded shingle rows (duplicates fine: min over a multiset equals
     // min over its set), then codegen'd min() aggregates instead of
     // higher-order-function lambdas (those run interpreted per row): one
     // md5 per (doc, shingle), numHashes cheap pmods folded by map-side
     // partial min aggregation — the whole signature pass is
-    // whole-stage-codegen with one shuffle on the doc id.
+    // whole-stage-codegen with one shuffle on the doc id. The signature/
+    // banding math is SHARED with the persisted-store path
+    // ([[sigAndHashes]]/[[bandRows]]) — one implementation, so the
+    // incremental==full equivalence cannot drift.
     val rows = TextOps.shingleRows(df, idCol, textCol, shingleK)
-    val exploded = rows.select(col("id"), pmod(baseHash(col("s")), lit(1L << 31)).as("h"))
-    val minAggs = coeffs.zipWithIndex.map { case ((a, b), j) =>
-      min(pmod(col("h") * a + b, lit(MersennePrime31))).as(s"m$j")
-    }
-    val sigs = exploded.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+    val sigs = minhashSigArray(rows, bands * rowsPerBand)
     // distinct shingle sets for exact verification of LSH candidates; the
     // groupBy reuses the same id partitioning as the signature pass
     val docs = rows.groupBy(col("id")).agg(collect_set(col("s")).as("sh"))
+    verifyJaccard(bandedCandidatePairs(bandRows(sigs, bands, rowsPerBand), maxBucket),
+      docs.select(col("id"), col("sh")), thresholdNum, thresholdDen)
+  }
 
-    // band rows: (band_idx, band_key = that band's slice of the signature)
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        array((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*).as("key"))
+  /** Per-permutation min aggregates over exploded 31-bit base hashes —
+    * THE minhash math, used by every signature producer.
+    */
+  private def minAggsFor(numHashes: Int): Seq[Column] =
+    hashCoeffs(numHashes).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("h") * a + b, lit(MersennePrime31))).as(s"m$j")
     }
-    val banded = sigs.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
-    verifyJaccard(bandedCandidatePairs(banded, maxBucket), docs.select(col("id"), col("sh")),
-      thresholdNum, thresholdDen)
+  private def explodedHashes(rows: DataFrame): DataFrame =
+    rows.select(col("id"), pmod(baseHash(col("s")), lit(1L << 31)).as("h"))
+
+  /** (id, sig: array<bigint>[numHashes]) from shingle rows. */
+  private def minhashSigArray(rows: DataFrame, numHashes: Int): DataFrame = {
+    val minAggs = minAggsFor(numHashes)
+    explodedHashes(rows).groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
   }
 
   /** (id, sig: array<bigint>[numHashes], hs: sorted array<bigint> of the
     * doc's DISTINCT 31-bit shingle base hashes) — one groupBy: the minhash
-    * partial-min aggregates and the hash-set collection share the single
-    * id shuffle. `hs` stands in for the shingle set at ~8 bytes/shingle
+    * partial-min aggregates ([[minAggsFor]], the same math as
+    * [[minhashLshPairs]]) and the hash-set collection share the single id
+    * shuffle. `hs` stands in for the shingle set at ~8 bytes/shingle
     * (verification Jaccard over hash sets differs from string sets only on
     * md5 collisions, and both engines hash identically, so oracles agree
     * BY CONSTRUCTION even when collisions happen).
     */
-  private def sigAndHashes(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def sigAndHashes(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int): DataFrame = {
     val rows = TextOps.shingleRows(df, idCol, textCol, shingleK)
-    val exploded = rows.select(col("id"), pmod(baseHash(col("s")), lit(1L << 31)).as("h"))
-    val coeffs = hashCoeffs(numHashes)
-    val minAggs = coeffs.zipWithIndex.map { case ((a, b), j) =>
-      min(pmod(col("h") * a + b, lit(MersennePrime31))).as(s"m$j")
-    }
-    exploded.groupBy(col("id"))
+    val minAggs = minAggsFor(numHashes)
+    explodedHashes(rows).groupBy(col("id"))
       .agg(minAggs.head, (minAggs.tail :+ collect_set(col("h")).as("hs")): _*)
       .select(col("id"),
         array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"),
@@ -144,29 +148,44 @@ object DedupOps {
       .select(col("id"), col("pos").as("band"), col("col").as("key"))
 
   /** Build (overwrite) a persisted minhash store at `path`: one parquet row
-    * per doc with the signature and the verification hash set. Compute the
-    * signatures ONCE, then dedup every future batch against the corpus with
+    * per doc with the signature and the verification hash set, laid out as
+    * hive dirs `path/batch=<token>` so later appends are ATOMIC-per-token
+    * (an overwrite of one token's dir, retry-idempotent — no duplicate
+    * rows from replayed writers). Compute the signatures ONCE, then dedup
+    * every future batch against the corpus with
     * [[incrementalNearDupPairs]] — at 100 TB the corpus-side md5+minhash
     * pass is the expensive part and must not be repeated per probe.
     */
   def buildMinhashStore(df: DataFrame, idCol: String, textCol: String,
-      path: String, shingleK: Int = 3, numHashes: Int = 128): Unit =
-    sigAndHashes(df, idCol, textCol, shingleK, numHashes)
-      .write.mode("overwrite").parquet(path)
+      path: String, shingleK: Int = 3, numHashes: Int = 128): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // full rebuild: no stale batch dirs
+    appendMinhashStore(df, idCol, textCol, path, shingleK, numHashes, "base")
+  }
 
-  /** Append a new batch's signatures to the store (call AFTER probing the
-    * batch with [[incrementalNearDupPairs]]; ids must be new to the store).
+  /** Write one batch's signatures into the store as `path/batch=<token>`
+    * (call AFTER probing the batch with [[incrementalNearDupPairs]]; ids
+    * must be new to the store). Re-running with the SAME token overwrites
+    * that dir rather than duplicating rows — pass a stable token (e.g. the
+    * streaming batch id) to make replays idempotent.
     */
   def appendMinhashStore(df: DataFrame, idCol: String, textCol: String,
-      path: String, shingleK: Int = 3, numHashes: Int = 128): Unit =
-    sigAndHashes(df, idCol, textCol, shingleK, numHashes)
-      .write.mode("append").parquet(path)
+      path: String, shingleK: Int = 3, numHashes: Int = 128,
+      batchToken: String = java.util.UUID.randomUUID.toString): Unit =
+    writeStoreBatch(sigAndHashes(df, idCol, textCol, shingleK, numHashes),
+      path, batchToken)
+
+  /** Write an already-computed [[sigAndHashes]] frame into the store. */
+  private[graft] def writeStoreBatch(sigs: DataFrame, path: String,
+      batchToken: String): Unit =
+    sigs.write.mode("overwrite").parquet(s"$path/batch=$batchToken")
 
   /** Near-dup pairs of a NEW batch against a persisted corpus store (plus
     * new-new pairs), without re-pairing the corpus: the incremental shape
-    * of [[minhashLshPairs]], same banding/threshold semantics, output
-    * restricted to pairs touching >= 1 new id. New ids must be disjoint
-    * from stored ids.
+    * of [[minhashLshPairs]], same banding/threshold semantics (the math is
+    * the same code), output restricted to pairs touching >= 1 new id. New
+    * ids must be disjoint from stored ids.
     *
     * Scale: the store is SCANNED (sig column only — no md5/minhash
     * recompute) but only rows whose bucket also appears in the probe batch
@@ -179,13 +198,33 @@ object DedupOps {
       path: String, shingleK: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
       thresholdNum: Int = 1, thresholdDen: Int = 2,
       maxBucket: Int = 1000): DataFrame = {
-    val spark = newDocs.sparkSession
-    val old = spark.read.parquet(path)
+    val old = newDocs.sparkSession.read.parquet(path)
     val fresh = graft.CacheScope.persist(
       sigAndHashes(newDocs, idCol, textCol, shingleK, bands * rowsPerBand))
+    incrementalPairsFromSigs(fresh, old, bands, rowsPerBand,
+      thresholdNum, thresholdDen, maxBucket)
+  }
+
+  /** The probe over already-computed signatures: `fresh` and `old` are
+    * [[sigAndHashes]]-shaped frames (old may carry extra columns, e.g. the
+    * store's `batch` partition). Exposed so the streaming wrapper computes
+    * each batch's signatures ONCE for both the probe and the store append.
+    */
+  private[graft] def incrementalPairsFromSigs(fresh: DataFrame, old: DataFrame,
+      bands: Int, rowsPerBand: Int, thresholdNum: Int, thresholdDen: Int,
+      maxBucket: Int): DataFrame = {
+    // a store built at a different numHashes would slice past the stored
+    // sig's end and collapse the out-of-range bands into one store-wide
+    // mega-bucket per band — fail loudly instead
+    old.select(size(col("sig")).as("n")).limit(1).collect().headOption
+      .foreach { r =>
+        require(r.getInt(0) == bands * rowsPerBand,
+          s"store signature length ${r.getInt(0)} != bands*rowsPerBand " +
+            s"${bands * rowsPerBand}; probe with the store's parameters")
+      }
     def pack(d: DataFrame) = bandRows(d, bands, rowsPerBand)
       .select(col("id"), xxhash64(col("band"), col("key")).as("__bucket"))
-    val newPacked = pack(fresh)
+    val newPacked = pack(fresh.select(col("id"), col("sig")))
     // map-side prune: only store rows in buckets the probe batch touches
     val oldPruned = pack(old.select(col("id"), col("sig")))
       .join(broadcast(newPacked.select(col("__bucket")).distinct()),

@@ -100,30 +100,46 @@ object StreamingOps {
       .start()
 
   /** Continuous-crawl dedup: probe each micro-batch of new documents
-    * against the persisted minhash store ([[graft.operators.DedupOps
-    * .incrementalNearDupPairs]]), append discovered pairs to `pairsOut`,
-    * THEN append the batch's own signatures to the store — so later
-    * micro-batches dedup against earlier ones as well as the base corpus.
-    * Any near-dup pair is discovered exactly once (when its later member's
-    * batch is probed), so the drained pair set equals the one-shot batch
-    * probe of the whole stream. AvailableNow + a paced source gives
-    * deterministic catch-up; swap the trigger for a live tail.
+    * against the persisted minhash store, write discovered pairs to
+    * `pairsOut/batch=<id>`, THEN write the batch's own signatures to
+    * `storePath/batch=<id>` — so later micro-batches dedup against earlier
+    * ones as well as the base corpus. Any near-dup pair is discovered
+    * exactly once (when its later member's batch is probed), so the
+    * drained pair set equals the one-shot batch probe of the whole stream.
+    * AvailableNow + a paced source gives deterministic catch-up; swap the
+    * trigger for a live tail.
+    *
+    * Retry-safe: both writes are per-batch-dir OVERWRITES keyed by the
+    * micro-batch id (a replayed batch rewrites its own dirs instead of
+    * appending duplicates), and the probe EXCLUDES the batch's own store
+    * dir (present when the crash landed between the store write and the
+    * checkpoint commit) so a replay never pairs a doc with its own
+    * half-committed signatures. Signatures are computed ONCE per batch and
+    * shared by the probe and the store write; the batch's tracked operator
+    * caches are released before the next micro-batch (a live tail would
+    * otherwise accumulate one persisted frame per batch forever).
     */
   def dedupIncrementalAvailableNow(stream: DataFrame, idCol: String,
       textCol: String, storePath: String, pairsOut: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, shingleK: Int = 3, bands: Int = 32,
+      rowsPerBand: Int = 4, thresholdNum: Int = 1, thresholdDen: Int = 2,
+      maxBucket: Int = 1000): StreamingQuery =
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty) {
-          val b = batch.persist()
+          val spark = batch.sparkSession
+          val fresh = graft.CacheScope.persist(graft.operators.DedupOps
+            .sigAndHashes(batch, idCol, textCol, shingleK, bands * rowsPerBand))
+          val old = spark.read.parquet(storePath)
+            .where(col("batch") =!= s"b$bid")
           graft.operators.DedupOps
-            .incrementalNearDupPairs(b, idCol, textCol, storePath)
-            .write.mode("append").parquet(pairsOut)
-          graft.operators.DedupOps
-            .appendMinhashStore(b, idCol, textCol, storePath)
-          b.unpersist()
+            .incrementalPairsFromSigs(fresh, old, bands, rowsPerBand,
+              thresholdNum, thresholdDen, maxBucket)
+            .write.mode("overwrite").parquet(s"$pairsOut/batch=b$bid")
+          graft.operators.DedupOps.writeStoreBatch(fresh, storePath, s"b$bid")
+          graft.CacheScope.release()
           ()
         }
       }

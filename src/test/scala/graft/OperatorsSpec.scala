@@ -417,6 +417,13 @@ class OperatorsSpec extends SparkTestBase {
       "kept" -> ((1L, 30L)), "duplicate" -> ((1L, 30L)),
       "contaminated" -> ((1L, 34L)), "repetitive" -> ((1L, 30L)),
       "short" -> ((1L, 4L))))
+    // a crawl row with NULL text must still be accounted (as short), not
+    // silently vanish from the report — outcome counts sum to corpus size
+    val withNull = corpus.unionByName(
+      Seq((9L, null.asInstanceOf[String], "en")).toDF("doc_id", "text", "lang"))
+    val r2 = CurationOps.curationReport(withNull, bench, "doc_id", "text", "lang")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(r2.values.sum == 6L && r2("short") == 2L)
   }
 
   test("incremental near-dup == full-corpus pairs touching the new split") {
@@ -434,6 +441,18 @@ class OperatorsSpec extends SparkTestBase {
     // appending the probe batch makes the store answer future probes
     DedupOps.appendMinhashStore(docs.where(col("doc_id") >= split), "doc_id", "text", path)
     assert(spark.read.parquet(path).count() == docs.count())
+    // re-running an append with the SAME token overwrites instead of duplicating
+    DedupOps.appendMinhashStore(docs.where(col("doc_id") >= split), "doc_id", "text",
+      path, batchToken = "retry")
+    DedupOps.appendMinhashStore(docs.where(col("doc_id") >= split), "doc_id", "text",
+      path, batchToken = "retry")
+    assert(spark.read.parquet(path).where(col("batch") === "retry").count() ==
+      docs.where(col("doc_id") >= split).count())
+    // probing a store built at different parameters fails loudly
+    intercept[IllegalArgumentException] {
+      DedupOps.incrementalNearDupPairs(docs.where(col("doc_id") >= split),
+        "doc_id", "text", path, bands = 16, rowsPerBand = 4)
+    }
     graft.CacheScope.release()
   }
 
