@@ -52,9 +52,13 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
     // drifted append would land parquet files whose schemas can't merge
     // (reference rejects drift too, tests/test_feature_store.py:400-427;
     // `serialized=true` is the sanctioned drift path via JSON strings).
-    // FeatureStore.saveOne passes checkDrift=false — it already enforced
-    // the catalog-pinned dtype without this footer probe.
-    if (checkDrift && append && !serialized) {
+    // The gate applies to OVERWRITES as well: an overwrite that changes
+    // the dtype under a catalog-pinned feature would leave the pin stale
+    // and hard-fail every later pinned-schema read — delete and recreate
+    // the feature to change its type. FeatureStore.saveOne passes
+    // checkDrift=false — it already enforced the catalog-pinned dtype
+    // without this footer probe.
+    if (checkDrift && !serialized) {
       val p = new Path(featurePath(namespace, name))
       if (fs.exists(p)) {
         val existing = spark.read.parquet(p.toString).schema(ValueCol).dataType
@@ -62,7 +66,8 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
         if (existing.catalogString != incoming.catalogString)
           throw new FeatureStoreException(
             s"schema drift on $namespace/$name: stored value is ${existing.catalogString}, " +
-              s"incoming is ${incoming.catalogString}; use serialized=true for drifting values")
+              s"incoming is ${incoming.catalogString}; use serialized=true for drifting " +
+              "values, or delete and recreate the feature to change its type")
       }
     }
 
@@ -482,10 +487,29 @@ object TimeseriesStorage {
   val CreatedCol = "created_time"
   val PartCol = "partition"
 
-  /** Derived partition column (reference src/qafs/backend/pandas.py:62-70). */
-  def partitionExpr(scheme: PartitionScheme, time: org.apache.spark.sql.Column) = scheme match {
-    case PartitionScheme.Date => date_format(time, "yyyy-MM-dd")
-    case PartitionScheme.Year => year(time).cast(StringType)
+  /** Derived partition column (reference src/qafs/backend/pandas.py:62-70).
+    *
+    * Partition values compare LEXICOGRAPHICALLY at scan time (the hive
+    * partition column is pinned to string), which agrees with numeric
+    * order only while years render at exactly 4 digits — so writes
+    * outside [1, 9999] (Date; "yyyy" zero-pads short years) or
+    * [1000, 9999] (Year; no padding) raise instead of landing partitions
+    * that later time-bounded scans would silently mis-prune. Scan bounds
+    * outside the range stay safe without a guard: they can only
+    * under-prune (the row-level time filter still applies).
+    */
+  def partitionExpr(scheme: PartitionScheme, time: org.apache.spark.sql.Column) = {
+    val y = year(time)
+    scheme match {
+      case PartitionScheme.Date =>
+        when(y < 1 || y > 9999, raise_error(lit(
+          "Date partition scheme supports years 1-9999 (4-digit lexicographic order)")))
+          .otherwise(date_format(time, "yyyy-MM-dd"))
+      case PartitionScheme.Year =>
+        when(y < 1000 || y > 9999, raise_error(lit(
+          "Year partition scheme supports years 1000-9999 (4-digit lexicographic order)")))
+          .otherwise(y.cast(StringType))
+    }
   }
 
   /** Partition bound for a time bound, rendered in UTC. MUST agree with

@@ -232,4 +232,25 @@ class StorageSpec extends SparkTestBase {
         Map(ts("2021-03-01 20:00:00") -> 1.0, ts("2021-03-01 21:00:00") -> 2.0))
     } finally java.util.TimeZone.setDefault(prev)
   }
+
+  test("dtype drift is rejected on overwrite too, not just append") {
+    val st = freshStore()
+    st.save("ns", "d", seriesDf(Seq(("2021-01-01", 1.0))))
+    // an overwrite that changes the value dtype would leave any catalog
+    // pin stale and hard-fail later pinned-schema reads — gate it
+    intercept[graft.catalog.FeatureStoreException](
+      st.save("ns", "d", seriesDf(Seq(("2021-01-01", "oops"))), append = false))
+    // same-dtype overwrite stays allowed
+    st.save("ns", "d", seriesDf(Seq(("2021-01-02", 2.0))), append = false)
+    assert(collectMap(st.load("ns", "d")) == Map(ts("2021-01-02") -> 2.0))
+  }
+
+  test("partition schemes reject years whose rendering breaks lexicographic order") {
+    val st = freshStore()
+    val bad = seriesDf(Seq(("2021-01-01", 1.0)))
+      .withColumn("time", expr("time + make_interval(8000)")) // year 10021
+    val e = intercept[Exception](st.save("ns", "y", bad))
+    assert(e.getMessage.contains("1-9999") ||
+      Option(e.getCause).exists(_.getMessage.contains("1-9999")))
+  }
 }

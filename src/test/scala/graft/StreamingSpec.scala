@@ -126,6 +126,32 @@ class StreamingSpec extends SparkTestBase {
       Map(ts("2021-01-01") -> 1.0, ts("2021-01-02") -> 2.0, ts("2021-01-03") -> 3.0))
   }
 
+  test("processing-time ingest drains a live source to the same stored series") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("pt")
+    val fs = new graft.api.FeatureStore(s"$root/store", spark)
+    fs.createNamespace("pt")
+    fs.createFeature("pt/v")
+    val src = s"$root/src"
+    (1 to 2).foreach { d =>
+      seriesDf(Seq((f"2021-02-0$d%d", d.toDouble))).repartition(1)
+        .write.mode("append").parquet(src)
+    }
+    val schema = spark.read.parquet(src).schema
+    val stream = graft.streaming.StreamingOps.pacedFileSource(
+      spark, src, schema, maxFilesPerTrigger = 1)
+    val q = graft.streaming.StreamingOps.ingestProcessingTime(
+      fs, stream, "pt/v", s"$root/ckpt", interval = "1 second")
+    q.processAllAvailable() // drain the backlog deterministically
+    // a live tail: new file arrives while the query keeps running
+    seriesDf(Seq(("2021-02-03", 3.0))).repartition(1)
+      .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    assert(collectMap(fs.storage.load("pt", "v")) ==
+      Map(ts("2021-02-01") -> 1.0, ts("2021-02-02") -> 2.0, ts("2021-02-03") -> 3.0))
+  }
+
   test("micro-batched incremental dedup == one-shot probe, incl. cross-batch pairs") {
     import org.apache.spark.sql.functions._
     val streamed = spark.read.parquet(Fixtures.incrementalDedupMbPath(spark, dir))
