@@ -275,6 +275,16 @@ object ScaleSmoke {
       val found = pairs.count()
       println(s"[scale]   planted $planted near-dup pairs, found $found " +
         f"(recall >= ${found.toDouble / planted}%.4f incl. any true random dups)")
+      CacheScope.release()
+      // end-to-end semantic dedup on the same fixture: pairs -> clusters ->
+      // one representative kept; every planted copy is a 2-cluster with its
+      // original, so the kept count is exact
+      val t1 = System.nanoTime()
+      val kept = operators.SimilarityOps.semanticDedupKeep(
+        vecs, "vec_id", "embedding", 0.9, bands = 192, rowsPerBand = 24).count()
+      println(f"[scale] semantic dedup keep over 1M vectors  ${(System.nanoTime() - t1) / 1e9}%8.2f s")
+      require(kept == nv - planted,
+        s"expected ${nv - planted} kept after collapsing $planted planted 2-clusters, got $kept")
     }
     hfs.delete(p, true)
     spark.stop()

@@ -314,8 +314,11 @@ object SimilarityOps {
     * id-keyed left join against the tiny (|clustered nodes|) label map.
     */
   def semanticDedupKeep(df: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double): DataFrame = {
-    val pairs = nearDupPairs(df, idCol, vecCol, minCosine)
+      minCosine: Double, blocks: Int = 0, bands: Int = 64,
+      rowsPerBand: Int = 16, seed: Long = 42L,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, vecCol, minCosine, blocks, bands,
+      rowsPerBand, seed, maxBucket)
     val cc = DedupOps.connectedComponents(pairs, "id_a", "id_b")
     df.select(col(idCol))
       .join(cc, col(idCol) === cc("id"), "left")
