@@ -120,4 +120,53 @@ class PropertySpec extends SparkTestBase {
         graft.CacheScope.release()
       }
   }
+
+  // random corpora over a small vocab so 4-gram collisions actually occur
+  private val corpusGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(40, Gen.listOfN(12, Gen.choose(0, 7))).map(_.zipWithIndex.map {
+      case (ws, i) => (i.toLong, ws.map(w => s"w$w").mkString(" "))
+    })
+
+  test("property: ngramOverlap matches a driver-side brute-force recount") {
+    import spark.implicits._
+    (1 to 4).flatMap(i => corpusGen.apply(Gen.Parameters.default, Seed(200L + i)))
+      .foreach { rows =>
+        val (benchRows, corpusRows) = rows.partition(_._1 % 5 == 0)
+        val k = 4
+        def grams(t: String): Set[String] =
+          t.split(" ").sliding(k).filter(_.length == k).map(_.mkString(" ")).toSet
+        val benchSet = benchRows.flatMap(r => grams(r._2)).toSet
+        val expected = corpusRows
+          .map { case (id, t) => id -> grams(t) }
+          .filter(_._2.nonEmpty)
+          .map { case (id, g) =>
+            id -> ((g.size.toLong, g.count(benchSet.contains).toLong))
+          }.toMap
+        val got = graft.operators.CurationOps.ngramOverlap(
+            corpusRows.toDF("doc_id", "text"), benchRows.toDF("doc_id", "text"),
+            "doc_id", "text", k)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        assert(got == expected)
+      }
+  }
+
+  test("property: curationReport outcomes always partition the corpus") {
+    import spark.implicits._
+    (1 to 4).flatMap(i => corpusGen.apply(Gen.Parameters.default, Seed(300L + i)))
+      .foreach { rows =>
+        val (benchRows, corpusRows) = rows.partition(_._1 % 5 == 0)
+        val corpus = corpusRows.map { case (id, t) => (id, t, s"l${id % 3}") }
+          .toDF("doc_id", "text", "lang")
+        val report = graft.operators.CurationOps.curationReport(
+            corpus, benchRows.toDF("doc_id", "text"), "doc_id", "text", "lang",
+            k = 4, minTokens = 10, maxTopTokenFrac = 0.3)
+          .collect()
+        assert(report.map(_.getLong(2)).sum == corpusRows.length.toLong)
+        // and kept == curateKeep exactly
+        val keptN = graft.operators.CurationOps.curateKeep(
+          corpus, benchRows.toDF("doc_id", "text"), "doc_id", "text", "lang",
+          k = 4, minTokens = 10, maxTopTokenFrac = 0.3).count()
+        assert(report.filter(_.getString(1) == "kept").map(_.getLong(2)).sum == keptN)
+      }
+  }
 }
