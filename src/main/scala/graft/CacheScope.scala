@@ -53,4 +53,27 @@ object CacheScope {
 
   /** Number of currently tracked (not yet released) operator caches. */
   def trackedCount: Int = tracked.size
+
+  /** Marker for [[releaseNewSince]]: the set of frames tracked right now. */
+  def snapshot(): java.util.Set[DataFrame] = {
+    val s = java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+    s.addAll(tracked)
+    s
+  }
+
+  /** Unpersist only frames first tracked AFTER `snap` was taken — the
+    * scoped release for loops (e.g. per streaming micro-batch) that must
+    * not drop caches the application created earlier. Frames persisted
+    * concurrently by OTHER threads during the window are also released;
+    * single-writer loops are the intended user.
+    */
+  def releaseNewSince(snap: java.util.Set[DataFrame]): Int = {
+    val it = tracked.iterator()
+    var n = 0
+    while (it.hasNext) {
+      val df = it.next()
+      if (!snap.contains(df)) { df.unpersist(blocking = false); it.remove(); n += 1 }
+    }
+    n
+  }
 }

@@ -23,11 +23,26 @@ object Fixtures {
   private val stores = TrieMap[String, FeatureStore]()
   val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Per-process tmp root for fixture artifacts — pid-scoped so concurrent
+    * harness JVMs cannot clobber each other's stores mid-read, and removed
+    * by a shutdown hook so repeated runs don't accumulate /tmp trees.
+    */
+  val tmpRoot: String = {
+    val r = s"/tmp/graft_fixtures_${ProcessHandle.current.pid}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(del); f.delete(); ()
+      }
+      del(new java.io.File(r))
+    }))
+    r
+  }
+
   def store(spark: SparkSession, sfDir: String): FeatureStore =
     stores.getOrElseUpdate(sfDir, build(spark, sfDir))
 
   private def build(spark: SparkSession, sfDir: String): FeatureStore = {
-    val root = s"/tmp/graft_fixtures_${ProcessHandle.current.pid}/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    val root = s"${tmpRoot}/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(rootPath)) fs.delete(rootPath, true)
@@ -101,7 +116,7 @@ object Fixtures {
     val fs = store(spark, sfDir)
     streamed.getOrElseUpdate(sfDir, {
       fs.createFeature("events/stream_click", "click values via streaming ingest")
-      val cp = s"/tmp/graft_fixtures_${ProcessHandle.current.pid}/cp_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val cp = s"${tmpRoot}/cp_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
       val cpPath = new org.apache.hadoop.fs.Path(cp)
       val hfs = cpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (hfs.exists(cpPath)) hfs.delete(cpPath, true)
@@ -124,7 +139,7 @@ object Fixtures {
     */
   def dedupedStreamPath(spark: SparkSession, sfDir: String): String =
     deduped.getOrElseUpdate(sfDir, {
-      val out = s"/tmp/graft_fixtures_${ProcessHandle.current.pid}/dd_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val out = s"${tmpRoot}/dd_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
       val cp = s"${out}_cp"
       for (p <- Seq(out, cp)) {
         val hp = new org.apache.hadoop.fs.Path(p)
@@ -162,7 +177,7 @@ object Fixtures {
   def sessionizedMbPath(spark: SparkSession, sfDir: String): String =
     sessionizedMb.getOrElseUpdate(sfDir, {
       import org.apache.spark.sql.streaming.Trigger
-      val base = s"/tmp/graft_fixtures_${ProcessHandle.current.pid}/smb_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val base = s"${tmpRoot}/smb_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
       val (src, out, cp, stage) = (s"$base/src", s"$base/out", s"$base/cp", s"$base/stage")
       val hfs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -221,7 +236,7 @@ object Fixtures {
     */
   def minhashStorePath(spark: SparkSession, sfDir: String): String =
     mhStores.getOrElseUpdate(sfDir, {
-      val path = s"/tmp/graft_fixtures_${ProcessHandle.current.pid}/mhs_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val path = s"${tmpRoot}/mhs_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
       graft.operators.DedupOps.buildMinhashStore(
         Tables.documents(spark, sfDir).where(col("doc_id") < 250),
         "doc_id", "text", path)
@@ -243,7 +258,7 @@ object Fixtures {
   def incrementalDedupMbPath(spark: SparkSession, sfDir: String): String =
     incDedupMb.getOrElseUpdate(sfDir, {
       import org.apache.spark.sql.streaming.Trigger
-      val base = s"/tmp/graft_fixtures_${ProcessHandle.current.pid}/idm_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val base = s"${tmpRoot}/idm_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
       val (src, out, cp, store, stage) =
         (s"$base/src", s"$base/out", s"$base/cp", s"$base/store", s"$base/stage")
       val hfs = new org.apache.hadoop.fs.Path(base)
@@ -286,7 +301,7 @@ object Fixtures {
     */
   def windowedCountsPath(spark: SparkSession, sfDir: String): String =
     windowed.getOrElseUpdate(sfDir, {
-      val out = s"/tmp/graft_fixtures_${ProcessHandle.current.pid}/wc_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val out = s"${tmpRoot}/wc_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
       val agg = graft.streaming.StreamingOps.windowedCounts(
         eventStream(spark, sfDir).select(col("ts"), col("event_type"), col("value")),
         "ts", "event_type", "1 hour")

@@ -56,7 +56,7 @@ object ScaleSmoke {
       (col("value") * (col("v") + 1)).as("value"),
       (col("time") - expr("make_interval(0,0,0,0,0,0,v)")).as("created_time"))
 
-    val root = "/tmp/graft_scale_smoke"
+    val root = s"/tmp/graft_scale_smoke_${ProcessHandle.current.pid}"
     val p = new org.apache.hadoop.fs.Path(root)
     val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (hfs.exists(p)) hfs.delete(p, true)
@@ -135,7 +135,7 @@ object ScaleSmoke {
     }
     time("incremental dedup: 200k-doc store build") {
       operators.DedupOps.buildMinhashStore(syntheticDocs(spark, 200000),
-        "doc_id", "text", "/tmp/graft_scale_mhstore")
+        "doc_id", "text", s"$root/mhstore")
     }
     time("incremental dedup: 5k probe vs 200k store") {
       // realistic batch: 4900 FRESH docs (disjoint text blocks, ids spaced
@@ -153,7 +153,7 @@ object ScaleSmoke {
       val planted = syntheticDocs(spark, 100)
         .select((col("doc_id") + 4000000L).as("doc_id"), col("text"))
       val pairs = operators.DedupOps.incrementalNearDupPairs(
-        fresh.unionByName(planted), "doc_id", "text", "/tmp/graft_scale_mhstore")
+        fresh.unionByName(planted), "doc_id", "text", s"$root/mhstore")
       val n = pairs.count()
       val plantedSeen = pairs
         .select(explode(array(col("id_a"), col("id_b"))).as("id"))

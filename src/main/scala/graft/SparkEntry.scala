@@ -431,10 +431,10 @@ object SparkEntry {
     // results — and the oracle — are identical to ann_ivf_topk
     "ann_ivf_persisted" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      // per-process path: concurrent harness JVMs must not clobber each
-      // other's index mid-probe
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_gate_index_" +
-        ProcessHandle.current.pid
+      // under the per-process fixtures root: concurrent harness JVMs must
+      // not clobber each other's index mid-probe, and the shutdown hook
+      // removes it with the rest of the fixture tree
+      val path = s"${Fixtures.tmpRoot}/ivf_gate_index"
       operators.SimilarityOps.buildIvfIndex(emb, "vec_id", "embedding", path)
       operators.SimilarityOps.ivfTopKIndexed(s,
         emb.where(col("vec_id") < 10), "vec_id", "embedding", path, 10)

@@ -172,9 +172,23 @@ object DedupOps {
     */
   def appendMinhashStore(df: DataFrame, idCol: String, textCol: String,
       path: String, shingleK: Int = 3, numHashes: Int = 128,
-      batchToken: String = java.util.UUID.randomUUID.toString): Unit =
+      batchToken: String = java.util.UUID.randomUUID.toString): Unit = {
+    // keep the store homogeneous: an append at a different numHashes would
+    // make the probe-time one-row length guard nondeterministic and slice
+    // short sigs into per-band mega-buckets
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+      spark.read.parquet(path).select(size(col("sig")).as("n"))
+        .limit(1).collect().headOption.foreach { r =>
+          require(r.getInt(0) == numHashes,
+            s"store at $path has signature length ${r.getInt(0)}; " +
+              s"append with numHashes=$numHashes would mix lengths")
+        }
+    }
     writeStoreBatch(sigAndHashes(df, idCol, textCol, shingleK, numHashes),
       path, batchToken)
+  }
 
   /** Write an already-computed [[sigAndHashes]] frame into the store. */
   private[graft] def writeStoreBatch(sigs: DataFrame, path: String,
@@ -215,7 +229,9 @@ object DedupOps {
       maxBucket: Int): DataFrame = {
     // a store built at a different numHashes would slice past the stored
     // sig's end and collapse the out-of-range bands into one store-wide
-    // mega-bucket per band — fail loudly instead
+    // mega-bucket per band — fail loudly instead. One sampled row suffices:
+    // [[appendMinhashStore]] rejects mixed-length appends, so the store is
+    // homogeneous by construction.
     old.select(size(col("sig")).as("n")).limit(1).collect().headOption
       .foreach { r =>
         require(r.getInt(0) == bands * rowsPerBand,
@@ -232,15 +248,23 @@ object DedupOps {
     val cands = packedCandidatePairs(newPacked.unionByName(oldPruned), maxBucket)
     val nids = fresh.select(col("id"))
     // old-old pairs inside a shared bucket were found when the store side
-    // was deduped — keep only pairs touching the new batch
-    val touchingNew = cands
+    // was deduped — keep only pairs touching the new batch. Persisted: the
+    // candidate set feeds three joins below (two verify sides + the store
+    // hash-set prune), and it is tiny by construction.
+    val touchingNew = graft.CacheScope.persist(cands
       .join(broadcast(nids.select(col("id").as("id_a"), lit(1).as("__na"))),
         Seq("id_a"), "left")
       .join(broadcast(nids.select(col("id").as("id_b"), lit(1).as("__nb"))),
         Seq("id_b"), "left")
       .where(col("__na").isNotNull || col("__nb").isNotNull)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")))
+    // verification touches ONLY ids that appear in surviving candidates:
+    // semi-join the store's heavy hash-set column down to them first, so
+    // per-probe verify cost scales with the candidate set, not the corpus
+    val candIds = touchingNew.select(col("id_a").as("id"))
+      .union(touchingNew.select(col("id_b").as("id"))).distinct()
     val docs = old.select(col("id"), col("hs").as("sh"))
+      .join(broadcast(candIds), Seq("id"), "left_semi")
       .unionByName(fresh.select(col("id"), col("hs").as("sh")))
     verifyJaccard(touchingNew, docs, thresholdNum, thresholdDen)
   }

@@ -108,7 +108,11 @@ object SampleOps {
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(slot(col(idCol), salt), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__n", TextOps.tokenCount(col(textCol)).cast("long"))
+    // null text = empty text (1 empty token), matching CurationOps — a
+    // null token count would ride the window sum uncharged and be kept
+    // for free
+    df.withColumn("__n",
+        TextOps.tokenCount(coalesce(col(textCol), lit(""))).cast("long"))
       .withColumn("cum_tokens", sum(col("__n")).over(w))
       .join(broadcast(budgetDf), df(stratumCol) === col("__stratum"), "left")
       .where(col("cum_tokens") <= coalesce(col("__budget"), lit(defaultBudget)))

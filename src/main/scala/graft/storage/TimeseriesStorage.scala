@@ -61,13 +61,20 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
     if (checkDrift && !serialized) {
       val p = new Path(featurePath(namespace, name))
       if (fs.exists(p)) {
-        val existing = spark.read.parquet(p.toString).schema(ValueCol).dataType
-        val incoming = df.schema(ValueCol).dataType
-        if (existing.catalogString != incoming.catalogString)
-          throw new FeatureStoreException(
-            s"schema drift on $namespace/$name: stored value is ${existing.catalogString}, " +
-              s"incoming is ${incoming.catalogString}; use serialized=true for drifting " +
-              "values, or delete and recreate the feature to change its type")
+        // an unreadable dir (crashed write, no footers) must not block the
+        // overwrite that repairs it; an APPEND into one would only add to
+        // the wreckage, so there the read failure propagates
+        val existingOpt =
+          try Some(spark.read.parquet(p.toString).schema(ValueCol).dataType)
+          catch { case e: Throwable if !append => None }
+        existingOpt.foreach { existing =>
+          val incoming = df.schema(ValueCol).dataType
+          if (existing.catalogString != incoming.catalogString)
+            throw new FeatureStoreException(
+              s"schema drift on $namespace/$name: stored value is ${existing.catalogString}, " +
+                s"incoming is ${incoming.catalogString}; use serialized=true for drifting " +
+                "values, or delete and recreate the feature to change its type")
+        }
       }
     }
 
@@ -495,8 +502,8 @@ object TimeseriesStorage {
     * outside [1, 9999] (Date; "yyyy" zero-pads short years) or
     * [1000, 9999] (Year; no padding) raise instead of landing partitions
     * that later time-bounded scans would silently mis-prune. Scan bounds
-    * outside the range stay safe without a guard: they can only
-    * under-prune (the row-level time filter still applies).
+    * outside the range are clamped into it by [[partitionValue]] (their
+    * rendering would be lexicographically out of order too).
     */
   def partitionExpr(scheme: PartitionScheme, time: org.apache.spark.sql.Column) = {
     val y = year(time)
@@ -517,12 +524,25 @@ object TimeseriesStorage {
     * (pinned to UTC by GraftSession.tune) — deriving this from the JVM
     * default zone would shift the bounds on non-UTC JVMs and silently
     * prune partitions that contain matching rows.
+    *
+    * Bounds whose YEAR falls outside the scheme's writable range (see
+    * [[partitionExpr]]) are CLAMPED into it before rendering: out-of-range
+    * years render lexicographically out of order (ISO years > 9999 gain a
+    * '+' prefix that sorts before every digit; short Year-scheme years
+    * lose their 4-digit width), which would prune partitions that DO
+    * contain matching rows. Clamping can only over-include — no partition
+    * outside the range exists (writes raise) and the row-level time filter
+    * still applies.
     */
   def partitionValue(scheme: PartitionScheme, t: Timestamp): String = {
     val utc = t.toInstant.atZone(java.time.ZoneOffset.UTC)
     scheme match {
-      case PartitionScheme.Date => utc.toLocalDate.toString
-      case PartitionScheme.Year => utc.getYear.toString
+      case PartitionScheme.Date =>
+        if (utc.getYear < 1) "0001-01-01"
+        else if (utc.getYear > 9999) "9999-12-31"
+        else utc.toLocalDate.toString
+      case PartitionScheme.Year =>
+        math.min(9999, math.max(1000, utc.getYear)).toString
     }
   }
 

@@ -130,6 +130,9 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          // scoped release: only the caches THIS batch creates are dropped
+          // at the end — a live-tail driver's own operator caches survive
+          val scope = graft.CacheScope.snapshot()
           val fresh = graft.CacheScope.persist(graft.operators.DedupOps
             .sigAndHashes(batch, idCol, textCol, shingleK, bands * rowsPerBand))
           val old = spark.read.parquet(storePath)
@@ -139,7 +142,7 @@ object StreamingOps {
               thresholdNum, thresholdDen, maxBucket)
             .write.mode("overwrite").parquet(s"$pairsOut/batch=b$bid")
           graft.operators.DedupOps.writeStoreBatch(fresh, storePath, s"b$bid")
-          graft.CacheScope.release()
+          graft.CacheScope.releaseNewSince(scope)
           ()
         }
       }

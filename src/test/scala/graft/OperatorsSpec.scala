@@ -333,6 +333,15 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
         r.getAs[Long]("cum_tokens")))
     assert(kept.nonEmpty)
+    // null text charges one (empty) token — never kept for free with a
+    // null cum that rides the window sum uncharged
+    import spark.implicits._
+    val withNull = Seq((1L, "a b c", "x"), (2L, null.asInstanceOf[String], "x"))
+      .toDF("doc_id", "text", "lang")
+    val nb = SampleOps.tokenBudgetSample(withNull, "doc_id", "text", "lang",
+        Map("x" -> 100L))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tokens")).toMap
+    assert(nb.values.forall(_ > 0) && nb.size == 2)
     val perLang = kept.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
     perLang.foreach { case (l, maxCum) =>
       assert(maxCum <= (if (l == "en") 500L else 200L), s"$l over budget: $maxCum")

@@ -253,4 +253,35 @@ class StorageSpec extends SparkTestBase {
     assert(e.getMessage.contains("1-9999") ||
       Option(e.getCause).exists(_.getMessage.contains("1-9999")))
   }
+
+  test("out-of-range scan bounds clamp: over-include partitions, never empty out") {
+    val st = freshStore()
+    st.save("ns", "c", seriesDf(Seq(("2021-01-01", 1.0), ("2021-06-01", 2.0))))
+    // to-bound at year 10021 would render '+10021-...' (sorts before all
+    // digits) and prune EVERYTHING without the clamp
+    val farTo = java.sql.Timestamp.valueOf("2021-01-01 00:00:00").toInstant
+      .atZone(java.time.ZoneOffset.UTC).plusYears(8000)
+    assert(collectMap(st.load("ns", "c",
+        to = Some(java.sql.Timestamp.from(farTo.toInstant)))) ==
+      Map(ts("2021-01-01") -> 1.0, ts("2021-06-01") -> 2.0))
+  }
+
+  test("overwrite repairs a feature dir with unreadable footers") {
+    val st = freshStore()
+    st.save("ns", "r", seriesDf(Seq(("2021-01-01", 1.0))))
+    // simulate a crashed write: wipe the dir down to a stray non-parquet file
+    val dir = new java.io.File(st.featurePath("ns", "r"))
+    dir.listFiles.foreach { f =>
+      def del(x: java.io.File): Unit = {
+        val cs = x.listFiles(); if (cs != null) cs.foreach(del); x.delete(); ()
+      }
+      del(f)
+    }
+    new java.io.File(dir, "_temporary").mkdir()
+    // append into the wreck still fails loudly...
+    intercept[Exception](st.save("ns", "r", seriesDf(Seq(("2021-01-02", 2.0)))))
+    // ...but an overwrite is the recovery action and must go through
+    st.save("ns", "r", seriesDf(Seq(("2021-01-02", 2.0))), append = false)
+    assert(collectMap(st.load("ns", "r")) == Map(ts("2021-01-02") -> 2.0))
+  }
 }
