@@ -249,8 +249,10 @@ object DedupOps {
     val nids = fresh.select(col("id"))
     // old-old pairs inside a shared bucket were found when the store side
     // was deduped — keep only pairs touching the new batch. Persisted: the
-    // candidate set feeds three joins below (two verify sides + the store
-    // hash-set prune), and it is tiny by construction.
+    // candidate set feeds three consumers (two verify sides + the store
+    // hash-set prune) and is tiny by construction; measured on the sf0.1
+    // gate, re-evaluating the banding subtree per consumer costs 2x the
+    // persist barrier.
     val touchingNew = graft.CacheScope.persist(cands
       .join(broadcast(nids.select(col("id").as("id_a"), lit(1).as("__na"))),
         Seq("id_a"), "left")
