@@ -152,6 +152,36 @@ class StreamingSpec extends SparkTestBase {
       Map(ts("2021-02-01") -> 1.0, ts("2021-02-02") -> 2.0, ts("2021-02-03") -> 3.0))
   }
 
+  test("replayed micro-batch excludes its own half-committed store dir") {
+    import org.apache.spark.sql.functions._
+    // simulate a crash AFTER the store write but BEFORE the checkpoint
+    // commit: the batch's own signatures are already in the store when the
+    // batch re-runs. The wrapper probes old.where(batch =!= own) — without
+    // that exclusion every replayed doc would self-pair (jaccard 1.0) and
+    // the docs-side join would fan out.
+    val store = tmpDir("retry_store")
+    val d = Tables.documents(spark, dir)
+    graft.operators.DedupOps.buildMinhashStore(
+      d.where(col("doc_id") < 200), "doc_id", "text", store)
+    val batch = d.where(col("doc_id") >= 200 && col("doc_id") < 260)
+    val fresh = graft.operators.DedupOps.sigAndHashes(batch, "doc_id", "text", 3, 128)
+    graft.operators.DedupOps.writeStoreBatch(fresh, store, "b7") // half-committed
+    val replayOld = spark.read.parquet(store).where(col("batch") =!= "b7")
+    val pairs = graft.operators.DedupOps.incrementalPairsFromSigs(
+        fresh, replayOld, 32, 4, 1, 2, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a != b }, "no self-pairs on replay")
+    // and the replay equals a clean first run (store without the dir)
+    val cleanStore = tmpDir("retry_clean")
+    graft.operators.DedupOps.buildMinhashStore(
+      d.where(col("doc_id") < 200), "doc_id", "text", cleanStore)
+    val cleanPairs = graft.operators.DedupOps.incrementalNearDupPairs(
+        batch, "doc_id", "text", cleanStore)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == cleanPairs.toSet)
+    graft.CacheScope.release()
+  }
+
   test("micro-batched incremental dedup == one-shot probe, incl. cross-batch pairs") {
     import org.apache.spark.sql.functions._
     val streamed = spark.read.parquet(Fixtures.incrementalDedupMbPath(spark, dir))
