@@ -378,6 +378,19 @@ object SparkEntry {
       operators.CurationOps.packChunkText(Tables.documents(s, dir),
         "doc_id", "text", chunkTokens = 512)),
 
+    // train-ready sharded layout: write 16-chunk contiguous shards, read
+    // back, and account (shard, n_chunks, n_tokens) — the write path is
+    // under test, the oracle recomputes the accounting from raw docs
+    "corpus_pack_shards" -> ((s, dir) => {
+      val path = s"${Fixtures.tmpRoot}/packed_gate"
+      operators.CurationOps.writePackedCorpus(Tables.documents(s, dir),
+        "doc_id", "text", chunkTokens = 512, path, chunksPerShard = 16)
+      s.read.parquet(path)
+        .groupBy(col("shard").cast("bigint").as("shard"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(size(split(col("text"), " "))).cast("bigint").as("n_tokens"))
+    }),
+
     // deterministic stratified sample: per-language keep rates over a
     // content hash of the id — reproducible across engines/partitionings
     "sample_stratified" -> ((s, dir) =>
@@ -1049,6 +1062,24 @@ object SparkEntry {
          SELECT chunk_id,
            string_agg(array_to_string(tks[a+1:e], ' '), ' ' ORDER BY doc_id)
              AS text
+         FROM sp GROUP BY 1 ORDER BY 1""",
+
+    // shard = chunk_id // 16 (contiguous), token shares recomputed from
+    // the same span arithmetic as corpus_pack
+    "corpus_pack_shards" ->
+      """WITH t AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n
+                    FROM documents),
+         c AS (SELECT doc_id, n,
+                 CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) cum FROM t),
+         s AS (SELECT doc_id, n, cum - n AS strt, cum FROM c WHERE n > 0),
+         sp AS (SELECT CAST(b AS BIGINT) chunk_id,
+                  CAST(greatest(0, b * 512 - strt) AS BIGINT) a,
+                  CAST(least(n, (b + 1) * 512 - strt) AS BIGINT) e
+                FROM s, unnest(range(strt // 512, ((cum - 1) // 512) + 1)) u(b))
+         SELECT CAST(chunk_id // 16 AS BIGINT) AS shard,
+           CAST(count(DISTINCT chunk_id) AS BIGINT) AS n_chunks,
+           CAST(sum(e - a) AS BIGINT) AS n_tokens
          FROM sp GROUP BY 1 ORDER BY 1""",
 
     // same 60-bit md5-prefix slot hash as the Spark side; ppm thresholds

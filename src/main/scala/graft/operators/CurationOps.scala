@@ -240,4 +240,22 @@ object CurationOps {
         array_sort(collect_list(struct(col(idCol).as("i"), col("__frag").as("f")))),
         s => s.getField("f")), " ").as("text"))
   }
+
+  /** Write the packed corpus as train-ready hive shards: chunk texts from
+    * [[packChunkText]] land under `path/shard=<chunk_id div
+    * chunksPerShard>`, one parquet file per shard (repartitioned on the
+    * shard key — no tasks×shards small-file storm). CONTIGUOUS sharding
+    * (div, not hash) preserves document order within and across shards,
+    * so a trainer streaming shard files in order reads the corpus in
+    * curriculum/id order; every shard holds exactly chunksPerShard ×
+    * chunkTokens tokens except the tail.
+    */
+  def writePackedCorpus(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Long, path: String, chunksPerShard: Long = 1024): Unit = {
+    require(chunksPerShard > 0, "chunksPerShard must be positive")
+    packChunkText(df, idCol, textCol, chunkTokens)
+      .withColumn("shard", expr(s"chunk_id div ${chunksPerShard}L"))
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+  }
 }

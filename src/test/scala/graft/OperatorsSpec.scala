@@ -531,6 +531,19 @@ class OperatorsSpec extends SparkTestBase {
     val texts = CurationOps.packChunkText(fixture, "doc_id", "text", 5)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(texts == Map(0L -> "a b c d e", 1L -> "f g h i"))
+    // sharded writer: contiguous shards, ONE parquet file per shard dir,
+    // exact round trip through the hive layout
+    val path = tmpDir("packed_out")
+    CurationOps.writePackedCorpus(fixture, "doc_id", "text", 5, path,
+      chunksPerShard = 1)
+    val back = spark.read.parquet(path)
+      .collect().map(r => r.getAs[String]("shard") -> r.getAs[String]("text")).toMap
+    assert(back == Map("0" -> "a b c d e", "1" -> "f g h i"))
+    Seq("0", "1").foreach { sh =>
+      val files = new java.io.File(s"$path/shard=$sh")
+        .listFiles.count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"shard $sh must hold exactly one file, got $files")
+    }
     // invariant on real data: every chunk except the max covers exactly K
     val K = 128L
     val spans = CurationOps.packChunks(docs, "doc_id", "text", K)
