@@ -283,8 +283,11 @@ object ScaleSmoke {
       val kept = operators.SimilarityOps.semanticDedupKeep(
         vecs, "vec_id", "embedding", 0.9, bands = 192, rowsPerBand = 24).count()
       println(f"[scale] semantic dedup keep over 1M vectors  ${(System.nanoTime() - t1) / 1e9}%8.2f s")
-      require(kept == nv - planted,
-        s"expected ${nv - planted} kept after collapsing $planted planted 2-clusters, got $kept")
+      // tight band, not exact equality: 100% LSH recall on the planted pairs
+      // and zero background cosine>=0.9 merges among 950k random vectors are
+      // both overwhelmingly likely but probabilistic
+      require(kept >= nv - planted - 5 && kept <= nv - planted,
+        s"expected ~${nv - planted} kept (band ±5) after collapsing $planted planted 2-clusters, got $kept")
     }
     hfs.delete(p, true)
     spark.stop()

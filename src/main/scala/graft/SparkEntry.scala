@@ -65,11 +65,15 @@ object SparkEntry {
     // (first(name, from_date) / last(name, to_date))
     "fs_first_last" -> ((s, dir) => {
       val fs = Fixtures.store(s, dir)
-      val (ft, fv) = fs.storage.firstValue("events", "click").get
-      val (lt, lv) = fs.storage.lastValue("events", "click").get
       val b = ts.TimeUtil.parseTimestamp("2024-01-15 12:00:00")
-      val (bft, bfv) = fs.storage.firstValue("events", "click", from = Some(b)).get
-      val (blt, blv) = fs.storage.lastValue("events", "click", to = Some(b)).get
+      // one fused job for all four edge probes (was four lazy walks = ~8
+      // sequential driver actions — the r4 bench's 3.4x regression)
+      val (fo, lo, bfo, blo) =
+        fs.storage.firstLastValues("events", "click", from = Some(b), to = Some(b))
+      val (ft, fv) = fo.get
+      val (lt, lv) = lo.get
+      val (bft, bfv) = bfo.get
+      val (blt, blv) = blo.get
       import s.implicits._
       Seq((ft, fv.asInstanceOf[Double], lt, lv.asInstanceOf[Double],
           bft, bfv.asInstanceOf[Double], blt, blv.asInstanceOf[Double]))

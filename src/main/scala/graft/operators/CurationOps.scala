@@ -231,9 +231,18 @@ object CurationOps {
       chunkTokens: Long): DataFrame = {
     val spans = packChunks(df, idCol, textCol, chunkTokens)
     val toks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+    // the within-doc slice bounds go through int (Spark arrays are
+    // int-indexed, so a >2^31-token doc cannot be sliced at all) — a loud
+    // raise beats the silent overflow wrap; [[packChunks]] itself stays
+    // long-exact for the cross-doc offsets
+    val from32 = when(col("tok_to") <= lit(Int.MaxValue.toLong),
+        (col("tok_from") + 1).cast("int"))
+      .otherwise(raise_error(concat(
+        lit("packChunkText: per-doc token count exceeds Int.MaxValue for doc "),
+        col(idCol).cast("string"))).cast("int"))
     spans.join(toks, Seq(idCol))
       .select(col("chunk_id"), col(idCol),
-        concat_ws(" ", slice(col("__t"), (col("tok_from") + 1).cast("int"),
+        concat_ws(" ", slice(col("__t"), from32,
           (col("tok_to") - col("tok_from")).cast("int"))).as("__frag"))
       .groupBy(col("chunk_id"))
       .agg(array_join(transform(

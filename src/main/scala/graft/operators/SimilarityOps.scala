@@ -319,11 +319,15 @@ object SimilarityOps {
       maxBucket: Int = 1000): DataFrame = {
     val pairs = nearDupPairs(df, idCol, vecCol, minCosine, blocks, bands,
       rowsPerBand, seed, maxBucket)
+    // the label frame's columns are renamed to reserved names BEFORE the
+    // join so any caller idCol works — with idCol = "id", col(idCol) would
+    // otherwise be ambiguous between the two sides
     val cc = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("__cc_id"), col("component").as("__cc_component"))
     df.select(col(idCol))
-      .join(cc, col(idCol) === cc("id"), "left")
-      .where(col("component").isNull || col("component") === col(idCol))
-      .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
+      .join(cc, col(idCol) === col("__cc_id"), "left")
+      .where(col("__cc_component").isNull || col("__cc_component") === col(idCol))
+      .select(col(idCol), coalesce(col("__cc_component"), col(idCol)).as("component"))
   }
 
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {

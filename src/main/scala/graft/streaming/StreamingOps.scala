@@ -135,8 +135,15 @@ object StreamingOps {
           val scope = graft.CacheScope.snapshot()
           val fresh = graft.CacheScope.persist(graft.operators.DedupOps
             .sigAndHashes(batch, idCol, textCol, shingleK, bands * rowsPerBand))
-          val old = spark.read.parquet(storePath)
-            .where(col("batch") =!= s"b$bid")
+          // cold start (no [[DedupOps.buildMinhashStore]] base yet): bootstrap
+          // from an empty store-shaped frame instead of failing on the read —
+          // the first batch then finds only its own internal pairs and seeds
+          // the store for later batches
+          val sp = new org.apache.hadoop.fs.Path(storePath)
+          val old =
+            if (sp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sp))
+              spark.read.parquet(storePath).where(col("batch") =!= s"b$bid")
+            else fresh.limit(0)
           graft.operators.DedupOps
             .incrementalPairsFromSigs(fresh, old, bands, rowsPerBand,
               thresholdNum, thresholdDen, maxBucket)

@@ -119,6 +119,29 @@ class StorageSpec extends SparkTestBase {
     assert(st.lastValue("ns", "fl", to = Some(ts("2020-01-01"))).isEmpty)
   }
 
+  test("firstLastValues: fused probe matches the four lazy walks") {
+    val st = freshStore()
+    st.save("ns", "flv", seriesDf((1 to 9).map(d => (f"2021-01-0$d%d", d * 10.0: Any))))
+    def expect(from: Option[java.sql.Timestamp], to: Option[java.sql.Timestamp]) = {
+      val fused = st.firstLastValues("ns", "flv", from, to)
+      val lazily = (st.firstValue("ns", "flv"), st.lastValue("ns", "flv"),
+        from.flatMap(b => st.firstValue("ns", "flv", from = Some(b))),
+        to.flatMap(b => st.lastValue("ns", "flv", to = Some(b))))
+      assert(fused == lazily, s"from=$from to=$to")
+    }
+    expect(None, None)
+    expect(Some(ts("2021-01-04")), Some(ts("2021-01-04")))
+    // mid-partition bounds: the bound's own dir holds no qualifying row for
+    // `from` (all rows < b) — exercises the per-slot lazy fallback
+    expect(Some(ts("2021-01-03 12:00:00")), Some(ts("2021-01-03 12:00:00")))
+    // bounds outside the data: bounded slots empty, global slots intact
+    expect(Some(ts("2022-01-01")), Some(ts("2020-01-01")))
+    // different bounds per direction
+    expect(Some(ts("2021-01-02")), Some(ts("2021-01-08")))
+    // missing feature: all four empty
+    assert(st.firstLastValues("ns", "absent") == (None, None, None, None))
+  }
+
   test("resample load: freq grid with defaults from data bounds") {
     val st = freshStore()
     st.save("ns", "rs", seriesDf(Seq("2021-01-01" -> 1.0, "2021-01-05" -> 5.0)))
