@@ -376,6 +376,14 @@ object SparkEntry {
       operators.CurationOps.packChunks(Tables.documents(s, dir),
         "doc_id", "text", chunkTokens = 512)),
 
+    // the same packing re-denominated in BPE-ish subword tokens via the
+    // pluggable counter — chunk budgets in real pipelines are tokenizer
+    // tokens, not whitespace words; identical distributed shape
+    "corpus_pack_bpe" -> ((s, dir) =>
+      operators.CurationOps.packChunks(Tables.documents(s, dir),
+        "doc_id", "text", chunkTokens = 512,
+        tokenCounter = operators.TextOps.bpeTokenCount)),
+
     // materialized training sequences: the packed spans joined back to
     // tokens and concatenated per chunk (512 tokens each except the tail)
     "corpus_pack_text" -> ((s, dir) =>
@@ -1038,6 +1046,23 @@ object SparkEntry {
     // inclusive + 1
     "corpus_pack" ->
       """WITH t AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n
+                    FROM documents),
+         c AS (SELECT doc_id, n,
+                 CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) cum FROM t),
+         s AS (SELECT doc_id, n, cum - n AS strt, cum FROM c WHERE n > 0)
+         SELECT CAST(b AS BIGINT) AS chunk_id, doc_id,
+           CAST(greatest(0, b * 512 - strt) AS BIGINT) AS tok_from,
+           CAST(least(n, (b + 1) * 512 - strt) AS BIGINT) AS tok_to
+         FROM s, unnest(range(strt // 512, ((cum - 1) // 512) + 1)) u(b)
+         ORDER BY chunk_id, doc_id""",
+
+    // corpus_pack under the BPE-ish counter: identical span arithmetic,
+    // n re-denominated as the regex token count (same RE2-subset pattern
+    // as text_stats' n_bpe_tokens oracle)
+    "corpus_pack_bpe" ->
+      """WITH t AS (SELECT doc_id,
+                      len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n
                     FROM documents),
          c AS (SELECT doc_id, n,
                  CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)

@@ -72,13 +72,13 @@ object CurationOps {
     */
   def curateKeep(docs0: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, langCol: String, k: Int = 4, minTokens: Long = 20,
-      maxTopTokenFrac: Double = 0.12): DataFrame = {
+      maxTopTokenFrac: Double = 0.12,
+      tokenCounter: Option[Column => Column] = None): DataFrame = {
     // null text = empty text: tokenizes to one empty token (n_tokens = 1),
     // so such docs flow through every rule (and fail the length cut)
     // instead of silently vanishing from the inner joins below
     val docs = docs0.withColumn(textCol, coalesce(col(textCol), lit("")))
-    val rep = TextOps.repetitionStats(docs, idCol, textCol)
-      .select(col(idCol), col("n_tokens"), col("top_token_frac"))
+    val rep = repWithCounter(docs, idCol, textCol, tokenCounter)
     val contaminated = ngramOverlap(docs, bench, idCol, textCol, k)
       .where(col("contaminated"))
       .select(col(idCol))
@@ -108,13 +108,13 @@ object CurationOps {
     */
   def curationReport(docs0: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, langCol: String, k: Int = 4, minTokens: Long = 20,
-      maxTopTokenFrac: Double = 0.12): DataFrame = {
+      maxTopTokenFrac: Double = 0.12,
+      tokenCounter: Option[Column => Column] = None): DataFrame = {
     // null text = empty text (see [[curateKeep]]) — the partition contract
     // (outcome counts sum to the corpus size) must hold for crawl rows
     // with missing text too
     val docs = docs0.withColumn(textCol, coalesce(col(textCol), lit("")))
-    val rep = TextOps.repetitionStats(docs, idCol, textCol)
-      .select(col(idCol), col("n_tokens"), col("top_token_frac"))
+    val rep = repWithCounter(docs, idCol, textCol, tokenCounter)
     val contaminated = ngramOverlap(docs, bench, idCol, textCol, k)
       .where(col("contaminated"))
       .select(col(idCol), lit(1).as("__contam"))
@@ -133,6 +133,28 @@ object CurationOps {
       .groupBy(col(langCol), col("outcome"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("bigint").as("n_tokens"))
+  }
+
+  /** Per-doc (n_tokens, top_token_frac) in the requested token basis:
+    * `None` keeps [[TextOps.repetitionStats]]' whitespace counts (the
+    * default — plans unchanged); `Some(counter)` re-denominates `n_tokens`
+    * (the `short` cut and every token share/budget in the report) in the
+    * counter's basis while `top_token_frac` stays a whitespace-token
+    * repetition signal — [[curateKeep]] and [[curationReport]] receive the
+    * SAME frame, so the kept-rows == report-kept invariant holds under any
+    * counter. The overlay join keys by the doc id like every other curation
+    * stage (one shared hash partitioning).
+    */
+  private def repWithCounter(docs: DataFrame, idCol: String, textCol: String,
+      tokenCounter: Option[Column => Column]): DataFrame = {
+    val rep = TextOps.repetitionStats(docs, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("top_token_frac"))
+    tokenCounter match {
+      case None => rep
+      case Some(tc) =>
+        docs.select(col(idCol), tc(col(textCol)).cast("long").as("n_tokens"))
+          .join(rep.select(col(idCol), col("top_token_frac")), Seq(idCol))
+    }
   }
 
   /** Distributed inclusive prefix sum of `valueCol` in `orderCol` order,
@@ -196,12 +218,21 @@ object CurationOps {
     * Cost: [[prefixSum]]'s one shuffle + carry broadcast; the chunk-span
     * explosion is map-side arithmetic on exact longs (`div`, no
     * floating-point floor — survives token offsets past 2^53).
+    *
+    * `tokenCounter` sets the token basis the spans are denominated in —
+    * whitespace by default, [[TextOps.bpeTokenCount]] for a BPE-ish count,
+    * or any engine-reproducible expression over the text (real mixtures
+    * and chunk budgets are specified in tokenizer tokens, which run
+    * 1.3–1.7× whitespace counts). The distributed shape is unchanged:
+    * the counter is one map-side column, everything downstream is span
+    * arithmetic on its counts.
     */
   def packChunks(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Long): DataFrame = {
+      chunkTokens: Long,
+      tokenCounter: Column => Column = TextOps.tokenCount): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
     val counts = df.select(col(idCol),
-      TextOps.tokenCount(col(textCol)).cast("long").as("__n"))
+      tokenCounter(col(textCol)).cast("long").as("__n"))
     prefixSum(counts, idCol, "__n", "__cum")
       .where(col("__n") > 0)
       .withColumn("__start", col("__cum") - col("__n"))
@@ -226,11 +257,17 @@ object CurationOps {
     * partitioning-independent. A doc appears in at most
     * ⌈|doc|/chunkTokens⌉+1 chunks, so the join fans out by ~1 — no
     * amplification at any corpus size.
+    *
+    * `tokenizer` sets the token basis (default whitespace,
+    * [[TextOps.bpeTokens]] for BPE-ish): the span counts are derived from
+    * the SAME tokenization that gets sliced, so spans and materialized
+    * fragments cannot disagree under any custom basis.
     */
   def packChunkText(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Long): DataFrame = {
-    val spans = packChunks(df, idCol, textCol, chunkTokens)
-    val toks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      chunkTokens: Long,
+      tokenizer: Column => Column = TextOps.tokens): DataFrame = {
+    val spans = packChunks(df, idCol, textCol, chunkTokens, c => size(tokenizer(c)))
+    val toks = df.select(col(idCol), tokenizer(col(textCol)).as("__t"))
     // the within-doc slice bounds go through int (Spark arrays are
     // int-indexed, so a >2^31-token doc cannot be sliced at all) — a loud
     // raise beats the silent overflow wrap; [[packChunks]] itself stays
@@ -260,9 +297,10 @@ object CurationOps {
     * chunkTokens tokens except the tail.
     */
   def writePackedCorpus(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Long, path: String, chunksPerShard: Long = 1024): Unit = {
+      chunkTokens: Long, path: String, chunksPerShard: Long = 1024,
+      tokenizer: Column => Column = TextOps.tokens): Unit = {
     require(chunksPerShard > 0, "chunksPerShard must be positive")
-    packChunkText(df, idCol, textCol, chunkTokens)
+    packChunkText(df, idCol, textCol, chunkTokens, tokenizer)
       .withColumn("shard", expr(s"chunk_id div ${chunksPerShard}L"))
       .repartition(col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(path)

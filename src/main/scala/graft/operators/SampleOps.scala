@@ -101,7 +101,8 @@ object SampleOps {
     */
   def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
       stratumCol: String, budgets: Map[String, Long],
-      defaultBudget: Long = 0L, salt: String = ""): DataFrame = {
+      defaultBudget: Long = 0L, salt: String = "",
+      tokenCounter: Column => Column = TextOps.tokenCount): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val budgetDf = budgets.toSeq.toDF("__stratum", "__budget")
@@ -110,9 +111,11 @@ object SampleOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // null text = empty text (1 empty token), matching CurationOps — a
     // null token count would ride the window sum uncharged and be kept
-    // for free
+    // for free. `tokenCounter` sets the budget's token basis (whitespace
+    // default; [[TextOps.bpeTokenCount]] or any reproducible expression) —
+    // one map-side column, the window shape is unchanged.
     df.withColumn("__n",
-        TextOps.tokenCount(coalesce(col(textCol), lit(""))).cast("long"))
+        tokenCounter(coalesce(col(textCol), lit(""))).cast("long"))
       .withColumn("cum_tokens", sum(col("__n")).over(w))
       .join(broadcast(budgetDf), df(stratumCol) === col("__stratum"), "left")
       .where(col("cum_tokens") <= coalesce(col("__budget"), lit(defaultBudget)))

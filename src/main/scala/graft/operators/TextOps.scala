@@ -24,8 +24,9 @@ object TextOps {
     * non-space chars — the standard pre-tokenizer shape.
     */
   val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
-  def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
   /** Count of punctuation chars. */
   def punctCount(text: Column): Column =

@@ -555,6 +555,23 @@ class OperatorsSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("packChunkText under a custom tokenizer: chunks hold exactly K tokens of that basis") {
+    import spark.implicits._
+    // "a1 b2" is 4 BPE-ish subwords (letter run + digit run per word);
+    // materialize under bpeTokens and every non-tail chunk must carry
+    // exactly K subwords of the SAME basis the spans were computed in
+    val fixture = Seq(
+      (1L, "a1 b2 c3"), (2L, "d4!"), (3L, "e5 f6")).toDF("doc_id", "text")
+    val K = 5L
+    val chunks = CurationOps.packChunkText(fixture, "doc_id", "text", K,
+        tokenizer = TextOps.bpeTokens)
+      .withColumn("n_bpe", TextOps.bpeTokenCount(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("n_bpe")).toMap
+    // 6 + 3 + 4 = 13 subwords -> chunks of 5, 5, 3
+    assert(chunks == Map(0L -> 5, 1L -> 5, 2L -> 3), s"got $chunks")
+    graft.CacheScope.release()
+  }
+
   test("tokenHistogram counts frequencies and doc frequencies exactly") {
     import spark.implicits._
     val fixture = Seq(

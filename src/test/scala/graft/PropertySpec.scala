@@ -84,40 +84,71 @@ class PropertySpec extends SparkTestBase {
       case (n, i) => (i.toLong, n)
     })
 
-  test("property: packChunks spans partition the concatenated token stream") {
+  /** The packChunks contract, parameterized by the expected per-doc token
+    * count in whatever basis the counter under test denominates spans in.
+    */
+  private def assertSpanInvariants(
+      spans: Array[(Long, Long, Long, Long)], rows: List[(Long, Int)],
+      expectedCount: Int => Long, k: Long): Unit = {
+    // within-doc spans are contiguous, non-empty and cover [0, count)
+    val byDoc = spans.groupBy(_._2)
+    val nOf = rows.toMap
+    byDoc.foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._1)
+      assert(sorted.head._3 == 0L && sorted.last._4 == expectedCount(nOf(id)))
+      assert(sorted.forall { case (_, _, a, b) => a < b })
+      sorted.sliding(2).foreach {
+        case Array((c1, _, _, b1), (c2, _, a2, _)) =>
+          assert(c2 == c1 + 1 && a2 == b1)
+        case _ =>
+      }
+    }
+    // every doc appears (no doc is lost at a chunk boundary)
+    assert(byDoc.keySet == rows.map(_._1).toSet)
+    // every chunk except the last holds exactly k tokens
+    val perChunk = spans.groupBy(_._1).view
+      .mapValues(_.map(s => s._4 - s._3).sum).toMap
+    if (perChunk.nonEmpty) {
+      val last = perChunk.keys.max
+      assert(perChunk.filter(_._1 != last).values.forall(_ == k))
+      assert(perChunk(last) <= k)
+    }
+  }
+
+  private def spanDocs(rows: List[(Long, Int)]) = {
     import spark.implicits._
+    rows.map { case (id, n) =>
+      (id, (0 until n).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("property: packChunks spans partition the concatenated token stream") {
     (1 to 5).flatMap(i => docsGen.apply(Gen.Parameters.default, Seed(100L + i)))
       .foreach { rows =>
-        val docs = rows.map { case (id, n) =>
-          (id, (0 until n).map(j => s"t$j").mkString(" "))
-        }.toDF("doc_id", "text")
-        val k = 7L
-        val spans = operators.CurationOps.packChunks(docs, "doc_id", "text", k)
+        val spans = operators.CurationOps.packChunks(spanDocs(rows), "doc_id", "text", 7L)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-        // within-doc spans are contiguous, non-empty and cover [0, n)
-        val byDoc = spans.groupBy(_._2)
-        val nOf = rows.toMap
-        byDoc.foreach { case (id, ss) =>
-          val sorted = ss.sortBy(_._1)
-          assert(sorted.head._3 == 0L && sorted.last._4 == nOf(id).toLong)
-          assert(sorted.forall { case (_, _, a, b) => a < b })
-          sorted.sliding(2).foreach {
-            case Array((c1, _, _, b1), (c2, _, a2, _)) =>
-              assert(c2 == c1 + 1 && a2 == b1)
-            case _ =>
-          }
-        }
-        // every doc appears (no doc is lost at a chunk boundary)
-        assert(byDoc.keySet == rows.map(_._1).toSet)
-        // every chunk except the last holds exactly k tokens
-        val perChunk = spans.groupBy(_._1).view
-          .mapValues(_.map(s => s._4 - s._3).sum).toMap
-        if (perChunk.nonEmpty) {
-          val last = perChunk.keys.max
-          assert(perChunk.filter(_._1 != last).values.forall(_ == k))
-          assert(perChunk(last) <= k)
-        }
+        assertSpanInvariants(spans, rows, n => n.toLong, 7L)
         graft.CacheScope.release()
+      }
+  }
+
+  test("property: packChunks span invariants hold under any token counter") {
+    import org.apache.spark.sql.Column
+    // each "tJ" is a letter run + a digit run under the BPE-ish pattern
+    // (2 subwords/word); the affine counter is deliberately unrelated to
+    // any tokenization — the span algebra must not care
+    val counters: Seq[(Column => Column, Int => Long)] = Seq(
+      (c => operators.TextOps.bpeTokenCount(c), n => 2L * n),
+      (c => operators.TextOps.tokenCount(c) * 3 + 1, n => 3L * n + 1))
+    (1 to 2).flatMap(i => docsGen.apply(Gen.Parameters.default, Seed(300L + i)))
+      .foreach { rows =>
+        counters.foreach { case (counter, expected) =>
+          val spans = operators.CurationOps
+            .packChunks(spanDocs(rows), "doc_id", "text", 7L, counter)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          assertSpanInvariants(spans, rows, expected, 7L)
+          graft.CacheScope.release()
+        }
       }
   }
 
