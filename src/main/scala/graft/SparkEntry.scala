@@ -465,6 +465,21 @@ object SparkEntry {
         emb.where(col("vec_id") < 10), "vec_id", "embedding", path, 10)
     }),
 
+    // incremental index serving: build on the base corpus (vec_id >= 50),
+    // append the new batch against the FROZEN base centroids, probe — the
+    // oracle refines centroids on the base rows only and assigns everything
+    "ann_ivf_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = s"${Fixtures.tmpRoot}/ivf_gate_append"
+      operators.SimilarityOps.buildIvfIndex(
+        emb.where(col("vec_id") >= 50), "vec_id", "embedding", path)
+      operators.SimilarityOps.appendIvfIndex(
+        emb.where(col("vec_id") < 50), "vec_id", "embedding", path,
+        batchToken = "b1")
+      operators.SimilarityOps.ivfTopKIndexed(s,
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", path, 10)
+    }),
+
     // embedding near-duplicate pairs (quantized-exact cosine >= 0.4)
     "emb_neardup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).where(col("vec_id") < 500)
@@ -1208,6 +1223,66 @@ object SparkEntry {
                    ORDER BY cos DESC, cell) = 1),
           m2 AS (SELECT a1.cell, f.i, CAST(floor(avg(CAST(f.x AS DOUBLE))) AS BIGINT) cx
                  FROM a1 JOIN flat f USING (vec_id) GROUP BY 1, 2),
+          cn2 AS (SELECT cell, sqrt(CAST(sum(cx*cx) AS DOUBLE)) cn FROM m2 GROUP BY 1),
+          d2 AS (SELECT f.vec_id, c.cell, sum(f.x * c.cx) dot
+                 FROM flat f JOIN m2 c ON f.i = c.i GROUP BY 1, 2),
+          sc2 AS (SELECT d2.vec_id, d2.cell,
+                    CAST(dot AS DOUBLE) / (nn.nrm * cn2.cn) cos
+                  FROM d2 JOIN nn USING (vec_id) JOIN cn2 USING (cell)),
+          assigned AS (SELECT vec_id, cell FROM sc2
+                       QUALIFY row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, cell) = 1),
+          probes AS (SELECT vec_id, cell FROM sc2 WHERE vec_id < 10
+                     QUALIFY row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cell) <= 4),
+          cand AS (SELECT p.vec_id qid, a.vec_id nid
+                   FROM probes p JOIN assigned a USING (cell)
+                   WHERE p.vec_id != a.vec_id),
+          dots AS (SELECT c.qid, c.nid, sum(q.x * n.x) dot
+                   FROM cand c JOIN flat q ON q.vec_id = c.qid
+                     JOIN flat n ON n.vec_id = c.nid AND n.i = q.i
+                   GROUP BY 1, 2),
+          scored AS (SELECT qid query_id, nid neighbor_id,
+                       CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) cosine
+                     FROM dots JOIN nn nq ON nq.vec_id = qid
+                       JOIN nn nc ON nc.vec_id = nid)
+          SELECT query_id, neighbor_id, rank, cosine FROM
+            (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) rank FROM scored)
+          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // ann_ivf_topk's unrolled Lloyd refinement restricted to the BASE rows
+    // (vec_id >= 50, seeds = 16 lowest base ids) — the append path freezes
+    // those centroids — with the FINAL assignment over all vectors
+    "ann_ivf_append" ->
+      s"""WITH $embFlat,
+          nn AS (SELECT vec_id, sqrt(CAST(n2 AS DOUBLE)) nrm FROM norms),
+          bflat AS (SELECT * FROM flat WHERE vec_id >= 50),
+          c0 AS (SELECT vec_id AS cell, i, x AS cx FROM bflat
+                 WHERE vec_id IN (SELECT vec_id FROM e WHERE vec_id >= 50
+                                  ORDER BY vec_id LIMIT 16)),
+          cn0 AS (SELECT cell, sqrt(CAST(sum(cx*cx) AS DOUBLE)) cn FROM c0 GROUP BY 1),
+          d0 AS (SELECT f.vec_id, c.cell, sum(f.x * c.cx) dot
+                 FROM bflat f JOIN c0 c ON f.i = c.i GROUP BY 1, 2),
+          a0 AS (SELECT vec_id, cell FROM
+                   (SELECT d0.vec_id, d0.cell,
+                      CAST(dot AS DOUBLE) / (nn.nrm * cn0.cn) cos
+                    FROM d0 JOIN nn USING (vec_id) JOIN cn0 USING (cell))
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, cell) = 1),
+          m1 AS (SELECT a0.cell, f.i, CAST(floor(avg(CAST(f.x AS DOUBLE))) AS BIGINT) cx
+                 FROM a0 JOIN bflat f USING (vec_id) GROUP BY 1, 2),
+          cn1 AS (SELECT cell, sqrt(CAST(sum(cx*cx) AS DOUBLE)) cn FROM m1 GROUP BY 1),
+          d1 AS (SELECT f.vec_id, c.cell, sum(f.x * c.cx) dot
+                 FROM bflat f JOIN m1 c ON f.i = c.i GROUP BY 1, 2),
+          a1 AS (SELECT vec_id, cell FROM
+                   (SELECT d1.vec_id, d1.cell,
+                      CAST(dot AS DOUBLE) / (nn.nrm * cn1.cn) cos
+                    FROM d1 JOIN nn USING (vec_id) JOIN cn1 USING (cell))
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, cell) = 1),
+          m2 AS (SELECT a1.cell, f.i, CAST(floor(avg(CAST(f.x AS DOUBLE))) AS BIGINT) cx
+                 FROM a1 JOIN bflat f USING (vec_id) GROUP BY 1, 2),
           cn2 AS (SELECT cell, sqrt(CAST(sum(cx*cx) AS DOUBLE)) cn FROM m2 GROUP BY 1),
           d2 AS (SELECT f.vec_id, c.cell, sum(f.x * c.cx) dot
                  FROM flat f JOIN m2 c ON f.i = c.i GROUP BY 1, 2),

@@ -101,12 +101,57 @@ object SimilarityOps {
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String, path: String,
       nCells: Int = 16, refineIters: Int = 2): Unit = {
     ensureRegistered(corpus)
+    // full rebuild: clear stale append batches too (mirrors
+    // [[DedupOps.buildMinhashStore]])
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
     val cq = prep(corpus, idCol, vecCol, "id", "v", "nrm")
     val cents = refinedCentroids(cq, nCells, refineIters)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    bestCell(cq, cents, "id", "v", "nrm")
+    writeAssignedBatch(bestCell(cq, cents, "id", "v", "nrm"), path, "base")
+  }
+
+  /** One batch's cell assignments land as `assigned/batch=<token>/cell=*`:
+    * the batch dir is an atomic per-token overwrite (replay-idempotent, the
+    * minhash-store pattern) and `cell` stays a hive partition column, so
+    * probes keep pruning to their nProbe cells' dirs within every batch.
+    */
+  private def writeAssignedBatch(assigned: DataFrame, path: String,
+      batchToken: String): Unit =
+    assigned
       .repartition(col("cell")) // one writer task per cell — no small files
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/assigned")
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$path/assigned/batch=$batchToken")
+
+  /** Append new vectors to a persisted IVF index WITHOUT a rebuild — the
+    * serving-side ingest path (mirrors [[DedupOps.appendMinhashStore]]):
+    * new vectors are assigned to the EXISTING centroids (broadcast, one
+    * map-side pass + the [[bestCell]] aggregation) and written as their own
+    * `assigned/batch=<token>` dir, so a replayed append overwrites itself
+    * instead of duplicating rows. Probes after an append return exactly
+    * what a from-scratch build over base ∪ appended would IF the centroids
+    * were refined on the base alone — centroids are deliberately NOT
+    * re-refined here (that is the rebuild's job; as the appended mass
+    * drifts from the base distribution, per-probe recall decays — rebuild
+    * periodically). Ids must be new to the index; a vector whose dimension
+    * disagrees with the index's is rejected loudly (it would silently
+    * score garbage dot products against every centroid).
+    */
+  def appendIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+      path: String,
+      batchToken: String = java.util.UUID.randomUUID.toString): Unit = {
+    ensureRegistered(newVecs)
+    val spark = newVecs.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val dim = cents.select(size(col("cv")).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalStateException(s"no IVF index at $path"))
+    val bad = newVecs.where(size(col(vecCol)) =!= dim).limit(1).collect()
+    require(bad.isEmpty,
+      s"appendIvfIndex: appended vector dimension != index dimension $dim at $path")
+    val nq = prep(newVecs, idCol, vecCol, "id", "v", "nrm")
+    writeAssignedBatch(bestCell(nq, cents, "id", "v", "nrm"), path, batchToken)
   }
 
   /** Probe a persisted IVF index (see [[buildIvfIndex]]); same results as

@@ -194,10 +194,42 @@ class OperatorsSpec extends SparkTestBase {
     val indexed = SimilarityOps.ivfTopKIndexed(spark, queries, "vec_id", "embedding", path, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(indexed == direct)
-    // the index is hive-partitioned by cell, so probes prune directories
-    val parts = new java.io.File(s"$path/assigned").listFiles()
+    // the index is hive-partitioned by cell within its batch dir, so
+    // probes prune directories
+    val parts = new java.io.File(s"$path/assigned/batch=base").listFiles()
       .count(_.getName.startsWith("cell="))
     assert(parts > 1, "assignments must be partitioned by cell")
+  }
+
+  test("appendIvfIndex: append probes == rebuild with base-refined centroids; dim mismatch loud") {
+    val path = tmpDir("ivfappend")
+    val base = emb.where(col("vec_id") >= 50)
+    val fresh = emb.where(col("vec_id") < 50)
+    SimilarityOps.buildIvfIndex(base, "vec_id", "embedding", path)
+    SimilarityOps.appendIvfIndex(fresh, "vec_id", "embedding", path, batchToken = "b1")
+    val queries = emb.where(col("vec_id") < 10)
+    val got = SimilarityOps.ivfTopKIndexed(spark, queries, "vec_id", "embedding", path, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    // probing ALL cells makes the rerank exhaustive regardless of cell
+    // assignment, so the appended index must reproduce exact brute-force
+    // top-k over base ∪ appended — proves the appended vectors landed and
+    // score exactly (nCells default = 16)
+    val full = SimilarityOps.ivfTopKIndexed(spark, queries, "vec_id", "embedding",
+        path, 10, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == brute)
+    // replayed append (same token) overwrites its own dir — no duplicates
+    SimilarityOps.appendIvfIndex(fresh, "vec_id", "embedding", path, batchToken = "b1")
+    val n = spark.read.parquet(s"$path/assigned").count()
+    assert(n == emb.count(), s"replayed append must not duplicate rows, got $n")
+    // dimension drift is rejected loudly
+    import spark.implicits._
+    val badDim = Seq((9999L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](
+      SimilarityOps.appendIvfIndex(badDim, "vec_id", "embedding", path))
   }
 
   test("text stats: counts consistent and quality bounded") {
