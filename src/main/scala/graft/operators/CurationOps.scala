@@ -36,12 +36,24 @@ object CurationOps {
     * nothing — they carry no k-gram evidence either way.
     */
   def ngramOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, k: Int = 4): DataFrame = {
+      textCol: String, k: Int = 4,
+      broadcastShingleLimit: Long = 2000000L): DataFrame = {
     val corpusShingles = TextOps.shingleRows(corpus, idCol, textCol, k)
-    val benchShingles = TextOps.shingleRows(bench, idCol, textCol, k)
-      .select(col("s")).distinct()
-    corpusShingles
-      .join(broadcast(benchShingles.withColumn("__hit", lit(1))), Seq("s"), "left")
+    // counted once (cache-scoped) BEFORE choosing the join strategy: eval
+    // suites are megabytes so the broadcast is the normal path, but a
+    // corpus-sized "benchmark" fed here by mistake must not be collected
+    // onto the driver — above the limit the membership join degrades to a
+    // shuffled hash join on the shingle key (documented swap in the module
+    // scaladoc; semantics identical, one extra corpus shuffle)
+    val benchShingles = graft.CacheScope.persist(
+      TextOps.shingleRows(bench, idCol, textCol, k)
+        .select(col("s")).distinct().withColumn("__hit", lit(1)))
+    val joined =
+      if (benchShingles.count() <= broadcastShingleLimit)
+        corpusShingles.join(broadcast(benchShingles), Seq("s"), "left")
+      else
+        corpusShingles.join(benchShingles.hint("shuffle_hash"), Seq("s"), "left")
+    joined
       // shingleRows repeats a k-gram at each position; fold to per-(doc,
       // k-gram) first. Both groupBys run on the window's existing id
       // partitioning — no further exchange.
@@ -167,7 +179,10 @@ object CurationOps {
     *
     * `orderCol` must be numeric, non-null and UNIQUE per row (ties make an
     * inclusive running sum engine-dependent); `valueCol` must be non-null
-    * integral.
+    * integral. The uniqueness/non-null contract is ENFORCED, not assumed:
+    * the bootstrap aggregation also counts distinct order keys and the
+    * operator throws on a mismatch — a silent duplicate would make the
+    * running sum partitioning-dependent with no other signal.
     */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
       cumCol: String = "cum", buckets: Int = 0): DataFrame = {
@@ -175,14 +190,20 @@ object CurationOps {
     val nb = if (buckets > 0) buckets else spark.sparkContext.defaultParallelism
     val cached = graft.CacheScope.persist(df)
     val oc = col(orderCol).cast("long")
-    // quantile cuts ride the same single aggregation as the row count
+    // quantile cuts ride the same single aggregation as the row count and
+    // the exact distinct-key count (count_distinct skips nulls, so null
+    // order keys surface through the same mismatch)
     val probs = (1 until nb).map(_.toDouble / nb)
-    val r = cached.agg(count(lit(1)).as("n"),
+    val r = cached.agg(count(lit(1)).as("n"), count_distinct(oc).as("nd"),
       (if (probs.nonEmpty) percentile_approx(oc, array(probs.map(lit): _*), lit(1000))
        else array()).as("cuts")).head()
     if (r.getLong(0) == 0L) return df.withColumn(cumCol, lit(0L))
+    require(r.getLong(1) == r.getLong(0),
+      s"prefixSum: orderCol '$orderCol' must be non-null and unique per row " +
+        s"(${r.getLong(0)} rows, ${r.getLong(1)} distinct non-null keys) — " +
+        "duplicate order keys make an inclusive running sum partitioning-dependent")
     val cuts: Seq[Long] =
-      if (probs.isEmpty) Nil else r.getSeq[Long](1).distinct.sorted
+      if (probs.isEmpty) Nil else r.getSeq[Long](2).distinct.sorted
     val bucketOf = cuts.zipWithIndex.reverse.foldLeft(lit(cuts.length.toLong): Column) {
       case (acc, (c, i)) => when(oc < lit(c), lit(i.toLong)).otherwise(acc)
     }

@@ -124,8 +124,34 @@ object StreamingOps {
       checkpoint: String, shingleK: Int = 3, bands: Int = 32,
       rowsPerBand: Int = 4, thresholdNum: Int = 1, thresholdDen: Int = 2,
       maxBucket: Int = 1000): StreamingQuery =
+    dedupIncremental(stream, idCol, textCol, storePath, pairsOut, checkpoint,
+      Trigger.AvailableNow(), shingleK, bands, rowsPerBand, thresholdNum,
+      thresholdDen, maxBucket)
+
+  /** [[dedupIncrementalAvailableNow]] as a LIVE TAIL: same per-micro-batch
+    * probe-then-append semantics under a ProcessingTime trigger — the query
+    * keeps running and dedups new crawl files as they land. The per-batch
+    * scoped cache release is what makes this safe to run indefinitely
+    * (each batch's persisted signature/candidate frames are dropped before
+    * the next batch; without the scope a live tail accumulates one pinned
+    * frame per batch forever).
+    */
+  def dedupIncrementalProcessingTime(stream: DataFrame, idCol: String,
+      textCol: String, storePath: String, pairsOut: String,
+      checkpoint: String, interval: String = "1 second", shingleK: Int = 3,
+      bands: Int = 32, rowsPerBand: Int = 4, thresholdNum: Int = 1,
+      thresholdDen: Int = 2, maxBucket: Int = 1000): StreamingQuery =
+    dedupIncremental(stream, idCol, textCol, storePath, pairsOut, checkpoint,
+      Trigger.ProcessingTime(interval), shingleK, bands, rowsPerBand,
+      thresholdNum, thresholdDen, maxBucket)
+
+  private def dedupIncremental(stream: DataFrame, idCol: String,
+      textCol: String, storePath: String, pairsOut: String,
+      checkpoint: String, trigger: Trigger, shingleK: Int, bands: Int,
+      rowsPerBand: Int, thresholdNum: Int, thresholdDen: Int,
+      maxBucket: Int): StreamingQuery =
     stream.writeStream
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty) {

@@ -93,6 +93,45 @@ class OperatorsSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("incremental near-dup probe reports LSH bucket accounting like the batch path") {
+    import spark.implicits._
+    // hot store bucket (300 identical docs) + identical probe batch: the
+    // store-side chain truncation must surface through the SAME observed
+    // metric as the batch path — per-probe, not only at build time
+    val clones = (0L until 300L).map(i => (i, "the same exact text repeated verbatim"))
+      .toDF("doc_id", "text")
+    val store = tmpDir("incmetrics_store")
+    DedupOps.buildMinhashStore(clones, "doc_id", "text", store)
+    val probe = (1000L until 1020L).map(i => (i, "the same exact text repeated verbatim"))
+      .toDF("doc_id", "text")
+    var observed: Map[String, Any] = Map.empty
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = {
+        qe.observedMetrics.get(DedupOps.LshBucketMetrics).foreach { row =>
+          observed = row.getValuesMap(Seq("buckets", "truncated_buckets", "max_bucket_size"))
+        }
+      }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pairs = DedupOps.incrementalNearDupPairs(probe, "doc_id", "text", store,
+        maxBucket = 100)
+      assert(pairs.count() > 0)
+      val deadline = System.currentTimeMillis() + 10000
+      while (observed.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(observed.get("truncated_buckets").exists(_.asInstanceOf[Long] > 0),
+        s"store-side truncation must be reported on the probe, got $observed")
+      assert(observed.get("max_bucket_size").exists(_.asInstanceOf[Long] == 320L),
+        s"bucket must hold store+probe members, got $observed")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      graft.CacheScope.release()
+    }
+  }
+
   test("winnowing: shared runs share fingerprints; selections are window minima") {
     import spark.implicits._
     val shared = (1 to 12).map(i => s"common$i").mkString(" ") // 12 shared tokens
@@ -531,6 +570,35 @@ class OperatorsSpec extends SparkTestBase {
     val kept = SimilarityOps.semanticDedupKeep(fixture, "vec_id", "embedding", 0.9)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(kept == Map(1L -> 1L, 10L -> 10L, 20L -> 20L))
+    graft.CacheScope.release()
+  }
+
+  test("prefixSum rejects duplicate and null order keys loudly") {
+    import spark.implicits._
+    val dup = Seq((1L, 10L), (2L, 20L), (1L, 30L)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException](
+      CurationOps.prefixSum(dup, "id", "v"))
+    assert(e.getMessage.contains("unique"), e.getMessage)
+    val withNull = Seq((java.lang.Long.valueOf(1L), 10L),
+      (null.asInstanceOf[java.lang.Long], 20L)).toDF("id", "v")
+    intercept[IllegalArgumentException](
+      CurationOps.prefixSum(withNull, "id", "v"))
+    graft.CacheScope.release()
+  }
+
+  test("ngramOverlap: oversized benchmark side degrades to a shuffled join, never a driver broadcast") {
+    val bench = docs.limit(5)
+    // force the guard with a tiny limit: the membership join must be a
+    // ShuffledHashJoin on the shingle key, with no broadcast of the bench
+    // shingle set
+    val guarded = CurationOps.ngramOverlap(docs, bench, "doc_id", "text",
+      broadcastShingleLimit = 1)
+    val p = guarded.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), s"expected shuffled membership join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"oversized bench must not broadcast:\n$p")
+    // results identical to the broadcast path
+    val normal = CurationOps.ngramOverlap(docs, bench, "doc_id", "text")
+    assert(guarded.collect().toSet == normal.collect().toSet)
     graft.CacheScope.release()
   }
 

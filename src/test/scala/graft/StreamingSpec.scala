@@ -182,6 +182,50 @@ class StreamingSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("live-tail incremental dedup: processing-time trigger, cache scope drains per batch") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("livetail")
+    val d = Tables.documents(spark, dir)
+    val store = s"$root/store"
+    graft.operators.DedupOps.buildMinhashStore(
+      d.where(col("doc_id") < 250), "doc_id", "text", store)
+    // backlog: two paced files of new docs
+    val src = s"$root/src"
+    d.where(col("doc_id") >= 250 && col("doc_id") < 350).repartition(1)
+      .write.mode("append").parquet(src)
+    d.where(col("doc_id") >= 350 && col("doc_id") < 420).repartition(1)
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = graft.streaming.StreamingOps.pacedFileSource(
+      spark, src, schema, maxFilesPerTrigger = 1)
+    val baseline = graft.CacheScope.trackedCount
+    val q = graft.streaming.StreamingOps.dedupIncrementalProcessingTime(
+      stream, "doc_id", "text", store, s"$root/pairs", s"$root/ckpt")
+    q.processAllAvailable()
+    // live tail: a new crawl file lands while the query keeps running
+    d.where(col("doc_id") >= 420).repartition(1)
+      .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    // >= 3 micro-batches ran; the per-batch scope released every cache it
+    // created — a live tail must not pin one frame per batch forever
+    assert(graft.CacheScope.trackedCount == baseline,
+      s"expected tracked cache count to return to $baseline, " +
+        s"got ${graft.CacheScope.trackedCount}")
+    // drained pair set == the one-shot probe of all new docs at once
+    val streamed = spark.read.parquet(s"$root/pairs")
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cleanStore = s"$root/clean_store"
+    graft.operators.DedupOps.buildMinhashStore(
+      d.where(col("doc_id") < 250), "doc_id", "text", cleanStore)
+    val oneShot = graft.operators.DedupOps.incrementalNearDupPairs(
+        d.where(col("doc_id") >= 250), "doc_id", "text", cleanStore)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == oneShot)
+    graft.CacheScope.release()
+  }
+
   test("micro-batched incremental dedup == one-shot probe, incl. cross-batch pairs") {
     import org.apache.spark.sql.functions._
     val streamed = spark.read.parquet(Fixtures.incrementalDedupMbPath(spark, dir))
