@@ -26,7 +26,15 @@ object Bench {
     // breakage independently, but the bench artifact should carry its own
     // error flag so a -1-ish timing is never mistaken for a result)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional name-substring filters: `runMain graft.Bench simhash` times
+    // only the matching queries — a standalone rerun on a quiet machine is
+    // the triage step for any full-run outlier before calling it a
+    // regression (the full run's neighbors contribute memory pressure the
+    // query under test didn't cause)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.exists(n.contains) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {

@@ -467,11 +467,24 @@ object DedupOps {
       substring(col("simhash"), bounds(i) + 1, bounds(i + 1) - bounds(i)))
     val banded = sigs.select(col("id"), posexplode(array(blocks: _*)))
       .select(col("id"), col("pos").as("band"), col("col").as("key"))
+    // Verify on PACKED halves, not the bit-string: correlated real-text
+    // bits make the block buckets hot, so candidates outnumber true pairs
+    // ~600:1 here and per-candidate verify cost dominates the query.
+    // [[hammingDistance]] over strings allocates two 64-element arrays per
+    // candidate (split + zip_with + fold); packing each half into a long
+    // once per DOC and XOR+bit_count-ing per CANDIDATE keeps the hot loop
+    // in codegen'd integer ops — the sf0.1 gate dropped 4.0 → 2.7 s. 32-bit
+    // halves because conv(_, 2, 10) returns an unsigned decimal string: a
+    // full 64-bit value with the top bit set would not fit a signed long.
+    val halves = sigs.select(col("id"),
+      conv(substring(col("simhash"), 1, 32), 2, 10).cast("long").as("h1"),
+      conv(substring(col("simhash"), 33, 32), 2, 10).cast("long").as("h2"))
     bandedCandidatePairs(banded, maxBucket)
-      .join(sigs.select(col("id").as("id_a"), col("simhash").as("sa")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("simhash").as("sb")), Seq("id_b"))
+      .join(halves.select(col("id").as("id_a"), col("h1").as("a1"), col("h2").as("a2")), Seq("id_a"))
+      .join(halves.select(col("id").as("id_b"), col("h1").as("b1"), col("h2").as("b2")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        hammingDistance(col("sa"), col("sb")).cast("bigint").as("hamming"))
+        (expr("bit_count(a1 ^ b1)") + expr("bit_count(a2 ^ b2)"))
+          .cast("bigint").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 
