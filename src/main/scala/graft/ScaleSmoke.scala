@@ -213,12 +213,15 @@ object ScaleSmoke {
       require(sampled.forall(r => r.getInt(0) == K || r.getLong(1) == n - 1),
         "sampled chunks must be exactly K tokens wide")
     }
-    time("connected components: 10M star edges + 64k-node chain") {
-      // 1M disjoint 11-node stars (components known exactly by
-      // construction) + one 65536-node path at a disjoint id range — the
-      // diameter stress star contraction exists for: min-label
-      // propagation would need 64k rounds, alternating large/small star
-      // must finish in O(log² n). Exactness is checked per node.
+    // 1M disjoint 11-node stars (components known exactly by
+    // construction) + one 65536-node path at a disjoint id range — the
+    // diameter stress star contraction exists for: min-label propagation
+    // would need 64k rounds, alternating large/small star must finish in
+    // O(log² n). Exactness is checked per node, for BOTH variants: the
+    // chain is also the active-set variant's design case — the 10M star
+    // edges freeze in the first rounds and the remaining ~17 chain rounds
+    // run over 64k edges instead of 10M.
+    def ccGraphGate(freeze: Boolean): Unit = {
       val blocks = 1000000L; val bsize = 11L
       val stars = spark.range(blocks * (bsize - 1)).select(
         ((col("id") / (bsize - 1)).cast("long") * bsize).as("id_a"),
@@ -227,7 +230,10 @@ object ScaleSmoke {
       val cbase = 100000000L; val chainLen = 65536L
       val chain = spark.range(chainLen - 1).select(
         (col("id") + cbase).as("id_a"), (col("id") + cbase + 1).as("id_b"))
-      val cc = operators.DedupOps.connectedComponents(stars.unionByName(chain), "id_a", "id_b")
+      // persisted: the two gate actions below (per-node exactness + counts)
+      // must not each re-evaluate the 10M-node label join
+      val cc = CacheScope.persist(operators.DedupOps.connectedComponents(
+        stars.unionByName(chain), "id_a", "id_b", freezeStars = freeze))
       val mislabeled = cc.where(
         when(col("id") >= cbase, col("component") =!= cbase)
           .otherwise(col("component") =!= (col("id") - pmod(col("id"), lit(bsize))))).count()
@@ -237,6 +243,12 @@ object ScaleSmoke {
         counts.getLong(1) == blocks + 1,
         s"expected ${blocks * bsize + chainLen} nodes in ${blocks + 1} components, " +
           s"got ${counts.getLong(0)} in ${counts.getLong(1)}")
+    }
+    time("connected components: 10M star edges + 64k-node chain") {
+      ccGraphGate(freeze = false)
+    }
+    time("connected components, freezeStars: same graph + exactness") {
+      ccGraphGate(freeze = true)
     }
     time("salted aggregation over skewed key") {
       // 90% of rows share one key — the shape AQE can't fix for groupBy

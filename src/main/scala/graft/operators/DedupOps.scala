@@ -509,9 +509,26 @@ object DedupOps {
     * xxhash64-sum, count) checksum of the canonical edge set staying fixed
     * across a round — one tiny 1-row action per round, no driver-side edge
     * collection.
+    *
+    * `freezeStars = true` is the ACTIVE-SET variant for skewed round
+    * counts: real dedup graphs are overwhelmingly 2-3-node clusters that
+    * converge in a round or two, while one long chain (a hot LSH bucket's
+    * spanning chain) drives O(log² chain) further rounds — each of which
+    * the default path pays over the FULL edge set. With freezing, a star
+    * that is isolated in the current edge set (round transformations
+    * preserve connectivity, so it can never merge later) is retired: its
+    * labels are banked and its edges leave the active set, so late rounds
+    * touch only the unconverged remainder. Exactness is enforced, not
+    * assumed: the freeze test is per-root (one impure in-edge keeps the
+    * whole star active) and the final label set is checked
+    * count == count_distinct — an overlap between a banked star and the
+    * active remainder throws rather than mislabeling. Off by default:
+    * identical output either way, the flag only trades per-round freeze
+    * overhead against skewed-tail round cost (wins when rounds >> 3).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50, freezeStars: Boolean = false): DataFrame = {
+    val spark = pairs.sparkSession
     val nodes = pairs.select(col(aCol).as("id"))
       .union(pairs.select(col(bCol).as("id"))).distinct()
     // canonical directed form: u = max endpoint, v = min endpoint, no loops
@@ -520,6 +537,15 @@ object DedupOps {
         least(col(aCol), col(bCol)).as("v"))
       .where(col("u") =!= col("v")).distinct()
       .localCheckpoint(eager = true)
+    // freezeStars: labels banked so far for components retired from the
+    // active edge set (empty on the default path)
+    var banked = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("u",
+          e.schema("u").dataType),
+        org.apache.spark.sql.types.StructField("__c",
+          e.schema("v").dataType))))
 
     def checksum(d: DataFrame): (Long, Long) = {
       // bit_xor: order-insensitive and overflow-free under ANSI mode
@@ -532,6 +558,7 @@ object DedupOps {
     var round = 0
     var converged = prev._1 == 0L
     while (!converged && round < maxRounds) {
+      val roundT0 = System.nanoTime()
       // large-star: m(x) = min(Γ(x) ∪ {x}); every strictly-larger neighbor
       // of x re-hangs onto m(x). Both passes shuffle on the SAME key (x),
       // so the groupBy's exchange is reused by the join. NO distinct here:
@@ -563,9 +590,69 @@ object DedupOps {
         case Some(r) => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
         case None => checksum(ss) // metrics missing on this action type: pay the scan
       }
-      converged = cur == prev
-      prev = cur
-      e = ss
+      // always attempt the freeze when enabled: "did anything finish" has
+      // no cheaper reliable signal — the edge COUNT is invariant on exactly
+      // the shapes that matter (a star keeps its edges, an n-node chain
+      // keeps n-1 edges through every contraction round), so a count-gated
+      // freeze silently degenerates to the default path (measured: the 10M
+      // smoke regressed 155 → 275 s under a count gate because round 0
+      // froze nothing)
+      if (freezeStars && cur._1 > 0L) {
+        // Retire FINISHED components from the active set. A star rooted at
+        // r is a complete original component iff it is isolated in the
+        // current edge set (the round transformations preserve
+        // connectivity, so an isolated star cannot merge with anything
+        // later): every member x of r (x, r) touches nothing else
+        // (out-degree 1, in-degree 0) and r has no outgoing edge. The
+        // test is per-ROOT, not per-edge — one impure in-edge keeps the
+        // whole star active (freezing (x, r) while (y, r) stays would
+        // label r twice; the final count==count_distinct check would
+        // throw, but the per-root min() makes the case unreachable).
+        val deg = ss.select(col("u").as("n"), lit(1L).as("o"))
+          .union(ss.select(col("v").as("n"), lit(0L).as("o")))
+          .groupBy(col("n")).agg(sum(col("o")).as("outd"), count(lit(1)).as("d"))
+        val em = ss
+          .join(deg.select(col("n").as("u"), col("outd").as("__uo"), col("d").as("__ud")),
+            Seq("u"))
+          .join(deg.select(col("n").as("v"), col("outd").as("__vo")), Seq("v"))
+        val rootFrozen = em.groupBy(col("v"))
+          .agg(min(col("__uo") === 1L && col("__ud") === 1L && col("__vo") === 0L)
+            .as("__frozen"))
+        // ann is persisted, not checkpointed: the active-set pass below
+        // materializes it, and the banked side then reads the SAME cached
+        // rows at final-assembly time — banking costs no per-round action
+        // (an eager banked checkpoint re-wrote ~|nodes| label rows every
+        // round; the labels are only ever read once, at the end)
+        val ann = graft.CacheScope.persist(em.join(rootFrozen, Seq("v")))
+        // active-set size rides the checkpoint materialization as an
+        // observed metric — convergence by emptiness costs no extra action
+        val activeObs = ann.where(!col("__frozen")).select(col("u"), col("v"))
+          .observe(s"graft_cc_active_$round",
+            count(lit(1)).as("n"), bit_xor(xxhash64(col("u"), col("v"))).as("x"))
+        val active = activeObs.localCheckpoint(eager = true)
+        val frozen = ann.where(col("__frozen"))
+        banked = banked
+          .unionByName(frozen.select(col("u"), col("v").as("__c")))
+          .unionByName(frozen.select(col("v").as("u"), col("v").as("__c")).distinct())
+        val curActive = activeObs.queryExecution.observedMetrics
+          .get(s"graft_cc_active_$round") match {
+            case Some(r) => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+            case None => checksum(active)
+          }
+        converged = curActive._1 == 0L || curActive == prev
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[cc] round=$round edges=${cur._1} active=${curActive._1} " +
+            f"${(System.nanoTime() - roundT0) / 1e9}%.2f s")
+        prev = curActive
+        e = active
+      } else {
+        converged = cur == prev
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[cc] round=$round edges=${cur._1} " +
+            f"${(System.nanoTime() - roundT0) / 1e9}%.2f s")
+        prev = cur
+        e = ss
+      }
       round += 1
     }
     // star contraction converges in O(log²n) rounds, so exhausting
@@ -580,8 +667,36 @@ object DedupOps {
     // converged edge set is a union of stars (u → component root): roots
     // appear only on the right, every other node exactly once on the left
     // (min() guards the invariant rather than assuming it)
-    nodes.join(e.groupBy(col("u")).agg(min(col("v")).as("__c")),
-        nodes("id") === col("u"), "left")
-      .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
+    val residual = e.groupBy(col("u")).agg(min(col("v")).as("__c"))
+    if (!freezeStars)
+      nodes.join(residual, nodes("id") === residual("u"), "left")
+        .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
+    else {
+      // per-freeze exactness gate, riding the result plan itself: banked
+      // labels and the residual extraction must be DISJOINT — a star
+      // frozen while one of its nodes was still active would label that
+      // node twice, and silently picking either label could be wrong. The
+      // join output is partitioned by the join key, so the per-id
+      // duplicate count is a reuse-the-exchange hash-agg (no extra shuffle
+      // and no extra action), and it throws on EVERY evaluation of the
+      // returned frame, not just once at build time.
+      val labels = residual.unionByName(banked)
+      // raw (non-distinct) endpoints: the per-id aggregate below collapses
+      // the repetition anyway, so the distinct's full-edge-set exchange
+      // would be paid for nothing — count_distinct (not count) keeps the
+      // duplicate-label guard exact under the repeated join rows
+      val nodesRaw = pairs.select(col(aCol).as("id"))
+        .union(pairs.select(col(bCol).as("id")))
+      nodesRaw.join(labels, nodesRaw("id") === labels("u"), "left")
+        .groupBy(col("id"))
+        .agg(min(col("__c")).as("__c"), count_distinct(col("__c")).as("__k"))
+        .select(col("id"),
+          when(col("__k") > 1, raise_error(concat(
+            lit("connectedComponents(freezeStars): node "), col("id").cast("string"),
+            lit(" received multiple labels — a frozen star overlapped the active " +
+              "set; this is a bug in the freeze criterion, rerun with " +
+              "freezeStars = false"))).cast(nodesRaw.schema("id").dataType))
+          .otherwise(coalesce(col("__c"), col("id"))).as("component"))
+    }
   }
 }

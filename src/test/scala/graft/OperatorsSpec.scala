@@ -335,6 +335,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("connectedComponents freezeStars == default on mixed star/chain graphs") {
+    import spark.implicits._
+    // the active-set variant must be output-identical across the shapes it
+    // exists for: masses of tiny clusters (freeze in round 1-2) plus a long
+    // chain that keeps the active set alive for many more rounds, and an
+    // adversarial seed sweep of random graphs (freeze interacts with
+    // whatever intermediate star decompositions contraction passes through)
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val stars = (0 until 40).flatMap { s =>
+        val root = 1000L * (s + 1)
+        (1 to rnd.nextInt(4) + 1).map(i => (root + i, root))
+      }
+      val chain = (1L to 70L).sliding(2).map(s => (s(0), s(1))).toSeq
+      val randomEdges = Seq.fill(120)(
+        (rnd.nextInt(80).toLong + 100, rnd.nextInt(80).toLong + 100))
+        .filter { case (a, b) => a != b }
+      val edges = (stars ++ chain ++ randomEdges).toDF("id_a", "id_b")
+      val want = DedupOps.connectedComponents(edges, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = DedupOps.connectedComponents(edges, "id_a", "id_b",
+          freezeStars = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"freezeStars diverged at seed $seed")
+      graft.CacheScope.release()
+    }
+  }
+
   test("connectedComponents fails loudly when maxRounds is exhausted unconverged") {
     import spark.implicits._
     // a 10-node chain cannot converge in one round — the old behavior
