@@ -341,6 +341,28 @@ object SparkEntry {
     "text_redact" -> ((s, dir) =>
       operators.TextOps.redactionStats(Tables.documents(s, dir), "doc_id", "text")),
 
+    // C4-style line-level dedup: every line keeps one copy corpus-wide (at
+    // its smallest (doc, position) occurrence), docs rebuilt from surviving
+    // lines. The synthetic docs are single-line, so the gate runs at token
+    // granularity (delim = " ") — degenerate for prose but a maximal
+    // cross-doc-collision stress for the canonical-occurrence machinery;
+    // real multi-line semantics are pinned in OperatorsSpec.
+    "text_line_dedup" -> ((s, dir) =>
+      operators.DedupOps.dedupLines(Tables.documents(s, dir), "doc_id", "text",
+        delim = " ")),
+
+    // fasttext-shaped hashed linear quality scorer: mean of md5-hashed
+    // bucket weights over the doc's tokens; gate weights are deterministic
+    // integer-valued doubles (md5 of the bucket id), so the mean is
+    // IEEE-exact in both engines
+    "quality_linear" -> ((s, dir) => {
+      val w = s.range(4096).select(col("id").as("bucket"),
+        (pmod(operators.DedupOps.baseHash(concat(lit("w"), col("id"))), lit(1001L))
+          - 500L).cast("double").as("w"))
+      operators.TextOps.hashedLinearScore(Tables.documents(s, dir),
+        "doc_id", "text", w, 4096)
+    }),
+
     // benchmark decontamination: word-4-gram overlap of the corpus (doc_id %
     // 17 != 0) against the benchmark split (doc_id % 17 == 0), GPT-3-style
     // any-collision contamination flag; benchmark n-grams broadcast
@@ -949,6 +971,41 @@ object SparkEntry {
            regexp_replace(t2, '\+?[0-9][0-9 ()\-]{6,}[0-9]', '<PHONE>', 'g')
              AS redacted_text
          FROM s2""",
+
+    // line-level dedup at token granularity: canonical occurrence = min
+    // (doc_id, idx) struct per line, docs rebuilt by position, lost-all-
+    // lines docs come back as ''
+    "text_line_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') tks
+                    FROM documents),
+         l AS (SELECT doc_id, i AS idx, tks[i+1] AS line
+               FROM d, unnest(range(len(tks))) t(i)),
+         c AS (SELECT line, min(struct_pack(d := doc_id, i := idx)) f
+               FROM l GROUP BY line),
+         k AS (SELECT l.doc_id, l.idx, l.line FROM l JOIN c ON l.line = c.line
+               WHERE (c.f).d = l.doc_id AND (c.f).i = l.idx),
+         r AS (SELECT doc_id, string_agg(line, ' ' ORDER BY idx) txt
+               FROM k GROUP BY doc_id)
+         SELECT d0.doc_id, coalesce(r.txt, '') AS text
+         FROM documents d0 LEFT JOIN r ON d0.doc_id = r.doc_id""",
+
+    // hashed linear scorer: same md5-prefix bucket hash and md5-derived
+    // integer weights as the Spark side; integer-valued doubles sum exactly
+    // in any order, so the mean is IEEE-identical
+    "quality_linear" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) t
+                      FROM documents),
+         b AS (SELECT doc_id,
+                 CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 4096 AS bk
+               FROM tok),
+         w AS (SELECT doc_id,
+                 (CAST('0x' || substring(md5('w' || bk), 1, 15) AS BIGINT) % 1001)
+                   - 500 AS w
+               FROM b),
+         s AS (SELECT doc_id, CAST(sum(w) AS DOUBLE) / count(*) AS score
+               FROM w GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(s.score, 0.0) AS score
+         FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""",
 
     // token/bigram repetition shares; bigram i pairs tks[i], tks[i+1]
     // (1-based, range end-exclusive = Spark's zip_with of the two slices);

@@ -68,6 +68,43 @@ object DedupOps {
       .select(col(idCol), col("fp").as("fingerprint"), col("canonical_id"))
   }
 
+  /** C4-style LINE-level exact dedup across the whole corpus (Raffel 2020
+    * §2.2 "we discard ... any line that occurred more than once", kept at
+    * its first occurrence): every line keeps exactly one copy corpus-wide —
+    * the occurrence with the lexicographically smallest (id, position) —
+    * and each document is rebuilt from its surviving lines in order.
+    * Boilerplate (nav bars, cookie banners, license headers) dies here
+    * while the documents around it survive, which doc-level dedup cannot
+    * express. Returns (idCol, textCol) for EVERY input doc; a doc whose
+    * lines all lost becomes the empty string (null text is treated as "").
+    *
+    * Scale: one shuffle of (line, id, pos) rows keyed by line content — the
+    * canonical-occurrence aggregate and the membership join reuse the same
+    * partitioning, and the map-side partial min() absorbs hot lines (the
+    * duplicated ones — the point of the operator) before the exchange —
+    * then one id-keyed shuffle to reassemble documents. No window over line
+    * content: an unbounded window would buffer a hot line's whole
+    * occurrence list per task.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(delim))))
+      .select(col(idCol), col("pos").as("__idx"), col("col").as("__line"))
+    val canon = lines.groupBy(col("__line"))
+      .agg(min(struct(col(idCol), col("__idx"))).as("__first"))
+    val kept = lines.join(canon, Seq("__line"))
+      .where(col("__first").getField(idCol) === col(idCol) &&
+        col("__first").getField("__idx") === col("__idx"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__idx"), col("__line")))),
+        s => s.getField("__line")), delim).as(textCol))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * numHashes = bands * rowsPerBand. Candidate pairs come from banding

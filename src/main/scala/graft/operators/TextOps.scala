@@ -61,6 +61,43 @@ object TextOps {
     stopRate * 0.4 + lenScore * 0.3 + (lit(1.0) - punctRate) * 0.3
   }
 
+  /** fasttext-shaped hashed linear quality classifier: per document,
+    * score = Σ_tokens w[baseHash(token) mod dims] / n_tokens + intercept —
+    * the mean of hashed-bucket weights, i.e. a linear model over a
+    * bag-of-words hashing-trick feature vector (Weinberger 2009; the
+    * fastText supervised scorer used by CCNet/LLaMA-style quality filters
+    * is exactly this shape plus a softmax). The caller supplies the
+    * trained weights as a (bucket, weight) frame — typically a few MBs
+    * even at fastText's 2M-bucket default, so it BROADCASTS; tokens
+    * missing from the weight table contribute 0 (they still count in the
+    * denominator, as an untrained fastText bucket would).
+    *
+    * Scale: tokens explode map-side, the weight join is broadcast-hash
+    * (no corpus shuffle), and the per-doc mean is one id-keyed partial
+    * aggregate — the corpus is shuffled once, as (id, weight) pairs.
+    * Docs with no tokens (null/empty text) score exactly `intercept`.
+    * Hash is the engine-reproducible md5-prefix base hash, so scores are
+    * oracle-exact when the weights are (integer-valued doubles sum
+    * exactly in any order; arbitrary doubles agree to ~1 ulp).
+    */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, dims: Int,
+      bucketCol: String = "bucket", weightCol: String = "w",
+      intercept: Double = 0.0): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol),
+        pmod(DedupOps.baseHash(col("__t")), lit(dims.toLong)).as("__b"))
+    val scored = toks
+      .join(broadcast(weights.select(col(bucketCol).as("__b"),
+        col(weightCol).cast("double").as("__w"))), Seq("__b"), "left")
+      .groupBy(col(idCol))
+      .agg((coalesce(sum(col("__w")), lit(0.0)) / count(lit(1))
+        + lit(intercept)).as("score"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("score"), lit(intercept)).as("score"))
+  }
+
   /** Language-ID: argmax of marker-stopword hits per language; ties and
     * zero-hit docs resolve to the lexically-first candidate ("unknown"
     * sorts last). N-gram-free heuristic — a real model slots in behind the

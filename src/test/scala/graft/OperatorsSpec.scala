@@ -335,6 +335,49 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("dedupLines: C4 semantics — boilerplate dies corpus-wide, first occurrence survives") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "intro one\ncookie banner\nbody a"),
+      (2L, "cookie banner\nbody b\nintro one"),
+      (3L, "cookie banner"),          // every line a dup -> empty doc
+      (4L, null.asInstanceOf[String]) // null text -> empty doc, still present
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dedupLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "intro one\ncookie banner\nbody a", // doc 1 holds both first occurrences
+      2L -> "body b",                           // dup lines removed, order kept
+      3L -> "",
+      4L -> ""))
+    // idempotent: a deduped corpus has no cross-doc duplicate lines left
+    val again = DedupOps.dedupLines(
+      Seq((1L, "intro one\ncookie banner\nbody a"), (2L, "body b"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == Map(1L -> "intro one\ncookie banner\nbody a", 2L -> "body b"))
+  }
+
+  test("hashedLinearScore: mean of bucket weights, missing buckets 0, empty doc = intercept") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb aa"), (2L, "zz"), (3L, "")).toDF("doc_id", "text")
+    val D = 64
+    def bucket(t: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(15), 16) % D
+    }
+    // weight only aa's and bb's buckets; zz's bucket (and ""'s) left untrained
+    val w = Seq((bucket("aa"), 3.0), (bucket("bb"), -1.5)).toDF("bucket", "w")
+    val scores = TextOps.hashedLinearScore(docs, "doc_id", "text", w, D,
+        intercept = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(scores(1L) - ((3.0 + -1.5 + 3.0) / 3 + 0.25)) < 1e-12)
+    assert(math.abs(scores(2L) - (0.0 / 1 + 0.25)) < 1e-12)  // untrained bucket
+    // "" tokenizes to one empty token (untrained) -> 0-mean + intercept
+    assert(math.abs(scores(3L) - 0.25) < 1e-12)
+  }
+
   test("connectedComponents freezeStars == default on mixed star/chain graphs") {
     import spark.implicits._
     // the active-set variant must be output-identical across the shapes it
