@@ -382,6 +382,18 @@ object SparkEntry {
         "doc_id", "text", "lang", k = 4, minTokens = 20, maxTopTokenFrac = 0.12)
     }),
 
+    // curation with a RefinedWeb-style source blocklist: blocked sources
+    // drop first (highest precedence in the report), dedup re-canonicalizes
+    // among survivors, and the report partition gains a `blocked` outcome
+    "curation_report_domains" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+      operators.CurationOps.curationReport(
+        d.where(col("doc_id") % 17 =!= 0), d.where(col("doc_id") % 17 === 0),
+        "doc_id", "text", "lang", k = 4, minTokens = 20, maxTopTokenFrac = 0.12,
+        blockedSources = Some(Seq("src3", "src7", "src11").toDF("source")))
+    }),
+
     // curation accounting: per-(lang, first-failing-rule) doc + token
     // counts; 'kept' rows == curate_keep's result set
     "curation_report" -> ((s, dir) => {
@@ -1108,6 +1120,41 @@ object SparkEntry {
                       ELSE 'kept' END AS outcome
                FROM rep r JOIN corpus c2 ON c2.doc_id = r.doc_id
                JOIN canon cn ON cn.doc_id = r.doc_id)
+         SELECT lang, outcome, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         FROM o GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // curation_report with a source blocklist: blocked wins the CASE,
+    // dedup/contamination CTEs run over the unblocked survivors only
+    "curation_report_domains" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 17 != 0),
+         live AS (SELECT * FROM corpus WHERE source NOT IN ('src3','src7','src11')),
+         d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         g AS (SELECT doc_id, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3]
+                 || ' ' || tks[i+4] AS s
+               FROM d, unnest(range(len(tks) - 3)) t(i) WHERE len(tks) >= 4),
+         bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 17 = 0),
+         contam AS (SELECT g.doc_id FROM g JOIN live ON live.doc_id = g.doc_id
+                    GROUP BY 1
+                    HAVING count(DISTINCT s) FILTER (s IN (SELECT s FROM bench)) > 0),
+         tc AS (SELECT doc_id, tok, count(*) c
+                FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) tok
+                      FROM corpus) GROUP BY 1, 2),
+         rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_tokens,
+                   CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) top_token_frac
+                 FROM tc GROUP BY 1),
+         canon AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY
+                     md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) cid
+                   FROM live),
+         o AS (SELECT c2.lang, r.n_tokens,
+                 CASE WHEN c2.source IN ('src3','src7','src11') THEN 'blocked'
+                      WHEN cn.cid != r.doc_id THEN 'duplicate'
+                      WHEN r.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+                      WHEN r.n_tokens < 20 THEN 'short'
+                      WHEN r.top_token_frac > 0.12 THEN 'repetitive'
+                      ELSE 'kept' END AS outcome
+               FROM rep r JOIN corpus c2 ON c2.doc_id = r.doc_id
+               LEFT JOIN canon cn ON cn.doc_id = r.doc_id)
          SELECT lang, outcome, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          FROM o GROUP BY 1, 2 ORDER BY 1, 2""",

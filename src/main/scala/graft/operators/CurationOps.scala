@@ -37,19 +37,25 @@ object CurationOps {
     */
   def ngramOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, k: Int = 4,
-      broadcastShingleLimit: Long = 2000000L): DataFrame = {
+      broadcastBenchChars: Long = 64000000L): DataFrame = {
     val corpusShingles = TextOps.shingleRows(corpus, idCol, textCol, k)
-    // counted once (cache-scoped) BEFORE choosing the join strategy: eval
-    // suites are megabytes so the broadcast is the normal path, but a
-    // corpus-sized "benchmark" fed here by mistake must not be collected
-    // onto the driver — above the limit the membership join degrades to a
-    // shuffled hash join on the shingle key (documented swap in the module
-    // scaladoc; semantics identical, one extra corpus shuffle)
-    val benchShingles = graft.CacheScope.persist(
-      TextOps.shingleRows(bench, idCol, textCol, k)
-        .select(col("s")).distinct().withColumn("__hit", lit(1)))
+    val benchShingles = TextOps.shingleRows(bench, idCol, textCol, k)
+      .select(col("s")).distinct().withColumn("__hit", lit(1))
+    // guard BEFORE choosing the join strategy: eval suites are megabytes so
+    // the broadcast is the normal path, but a corpus-sized "benchmark" fed
+    // here by mistake must not be collected onto the driver. The guard is a
+    // cheap upper bound — total bench text chars, one map-side aggregate on
+    // the SMALL side (distinct k-gram bytes are within ~k× of it) — rather
+    // than an exact distinct-shingle count: exactness would force
+    // computing+caching the shingle set before planning, which pollutes
+    // the membership join's plan (and the cost model only needs a bound).
+    // Above the limit the join degrades to a shuffled hash join on the
+    // shingle key; semantics identical, one extra corpus shuffle.
+    val benchChars = bench
+      .agg(coalesce(sum(length(coalesce(col(textCol), lit("")))), lit(0L)))
+      .head().getLong(0)
     val joined =
-      if (benchShingles.count() <= broadcastShingleLimit)
+      if (benchChars <= broadcastBenchChars)
         corpusShingles.join(broadcast(benchShingles), Seq("s"), "left")
       else
         corpusShingles.join(benchShingles.hint("shuffle_hash"), Seq("s"), "left")
@@ -71,10 +77,12 @@ object CurationOps {
     * decontamination, and repetition/length quality filters — the compose-
     * everything pass a pipeline runs between raw crawl and tokenization.
     *
-    * Keeps a doc iff it is its own exact-dup canonical (min id per content
-    * fingerprint), shares no word k-gram with `bench`, has at least
-    * `minTokens` whitespace tokens, and its most frequent token accounts for
-    * at most `maxTopTokenFrac` of them (Gopher-style repetition cut).
+    * Keeps a doc iff its source survives the optional `blockedSources`
+    * list (applied first, RefinedWeb-style), it is its own exact-dup
+    * canonical (min id per content fingerprint) among the survivors,
+    * shares no word k-gram with `bench`, has at least `minTokens`
+    * whitespace tokens, and its most frequent token accounts for at most
+    * `maxTopTokenFrac` of them (Gopher-style repetition cut).
     *
     * Every stage keys by the doc id, so the joins reuse one hash
     * partitioning; the contamination stage broadcasts the benchmark set
@@ -85,11 +93,22 @@ object CurationOps {
   def curateKeep(docs0: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, langCol: String, k: Int = 4, minTokens: Long = 20,
       maxTopTokenFrac: Double = 0.12,
-      tokenCounter: Option[Column => Column] = None): DataFrame = {
+      tokenCounter: Option[Column => Column] = None,
+      sourceCol: String = "source",
+      blockedSources: Option[DataFrame] = None): DataFrame = {
     // null text = empty text: tokenizes to one empty token (n_tokens = 1),
     // so such docs flow through every rule (and fail the length cut)
     // instead of silently vanishing from the inner joins below
-    val docs = docs0.withColumn(textCol, coalesce(col(textCol), lit("")))
+    val unblocked = docs0.withColumn(textCol, coalesce(col(textCol), lit("")))
+    // RefinedWeb-style source/domain blocklist, applied FIRST (cheapest
+    // cut: blocked docs never reach the dedup/contamination work, and
+    // duplicates re-canonicalize among survivors). Real blocklists are
+    // MB-scale domain lists — broadcast; the first column of the frame is
+    // the blocked source value.
+    val docs = blockedSources.fold(unblocked)(b =>
+      unblocked.join(
+        broadcast(b.select(col(b.columns.head).as("__bsrc")).distinct()),
+        col(sourceCol) === col("__bsrc"), "left_anti"))
     val rep = repWithCounter(docs, idCol, textCol, tokenCounter)
     val contaminated = ngramOverlap(docs, bench, idCol, textCol, k)
       .where(col("contaminated"))
@@ -108,7 +127,7 @@ object CurationOps {
 
   /** Curation accounting — the per-language outcome breakdown every real
     * curation run reports (what fraction of docs/tokens each rule dropped).
-    * Outcomes use first-failing-rule precedence `duplicate` →
+    * Outcomes use first-failing-rule precedence `blocked` → `duplicate` →
     * `contaminated` → `short` → `repetitive` → `kept`, so the `kept` rows
     * are EXACTLY [[curateKeep]]'s result set and the outcome counts
     * partition the corpus. Output: `(langCol, outcome, n_docs, n_tokens)`.
@@ -121,23 +140,35 @@ object CurationOps {
   def curationReport(docs0: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, langCol: String, k: Int = 4, minTokens: Long = 20,
       maxTopTokenFrac: Double = 0.12,
-      tokenCounter: Option[Column => Column] = None): DataFrame = {
+      tokenCounter: Option[Column => Column] = None,
+      sourceCol: String = "source",
+      blockedSources: Option[DataFrame] = None): DataFrame = {
     // null text = empty text (see [[curateKeep]]) — the partition contract
     // (outcome counts sum to the corpus size) must hold for crawl rows
     // with missing text too
     val docs = docs0.withColumn(textCol, coalesce(col(textCol), lit("")))
+    // blocked docs are ACCOUNTED (outcome `blocked`, highest precedence),
+    // not dropped; dedup canonicalization and the contamination probe run
+    // over the surviving docs only, mirroring [[curateKeep]]'s
+    // filter-first order so `kept` stays exactly its result set
+    val flagged = blockedSources.fold(docs.withColumn("__blk", lit(null).cast("int")))(b =>
+      docs.join(
+        broadcast(b.select(col(b.columns.head).as(sourceCol)).distinct()
+          .withColumn("__blk", lit(1))), Seq(sourceCol), "left"))
+    val live = flagged.where(col("__blk").isNull)
     val rep = repWithCounter(docs, idCol, textCol, tokenCounter)
-    val contaminated = ngramOverlap(docs, bench, idCol, textCol, k)
+    val contaminated = ngramOverlap(live, bench, idCol, textCol, k)
       .where(col("contaminated"))
       .select(col(idCol), lit(1).as("__contam"))
-    val canon = DedupOps.exactDedupMap(docs, idCol, textCol)
+    val canon = DedupOps.exactDedupMap(live, idCol, textCol)
       .select(col(idCol), col("canonical_id"))
-    docs.select(col(idCol), col(langCol))
+    flagged.select(col(idCol), col(langCol), col("__blk"))
       .join(rep, Seq(idCol))
-      .join(canon, Seq(idCol))
+      .join(canon, Seq(idCol), "left")
       .join(contaminated, Seq(idCol), "left")
       .withColumn("outcome",
-        when(col("canonical_id") =!= col(idCol), "duplicate")
+        when(col("__blk") === 1, "blocked")
+          .when(col("canonical_id") =!= col(idCol), "duplicate")
           .when(col("__contam") === 1, "contaminated")
           .when(col("n_tokens") < minTokens, "short")
           .when(col("top_token_frac") > maxTopTokenFrac, "repetitive")

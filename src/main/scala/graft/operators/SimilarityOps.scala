@@ -361,13 +361,17 @@ object SimilarityOps {
   def semanticDedupKeep(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, blocks: Int = 0, bands: Int = 64,
       rowsPerBand: Int = 16, seed: Long = 42L,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, freezeStars: Boolean = false): DataFrame = {
     val pairs = nearDupPairs(df, idCol, vecCol, minCosine, blocks, bands,
       rowsPerBand, seed, maxBucket)
     // the label frame's columns are renamed to reserved names BEFORE the
     // join so any caller idCol works — with idCol = "id", col(idCol) would
-    // otherwise be ambiguous between the two sides
-    val cc = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+    // otherwise be ambiguous between the two sides. freezeStars passes
+    // through to [[DedupOps.connectedComponents]] — near-dup cluster graphs
+    // are exactly its design case (masses of tiny clusters + the odd
+    // hot-bucket chain).
+    val cc = DedupOps.connectedComponents(pairs, "id_a", "id_b",
+      freezeStars = freezeStars)
       .select(col("id").as("__cc_id"), col("component").as("__cc_component"))
     df.select(col(idCol))
       .join(cc, col(idCol) === col("__cc_id"), "left")

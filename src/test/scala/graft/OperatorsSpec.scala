@@ -575,6 +575,23 @@ class OperatorsSpec extends SparkTestBase {
     val r2 = CurationOps.curationReport(withNull, bench, "doc_id", "text", "lang")
       .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(r2.values.sum == 6L && r2("short") == 2L)
+
+    // source blocklist: blocked wins precedence, is ACCOUNTED in the
+    // report, and dedup re-canonicalizes among survivors — blocking doc 1's
+    // source promotes its former duplicate 2 to canonical (kept)
+    val sourced = corpus.withColumn("source",
+      when(col("doc_id") === 1, "bad.com").otherwise("ok.org"))
+    val block = Some(Seq("bad.com").toDF("domain"))
+    val keptB = CurationOps.curateKeep(sourced, bench, "doc_id", "text", "lang",
+        blockedSources = block)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptB == Set(2L))
+    val rB = CurationOps.curationReport(sourced, bench, "doc_id", "text", "lang",
+        blockedSources = block)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rB == Map("blocked" -> 1L, "kept" -> 1L, "contaminated" -> 1L,
+      "repetitive" -> 1L, "short" -> 1L))
+    assert(rB.values.sum == 5L) // still a partition of the corpus
   }
 
   test("incremental near-dup == full-corpus pairs touching the new split") {
@@ -663,7 +680,7 @@ class OperatorsSpec extends SparkTestBase {
     // ShuffledHashJoin on the shingle key, with no broadcast of the bench
     // shingle set
     val guarded = CurationOps.ngramOverlap(docs, bench, "doc_id", "text",
-      broadcastShingleLimit = 1)
+      broadcastBenchChars = 1)
     val p = guarded.queryExecution.executedPlan.toString
     assert(p.contains("ShuffledHashJoin"), s"expected shuffled membership join:\n$p")
     assert(!p.contains("BroadcastHashJoin"), s"oversized bench must not broadcast:\n$p")
