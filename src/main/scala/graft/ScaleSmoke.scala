@@ -213,6 +213,31 @@ object ScaleSmoke {
       require(sampled.forall(r => r.getInt(0) == K || r.getLong(1) == n - 1),
         "sampled chunks must be exactly K tokens wide")
     }
+    time("line dedup: 5M docs, 3 boilerplate lines shared by ALL of them") {
+      // the operator's design case: lines with 5M occurrences each (nav/
+      // cookie/footer boilerplate) — the canonical-occurrence groupBy must
+      // absorb them in the map-side partial min, not buffer an occurrence
+      // list; 2 unique lines per doc ride along
+      val nd = 5000000L
+      val docs = spark.range(nd).select(col("id").as("doc_id"),
+        concat_ws("\n",
+          lit("boiler header"),
+          concat(lit("unique "), col("id")),
+          lit("cookie banner please accept"),
+          concat(lit("body "), col("id"), lit(" text")),
+          lit("footer legal notice")).as("text"))
+      val out = operators.DedupOps.dedupLines(docs, "doc_id", "text")
+      val r = out.agg(count(lit(1)),
+        sum(size(filter(split(col("text"), "\n"),
+          l => l === "cookie banner please accept"))).cast("long"),
+        sum(when(size(split(col("text"), "\n")) === 2, 1L).otherwise(0L)))
+        .head()
+      require(r.getLong(0) == nd, s"every doc must survive, got ${r.getLong(0)}")
+      require(r.getLong(1) == 1L,
+        s"boilerplate must keep exactly one copy corpus-wide, got ${r.getLong(1)}")
+      require(r.getLong(2) == nd - 1,
+        s"all but doc 0 keep exactly their 2 unique lines, got ${r.getLong(2)}")
+    }
     // 1M disjoint 11-node stars (components known exactly by
     // construction) + one 65536-node path at a disjoint id range — the
     // diameter stress star contraction exists for: min-label propagation
