@@ -418,6 +418,19 @@ object SparkEntry {
         "doc_id", "text", chunkTokens = 512,
         tokenCounter = operators.TextOps.bpeTokenCount)),
 
+    // the same packing denominated in REAL-tokenizer-style counts: a
+    // broadcast (word -> piece-count) vocab — here derived from the corpus
+    // itself (top-500 words = 1 piece), in production a real tokenizer's
+    // offline dump — with byte-fallback max(1, ceil(bytes/2)) for OOV
+    // words; the precomputed count column feeds the counter hook
+    "corpus_pack_vocab" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val counted = operators.TextOps.vocabTokenCounts(d, "doc_id", "text",
+        operators.TextOps.topWordVocab(d, "text", 500))
+      operators.CurationOps.packChunks(counted, "doc_id", "text",
+        chunkTokens = 512, tokenCounter = _ => col("n_tok"))
+    }),
+
     // materialized training sequences: the packed spans joined back to
     // tokens and concatenated per chunk (512 tokens each except the tail)
     "corpus_pack_text" -> ((s, dir) =>
@@ -1183,6 +1196,30 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id,
                       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n
                     FROM documents),
+         c AS (SELECT doc_id, n,
+                 CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) cum FROM t),
+         s AS (SELECT doc_id, n, cum - n AS strt, cum FROM c WHERE n > 0)
+         SELECT CAST(b AS BIGINT) AS chunk_id, doc_id,
+           CAST(greatest(0, b * 512 - strt) AS BIGINT) AS tok_from,
+           CAST(least(n, (b + 1) * 512 - strt) AS BIGINT) AS tok_to
+         FROM s, unnest(range(strt // 512, ((cum - 1) // 512) + 1)) u(b)
+         ORDER BY chunk_id, doc_id""",
+
+    // corpus_pack under vocab piece counts: top-500 corpus words count 1
+    // piece, OOV words max(1, ceil(bytes/2)) (DuckDB strlen = bytes =
+    // Spark octet_length); vocab cut is total-ordered (count DESC, word)
+    // so the rank-500 tie resolves identically in both engines
+    "corpus_pack_vocab" ->
+      """WITH w AS (SELECT doc_id,
+                      unnest(string_split(lower(coalesce(text, '')), ' ')) AS word
+                    FROM documents),
+         vc AS (SELECT word, 1 AS pieces FROM w GROUP BY word
+                ORDER BY count(*) DESC, word LIMIT 500),
+         t AS (SELECT w.doc_id,
+                 CAST(sum(coalesce(vc.pieces,
+                   greatest(1, (strlen(w.word) + 1) // 2))) AS BIGINT) AS n
+               FROM w LEFT JOIN vc USING (word) GROUP BY w.doc_id),
          c AS (SELECT doc_id, n,
                  CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
                    AS BIGINT) cum FROM t),

@@ -98,6 +98,57 @@ object TextOps {
       .select(col(idCol), coalesce(col("score"), lit(intercept)).as("score"))
   }
 
+  /** The `n` most frequent whitespace words of the corpus as a
+    * `(word, pieces)` vocab with `pieces = 1` — the self-contained demo
+    * builder for [[vocabTokenCounts]] (frequent words are single tokens in
+    * any trained tokenizer). Ties at the cut rank break on the word
+    * itself, so the vocab is deterministic across engines and reruns.
+    *
+    * Scale: one corpus-word shuffle (the frequency groupBy) + a
+    * `TakeOrdered` top-n — no global sort materializes.
+    */
+  def topWordVocab(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    docs.select(explode(tokens(coalesce(col(textCol), lit("")))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("word"))
+      .limit(n)
+      .select(col("word"), lit(1L).as("pieces"))
+
+  /** Token accounting in a REAL tokenizer's counts, the way a 100 TB
+    * pipeline actually does it: per-word piece counts are precomputed
+    * OFFLINE by running the tokenizer over a vocabulary (a table of
+    * megabytes for the top-1M words, covering ~95% of token mass) and
+    * broadcast; words outside the vocab get the byte-fallback bound
+    * `max(1, ceil(bytes/2))` — deterministic, engine-reproducible, and an
+    * upper-bound-shaped estimate like real byte-level BPE fallback.
+    * Appends `outCol` (long) to `docs`; null/empty text charges exactly 1.
+    *
+    * `vocab` is any `(word, pieces)` frame — [[topWordVocab]] for a
+    * self-contained corpus-derived one, or a real tokenizer's dump. Feed
+    * the result to the token-denominated operators via their counter hook:
+    * `packChunks(counted, ..., tokenCounter = _ => col("n_tok"))`.
+    *
+    * Scale: word explode is map-side, the vocab join is broadcast-hash
+    * (never a corpus shuffle), the per-doc sum is one id-keyed partial
+    * aggregate, and the join back onto `docs` reuses that aggregate's
+    * hash(id) partitioning — the corpus shuffles twice (sum + rejoin),
+    * with no skew sensitivity (hot words ride the broadcast join).
+    */
+  def vocabTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, outCol: String = "n_tok"): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(tokens(coalesce(col(textCol), lit("")))).as("__w"))
+    val v = vocab.select(col("word").as("__w"), col("pieces").cast("long").as("__p"))
+    val counted = words.join(broadcast(v), Seq("__w"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("__p"),
+        greatest(lit(1L), expr("(octet_length(__w) + 1) div 2")))).as(outCol))
+    // split() yields >= 1 (possibly empty) word per doc, so the left join
+    // never misses; the coalesce only documents the invariant
+    docs.join(counted, Seq(idCol), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit(1L)))
+  }
+
   /** Language-ID: argmax of marker-stopword hits per language; ties and
     * zero-hit docs resolve to the lexically-first candidate ("unknown"
     * sorts last). N-gram-free heuristic — a real model slots in behind the

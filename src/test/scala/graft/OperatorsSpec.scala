@@ -661,6 +661,37 @@ class OperatorsSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("vocab token counts: vocab pieces, OOV byte fallback, empty text charges 1") {
+    import spark.implicits._
+    val vocab = Seq(("the", 1L), ("quick", 1L), ("multi", 3L)).toDF("word", "pieces")
+    val d = Seq(
+      (1L, "the quick the"),         // 3 vocab words -> 3
+      (2L, "multi zz"),              // 3 + max(1, ceil(2/2)=1) -> 4
+      (3L, "abcde"),                 // OOV: (5+1) div 2 -> 3
+      (4L, ""),                      // one empty token -> 1
+      (5L, null.asInstanceOf[String])) // null == empty -> 1
+      .toDF("doc_id", "text")
+    val got = TextOps.vocabTokenCounts(d, "doc_id", "text", vocab)
+      .select("doc_id", "n_tok").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 4L, 3L -> 3L, 4L -> 1L, 5L -> 1L))
+    // the vocab join must be broadcast, never a corpus shuffle
+    val plan = TextOps.vocabTokenCounts(d, "doc_id", "text", vocab)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("topWordVocab: frequency order with deterministic tie-break on the word") {
+    import spark.implicits._
+    val d = Seq((1L, "b b b a a c c x"), (2L, "a c")).toDF("doc_id", "text")
+    // freqs: a=3 b=3 c=3 x=1; top-3 must be the lexically-first of the tie
+    val v = TextOps.topWordVocab(d, "text", 3).select("word")
+      .collect().map(_.getString(0)).toSet
+    assert(v == Set("a", "b", "c"))
+    val v1 = TextOps.topWordVocab(d, "text", 1).select("word")
+      .collect().map(_.getString(0)).toSet
+    assert(v1 == Set("a"), s"rank-1 tie must break to the lexically first word, got $v1")
+  }
+
   test("prefixSum rejects duplicate and null order keys loudly") {
     import spark.implicits._
     val dup = Seq((1L, 10L), (2L, 20L), (1L, 30L)).toDF("id", "v")
