@@ -238,6 +238,26 @@ object ScaleSmoke {
       require(r.getLong(2) == nd - 1,
         s"all but doc 0 keep exactly their 2 unique lines, got ${r.getLong(2)}")
     }
+    time("vocab token counts: 5M docs, 300M words, broadcast vocab") {
+      val nd = 5000000L
+      val docs = syntheticDocs(spark, nd)
+      val vocab = operators.TextOps.topWordVocab(docs, "text", 25)
+      val counted = operators.TextOps.vocabTokenCounts(docs, "doc_id", "text", vocab)
+      val r = counted.agg(sum("n_tok"), count(lit(1))).head()
+      require(r.getLong(1) == nd, s"every doc must carry a count, got ${r.getLong(1)}")
+      // independent expectation from the corpus's 50-word frequency table
+      // (tiny by construction): top-25 words (freq desc, word) count 1
+      // piece, the other 25 the byte-fallback ceil(bytes/2) — the smoke's
+      // exactness does not reuse the operator's join/agg machinery
+      val freqs = docs.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").count().collect().map(x => (x.getString(0), x.getLong(1)))
+      val inVocab = freqs.sortBy { case (w, c) => (-c, w) }.take(25).map(_._1).toSet
+      val expected = freqs.map { case (w, c) =>
+        c * (if (inVocab(w)) 1L
+             else math.max(1L, (w.getBytes("UTF-8").length + 1) / 2L)) }.sum
+      require(r.getLong(0) == expected,
+        s"expected $expected total pieces, got ${r.getLong(0)}")
+    }
     // 1M disjoint 11-node stars (components known exactly by
     // construction) + one 65536-node path at a disjoint id range — the
     // diameter stress star contraction exists for: min-label propagation
