@@ -243,6 +243,20 @@ object Fixtures {
       path
     })
 
+  private val fpStores = TrieMap[String, String]()
+
+  /** Exact-dedup fingerprint store over docs < 250, built once per
+    * (JVM, sf) — the store side of the incremental exact-dedup gate.
+    */
+  def fingerprintStorePath(spark: SparkSession, sfDir: String): String =
+    fpStores.getOrElseUpdate(sfDir, {
+      val path = s"${tmpRoot}/fps_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      graft.operators.DedupOps.buildFingerprintStore(
+        Tables.documents(spark, sfDir).where(col("doc_id") < 250),
+        "doc_id", "text", path)
+      path
+    })
+
   private val incDedupMb = TrieMap[String, String]()
 
   /** TRUE multi-micro-batch incremental dedup materialized once per

@@ -308,6 +308,15 @@ object SparkEntry {
         Tables.documents(s, dir).where(col("doc_id") >= 250), "doc_id", "text",
         Fixtures.minhashStorePath(s, dir))),
 
+    // incremental EXACT dedup: probe docs >= 250 against a persisted
+    // fingerprint store of docs < 250 — each probe row keyed to the min id
+    // sharing its fingerprint across store ∪ batch (store rows pruned
+    // map-side by the probe's broadcast fp set)
+    "dedup_exact_incremental" -> ((s, dir) =>
+      operators.DedupOps.incrementalExactDedup(
+        Tables.documents(s, dir).where(col("doc_id") >= 250), "doc_id", "text",
+        Fixtures.fingerprintStorePath(s, dir))),
+
     // the same incremental dedup as TRUE STREAMING: three micro-batches
     // probe-then-append against the store; cross-batch pairs must be found
     // by the later batch. Drained pairs == the one-shot oracle.
@@ -861,6 +870,16 @@ object SparkEntry {
                     FROM documents)
          SELECT doc_id, fp AS fingerprint, min(doc_id) OVER (PARTITION BY fp) AS canonical_id
          FROM f ORDER BY doc_id""",
+
+    // store = docs < 250, batch = docs >= 250 covers the corpus, so the
+    // min over store ∪ batch per fingerprint IS the corpus-wide window min
+    // restricted to batch rows
+    "dedup_exact_incremental" ->
+      """WITH f AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) fp
+                    FROM documents),
+         w AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM f)
+         SELECT doc_id, fp AS fingerprint, canonical_id
+         FROM w WHERE doc_id >= 250 ORDER BY doc_id""",
 
     "dedup_minhash_lsh" -> jaccardOracle,
 

@@ -68,6 +68,65 @@ object DedupOps {
       .select(col(idCol), col("fp").as("fingerprint"), col("canonical_id"))
   }
 
+  // ---- persisted exact-dedup fingerprint store ----------------------------
+
+  /** Build a persisted EXACT-dedup fingerprint store at `path` — the
+    * content-hash side of incremental exact dedup, mirroring
+    * [[buildMinhashStore]]'s layout (`path/batch=<token>` dirs of
+    * `(id, fp)` rows). At 100 TB most duplication is byte-identical
+    * (mirrors, re-crawls, CDN copies), and an fp equi-join probe is orders
+    * of magnitude cheaper than the minhash path — production pipelines run
+    * THIS store against every new batch first and reserve near-dup
+    * machinery for what survives. The corpus-side md5 pass runs once, here.
+    */
+  def buildFingerprintStore(df: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // full rebuild: no stale batch dirs
+    appendFingerprintStore(df, idCol, textCol, path, "base")
+  }
+
+  /** Write one batch's fingerprints into the store as `path/batch=<token>`
+    * (call AFTER probing with [[incrementalExactDedup]]; ids must be new to
+    * the store). Same replay contract as [[appendMinhashStore]]: re-running
+    * with the SAME token overwrites that dir rather than duplicating rows.
+    */
+  def appendFingerprintStore(df: DataFrame, idCol: String, textCol: String,
+      path: String,
+      batchToken: String = java.util.UUID.randomUUID.toString): Unit =
+    df.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
+      .write.mode("overwrite").parquet(s"$path/batch=$batchToken")
+
+  /** [[exactDedupMap]] of a NEW batch against a persisted fingerprint store:
+    * each new row keyed to the min id sharing its fingerprint across
+    * store ∪ batch (a store hit canonicalizes to the stored id; a
+    * batch-only dup group to its min batch id). Output restricted to the
+    * new ids; new ids must be disjoint from stored ids.
+    *
+    * Scale: the batch's fps are map-side md5; the store is scanned
+    * `(id, fp)`-only, and only rows whose fp appears in the probe batch
+    * survive to the shuffle — the probe's distinct fp set is broadcast and
+    * store rows are pruned map-side (the same prune shape as
+    * [[incrementalPairsFromSigs]]'s bucket semi-join: probe batches are
+    * small next to the corpus). The canonical min then aggregates the
+    * pruned union with map-side partial min absorbing hot fingerprints —
+    * probe cost ∝ batch + matches, not corpus.
+    */
+  def incrementalExactDedup(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame = {
+    val fresh = newDocs.select(col(idCol).as("id"),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+    val old = newDocs.sparkSession.read.parquet(path).select(col("id"), col("fp"))
+    val oldPruned = old.join(broadcast(fresh.select(col("fp")).distinct()),
+      Seq("fp"), "left_semi")
+    val canon = fresh.unionByName(oldPruned)
+      .groupBy(col("fp")).agg(min(col("id")).as("canonical_id"))
+    fresh.join(canon, Seq("fp"))
+      .select(col("id").as(idCol), col("fp").as("fingerprint"),
+        col("canonical_id"))
+  }
+
   /** C4-style LINE-level exact dedup across the whole corpus (Raffel 2020
     * §2.2 "we discard ... any line that occurred more than once", kept at
     * its first occurrence): every line keeps exactly one copy corpus-wide —

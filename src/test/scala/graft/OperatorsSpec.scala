@@ -624,6 +624,45 @@ class OperatorsSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("incremental exact dedup == corpus-wide canonical map on the new split") {
+    val path = tmpDir("fpstore")
+    val split = 200L
+    DedupOps.buildFingerprintStore(docs.where(col("doc_id") < split),
+      "doc_id", "text", path)
+    val inc = DedupOps.incrementalExactDedup(
+        docs.where(col("doc_id") >= split), "doc_id", "text", path)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val full = DedupOps.exactDedupMap(docs, "doc_id", "text")
+      .where(col("doc_id") >= split)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(inc == full)
+    // store-hit dups canonicalize to the STORED id; batch-only dup groups
+    // to their min batch id (the sf0.001 fixture has no cross-split exact
+    // dup, so plant one)
+    import spark.implicits._
+    val synthStore = tmpDir("fpstore_synth")
+    DedupOps.buildFingerprintStore(Seq((1L, "same text")).toDF("doc_id", "text"),
+      "doc_id", "text", synthStore)
+    val probe = Seq((10L, "same  TEXT "), (11L, "other"), (12L, "other"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.incrementalExactDedup(probe, "doc_id", "text", synthStore)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(10L -> 1L, 11L -> 11L, 12L -> 11L))
+    // store rows are pruned map-side by the probe's broadcast fp set
+    // BEFORE any shuffle: the prune is a broadcast LeftSemi join
+    val plan = DedupOps.incrementalExactDedup(
+      docs.where(col("doc_id") >= split), "doc_id", "text", path)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"store side must be pruned by a broadcast semi-join, got:\n$plan")
+    // append with a stable token is replay-idempotent, like the minhash store
+    DedupOps.appendFingerprintStore(docs.where(col("doc_id") >= split),
+      "doc_id", "text", path, batchToken = "retry")
+    DedupOps.appendFingerprintStore(docs.where(col("doc_id") >= split),
+      "doc_id", "text", path, batchToken = "retry")
+    assert(spark.read.parquet(path).count() == docs.count())
+  }
+
   test("curation edge cases: empty benchmark, empty store, empty prefix input") {
     import spark.implicits._
     val docs5 = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
