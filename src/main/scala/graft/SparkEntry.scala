@@ -480,6 +480,21 @@ object SparkEntry {
           Map("en" -> 5000L, "de" -> 2000L), defaultBudget = 1000L)
         .select(col("doc_id"), col("lang"), col("cum_tokens"))),
 
+    // corpus mixing: target weights en 0.5 / de 0.3 / fr 0.2 over a 10k
+    // global token budget -> per-lang budgets 5000/3000/2000, filled in
+    // hash order; es/zh are outside the mixture and dropped
+    "sample_mixture" -> ((s, dir) =>
+      operators.SampleOps.mixtureTokenSample(Tables.documents(s, dir),
+          "doc_id", "text", "lang",
+          Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), totalTokens = 10000L)
+        .select(col("doc_id"), col("lang"), col("cum_tokens"))),
+
+    // achieved-vs-target mixture accounting for the same sample
+    "sample_mixture_report" -> ((s, dir) =>
+      operators.SampleOps.mixtureReport(Tables.documents(s, dir),
+        "doc_id", "text", "lang",
+        Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), totalTokens = 10000L)),
+
     // connected components: dedup pairs -> duplicate clusters (min-id
     // label) via alternating large-star/small-star contraction. Edges are
     // a deterministic fixture (7-blocks chained every 3rd block) so the
@@ -1310,6 +1325,41 @@ object SparkEntry {
          WHERE cum <= CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
                       ELSE 1000 END
          ORDER BY doc_id""",
+
+    // budgets are floor(w/sum(w) * 10000): en 5000, de 3000, fr 2000;
+    // unlisted strata drop (budget 0)
+    "sample_mixture" ->
+      """WITH t AS (SELECT doc_id, lang, len(string_split(lower(text), ' ')) n,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000000 AS slot
+           FROM documents),
+         c AS (SELECT doc_id, lang, CAST(sum(n) OVER (PARTITION BY lang
+                 ORDER BY slot, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+               FROM t)
+         SELECT doc_id, lang, cum AS cum_tokens FROM c
+         WHERE cum <= CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000
+                      WHEN 'fr' THEN 2000 ELSE 0 END
+         ORDER BY doc_id""",
+
+    "sample_mixture_report" ->
+      """WITH t AS (SELECT doc_id, lang, len(string_split(lower(text), ' ')) n,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000000 AS slot
+           FROM documents),
+         c AS (SELECT doc_id, lang, CAST(sum(n) OVER (PARTITION BY lang
+                 ORDER BY slot, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+               FROM t),
+         k AS (SELECT lang, count(*) kd, max(cum) kt FROM c
+               WHERE cum <= CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000
+                            WHEN 'fr' THEN 2000 ELSE 0 END
+               GROUP BY lang),
+         b AS (SELECT 'en' AS stratum, 5000 AS tb UNION ALL
+               SELECT 'de', 3000 UNION ALL SELECT 'fr', 2000)
+         SELECT b.stratum, CAST(b.tb AS BIGINT) AS target_tokens,
+           CAST(coalesce(k.kd, 0) AS BIGINT) AS kept_docs,
+           CAST(coalesce(k.kt, 0) AS BIGINT) AS kept_tokens
+         FROM b LEFT JOIN k ON k.lang = b.stratum
+         ORDER BY b.stratum""",
 
     "sample_quota" ->
       """WITH h AS (SELECT doc_id, lang,

@@ -121,4 +121,66 @@ object SampleOps {
       .where(col("cum_tokens") <= coalesce(col("__budget"), lit(defaultBudget)))
       .drop("__stratum", "__budget", "__n")
   }
+
+  /** Per-stratum token budgets from target mixture weights over one global
+    * token budget — floor(wᵢ/Σw · total) each. Driver-side arithmetic on a
+    * handful of strata; exposed so the sample and its report agree on
+    * budgets by construction.
+    */
+  def mixtureBudgets(weights: Map[String, Double],
+      totalTokens: Long): Map[String, Long] = {
+    require(weights.nonEmpty, "mixture needs at least one stratum weight")
+    require(weights.values.forall(_ >= 0) && weights.values.sum > 0,
+      s"mixture weights must be >= 0 with a positive sum, got $weights")
+    val z = weights.values.sum
+    weights.map { case (k, w) => k -> (w / z * totalTokens).toLong }
+  }
+
+  /** Corpus mixing by token share — the "40% web / 30% code / 30% wiki"
+    * construction every pretraining run specifies: target mixture
+    * `weights` over one global `totalTokens` budget become per-stratum
+    * token budgets ([[mixtureBudgets]]), filled deterministically in hash
+    * order by [[tokenBudgetSample]]. Strata not named in the mixture are
+    * dropped (budget 0). A weight whose stratum runs out of tokens
+    * under-fills silently — read the achieved mixture with
+    * [[mixtureReport]] rather than assuming targets were met.
+    *
+    * Scale: identical to [[tokenBudgetSample]] — one stratum-keyed window
+    * shuffle, budgets broadcast; same [[hashSample]] pre-filter escape for
+    * budgets tiny next to a huge stratum.
+    */
+  def mixtureTokenSample(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, weights: Map[String, Double], totalTokens: Long,
+      salt: String = "",
+      tokenCounter: Column => Column = TextOps.tokenCount): DataFrame =
+    tokenBudgetSample(df, idCol, textCol, stratumCol,
+      mixtureBudgets(weights, totalTokens), 0L, salt, tokenCounter)
+
+  /** Achieved-vs-target accounting for [[mixtureTokenSample]]: one row per
+    * TARGETED stratum — `(stratum, target_tokens, kept_docs, kept_tokens)`,
+    * kept_tokens <= target_tokens always (the prefix property), zero rows
+    * for strata absent from the corpus. Integer-exact columns only, so two
+    * engines agree cell-for-cell.
+    *
+    * Cost: the sample's window shuffle + one tiny per-stratum aggregate
+    * (kept_tokens is the stratum's max cum_tokens — no second token scan).
+    */
+  def mixtureReport(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, weights: Map[String, Double], totalTokens: Long,
+      salt: String = "",
+      tokenCounter: Column => Column = TextOps.tokenCount): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgets = mixtureBudgets(weights, totalTokens)
+    val kept = mixtureTokenSample(df, idCol, textCol, stratumCol, weights,
+      totalTokens, salt, tokenCounter)
+    val budgetDf = budgets.toSeq.toDF("stratum", "target_tokens")
+    val agg = kept.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("kept_docs"),
+        max(col("cum_tokens")).as("kept_tokens"))
+    budgetDf.join(agg, Seq("stratum"), "left")
+      .select(col("stratum"), col("target_tokens"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+  }
 }

@@ -495,6 +495,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(again == kept.map(_._1).toSet)
   }
 
+  test("mixture sampling: weight-derived budgets, report partitions the kept set") {
+    val w = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2)
+    // floor(w/sum * total), and unnormalized weights normalize identically
+    assert(SampleOps.mixtureBudgets(w, 10000L) ==
+      Map("en" -> 5000L, "de" -> 3000L, "fr" -> 2000L))
+    assert(SampleOps.mixtureBudgets(Map("a" -> 5.0, "b" -> 3.0, "c" -> 2.0), 10000L)
+      == Map("a" -> 5000L, "b" -> 3000L, "c" -> 2000L))
+    intercept[IllegalArgumentException] { SampleOps.mixtureBudgets(Map.empty, 1L) }
+    intercept[IllegalArgumentException] {
+      SampleOps.mixtureBudgets(Map("a" -> -1.0), 1L)
+    }
+    // the mixture sample IS tokenBudgetSample under the derived budgets
+    val viaMixture = SampleOps.mixtureTokenSample(docs, "doc_id", "text", "lang",
+      w, 10000L).collect().map(_.getAs[Long]("doc_id")).toSet
+    val viaBudgets = SampleOps.tokenBudgetSample(docs, "doc_id", "text", "lang",
+      SampleOps.mixtureBudgets(w, 10000L)).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(viaMixture == viaBudgets && viaMixture.nonEmpty)
+    // report: one row per targeted stratum, kept_tokens <= target_tokens,
+    // kept_docs totals the sampled frame exactly
+    val rep = SampleOps.mixtureReport(docs, "doc_id", "text", "lang", w, 10000L)
+      .collect().map(r => r.getAs[String]("stratum") ->
+        ((r.getAs[Long]("target_tokens"), r.getAs[Long]("kept_docs"),
+          r.getAs[Long]("kept_tokens")))).toMap
+    assert(rep.keySet == w.keySet)
+    rep.foreach { case (s, (target, _, keptTok)) =>
+      assert(keptTok <= target, s"$s kept $keptTok > target $target")
+    }
+    assert(rep.values.map(_._2).sum == viaMixture.size)
+  }
+
   test("repetitionStats: exact fractions on crafted docs, single-token safe") {
     import spark.implicits._
     val fixture = Seq(
