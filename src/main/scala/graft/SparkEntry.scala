@@ -440,6 +440,12 @@ object SparkEntry {
         chunkTokens = 512, tokenCounter = _ => col("n_tok"))
     }),
 
+    // packing-efficiency accounting: one summary row over the same spans
+    // (chunk count, boundary-split docs, total tokens, tail fill)
+    "corpus_pack_stats" -> ((s, dir) =>
+      operators.CurationOps.packStats(Tables.documents(s, dir),
+        "doc_id", "text", chunkTokens = 512)),
+
     // materialized training sequences: the packed spans joined back to
     // tokens and concatenated per chunk (512 tokens each except the tail)
     "corpus_pack_text" -> ((s, dir) =>
@@ -1222,6 +1228,29 @@ object SparkEntry {
            CAST(least(n, (b + 1) * 512 - strt) AS BIGINT) AS tok_to
          FROM s, unnest(range(strt // 512, ((cum - 1) // 512) + 1)) u(b)
          ORDER BY chunk_id, doc_id""",
+
+    // aggregate of the corpus_pack span set; last_chunk_tokens falls out
+    // of totals (all non-tail chunks hold exactly 512 by construction)
+    "corpus_pack_stats" ->
+      """WITH t AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n
+                    FROM documents),
+         c AS (SELECT doc_id, n,
+                 CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) cum FROM t),
+         s AS (SELECT doc_id, n, cum - n AS strt, cum FROM c WHERE n > 0),
+         sp AS (SELECT b AS chunk_id, doc_id,
+                  greatest(0, b * 512 - strt) AS tok_from,
+                  least(n, (b + 1) * 512 - strt) AS tok_to
+                FROM s, unnest(range(strt // 512, ((cum - 1) // 512) + 1)) u(b))
+         SELECT CAST(max(chunk_id) + 1 AS BIGINT) AS chunks,
+           CAST(count(*) AS BIGINT) AS incidences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS packed_docs,
+           CAST(count(DISTINCT CASE WHEN tok_from > 0 THEN doc_id END) AS BIGINT)
+             AS split_docs,
+           CAST(sum(tok_to - tok_from) AS BIGINT) AS total_tokens,
+           CAST(sum(tok_to - tok_from) - max(chunk_id) * 512 AS BIGINT)
+             AS last_chunk_tokens
+         FROM sp""",
 
     // corpus_pack under the BPE-ish counter: identical span arithmetic,
     // n re-denominated as the regex token count (same RE2-subset pattern

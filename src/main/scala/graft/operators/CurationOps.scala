@@ -339,6 +339,36 @@ object CurationOps {
         s => s.getField("f")), " ").as("text"))
   }
 
+  /** Packing-efficiency accounting over [[packChunks]]: ONE summary row —
+    * `(chunks, incidences, packed_docs, split_docs, total_tokens,
+    * last_chunk_tokens)`. `split_docs` counts documents cut by a chunk
+    * boundary (the fragmentation a trainer's attention-mask reset pays
+    * for); `incidences - packed_docs` is the total number of boundary
+    * crossings; `last_chunk_tokens` is the only partially-filled chunk
+    * (every other chunk holds exactly `chunkTokens` by construction, so
+    * "fill ratio" needs no per-chunk scan). Integer-exact columns only.
+    *
+    * Cost: the spans' [[prefixSum]] shuffle + one global aggregate
+    * (map-side partials; the two distinct-counts run over span rows,
+    * ~docs + crossings — not tokens).
+    */
+  def packStats(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Long,
+      tokenCounter: Column => Column = TextOps.tokenCount): DataFrame = {
+    val spans = packChunks(df, idCol, textCol, chunkTokens, tokenCounter)
+    spans.agg(
+        coalesce(max(col("chunk_id")) + 1, lit(0L)).as("chunks"),
+        count(lit(1)).as("incidences"),
+        countDistinct(col(idCol)).as("packed_docs"),
+        countDistinct(when(col("tok_from") > 0, col(idCol))).as("split_docs"),
+        coalesce(sum(col("tok_to") - col("tok_from")), lit(0L))
+          .as("total_tokens"))
+      .withColumn("last_chunk_tokens",
+        when(col("chunks") > 0,
+          col("total_tokens") - (col("chunks") - 1) * chunkTokens)
+          .otherwise(lit(0L)))
+  }
+
   /** Write the packed corpus as train-ready hive shards: chunk texts from
     * [[packChunkText]] land under `path/shard=<chunk_id div
     * chunksPerShard>`, one parquet file per shard (repartitioned on the

@@ -495,6 +495,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(again == kept.map(_._1).toSet)
   }
 
+  test("packStats: hand-computed fragmentation accounting, empty-corpus safe") {
+    import spark.implicits._
+    // token counts 3,4,2 at chunkTokens=4 -> global spans [0,3)[3,7)[7,9):
+    // doc2 crosses the 4-boundary, doc3 crosses the 8-boundary
+    val fixture = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i"))
+      .toDF("doc_id", "text")
+    val row = CurationOps.packStats(fixture, "doc_id", "text", 4L).collect()(0)
+    assert(row.getAs[Long]("chunks") == 3L)
+    assert(row.getAs[Long]("incidences") == 5L)
+    assert(row.getAs[Long]("packed_docs") == 3L)
+    assert(row.getAs[Long]("split_docs") == 2L)
+    assert(row.getAs[Long]("total_tokens") == 9L)
+    assert(row.getAs[Long]("last_chunk_tokens") == 1L)
+    val empty = CurationOps.packStats(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", 4L)
+      .collect()(0)
+    assert((0 until 6).forall(i => empty.getLong(i) == 0L))
+    // totals agree with the span set on the real fixture
+    val spans = CurationOps.packChunks(docs, "doc_id", "text", 512L)
+    val stats = CurationOps.packStats(docs, "doc_id", "text", 512L).collect()(0)
+    assert(stats.getAs[Long]("incidences") == spans.count())
+    assert(stats.getAs[Long]("total_tokens") ==
+      spans.agg(sum(col("tok_to") - col("tok_from"))).collect()(0).getLong(0))
+  }
+
   test("mixture sampling: weight-derived budgets, report partitions the kept set") {
     val w = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2)
     // floor(w/sum * total), and unnormalized weights normalize identically
