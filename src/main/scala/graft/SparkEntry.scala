@@ -372,6 +372,16 @@ object SparkEntry {
         "doc_id", "text", w, 4096)
     }),
 
+    // CCNet-style LM quality scoring: add-one bigram model counted from
+    // the trusted slice (lang = 'en'), every doc charged the quantized
+    // (bit-length) code length of its bigrams under it — integer-exact
+    // across engines, one final division for the mean
+    "quality_lm_surprise" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.TextOps.bigramSurprise(d, d.where(col("lang") === "en"),
+        "doc_id", "text")
+    }),
+
     // benchmark decontamination: word-4-gram overlap of the corpus (doc_id %
     // 17 != 0) against the benchmark split (doc_id % 17 == 0), GPT-3-style
     // any-collision contamination flag; benchmark n-grams broadcast
@@ -1071,6 +1081,38 @@ object SparkEntry {
                FROM w GROUP BY doc_id)
          SELECT d.doc_id, coalesce(s.score, 0.0) AS score
          FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""",
+
+    // bigram position i pairs tks[i+1], tks[i+2] (1-based); surprise per
+    // position = bitlen(c1+V) - bitlen(c12+1), bin() renders unpadded in
+    // both engines; V = distinct ref unigrams
+    "quality_lm_surprise" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') tks
+                    FROM documents),
+         rb AS (SELECT tks[i+1] w1, tks[i+2] w2 FROM d, unnest(range(len(tks) - 1)) t(i)
+                WHERE lang = 'en' AND len(tks) >= 2),
+         c12 AS (SELECT w1, w2, count(*) c FROM rb GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) c FROM rb GROUP BY 1),
+         v AS (SELECT count(DISTINCT t) vv FROM
+                 (SELECT unnest(tks) t FROM d WHERE lang = 'en')),
+         pos AS (SELECT doc_id, tks[i+1] w1, tks[i+2] w2
+                 FROM d, unnest(range(len(tks) - 1)) t(i) WHERE len(tks) >= 2),
+         j AS (SELECT doc_id,
+                 length(bin(coalesce(c1.c + v.vv, v.vv)))
+                   - length(bin(coalesce(c12.c, 0) + 1)) AS s,
+                 CASE WHEN c12.c IS NULL THEN 0 ELSE 1 END hb,
+                 CASE WHEN c1.c IS NULL THEN 0 ELSE 1 END hc
+               FROM pos CROSS JOIN v
+                 LEFT JOIN c12 ON c12.w1 = pos.w1 AND c12.w2 = pos.w2
+                 LEFT JOIN c1 ON c1.w1 = pos.w1),
+         a AS (SELECT doc_id, count(*) nb, sum(hb) hb, sum(hc) hc, sum(s) sb
+               FROM j GROUP BY 1)
+         SELECT doc.doc_id, CAST(coalesce(a.nb, 0) AS BIGINT) n_bigrams,
+           CAST(coalesce(a.hb, 0) AS BIGINT) hit_bigrams,
+           CAST(coalesce(a.hc, 0) AS BIGINT) hit_contexts,
+           CAST(coalesce(a.sb, 0) AS BIGINT) surprise_bits,
+           CASE WHEN a.nb > 0 THEN CAST(a.sb AS DOUBLE) / a.nb END avg_surprise_bits
+         FROM documents doc LEFT JOIN a ON a.doc_id = doc.doc_id
+         ORDER BY doc.doc_id""",
 
     // token/bigram repetition shares; bigram i pairs tks[i], tks[i+1]
     // (1-based, range end-exclusive = Spark's zip_with of the two slices);

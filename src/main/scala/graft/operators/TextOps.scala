@@ -161,6 +161,77 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est", "une"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有"))
 
+  /** Bigram language-model surprise — CCNet-style LM quality scoring
+    * (Wenzek 2020: score a crawl against a model trained on a trusted
+    * corpus, filter by perplexity bucket) re-expressed engine-exact. An
+    * add-one-smoothed bigram model is counted from `ref` (the trusted
+    * side: wiki-sized, megabytes-to-gigabytes) and every doc is charged a
+    * QUANTIZED code length per bigram position:
+    * `bitlen(c(w1)+V) - bitlen(c(w1,w2)+1)`, an integer within 1 bit of
+    * the true -log2 p̂ = log2((c(w1)+V)/(c(w1w2)+1)). Floating log is NOT
+    * reproducible across engines (JVM Math.log and C libm differ in ulps);
+    * bit lengths are exact integers everywhere, and perplexity FILTERING
+    * consumes head/middle/tail buckets for which 1-bit-per-position
+    * resolution is ample. The only non-integer output is one final IEEE
+    * division for the mean.
+    *
+    * Output: one row per doc — `(idCol, n_bigrams, hit_bigrams,
+    * hit_contexts, surprise_bits, avg_surprise_bits)`; docs with < 2
+    * tokens (no bigram evidence) score `(0, 0, 0, 0, null)`.
+    *
+    * Scale: the model is two word-keyed aggregates over REF plus one
+    * distinct-count action for V (driver scalars: V and the guard bound —
+    * both tiny, computed once per model). The corpus side explodes to
+    * bigram positions map-side and joins the model tables — broadcast
+    * under the same char-bound guard as [[CurationOps.ngramOverlap]]
+    * (fail-safe to `shuffle_hash` above it: an over-sized "reference"
+    * must not be collected onto the driver), then one id-keyed aggregate.
+    */
+  def bigramSurprise(docs: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, broadcastRefChars: Long = 64000000L): DataFrame = {
+    def bigramRows(df: DataFrame, extra: Seq[Column]): DataFrame = {
+      val tks = tokens(coalesce(col(textCol), lit("")))
+      df.select(extra :+ explode(zip_with(
+          slice(tks, lit(1), greatest(size(tks) - 1, lit(0))),
+          slice(tks, lit(2), greatest(size(tks) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"): _*)
+        .select("*").withColumn("w1", col("__bg.w1"))
+        .withColumn("w2", col("__bg.w2")).drop("__bg")
+    }
+    val refBg = bigramRows(ref, Seq.empty)
+    val c12 = refBg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__c12"))
+    val c1 = refBg.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+    val vocabV = ref
+      .select(explode(tokens(coalesce(col(textCol), lit("")))).as("__w"))
+      .distinct().count()
+    val refChars = ref
+      .agg(coalesce(sum(length(coalesce(col(textCol), lit("")))), lit(0L)))
+      .head().getLong(0)
+    def joinModel(pos: DataFrame, model: DataFrame, keys: Seq[String]) =
+      if (refChars <= broadcastRefChars) pos.join(broadcast(model), keys, "left")
+      else pos.join(model.hint("shuffle_hash"), keys, "left")
+    def bitlen(x: Column): Column = length(bin(x))
+    val pos = bigramRows(docs.select(col(idCol), col(textCol)), Seq(col(idCol)))
+    val scored = joinModel(joinModel(pos, c12, Seq("w1", "w2")), c1, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("__c12").isNotNull, 1L).otherwise(0L)).as("hit_bigrams"),
+        sum(when(col("__c1").isNotNull, 1L).otherwise(0L)).as("hit_contexts"),
+        sum(bitlen(coalesce(col("__c1") + vocabV, lit(vocabV))).cast("long")
+          - bitlen(coalesce(col("__c12"), lit(0L)) + 1L).cast("long"))
+          .as("surprise_bits"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("hit_bigrams"), lit(0L)).as("hit_bigrams"),
+        coalesce(col("hit_contexts"), lit(0L)).as("hit_contexts"),
+        coalesce(col("surprise_bits"), lit(0L)).as("surprise_bits"),
+        when(col("n_bigrams") > 0,
+          col("surprise_bits").cast("double") / col("n_bigrams"))
+          .as("avg_surprise_bits"))
+  }
+
   def langId(text: Column): Column = {
     val tks = tokens(text)
     val scored = LangMarkers.map { case (lang, markers) =>

@@ -495,6 +495,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(again == kept.map(_._1).toSet)
   }
 
+  test("bigramSurprise: hand-computed quantized code lengths; en < zh under en model") {
+    import spark.implicits._
+    // model from "a b a b": c12 = {(a,b):2, (b,a):1}, c1 = {a:2, b:1}, V=2
+    val ref = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b c"), (2L, "z"), (3L, "x y")).toDF("doc_id", "text")
+    val got = TextOps.bigramSurprise(score, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), Option(r.get(5))))).toMap
+    // doc 1: (a,b) -> bitlen(2+2)-bitlen(2+1)=3-2=1 (hit both);
+    //        (b,c) -> bitlen(1+2)-bitlen(0+1)=2-1=1 (context hit only)
+    assert(got(1L) == ((2L, 1L, 2L, 2L, Some(1.0))))
+    // doc 2: one token, no bigram evidence
+    assert(got(2L) == ((0L, 0L, 0L, 0L, None)))
+    // doc 3: fully OOV position -> bitlen(V)-bitlen(1) = 2-1 = 1
+    assert(got(3L) == ((1L, 0L, 0L, 1L, Some(1.0))))
+    // real fixture: English docs are less surprising than Chinese under an
+    // English-slice model
+    val d = docs
+    val s = TextOps.bigramSurprise(d, d.where(col("lang") === "en"),
+        "doc_id", "text")
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .where(col("n_bigrams") > 0)
+      .groupBy(col("lang"))
+      .agg(avg(col("avg_surprise_bits")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s("en") < s("zh"), s"expected en < zh surprise, got $s")
+  }
+
   test("packStats: hand-computed fragmentation accounting, empty-corpus safe") {
     import spark.implicits._
     // token counts 3,4,2 at chunkTokens=4 -> global spans [0,3)[3,7)[7,9):
