@@ -475,6 +475,18 @@ object SparkEntry {
           sum(size(split(col("text"), " "))).cast("bigint").as("n_tokens"))
     }),
 
+    // shuffled-shard writer: chunks hash-assigned to 8 shards (one fixed
+    // global permutation at write time), read back and accounted
+    "corpus_pack_shuffled" -> ((s, dir) => {
+      val path = s"${Fixtures.tmpRoot}/packed_shuf_gate"
+      operators.CurationOps.writePackedCorpusShuffled(Tables.documents(s, dir),
+        "doc_id", "text", chunkTokens = 512, path, shards = 8)
+      s.read.parquet(path)
+        .groupBy(col("shard").cast("bigint").as("shard"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(size(split(col("text"), " "))).cast("bigint").as("n_tokens"))
+    }),
+
     // deterministic stratified sample: per-language keep rates over a
     // content hash of the id — reproducible across engines/partitionings
     "sample_stratified" -> ((s, dir) =>
@@ -1368,6 +1380,25 @@ object SparkEntry {
                   CAST(least(n, (b + 1) * 512 - strt) AS BIGINT) e
                 FROM s, unnest(range(strt // 512, ((cum - 1) // 512) + 1)) u(b))
          SELECT CAST(chunk_id // 16 AS BIGINT) AS shard,
+           CAST(count(DISTINCT chunk_id) AS BIGINT) AS n_chunks,
+           CAST(sum(e - a) AS BIGINT) AS n_tokens
+         FROM sp GROUP BY 1 ORDER BY 1""",
+
+    // shard = 60-bit md5-prefix hash of the chunk id string, mod 8 (salt
+    // ''); token shares from the same span arithmetic as corpus_pack
+    "corpus_pack_shuffled" ->
+      """WITH t AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n
+                    FROM documents),
+         c AS (SELECT doc_id, n,
+                 CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) cum FROM t),
+         s AS (SELECT doc_id, n, cum - n AS strt, cum FROM c WHERE n > 0),
+         sp AS (SELECT CAST(b AS BIGINT) chunk_id,
+                  CAST(greatest(0, b * 512 - strt) AS BIGINT) a,
+                  CAST(least(n, (b + 1) * 512 - strt) AS BIGINT) e
+                FROM s, unnest(range(strt // 512, ((cum - 1) // 512) + 1)) u(b))
+         SELECT CAST('0x' || substring(md5(CAST(chunk_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % 8 AS shard,
            CAST(count(DISTINCT chunk_id) AS BIGINT) AS n_chunks,
            CAST(sum(e - a) AS BIGINT) AS n_tokens
          FROM sp GROUP BY 1 ORDER BY 1""",

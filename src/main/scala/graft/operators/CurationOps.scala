@@ -387,4 +387,32 @@ object CurationOps {
       .repartition(col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
   }
+
+  /** Shuffled twin of [[writePackedCorpus]] — training-order randomization
+    * done ONCE at write time: chunks are assigned to `shards` shards by the
+    * engine-reproducible md5 slot of their chunk id (salted — a different
+    * `salt` draws an independent permutation) and ordered within each shard
+    * file by that same hash. A trainer streaming shard files in order
+    * replays one fixed, partitioning-independent global permutation with
+    * zero train-time shuffle buffer; re-running the writer reproduces it
+    * bit-for-bit. Chunk ids ride along, so provenance back to
+    * [[packChunks]] spans survives the shuffle.
+    *
+    * Scale: identical to the contiguous writer — packing's prefix-sum
+    * shuffle + one repartition on the shard key, one file per shard
+    * (shards ≪ tasks×shards small files). Hash sharding adds no skew: slot
+    * uniformity bounds shard-size spread at ~±3√(chunks/shards).
+    */
+  def writePackedCorpusShuffled(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Long, path: String, shards: Int = 1024, salt: String = "",
+      tokenizer: Column => Column = TextOps.tokens): Unit = {
+    require(shards > 0, "shards must be positive")
+    val slot = DedupOps.baseHash(
+      concat(lit(salt), col("chunk_id").cast("string")))
+    packChunkText(df, idCol, textCol, chunkTokens, tokenizer)
+      .withColumn("shard", pmod(slot, lit(shards.toLong)))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), slot, col("chunk_id"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+  }
 }

@@ -897,6 +897,43 @@ class OperatorsSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("shuffled shard writer: fixed global permutation, hash order inside files") {
+    val path = tmpDir("packed_shuf")
+    CurationOps.writePackedCorpusShuffled(docs, "doc_id", "text", 128L, path,
+      shards = 4)
+    val back = spark.read.parquet(path)
+    val all = CurationOps.packChunks(docs, "doc_id", "text", 128L)
+      .select(col("chunk_id")).distinct().count()
+    // every chunk lands exactly once
+    assert(back.count() == all)
+    assert(back.select(col("chunk_id")).distinct().count() == all)
+    // shard assignment is the md5 slot of the chunk id — partitioning- and
+    // rerun-independent
+    val expected = back.select(col("chunk_id"),
+        pmod(DedupOps.baseHash(col("chunk_id").cast("string")), lit(4L)).as("e"))
+      .where(col("e") =!= col("shard").cast("bigint")).count()
+    assert(expected == 0L)
+    // within each shard FILE rows ride in hash order (the train-time read
+    // order): re-read preserving parquet row order via a per-file check
+    (0 until 4).foreach { sh =>
+      val slots = spark.read.parquet(s"$path/shard=$sh")
+        .select(DedupOps.baseHash(col("chunk_id").cast("string")))
+        .collect().map(_.getLong(0))
+      assert(slots.sameElements(slots.sorted),
+        s"shard $sh rows must be hash-ordered in-file")
+    }
+    // a different salt draws a different permutation (overwhelmingly)
+    val path2 = tmpDir("packed_shuf2")
+    CurationOps.writePackedCorpusShuffled(docs, "doc_id", "text", 128L, path2,
+      shards = 4, salt = "s2")
+    val a1 = spark.read.parquet(path).select(col("chunk_id"), col("shard")).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("shard")).toMap
+    val a2 = spark.read.parquet(path2).select(col("chunk_id"), col("shard")).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("shard")).toMap
+    assert(a1 != a2)
+    graft.CacheScope.release()
+  }
+
   test("packChunkText under a custom tokenizer: chunks hold exactly K tokens of that basis") {
     import spark.implicits._
     // "a1 b2" is 4 BPE-ish subwords (letter run + digit run per word);
