@@ -310,6 +310,63 @@ object Fixtures {
       out
     })
 
+  private val curateMb = TrieMap[String, String]()
+
+  /** TRUE multi-micro-batch streaming curation materialized once per
+    * (JVM, sf): a fingerprint store seeded from the prior corpus (docs
+    * < 250, doc_id % 17 != 0), corpus docs >= 250 (% 17 != 0) split into
+    * three source files by ID RANGE — batch order equals id order, so
+    * first-seen-wins equals the corpus-wide min-id canonical the oracle
+    * computes — and streamed one file per trigger through
+    * [[graft.streaming.StreamingOps.curateAvailableNow]] against the
+    * benchmark split (doc_id % 17 == 0). Returns the kept-docs output dir.
+    */
+  def curateStreamMbPath(spark: SparkSession, sfDir: String): String =
+    curateMb.getOrElseUpdate(sfDir, {
+      val base = s"${tmpRoot}/csm_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val (src, out, cp, store, stage) =
+        (s"$base/src", s"$base/out", s"$base/cp", s"$base/store", s"$base/stage")
+      val hfs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (hfs.exists(new org.apache.hadoop.fs.Path(base)))
+        hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+      hfs.mkdirs(new org.apache.hadoop.fs.Path(src))
+
+      val d = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.operators.DedupOps.buildFingerprintStore(
+        d.where(col("doc_id") < 250 && col("doc_id") % 17 =!= 0),
+        "doc_id", "text", store)
+      val newDocs = d.where(col("doc_id") >= 250 && col("doc_id") % 17 =!= 0)
+      val bounds = newDocs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * (hi - lo) / 3
+      val files = Seq(
+        newDocs.where(col("doc_id") <= cut1),
+        newDocs.where(col("doc_id") > cut1 && col("doc_id") <= cut2),
+        newDocs.where(col("doc_id") > cut2))
+      files.zipWithIndex.foreach { case (df, i) =>
+        val st = s"$stage/$i"
+        df.coalesce(1).write.mode("overwrite").parquet(st)
+        val part = hfs.listStatus(new org.apache.hadoop.fs.Path(st))
+          .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+        val dst = new org.apache.hadoop.fs.Path(s"$src/batch_$i.parquet")
+        hfs.rename(part, dst)
+        hfs.setTimes(dst, 1000000L * (i + 1), -1)
+      }
+      hfs.delete(new org.apache.hadoop.fs.Path(stage), true)
+
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, lang STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      val q = graft.streaming.StreamingOps.curateAvailableNow(
+        stream, Tables.documents(spark, sfDir).where(col("doc_id") % 17 === 0),
+        "doc_id", "text", "lang", store, out, cp)
+      q.awaitTermination()
+      out
+    })
+
   /** Streaming windowed counts materialized once per (JVM, sf): complete-mode
     * memory sink drained by AvailableNow, persisted to parquet for reuse.
     */

@@ -401,6 +401,14 @@ object SparkEntry {
         "doc_id", "text", "lang", k = 4, minTokens = 20, maxTopTokenFrac = 0.12)
     }),
 
+    // the curation pipeline as TRUE STREAMING: three id-range micro-batches
+    // through store-probe dedup + curateKeep, kept docs appended per batch;
+    // the drained kept set must equal the batch oracle on the same split
+    "stream_curate" -> ((s, dir) =>
+      s.read.parquet(Fixtures.curateStreamMbPath(s, dir))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("top_token_frac"))),
+
     // curation with a RefinedWeb-style source blocklist: blocked sources
     // drop first (highest precedence in the report), dedup re-canonicalizes
     // among survivors, and the report partition gains a `blocked` outcome
@@ -1195,6 +1203,40 @@ object SparkEntry {
          JOIN corpus c2 ON c2.doc_id = r.doc_id
          JOIN canon cn ON cn.doc_id = r.doc_id AND cn.cid = r.doc_id
          WHERE r.doc_id NOT IN (SELECT doc_id FROM contam)
+           AND r.n_tokens >= 20 AND r.top_token_frac <= 0.12
+         ORDER BY r.doc_id""",
+
+    // curate_keep's CTEs restricted to the streamed split (doc_id >= 250):
+    // the canonical window spans ALL % 17 != 0 docs, so a store hit
+    // (earlier fp holder < 250) and a cross-batch dup (earlier streamed
+    // holder) both resolve to "not its own canonical" exactly like the
+    // store-probe + first-seen-wins streaming semantics (batches ride in
+    // id order by construction of the fixture)
+    "stream_curate" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 17 != 0),
+         d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         g AS (SELECT doc_id, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3]
+                 || ' ' || tks[i+4] AS s
+               FROM d, unnest(range(len(tks) - 3)) t(i) WHERE len(tks) >= 4),
+         bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 17 = 0),
+         contam AS (SELECT doc_id FROM g WHERE doc_id % 17 != 0
+                    GROUP BY 1
+                    HAVING count(DISTINCT s) FILTER (s IN (SELECT s FROM bench)) > 0),
+         tc AS (SELECT doc_id, tok, count(*) c
+                FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) tok
+                      FROM corpus) GROUP BY 1, 2),
+         rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_tokens,
+                   CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) top_token_frac
+                 FROM tc GROUP BY 1),
+         canon AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY
+                     md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) cid
+                   FROM corpus)
+         SELECT r.doc_id, c2.lang, r.n_tokens, r.top_token_frac
+         FROM rep r
+         JOIN corpus c2 ON c2.doc_id = r.doc_id
+         JOIN canon cn ON cn.doc_id = r.doc_id AND cn.cid = r.doc_id
+         WHERE r.doc_id NOT IN (SELECT doc_id FROM contam)
+           AND r.doc_id >= 250
            AND r.n_tokens >= 20 AND r.top_token_frac <= 0.12
          ORDER BY r.doc_id""",
 

@@ -181,6 +181,85 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming curation — the crawl-to-kept-corpus pipeline as a stream:
+    * each micro-batch of documents is (1) exact-deduped against the
+    * persisted fingerprint store (base corpus + every earlier batch's KEPT
+    * docs), (2) run through [[graft.operators.CurationOps.curateKeep]]
+    * (in-batch dedup canonical, benchmark decontamination, length and
+    * repetition quality cuts), and (3) the kept rows land in
+    * `keptOut/batch=<id>` while their fingerprints append to the store —
+    * so later batches drop duplicates of anything already kept. Storing
+    * KEPT fingerprints only is sufficient: duplicates share text, so a
+    * doc whose earlier copy was dropped on quality/contamination fails
+    * the same cuts itself.
+    *
+    * Retry-safe like [[dedupIncrementalAvailableNow]]: both writes are
+    * per-batch-dir overwrites keyed by the micro-batch id, the probe
+    * excludes the batch's own store dir, fingerprints are computed once
+    * per batch, and the batch's tracked caches are scope-released.
+    *
+    * Scale: the store probe prunes store rows map-side by the batch's
+    * broadcast fingerprint set (probe cost ∝ batch + matches, not
+    * corpus), and the surviving hit set — bounded by the batch's own
+    * distinct fps — broadcasts into an anti join. `bench` is a static
+    * frame; [[graft.operators.CurationOps.ngramOverlap]]'s char-bound
+    * guard inside curateKeep decides its join side as usual.
+    */
+  def curateAvailableNow(stream: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, langCol: String, storePath: String, keptOut: String,
+      checkpoint: String, k: Int = 4, minTokens: Long = 20,
+      maxTopTokenFrac: Double = 0.12): StreamingQuery =
+    curateStream(stream, bench, idCol, textCol, langCol, storePath, keptOut,
+      checkpoint, Trigger.AvailableNow(), k, minTokens, maxTopTokenFrac)
+
+  /** [[curateAvailableNow]] as a live tail (ProcessingTime trigger) — the
+    * per-batch scoped cache release makes it safe to run indefinitely.
+    */
+  def curateProcessingTime(stream: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, langCol: String, storePath: String, keptOut: String,
+      checkpoint: String, interval: String = "1 second", k: Int = 4,
+      minTokens: Long = 20, maxTopTokenFrac: Double = 0.12): StreamingQuery =
+    curateStream(stream, bench, idCol, textCol, langCol, storePath, keptOut,
+      checkpoint, Trigger.ProcessingTime(interval), k, minTokens,
+      maxTopTokenFrac)
+
+  private def curateStream(stream: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, langCol: String, storePath: String, keptOut: String,
+      checkpoint: String, trigger: Trigger, k: Int, minTokens: Long,
+      maxTopTokenFrac: Double): StreamingQuery =
+    stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val scope = graft.CacheScope.snapshot()
+          val withFp = graft.CacheScope.persist(batch.withColumn("__fp",
+            graft.operators.TextOps.fingerprint(col(textCol))))
+          val sp = new org.apache.hadoop.fs.Path(storePath)
+          val survivors =
+            if (sp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sp)) {
+              val old = spark.read.parquet(storePath)
+                .where(col("batch") =!= s"b$bid")
+              val hits = old
+                .join(broadcast(withFp.select(col("__fp").as("fp")).distinct()),
+                  Seq("fp"), "left_semi")
+                .select(col("fp").as("__fp")).distinct()
+              withFp.join(broadcast(hits), Seq("__fp"), "left_anti")
+            } else withFp
+          val kept = graft.CacheScope.persist(
+            graft.operators.CurationOps.curateKeep(survivors.drop("__fp"),
+              bench, idCol, textCol, langCol, k, minTokens, maxTopTokenFrac))
+          kept.write.mode("overwrite").parquet(s"$keptOut/batch=b$bid")
+          withFp.join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+            .select(col(idCol).as("id"), col("__fp").as("fp"))
+            .write.mode("overwrite").parquet(s"$storePath/batch=b$bid")
+          graft.CacheScope.releaseNewSince(scope)
+          ()
+        }
+      }
+      .start()
+
   /** Watermarked tumbling-window counts/sums per key. In append mode only
     * watermark-closed windows emit; `complete` emits everything (used by the
     * deterministic AvailableNow gate query).

@@ -247,4 +247,37 @@ class StreamingSpec extends SparkTestBase {
     assert(crossBatch.nonEmpty, "fixture must exercise cross-batch discovery")
     graft.CacheScope.release()
   }
+
+  test("streaming curation == batch curation on the streamed split") {
+    import org.apache.spark.sql.functions._
+    val keptDir = Fixtures.curateStreamMbPath(spark, dir)
+    val streamed = spark.read.parquet(keptDir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_tokens"))).toSet
+    // batch equivalent: curate the WHOLE % 17 != 0 corpus in one pass and
+    // restrict to the streamed ids — the store probe + first-seen-wins
+    // must reproduce the corpus-wide canonical exactly
+    val d = Tables.documents(spark, dir)
+    val batchKept = graft.operators.CurationOps.curateKeep(
+        d.where(col("doc_id") % 17 =!= 0), d.where(col("doc_id") % 17 === 0),
+        "doc_id", "text", "lang", k = 4, minTokens = 20,
+        maxTopTokenFrac = 0.12)
+      .where(col("doc_id") >= 250)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_tokens"))).toSet
+    assert(streamed == batchKept)
+    assert(streamed.nonEmpty)
+    // the store grew: base dir + one dir per non-empty micro-batch, and
+    // every stored fp belongs to a kept doc or the base corpus
+    val storePath = keptDir.replaceAll("/out$", "/store")
+    val store = spark.read.parquet(storePath)
+    val baseIds = store.where(col("batch") === "base")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val streamedStoreIds = store.where(col("batch") =!= "base")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(baseIds.forall(_ < 250))
+    assert(streamedStoreIds == streamed.map(_._1),
+      "store must hold exactly the kept docs' fingerprints")
+    graft.CacheScope.release()
+  }
 }
