@@ -162,6 +162,73 @@ object ScaleSmoke {
         s"all 100 planted copies must find their block dups, got $plantedSeen")
       println(s"[scale]   $n incremental pairs (old-old excluded)")
     }
+    time("exact-dedup fp store: 5M-doc build") {
+      operators.DedupOps.buildFingerprintStore(syntheticDocs(spark, 5000000),
+        "doc_id", "text", s"$root/fpstore")
+    }
+    time("exact-dedup fp store: 100k probe vs 5M store") {
+      // 50k fresh docs (new blocks — but 50 per block share text, so their
+      // canonical is the min batch id of the block) + 50k planted exact
+      // copies of store docs. syntheticDocs makes the 49 non-swapped docs
+      // of each 50-block byte-identical, so every planted copy of a
+      // doc with id % 50 != 0 must canonicalize to a STORE id (< 5M) —
+      // probing must not touch store rows outside the batch's broadcast
+      // fp set
+      val vocab = array((0 until 50).map(i => lit(s"w$i")): _*)
+      val fresh = spark.range(250000000000L, 250000000000L + 50000).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(59)),
+          i => element_at(vocab,
+            (pmod(xxhash64(expr("id div 50") * 100 + i), lit(50)) + 1)
+              .cast("int")))).as("text"))
+      // 51021 ids minus the 1021 swapped block-heads leaves exactly 50k
+      val planted = syntheticDocs(spark, 51021)
+        .where(col("doc_id") % 50 =!= 0)
+        .limit(50000)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val probe = operators.DedupOps.incrementalExactDedup(
+        fresh.unionByName(planted), "doc_id", "text", s"$root/fpstore")
+      val rows = probe.count()
+      val storeHits = probe
+        .where(col("doc_id") >= 10000000L && col("canonical_id") < 5000000L)
+        .count()
+      require(rows == 100000L, s"probe must return every batch row, got $rows")
+      require(storeHits == 50000L,
+        s"all 50k planted copies must canonicalize to store ids, got $storeHits")
+      println(s"[scale]   $rows probe rows, $storeHits store-canonical")
+    }
+    time("bigram LM surprise: 1M docs vs 100k-doc reference model") {
+      // 1k planted docs drawn from a DISJOINT vocab must score all-OOV
+      // (hit_contexts = 0) at EXACTLY bitlen(V) - 1 bits per position
+      // (V = 50 ref words -> 5.0 flat). Note the add-one asymmetry this
+      // smoke originally got wrong: with a tiny V, full-OOV (-log2 V/1)
+      // is CHEAPER than an unseen bigram under a frequent context
+      // (-log2 (c1+V)/1 ~ 16 bits here) — the corpus mean therefore sits
+      // ABOVE the planted 5.0, and that is correct model behavior, not a
+      // defect.
+      val corpus = syntheticDocs(spark, 1000000)
+      val zvocab = array((0 until 50).map(i => lit(s"z$i")): _*)
+      val planted = spark.range(1000).select(
+        (col("id") + 20000000L).as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(59)),
+          i => element_at(zvocab,
+            (pmod(xxhash64(col("id") * 100 + i), lit(50)) + 1)
+              .cast("int")))).as("text"))
+      val scored = operators.TextOps.bigramSurprise(
+        corpus.unionByName(planted), syntheticDocs(spark, 100000),
+        "doc_id", "text")
+      val agg = scored
+        .groupBy((col("doc_id") >= 20000000L).as("is_planted"))
+        .agg(avg(col("avg_surprise_bits")).as("m"),
+          sum(col("hit_contexts")).as("hc"))
+        .collect().map(r => r.getBoolean(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      require(agg(true)._2 == 0L,
+        s"planted disjoint-vocab docs must be all-OOV, got contexts ${agg(true)._2}")
+      require(agg(true)._1 == 5.0,
+        s"all-OOV surprise must be exactly bitlen(50) - 1 = 5.0, got ${agg(true)._1}")
+      require(agg(false)._2 > 0L, "corpus must hit the reference model")
+      println(f"[scale]   corpus ${agg(false)._1}%.2f bits/pos, planted ${agg(true)._1}%.2f (all-OOV)")
+    }
     time("decontamination: 1M docs vs 2k-doc benchmark") {
       // benchmark = blocks 0..39 (2k docs); corpus = the other 980k PLUS
       // 2k planted copies of benchmark texts under fresh ids — every
