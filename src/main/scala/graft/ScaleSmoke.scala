@@ -305,6 +305,37 @@ object ScaleSmoke {
       require(r.getLong(2) == nd - 1,
         s"all but doc 0 keep exactly their 2 unique lines, got ${r.getLong(2)}")
     }
+    time("substring dedup: 2M docs, 200k-occurrence shared passage") {
+      // every 10th doc carries the SAME 16-token passage at positions
+      // 20..35 inside otherwise globally-unique tokens — 13 window
+      // contents with 200k occurrences each (the boilerplate hot-group
+      // stress: the content-hash window must spill the occurrence run,
+      // not OOM), everything else strictly unique (no false spans)
+      val nd = 2000000L
+      val docs = spark.range(nd).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(59)), i =>
+          when(col("id") % 10 === 0 && i.between(lit(20), lit(35)),
+            concat(lit("p"), i.cast("string")))
+            .otherwise(concat(lit("t"), col("id").cast("string"),
+              lit("_"), i.cast("string"))))).as("text"))
+      val r = operators.DedupOps.duplicateSpanStats(docs, "doc_id", "text")
+        .agg(
+          sum(when(col("dup_tokens") === 16L && col("n_spans") === 1L, 1L)
+            .otherwise(0L)),
+          sum(when(col("dup_tokens") =!= 0L, 1L).otherwise(0L))).head()
+      require(r.getLong(0) == nd / 10 && r.getLong(1) == nd / 10,
+        s"exactly ${nd / 10} docs must carry one 16-token duplicated span, " +
+          s"got ${r.getLong(0)} spans-of-16 of ${r.getLong(1)} nonzero")
+      CacheScope.release()
+      val t1 = System.nanoTime()
+      // the cut keeps the passage only in its canonical doc (id 0): every
+      // other planted doc loses exactly its 16 passage tokens
+      val tok = operators.DedupOps.dropDuplicateSpans(docs, "doc_id", "text")
+        .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+      require(tok == nd * 60L - (nd / 10 - 1) * 16L,
+        s"total tokens after cut must be ${nd * 60L - (nd / 10 - 1) * 16L}, got $tok")
+      println(f"[scale] substring cut over 2M docs         ${(System.nanoTime() - t1) / 1e9}%8.2f s")
+    }
     time("vocab token counts: 5M docs, 300M words, broadcast vocab") {
       val nd = 5000000L
       val docs = syntheticDocs(spark, nd)

@@ -360,6 +360,23 @@ object SparkEntry {
       operators.DedupOps.dedupLines(Tables.documents(s, dir), "doc_id", "text",
         delim = " ")),
 
+    // exact substring dedup (Lee et al. 2021 ExactSubstr re-expressed at
+    // k-window granularity): maximal spans of 4-token windows whose content
+    // repeats anywhere in the corpus, merged per doc
+    "dedup_substring_spans" -> ((s, dir) =>
+      operators.DedupOps.duplicateSpans(Tables.documents(s, dir), "doc_id", "text")),
+
+    // per-doc duplicated-token coverage over the same spans — the "how much
+    // of this corpus is repeated substance" accounting
+    "dedup_substring_stats" -> ((s, dir) =>
+      operators.DedupOps.duplicateSpanStats(Tables.documents(s, dir), "doc_id", "text")),
+
+    // the ExactSubstr cut: docs rebuilt with every non-canonical duplicated
+    // window removed — one copy of each repeated >= 4-token run survives,
+    // later copies vanish
+    "dedup_substring_cut" -> ((s, dir) =>
+      operators.DedupOps.dropDuplicateSpans(Tables.documents(s, dir), "doc_id", "text")),
+
     // fasttext-shaped hashed linear quality scorer: mean of md5-hashed
     // bucket weights over the doc's tokens; gate weights are deterministic
     // integer-valued doubles (md5 of the bucket id), so the mean is
@@ -381,6 +398,22 @@ object SparkEntry {
       operators.TextOps.bigramSurprise(d, d.where(col("lang") === "en"),
         "doc_id", "text")
     }),
+
+    // DSIR-style importance weights (Xie 2023): hashed unigram+bigram
+    // features, target = the lang='en' slice, raw = the whole corpus;
+    // per-feature quantized log ratio bitlen(ct+1) - bitlen(cr+1)
+    "dsir_weights" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.TextOps.dsirLogRatio(d, d.where(col("lang") === "en"),
+        "doc_id", "text")
+    }),
+
+    // integer-exact tf-idf keyword search: top-20 docs for a mixed
+    // rare+common term set, idf quantized to bit lengths, deterministic
+    // (score DESC, doc_id) order
+    "search_tfidf_topk" -> ((s, dir) =>
+      operators.TextOps.keywordTopK(Tables.documents(s, dir), "doc_id", "text",
+        Seq("dup", "spark", "query"), k = 20)),
 
     // benchmark decontamination: word-4-gram overlap of the corpus (doc_id %
     // 17 != 0) against the benchmark split (doc_id % 17 == 0), GPT-3-style
@@ -1084,6 +1117,79 @@ object SparkEntry {
          SELECT d0.doc_id, coalesce(r.txt, '') AS text
          FROM documents d0 LEFT JOIN r ON d0.doc_id = r.doc_id""",
 
+    // duplicated 4-windows via the same md5-prefix60 content hash; islands
+    // merge while the position gap <= 4 (lag default -5 = -k-1 makes the
+    // first row a break); spans are [min, max+4) token intervals
+    "dedup_substring_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         g AS (SELECT doc_id, i, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3]
+                 || ' ' || tks[i+4] AS s
+               FROM d, unnest(range(len(tks) - 3)) t(i) WHERE len(tks) >= 4),
+         h AS (SELECT doc_id, i, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) hh FROM g),
+         dup AS (SELECT doc_id, i FROM (
+                  SELECT doc_id, i, count(*) OVER (PARTITION BY hh) n FROM h) WHERE n > 1),
+         sp AS (SELECT doc_id, i,
+                 CASE WHEN i - coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), -5) > 4
+                      THEN 1 ELSE 0 END brk FROM dup),
+         isl AS (SELECT doc_id, i,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY i) isl FROM sp)
+         SELECT doc_id, CAST(min(i) AS BIGINT) span_from,
+           CAST(max(i) + 4 AS BIGINT) span_to, CAST(count(*) AS BIGINT) n_windows
+         FROM isl GROUP BY doc_id, isl ORDER BY doc_id, span_from""",
+
+    // per-doc coverage: spans are disjoint by construction so the token sum
+    // is exact; n_tokens = whitespace tokens (split yields >= 1 per doc)
+    "dedup_substring_stats" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         g AS (SELECT doc_id, i, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3]
+                 || ' ' || tks[i+4] AS s
+               FROM d, unnest(range(len(tks) - 3)) t(i) WHERE len(tks) >= 4),
+         h AS (SELECT doc_id, i, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) hh FROM g),
+         dup AS (SELECT doc_id, i FROM (
+                  SELECT doc_id, i, count(*) OVER (PARTITION BY hh) n FROM h) WHERE n > 1),
+         sp AS (SELECT doc_id, i,
+                 CASE WHEN i - coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), -5) > 4
+                      THEN 1 ELSE 0 END brk FROM dup),
+         isl AS (SELECT doc_id, i,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY i) isl FROM sp),
+         spans AS (SELECT doc_id, min(i) span_from, max(i) + 4 span_to
+                   FROM isl GROUP BY doc_id, isl),
+         ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_spans,
+                  CAST(sum(span_to - span_from) AS BIGINT) dup_tokens
+                FROM spans GROUP BY doc_id)
+         SELECT d0.doc_id, CAST(len(string_split(lower(d0.text), ' ')) AS BIGINT) n_tokens,
+           coalesce(ag.n_spans, 0) AS n_spans, coalesce(ag.dup_tokens, 0) AS dup_tokens,
+           CAST(coalesce(ag.dup_tokens, 0) AS DOUBLE)
+             / CAST(len(string_split(lower(d0.text), ' ')) AS DOUBLE) AS dup_frac
+         FROM documents d0 LEFT JOIN ag ON d0.doc_id = ag.doc_id""",
+
+    // canonical occurrence = min (doc, pos) struct per window content;
+    // tokens covered by any LATER occurrence are cut, docs reassembled from
+    // original-case tokens by position (all-cut docs come back as '')
+    "dedup_substring_cut" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         g AS (SELECT doc_id, i, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3]
+                 || ' ' || tks[i+4] AS s
+               FROM d, unnest(range(len(tks) - 3)) t(i) WHERE len(tks) >= 4),
+         h AS (SELECT doc_id, i, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) hh FROM g),
+         c AS (SELECT hh, min(struct_pack(d := doc_id, i := i)) f, count(*) n
+               FROM h GROUP BY hh),
+         nc AS (SELECT h.doc_id, h.i FROM h JOIN c ON h.hh = c.hh
+                WHERE c.n > 1 AND NOT ((c.f).d = h.doc_id AND (c.f).i = h.i)),
+         cut AS (SELECT DISTINCT doc_id, pos FROM
+                  (SELECT doc_id, unnest(range(i, i + 4)) pos FROM nc)),
+         tk AS (SELECT doc_id, j AS pos, tks0[j+1] AS t
+                FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') tks0
+                      FROM documents),
+                     unnest(range(len(tks0))) u(j)),
+         kept AS (SELECT tk.doc_id, tk.pos, tk.t FROM tk LEFT JOIN cut
+                  ON tk.doc_id = cut.doc_id AND tk.pos = cut.pos
+                  WHERE cut.pos IS NULL),
+         r AS (SELECT doc_id, string_agg(t, ' ' ORDER BY pos) txt
+               FROM kept GROUP BY doc_id)
+         SELECT d0.doc_id, coalesce(r.txt, '') AS text
+         FROM documents d0 LEFT JOIN r ON d0.doc_id = r.doc_id""",
+
     // hashed linear scorer: same md5-prefix bucket hash and md5-derived
     // integer weights as the Spark side; integer-valued doubles sum exactly
     // in any order, so the mean is IEEE-identical
@@ -1158,6 +1264,44 @@ object SparkEntry {
            coalesce(CAST(dup_bg AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0)
              AS dup_bigram_frac
          FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id""",
+
+    // hashed unigram+bigram features (md5-prefix60 % 4096), target counts
+    // from lang='en', raw counts from all docs; per-occurrence quantized
+    // log ratio via bin() lengths — integers both engines, one final mean
+    "dsir_weights" ->
+      """WITH d AS (SELECT doc_id, lang,
+                      string_split(lower(coalesce(text, '')), ' ') tks
+                    FROM documents),
+         f AS (SELECT doc_id, lang, unnest(list_concat(tks,
+                 list_transform(range(1, len(tks)), i -> tks[i] || ' ' || tks[i+1]))) ft
+               FROM d),
+         b AS (SELECT doc_id, lang,
+                 CAST('0x' || substring(md5(ft), 1, 15) AS BIGINT) % 4096 bk FROM f),
+         ct AS (SELECT bk, count(*) c FROM b WHERE lang = 'en' GROUP BY bk),
+         cr AS (SELECT bk, count(*) c FROM b GROUP BY bk),
+         j AS (SELECT b.doc_id,
+                 length(bin(coalesce(ct.c, 0) + 1)) - length(bin(cr.c + 1)) s
+               FROM b LEFT JOIN ct ON b.bk = ct.bk JOIN cr ON b.bk = cr.bk),
+         a AS (SELECT doc_id, count(*) nf, sum(s) sb FROM j GROUP BY 1)
+         SELECT d0.doc_id, CAST(coalesce(a.nf, 0) AS BIGINT) n_feats,
+           CAST(coalesce(a.sb, 0) AS BIGINT) logratio_bits,
+           CASE WHEN a.nf > 0 THEN CAST(a.sb AS DOUBLE) / a.nf END avg_logratio_bits
+         FROM documents d0 LEFT JOIN a ON d0.doc_id = a.doc_id""",
+
+    // tf from tokens filtered to the query terms, idf_bits = bitlen(N) -
+    // bitlen(df) over the same filtered rows, (score DESC, doc_id) total
+    // order at the cut
+    "search_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) t
+                      FROM documents),
+         q AS (SELECT doc_id, t FROM tok WHERE t IN ('dup', 'spark', 'query')),
+         tf AS (SELECT doc_id, t, count(*) tf FROM q GROUP BY 1, 2),
+         dft AS (SELECT t, length(bin((SELECT count(*) FROM documents)))
+                      - length(bin(count(*))) idf FROM tf GROUP BY t),
+         s AS (SELECT doc_id, sum(tf * idf) score, count(*) n_terms
+               FROM tf JOIN dft USING (t) GROUP BY 1)
+         SELECT doc_id, CAST(score AS BIGINT) score, CAST(n_terms AS BIGINT) n_terms
+         FROM s ORDER BY score DESC, doc_id LIMIT 20""",
 
     // 4-grams via 1-based list indexing over range(len-3) (end-exclusive) =
     // Spark's sequence(0, size-4) shingle starts; corpus/bench split on

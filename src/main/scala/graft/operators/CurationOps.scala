@@ -407,6 +407,7 @@ object CurationOps {
       chunkTokens: Long, path: String, shards: Int = 1024, salt: String = "",
       tokenizer: Column => Column = TextOps.tokens): Unit = {
     require(shards > 0, "shards must be positive")
+    DedupOps.ensureHashRegistered(df)
     val slot = DedupOps.baseHash(
       concat(lit(salt), col("chunk_id").cast("string")))
     packChunkText(df, idCol, textCol, chunkTokens, tokenizer)

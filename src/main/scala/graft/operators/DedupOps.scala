@@ -34,10 +34,20 @@ object DedupOps {
     * to `conv(substring(md5(s),1,15),16,10)` (what the DuckDB oracle
     * computes) but via the codegen'd digest-bytes expression — no hex
     * string round-trip in the per-shingle inner loop. Callers must have a
-    * session that registered graft functions (GraftSession.tune does).
+    * session that registered graft functions (GraftSession.tune does;
+    * every public DataFrame-taking operator self-registers via
+    * [[ensureHashRegistered]], so plain spark-shell use works too).
     */
   def baseHash(s: Column): Column =
     call_function(graft.functions.Md5Prefix60.name, s)
+
+  /** Register the codegen'd hash expression on the frame's session —
+    * idempotent (re-registration overwrites). Mirrors
+    * [[SimilarityOps]]'s ensureRegistered: operators must work from a
+    * plain spark-shell with just the jar, not only under GraftSession.
+    */
+  private[graft] def ensureHashRegistered(df: DataFrame): Unit =
+    graft.functions.Md5Prefix60.register(df.sparkSession)
 
   /** Per-element 31-bit base hashes of a set-of-strings column. Materialize
     * this ONCE (its own projection) before fanning out to the per-permutation
@@ -164,6 +174,145 @@ object DedupOps {
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
 
+  // ---- exact substring (duplicated-window) dedup --------------------------
+
+  /** Duplicated k-token-window positions with canonicality — the shared
+    * first stage of [[duplicateSpans]] and [[dropDuplicateSpans]] (exact
+    * substring dedup in the sense of Lee et al. 2021, arXiv:2107.06499
+    * "Deduplicating Training Data Makes Language Models Better", ExactSubstr:
+    * any token run of length >= k repeated anywhere in the corpus is,
+    * position-wise, a chain of duplicated k-windows, so k-window detection
+    * finds exactly the repeated runs of >= k tokens — the reference's
+    * suffix-array machinery re-expressed as one relational pass).
+    *
+    * Rows: (id, p, __first) for every window position whose CONTENT occurs
+    * more than once corpus-wide (including twice within one doc —
+    * self-repetition is redundancy too); `__first` = the lexicographically
+    * smallest (id, p) occurrence of that content, the copy
+    * [[dropDuplicateSpans]] keeps.
+    *
+    * Scale shape: window content is packed map-side to the 60-bit
+    * engine-reproducible md5-prefix hash (shuffle rows are (id, p, long) —
+    * never the window string), and duplicate detection + canonical-min ride
+    * ONE window over the content hash: at corpus scale nearly every window
+    * content is a singleton, so a groupBy would build an aggregation map
+    * with one entry per corpus position ([[packedCandidatePairs]] measured
+    * that shape losing to the sorted window), while the sort streams
+    * singletons through; hot contents (boilerplate) spill their occurrence
+    * runs rather than OOM. A 60-bit collision can only MERGE two window
+    * contents (a false duplicate flag on ~n²·2⁻⁶⁰ positions) — the DuckDB
+    * oracle computes the same hash, so gates agree by construction.
+    */
+  private def duplicatedWindows(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "window length k must be >= 1")
+    ensureHashRegistered(df)
+    val hashed = TextOps.shingleRows(df, idCol, textCol, k)
+      .select(col("id"), col("p"), baseHash(col("s")).as("h"))
+    val w = Window.partitionBy(col("h"))
+    hashed
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__first", min(struct(col("id"), col("p"))).over(w))
+      .where(col("__n") > 1)
+      .select(col("id"), col("p"), col("__first"))
+  }
+
+  /** Maximal duplicated spans per document: overlapping or contiguous
+    * duplicated k-windows ([p, p+k) token intervals; sorted by p, two
+    * windows merge while p - prev_p <= k) coalesce into
+    * (idCol, span_from, span_to, n_windows) with [span_from, span_to) the
+    * 0-based token span. Every span is a token run of >= k tokens each of
+    * whose k-windows occurs >= 2 times corpus-wide — the unit ExactSubstr
+    * dedup reasons about, and the direct input to coverage accounting
+    * ([[duplicateSpanStats]]) and span cutting ([[dropDuplicateSpans]]).
+    *
+    * Scale: [[duplicatedWindows]]' one content-hash shuffle, then the merge
+    * shuffles the (small) duplicated subset once on the doc id; a doc's
+    * duplicated positions (<= its token count) stream through one task's
+    * sorted window.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dup = duplicatedWindows(df, idCol, textCol, k)
+      .select(col("id"), col("p"))
+    val wd = Window.partitionBy(col("id")).orderBy(col("p"))
+    val run = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dup
+      .withColumn("__brk",
+        when(col("p") - coalesce(lag(col("p"), 1).over(wd), lit(-k - 1)) > k, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(run))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min(col("p")).cast("bigint").as("span_from"),
+        (max(col("p")) + k).cast("bigint").as("span_to"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id").as(idCol), col("span_from"), col("span_to"),
+        col("n_windows"))
+  }
+
+  /** Per-doc duplicated-token accounting over [[duplicateSpans]]:
+    * (idCol, n_tokens, n_spans, dup_tokens, dup_frac) for EVERY input doc —
+    * the "how much of my corpus is repeated substance" number that decides
+    * whether an ExactSubstr cut is worth running at all. Spans are disjoint
+    * by construction, so `dup_tokens` (= Σ span lengths) is an exact token
+    * coverage, not an overcount.
+    */
+  def duplicateSpanStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4): DataFrame = {
+    val agg = duplicateSpans(df, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_to") - col("span_from")).as("dup_tokens"))
+    df.select(col(idCol),
+        TextOps.tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_frac"))
+  }
+
+  /** Rebuild each document with its NON-CANONICAL duplicated windows cut
+    * out: every duplicated window content keeps exactly its first
+    * (lexicographically smallest (id, p)) occurrence, every token covered
+    * by a LATER occurrence is dropped, and the doc is reassembled from its
+    * surviving tokens in order — Lee et al. 2021's ExactSubstr cut at
+    * window granularity: no repeated >= k-token run survives twice.
+    * (The guarantee is one-sided, as in any greedy span cut: a canonical
+    * occurrence whose tokens are also covered by a DIFFERENT content's
+    * non-canonical occurrence loses those tokens, so rarely a content
+    * keeps no intact copy.) Detection runs on normalized (lowercased)
+    * content; reassembly preserves the original token bytes. Returns
+    * (idCol, textCol) for every input doc; all-cut or empty docs become "".
+    *
+    * Scale: the content-hash shuffle, then cut positions (explode of the
+    * duplicated subset only) anti-join the token stream on (id, pos) and
+    * docs reassemble with one id-keyed aggregate — the same rebuild shape
+    * as [[dedupLines]].
+    */
+  def dropDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4): DataFrame = {
+    val nc = duplicatedWindows(df, idCol, textCol, k)
+      .where(!(col("__first").getField("id") === col("id") &&
+        col("__first").getField("p") === col("p")))
+    val cut = nc.select(col("id"),
+      explode(sequence(col("p"), col("p") + k - 1)).as("__pos"))
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(split(coalesce(col(textCol), lit("")), " ")))
+      .select(col("id"), col("pos").as("__pos"), col("col").as("__t"))
+    val rebuilt = toks.join(cut, Seq("id", "__pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__t")))),
+        s => s.getField("__t")), " ").as(textCol))
+    df.select(col(idCol))
+      .join(rebuilt.select(col("id").as(idCol), col(textCol)), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * numHashes = bands * rowsPerBand. Candidate pairs come from banding
@@ -189,6 +338,7 @@ object DedupOps {
     // banding math is SHARED with the persisted-store path
     // ([[sigAndHashes]]/[[bandRows]]) — one implementation, so the
     // incremental==full equivalence cannot drift.
+    ensureHashRegistered(df)
     val rows = TextOps.shingleRows(df, idCol, textCol, shingleK)
     val sigs = minhashSigArray(rows, bands * rowsPerBand)
     // distinct shingle sets for exact verification of LSH candidates; the
@@ -228,6 +378,7 @@ object DedupOps {
     */
   private[graft] def sigAndHashes(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int): DataFrame = {
+    ensureHashRegistered(df)
     val rows = TextOps.shingleRows(df, idCol, textCol, shingleK)
     val minAggs = minAggsFor(numHashes)
     explodedHashes(rows).groupBy(col("id"))

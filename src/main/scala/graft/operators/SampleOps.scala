@@ -35,8 +35,10 @@ object SampleOps {
     * Map-side filter, no shuffle, pushdown-friendly.
     */
   def hashSample(df: DataFrame, idCol: String, rate: Double,
-      salt: String = ""): DataFrame =
+      salt: String = ""): DataFrame = {
+    DedupOps.ensureHashRegistered(df)
     df.where(slot(col(idCol), salt) < lit(math.floor(rate * Ppm).toLong))
+  }
 
   /** Stratified deterministic sample: per-stratum keep rates, e.g.
     * `Map("en" -> 0.5, "de" -> 0.25)` over a language column, with
@@ -51,6 +53,7 @@ object SampleOps {
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       rates: Map[String, Double], defaultRate: Double = 0.0,
       salt: String = ""): DataFrame = {
+    DedupOps.ensureHashRegistered(df)
     val spark = df.sparkSession
     import spark.implicits._
     val rateDf = rates.toSeq
@@ -75,6 +78,7 @@ object SampleOps {
     */
   def quotaSample(df: DataFrame, idCol: String, stratumCol: String, n: Int,
       salt: String = ""): DataFrame = {
+    DedupOps.ensureHashRegistered(df)
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(slot(col(idCol), salt), col(idCol))
     df.withColumn("sample_rank", row_number().over(w).cast("bigint"))
@@ -103,6 +107,7 @@ object SampleOps {
       stratumCol: String, budgets: Map[String, Long],
       defaultBudget: Long = 0L, salt: String = "",
       tokenCounter: Column => Column = TextOps.tokenCount): DataFrame = {
+    DedupOps.ensureHashRegistered(df)
     val spark = df.sparkSession
     import spark.implicits._
     val budgetDf = budgets.toSeq.toDF("__stratum", "__budget")

@@ -85,6 +85,7 @@ object TextOps {
       bucketCol: String = "bucket", weightCol: String = "w",
       intercept: Double = 0.0): DataFrame = {
     require(dims > 0, "dims must be positive")
+    DedupOps.ensureHashRegistered(df)
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
       .select(col(idCol),
         pmod(DedupOps.baseHash(col("__t")), lit(dims.toLong)).as("__b"))
@@ -232,6 +233,106 @@ object TextOps {
           .as("avg_surprise_bits"))
   }
 
+  /** DSIR-style hashed-n-gram importance log-ratio (Xie et al. 2023,
+    * arXiv:2302.03169 "Data Selection for Language Models via Importance
+    * Resampling"): score each raw-corpus doc by how target-like its hashed
+    * n-gram features are. Features are the doc's word unigrams AND bigrams
+    * hashed into `buckets` buckets (the paper's hashed-n-gram feature
+    * space); bucket counts are aggregated over `target` (the trusted
+    * distribution — wiki/books-sized) and over `docs` itself (the raw
+    * distribution being resampled), and each feature occurrence is charged
+    * the QUANTIZED log ratio `bitlen(ct_b + 1) - bitlen(cr_b + 1)` — an
+    * integer within 1 bit of log2((ct_b+1)/(cr_b+1)), the same bit-length
+    * quantization as [[bigramSurprise]] (floating log is not
+    * engine-reproducible; bit lengths are exact everywhere). The smoothing
+    * normalizer log2((Nt+B)/(Nr+B)) is a per-feature CONSTANT and is
+    * deliberately not folded in: it shifts every avg by the same amount
+    * and cancels in any threshold/rank selection; callers needing the
+    * absolute value add `n_feats × const` back.
+    *
+    * Output: one row per doc — `(idCol, n_feats, logratio_bits,
+    * avg_logratio_bits)`; select target-like docs by avg threshold or
+    * top-k, e.g. via [[SampleOps]]' deterministic samplers.
+    *
+    * Scale: both bucket tables are ≤ `buckets` rows (the paper uses 10k) —
+    * broadcast BY CONSTRUCTION, never a corpus shuffle; the corpus side
+    * explodes to feature rows map-side and aggregates once on the doc id.
+    * Hot features ride the broadcast joins, so skew is a non-issue.
+    */
+  def dsirLogRatio(docs: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    DedupOps.ensureHashRegistered(docs)
+    def featRows(df: DataFrame, extra: Seq[Column]): DataFrame = {
+      val tks = tokens(coalesce(col(textCol), lit("")))
+      val bigrams = zip_with(
+        slice(tks, lit(1), greatest(size(tks) - 1, lit(0))),
+        slice(tks, lit(2), greatest(size(tks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      df.select(extra :+ explode(concat(tks, bigrams)).as("__f"): _*)
+        .withColumn("__b",
+          pmod(DedupOps.baseHash(col("__f")), lit(buckets.toLong)))
+        .drop("__f")
+    }
+    val ct = featRows(target.select(col(textCol)), Seq.empty)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val cr = featRows(docs.select(col(textCol)), Seq.empty)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    def bitlen(x: Column): Column = length(bin(x))
+    val scored = featRows(docs.select(col(idCol), col(textCol)), Seq(col(idCol)))
+      .join(broadcast(ct), Seq("__b"), "left")
+      .join(broadcast(cr), Seq("__b"), "left") // never null: cr counts these rows
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(bitlen(coalesce(col("__ct"), lit(0L)) + 1L).cast("long")
+          - bitlen(coalesce(col("__cr"), lit(0L)) + 1L).cast("long"))
+          .as("logratio_bits"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("logratio_bits"), lit(0L)).as("logratio_bits"),
+        when(col("n_feats") > 0,
+          col("logratio_bits").cast("double") / col("n_feats"))
+          .as("avg_logratio_bits"))
+  }
+
+  /** Integer-exact tf-idf keyword search — the inverted-index analytics
+    * query over a training corpus ("which docs are about X"): score(doc) =
+    * Σ_t tf(t, doc) × idf_bits(t) with idf_bits = bitlen(N) - bitlen(df_t),
+    * a quantized log2(N/df_t) (within 1 bit; BM25's saturation terms are
+    * floats a cross-engine oracle cannot gate — the quantized tf-idf keeps
+    * every score an exact integer). Returns the top `k` docs by
+    * (score DESC, id ASC) — a deterministic total order — with the matched
+    * distinct-term count.
+    *
+    * Scale: the token stream filters to the query terms MAP-SIDE (literal
+    * IN over a handful of terms), tf is one (id, term) partial-count
+    * aggregate, df is one ≤|terms|-row aggregate over the same filtered
+    * rows broadcast back, and the ranking plans as TakeOrdered —
+    * per-partition top-k heaps, no global sort. N (corpus doc count) is
+    * the one driver scalar.
+    */
+  def keywordTopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(k > 0, "k must be positive")
+    val n = docs.count()
+    def bitlen(x: Column): Column = length(bin(x))
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .where(col("__t").isin(terms: _*))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+    val dfT = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+      .select(col("__t"),
+        (bitlen(lit(n)) - bitlen(col("__df"))).cast("long").as("__idf"))
+    tf.join(broadcast(dfT), Seq("__t"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf") * col("__idf")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"), col("n_terms"))
+  }
+
   def langId(text: Column): Column = {
     val tks = tokens(text)
     val scored = LangMarkers.map { case (lang, markers) =>
@@ -303,6 +404,7 @@ object TextOps {
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    DedupOps.ensureHashRegistered(df)
     val rows = shingleRows(df, idCol, textCol, k)
       .select(col("id"), col("p"), DedupOps.baseHash(col("s")).as("h"))
     val wspec = Window.partitionBy(col("id")).orderBy(col("p"))

@@ -358,6 +358,78 @@ class OperatorsSpec extends SparkTestBase {
     assert(again == Map(1L -> "intro one\ncookie banner\nbody a", 2L -> "body b"))
   }
 
+  test("duplicateSpans/dropDuplicateSpans: ExactSubstr semantics on a planted corpus") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, "alpha beta gamma delta unique1 unique2 unique3"), // canonical run
+      (2L, "x1 x2 alpha beta gamma delta y1 y2 y3"),          // later copy
+      (3L, "z1 z2 z3 z4 z5 z6 z7"),                           // untouched
+      (4L, "alpha beta gamma delta alpha beta gamma delta w1"), // self-repeat
+      (5L, "ALPHA BETA GAMMA DELTA q1 q2 q3"),                // case-normalized
+      (6L, "")                                                 // no windows
+    ).toDF("doc_id", "text")
+    val spans = DedupOps.duplicateSpans(t, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc 4's two occurrences are 4 apart (contiguous intervals) -> one span
+    assert(spans == Set(
+      (1L, 0L, 4L, 1L), (2L, 2L, 6L, 1L), (4L, 0L, 8L, 2L), (5L, 0L, 4L, 1L)))
+    val cut = DedupOps.dropDuplicateSpans(t, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut == Map(
+      1L -> "alpha beta gamma delta unique1 unique2 unique3", // first copy survives
+      2L -> "x1 x2 y1 y2 y3",
+      3L -> "z1 z2 z3 z4 z5 z6 z7",
+      4L -> "w1",            // both occurrences non-canonical -> all cut
+      5L -> "q1 q2 q3",      // detection lowercased, original bytes rebuilt
+      6L -> ""))
+    val stats = DedupOps.duplicateSpanStats(t, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(stats(3L) == ((7L, 0L, 0L)))
+    assert(stats(4L) == ((9L, 1L, 8L)))
+    assert(stats(6L) == ((1L, 0L, 0L))) // split('') = [''] -> 1 token, 0 dup
+    // idempotent: cutting an already-cut corpus changes nothing (no repeated
+    // >= k run survives the first pass)
+    val again = DedupOps.dropDuplicateSpans(
+      cut.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == cut)
+  }
+
+  test("dsirLogRatio: zero when target == raw; target-like docs rank higher") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "aa bb aa bb aa bb"),  // target-like
+      (2L, "zz ww zz ww zz ww")   // out-of-target
+    ).toDF("doc_id", "text")
+    // target == raw -> ct == cr per bucket -> every quantized ratio is 0
+    val zero = TextOps.dsirLogRatio(raw, raw, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toList
+    assert(zero.forall { case (nf, bits) => nf > 0 && bits == 0L })
+    // an aa/bb-heavy target pulls doc 1 above doc 2
+    val target = Seq((10L, "aa bb aa bb aa bb aa bb aa bb aa bb aa bb"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dsirLogRatio(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) > got(2L))
+  }
+
+  test("keywordTopK: quantized tf-idf ranking, deterministic tie order, top-k cut") {
+    import spark.implicits._
+    // N = 4 docs; 'rare' df=1 -> idf_bits = bitlen(4)-bitlen(1) = 2;
+    // 'common' df=3 -> idf_bits = bitlen(4)-bitlen(3) = 1
+    val docs = Seq(
+      (1L, "common rare common"),         // score 2*1 + 1*2 = 4, 2 terms
+      (2L, "common common common common"),// score 4*1 = 4, 1 term
+      (3L, "common x y z"),               // score 1
+      (4L, "x y z w")                     // no match -> absent
+    ).toDF("doc_id", "text")
+    val got = TextOps.keywordTopK(docs, "doc_id", "text",
+      Seq("rare", "common"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // docs 1 and 2 tie at 4 -> id ASC breaks it deterministically
+    assert(got == List((1L, 4L, 2L), (2L, 4L, 1L), (3L, 1L, 1L)))
+  }
+
   test("hashedLinearScore: mean of bucket weights, missing buckets 0, empty doc = intercept") {
     import spark.implicits._
     val docs = Seq((1L, "aa bb aa"), (2L, "zz"), (3L, "")).toDF("doc_id", "text")
