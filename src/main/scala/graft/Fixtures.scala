@@ -257,6 +257,24 @@ object Fixtures {
       path
     })
 
+  private val postingsIdx = TrieMap[String, String]()
+
+  /** Persisted postings index built once per (JVM, sf) in TWO batches —
+    * base = docs < 250, append = docs >= 250 — so the gate probing it
+    * exercises the append path's df/count additivity: the probe must equal
+    * the whole-corpus scorer exactly.
+    */
+  def postingsIndexPath(spark: SparkSession, sfDir: String): String =
+    postingsIdx.getOrElseUpdate(sfDir, {
+      val path = s"${tmpRoot}/pix_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val d = Tables.documents(spark, sfDir)
+      graft.operators.SearchOps.buildPostingsIndex(
+        d.where(col("doc_id") < 250), "doc_id", "text", path)
+      graft.operators.SearchOps.appendPostingsIndex(
+        d.where(col("doc_id") >= 250), "doc_id", "text", path, "b2")
+      path
+    })
+
   private val incDedupMb = TrieMap[String, String]()
 
   /** TRUE multi-micro-batch incremental dedup materialized once per

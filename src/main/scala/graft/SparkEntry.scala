@@ -415,6 +415,15 @@ object SparkEntry {
       operators.TextOps.keywordTopK(Tables.documents(s, dir), "doc_id", "text",
         Seq("dup", "spark", "query"), k = 20)),
 
+    // the same search through a PERSISTED two-batch postings index (base =
+    // docs < 250, append = docs >= 250): probe prunes to the query terms'
+    // bucket partitions, df/N sum across batches — must equal the
+    // whole-corpus scorer cell-for-cell
+    "search_index_topk" -> ((s, dir) =>
+      operators.SearchOps.keywordTopKIndexed(s,
+        Fixtures.postingsIndexPath(s, dir),
+        Seq("dup", "spark", "query"), k = 20, idCol = "doc_id")),
+
     // benchmark decontamination: word-4-gram overlap of the corpus (doc_id %
     // 17 != 0) against the benchmark split (doc_id % 17 == 0), GPT-3-style
     // any-collision contamination flag; benchmark n-grams broadcast
@@ -1292,6 +1301,21 @@ object SparkEntry {
     // bitlen(df) over the same filtered rows, (score DESC, doc_id) total
     // order at the cut
     "search_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) t
+                      FROM documents),
+         q AS (SELECT doc_id, t FROM tok WHERE t IN ('dup', 'spark', 'query')),
+         tf AS (SELECT doc_id, t, count(*) tf FROM q GROUP BY 1, 2),
+         dft AS (SELECT t, length(bin((SELECT count(*) FROM documents)))
+                      - length(bin(count(*))) idf FROM tf GROUP BY t),
+         s AS (SELECT doc_id, sum(tf * idf) score, count(*) n_terms
+               FROM tf JOIN dft USING (t) GROUP BY 1)
+         SELECT doc_id, CAST(score AS BIGINT) score, CAST(n_terms AS BIGINT) n_terms
+         FROM s ORDER BY score DESC, doc_id LIMIT 20""",
+
+    // identical semantics to search_tfidf_topk — the index probe must
+    // reproduce the whole-corpus scorer exactly (df/N additive across the
+    // two store batches)
+    "search_index_topk" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) t
                       FROM documents),
          q AS (SELECT doc_id, t FROM tok WHERE t IN ('dup', 'spark', 'query')),

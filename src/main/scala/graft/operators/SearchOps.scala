@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted keyword-search index — the build-once/probe-many twin of
+  * [[TextOps.keywordTopK]] (which re-scans the corpus per query), and the
+  * fourth member of the store family (minhash / fingerprint / IVF /
+  * postings): at 100 TB the tokenize+count pass is the expensive part and
+  * must be paid at ingest, not per query.
+  *
+  * Layout at `path` (all appends per-token atomic overwrites, the
+  * [[DedupOps.appendMinhashStore]] replay contract):
+  *  - `postings/batch=<tok>/bkt=<b>/` — (id, term, tf) rows,
+  *    hive-partitioned by `bkt = baseHash(term) % TermBuckets`, so a probe
+  *    reads ONLY its query terms' bucket dirs (partition pruning:
+  *    ~|terms|/256 of the index regardless of corpus size);
+  *  - `terms/batch=<tok>/bkt=<b>/` — per-batch (term, df) document
+  *    frequencies, additive across batches (batches hold disjoint ids);
+  *  - `counts/batch=<tok>/` — one (n_docs) row per batch.
+  * The df/count sidecars are derived by READING BACK the just-written
+  * postings batch (columnar, term column only) — never a second tokenize
+  * pass over the text, and consistent with the postings by construction.
+  */
+object SearchOps {
+
+  /** Term-hash partition fan-out. Fixed: changing it across appends would
+    * scatter a term over mismatched bucket dirs and break probe pruning.
+    */
+  val TermBuckets = 256
+
+  private def bucketOf(term: String): Long =
+    graft.functions.Md5Prefix60.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(term)) % TermBuckets
+
+  /** Build (overwrite) the index at `path` from scratch. */
+  def buildPostingsIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // full rebuild: no stale batch dirs
+    appendPostingsIndex(docs, idCol, textCol, path, "base")
+  }
+
+  /** Append one batch of NEW docs (ids must be disjoint from every prior
+    * batch — the additivity of the df/count sidecars depends on it).
+    * Re-running with the same token overwrites that token's dirs rather
+    * than duplicating rows.
+    */
+  def appendPostingsIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String,
+      batchToken: String = java.util.UUID.randomUUID.toString): Unit = {
+    DedupOps.ensureHashRegistered(docs)
+    val spark = docs.sparkSession
+    docs.select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("bkt", pmod(DedupOps.baseHash(col("term")), lit(TermBuckets.toLong)))
+      .repartition(col("bkt")) // one writer task per bucket — no small files
+      .write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$path/postings/batch=$batchToken")
+    // sidecars from the written batch: one (id, term) row per doc-term, so
+    // count(*) per term IS the batch's df and count_distinct(id) its size
+    // (every doc emits >= 1 token — split of "" is [""])
+    val back = spark.read.parquet(s"$path/postings/batch=$batchToken")
+    back.groupBy(col("term"), col("bkt"))
+      .agg(count(lit(1)).as("df"))
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$path/terms/batch=$batchToken")
+    back.agg(count_distinct(col("id")).as("n_docs"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/counts/batch=$batchToken")
+    // an append (or a replayed token's overwrite) mutates files under paths
+    // a prior probe in this session may have LISTING-CACHED — drop those
+    // entries or the next probe reads deleted part files
+    Seq("postings", "terms", "counts").foreach(sub =>
+      spark.catalog.refreshByPath(s"$path/$sub"))
+  }
+
+  /** Top-k docs for `terms` from a persisted index: IDENTICAL result to
+    * [[TextOps.keywordTopK]] over the union of all appended batches (df
+    * and N sum across batches; idf_bits = bitlen(N) - bitlen(df); ranking
+    * by (score DESC, id ASC)) — but the corpus is never touched: the
+    * postings and terms scans prune to the query terms' bucket partitions
+    * (the bucket set is computed DRIVER-side with the same md5-prefix
+    * hash), so probe cost is ~|terms|/[[TermBuckets]] of the index.
+    * `idCol` only names the output column.
+    */
+  def keywordTopKIndexed(spark: SparkSession, path: String,
+      terms: Seq[String], k: Int, idCol: String = "id"): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(k > 0, "k must be positive")
+    val bkts = terms.map(bucketOf).distinct
+    def pruned(sub: String): DataFrame =
+      spark.read.parquet(s"$path/$sub")
+        .where(col("bkt").cast("long").isin(bkts: _*) &&
+          col("term").isin(terms: _*))
+    val n = spark.read.parquet(s"$path/counts")
+      .agg(sum(col("n_docs"))).head().getLong(0)
+    def bitlen(x: org.apache.spark.sql.Column) = length(bin(x))
+    val dfT = pruned("terms")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .select(col("term"),
+        (bitlen(lit(n)) - bitlen(col("df"))).cast("long").as("__idf"))
+    pruned("postings")
+      .join(broadcast(dfT), Seq("term"))
+      .groupBy(col("id"))
+      // ids are disjoint across batches and (id, term) unique within one,
+      // so the row count per id is its matched distinct-term count
+      .agg(sum(col("tf") * col("__idf")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("score"), col("n_terms"))
+  }
+}

@@ -430,6 +430,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == List((1L, 4L, 2L), (2L, 4L, 1L), (3L, 1L, 1L)))
   }
 
+  test("postings index: probe == corpus scorer, append additive, replay idempotent, pruned scan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common rare common"), (2L, "common common common common"),
+      (3L, "common x y z"), (4L, "x y z w"), (5L, "rare rare other")
+    ).toDF("doc_id", "text")
+    val path = s"${Fixtures.tmpRoot}/postings_spec"
+    // two batches through build + append; df/N must sum to the whole corpus
+    SearchOps.buildPostingsIndex(docs.where(col("doc_id") <= 3), "doc_id", "text", path)
+    SearchOps.appendPostingsIndex(docs.where(col("doc_id") > 3), "doc_id", "text", path, "b2")
+    val direct = TextOps.keywordTopK(docs, "doc_id", "text", Seq("rare", "common"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val got = SearchOps.keywordTopKIndexed(spark, path, Seq("rare", "common"), 5,
+        idCol = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == direct)
+    // replaying the same append token overwrites, never duplicates (the
+    // append's refreshByPath drops the prior probe's listing-cache entries)
+    SearchOps.appendPostingsIndex(docs.where(col("doc_id") > 3), "doc_id", "text", path, "b2")
+    val probe = SearchOps.keywordTopKIndexed(spark, path, Seq("rare", "common"), 5,
+      idCol = "doc_id")
+    val again = probe.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(again == direct)
+    // the postings scan must prune to the query terms' bucket partitions
+    val scanLines = probe.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("PartitionFilters")).toList
+    assert(scanLines.nonEmpty && scanLines.forall(l =>
+      l.contains("bkt") && !l.contains("PartitionFilters: []")),
+      s"probe scans must partition-prune on bkt:\n${scanLines.mkString("\n")}")
+  }
+
   test("hashedLinearScore: mean of bucket weights, missing buckets 0, empty doc = intercept") {
     import spark.implicits._
     val docs = Seq((1L, "aa bb aa"), (2L, "zz"), (3L, "")).toDF("doc_id", "text")
