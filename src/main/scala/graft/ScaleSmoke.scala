@@ -356,6 +356,31 @@ object ScaleSmoke {
       require(r.getLong(0) == expected,
         s"expected $expected total pieces, got ${r.getLong(0)}")
     }
+    time("postings index: 2M-doc build + pruned probe") {
+      // 2M common-vocab docs + 1k planted docs holding rare needle terms;
+      // the probe must (a) equal the direct whole-corpus scorer EXACTLY,
+      // (b) touch only the query terms' bucket partitions
+      val docs = syntheticDocs(spark, 2000000).unionByName(
+        spark.range(1000).select((col("id") + 50000000L).as("doc_id"),
+          concat(lit("needle0 needle1 w0 w1 filler"),
+            pmod(col("id"), lit(7)).cast("string")).as("text")))
+      operators.SearchOps.buildPostingsIndex(docs, "doc_id", "text", s"$root/pix")
+      val terms = Seq("needle0", "needle1", "w0")
+      val probe = operators.SearchOps.keywordTopKIndexed(spark, s"$root/pix",
+        terms, 100, idCol = "doc_id")
+      val got = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toList
+      val pf = probe.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("PartitionFilters")).toList
+      require(pf.nonEmpty && pf.forall(l => l.contains("bkt")),
+        "probe must partition-prune on the term buckets")
+      CacheScope.release()
+      val t1 = System.nanoTime()
+      val direct = operators.TextOps.keywordTopK(docs, "doc_id", "text", terms, 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+      require(got == direct, "index probe must equal the direct corpus scorer")
+      require(got.take(1000).forall(_._2 > 0), "needle docs must outrank")
+      println(f"[scale]   direct re-scan for parity         ${(System.nanoTime() - t1) / 1e9}%8.2f s")
+    }
     // 1M disjoint 11-node stars (components known exactly by
     // construction) + one 65536-node path at a disjoint id range — the
     // diameter stress star contraction exists for: min-label propagation

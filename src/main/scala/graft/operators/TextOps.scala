@@ -257,7 +257,11 @@ object TextOps {
     * Scale: both bucket tables are ≤ `buckets` rows (the paper uses 10k) —
     * broadcast BY CONSTRUCTION, never a corpus shuffle; the corpus side
     * explodes to feature rows map-side and aggregates once on the doc id.
-    * Hot features ride the broadcast joins, so skew is a non-issue.
+    * Hot features ride the broadcast joins, so skew is a non-issue. The
+    * corpus explode runs TWICE (once folding into the ≤`buckets`-row raw
+    * count table, once to score) — deliberate: at corpus scale,
+    * recomputing a map-side explode is cheaper than materializing
+    * corpus×features rows to save the second pass.
     */
   def dsirLogRatio(docs: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 4096): DataFrame = {
@@ -318,9 +322,13 @@ object TextOps {
     require(k > 0, "k must be positive")
     val n = docs.count()
     def bitlen(x: Column): Column = length(bin(x))
-    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
-      .where(col("__t").isin(terms: _*))
-      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+    // persisted: tf feeds BOTH the df aggregate and the scoring join, and
+    // it is tiny (≤ N×|terms| rows) while its lineage is the corpus-wide
+    // explode scan — without the persist the corpus is tokenized twice
+    val tf = graft.CacheScope.persist(
+      docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+        .where(col("__t").isin(terms: _*))
+        .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf")))
     val dfT = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
       .select(col("__t"),
         (bitlen(lit(n)) - bitlen(col("__df"))).cast("long").as("__idf"))
