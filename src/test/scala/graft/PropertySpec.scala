@@ -181,6 +181,62 @@ class PropertySpec extends SparkTestBase {
       }
   }
 
+  // 4-word vocab, 12 tokens/doc: 256 possible 4-grams vs ~270 windows per
+  // corpus — duplicated windows, overlapping runs and cross-doc canonical
+  // races all actually occur
+  private val denseCorpusGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(30, Gen.listOfN(12, Gen.choose(0, 3))).map(_.zipWithIndex.map {
+      case (ws, i) => (i.toLong, ws.map(w => s"w$w").mkString(" "))
+    })
+
+  test("property: duplicateSpans and dropDuplicateSpans match a brute-force reference") {
+    import spark.implicits._
+    val k = 4
+    (1 to 4).flatMap(i => denseCorpusGen.apply(Gen.Parameters.default, Seed(400L + i)))
+      .foreach { rows =>
+        case class W(id: Long, p: Int, s: String)
+        val wins = rows.flatMap { case (id, t) =>
+          t.split(" ").sliding(k).zipWithIndex.collect {
+            case (w, p) if w.length == k => W(id, p, w.mkString(" "))
+          }
+        }
+        val counts = wins.groupBy(_.s).view.mapValues(_.size).toMap
+        val dup = wins.filter(w => counts(w.s) > 1)
+        val expSpans = dup.groupBy(_.id).flatMap { case (id, ws) =>
+          val ps = ws.map(_.p).sorted
+          val spans = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+          var start = ps.head; var prev = ps.head; var n = 1
+          ps.tail.foreach { p =>
+            if (p - prev > k) {
+              spans += ((id, start.toLong, (prev + k).toLong, n.toLong))
+              start = p; n = 0
+            }
+            n += 1; prev = p
+          }
+          spans += ((id, start.toLong, (prev + k).toLong, n.toLong))
+          spans
+        }.toSet
+        val df = rows.toDF("doc_id", "text")
+        val gotSpans = operators.DedupOps.duplicateSpans(df, "doc_id", "text", k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(gotSpans == expSpans)
+        // cut reference: canonical = min (id, p) per duplicated content;
+        // a token dies iff covered by any non-canonical occurrence
+        val canon = dup.groupBy(_.s).view
+          .mapValues(ws => ws.map(w => (w.id, w.p)).min).toMap
+        val cutPos = dup.filter(w => canon(w.s) != ((w.id, w.p)))
+          .flatMap(w => (w.p until w.p + k).map(p => (w.id, p))).toSet
+        val expCut = rows.map { case (id, t) =>
+          id -> t.split(" ").zipWithIndex.collect {
+            case (tok, p) if !cutPos((id, p)) => tok
+          }.mkString(" ")
+        }.toMap
+        val gotCut = operators.DedupOps.dropDuplicateSpans(df, "doc_id", "text", k)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(gotCut == expCut)
+      }
+  }
+
   test("property: curationReport outcomes always partition the corpus") {
     import spark.implicits._
     (1 to 4).flatMap(i => corpusGen.apply(Gen.Parameters.default, Seed(300L + i)))
