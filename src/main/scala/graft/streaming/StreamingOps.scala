@@ -181,6 +181,32 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming search-index maintenance — the postings-store twin of
+    * [[dedupIncrementalAvailableNow]]: every micro-batch of new documents
+    * appends to the persisted postings index
+    * ([[graft.operators.SearchOps.appendPostingsIndex]]) under the
+    * micro-batch id as its batch token, so a replayed batch OVERWRITES its
+    * own dirs (index ingest stays effectively exactly-once) and a probe
+    * between any two batches sees consistent additive df/N sidecars.
+    * Batch ids must be new to the index — crawls assign fresh doc ids;
+    * dedup upstream (e.g. [[curateAvailableNow]]) before indexing.
+    */
+  def indexAvailableNow(stream: DataFrame, idCol: String, textCol: String,
+      path: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val scope = graft.CacheScope.snapshot()
+          graft.operators.SearchOps.appendPostingsIndex(
+            batch, idCol, textCol, path, s"b$bid")
+          graft.CacheScope.releaseNewSince(scope)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming curation — the crawl-to-kept-corpus pipeline as a stream:
     * each micro-batch of documents is (1) exact-deduped against the
     * persisted fingerprint store (base corpus + every earlier batch's KEPT

@@ -248,6 +248,32 @@ class StreamingSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("streamed postings index == one-shot build; probe additive across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("stream_pix")
+    val d = Tables.documents(spark, dir)
+    // 3-file backlog split on doc_id % 3 -> 3 micro-batches, disjoint ids
+    val src = s"$root/src"
+    (0 until 3).foreach(m => d.where(col("doc_id") % 3 === m)
+      .repartition(1).write.mode("append").parquet(src))
+    val schema = spark.read.parquet(src).schema
+    val stream = graft.streaming.StreamingOps.pacedFileSource(
+      spark, src, schema, maxFilesPerTrigger = 1)
+    val q = graft.streaming.StreamingOps.indexAvailableNow(
+      stream, "doc_id", "text", s"$root/pix", s"$root/ckpt")
+    q.awaitTermination(120000)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    val terms = Seq("dup", "spark", "query")
+    val streamed = graft.operators.SearchOps.keywordTopKIndexed(
+        spark, s"$root/pix", terms, 20, idCol = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val direct = graft.operators.TextOps.keywordTopK(
+        d, "doc_id", "text", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(streamed == direct)
+    graft.CacheScope.release()
+  }
+
   test("streaming curation == batch curation on the streamed split") {
     import org.apache.spark.sql.functions._
     val keptDir = Fixtures.curateStreamMbPath(spark, dir)
