@@ -88,9 +88,13 @@ object SearchOps {
     * `idCol` only names the output column.
     */
   def keywordTopKIndexed(spark: SparkSession, path: String,
-      terms: Seq[String], k: Int, idCol: String = "id"): DataFrame = {
-    require(terms.nonEmpty, "need at least one query term")
+      terms0: Seq[String], k: Int, idCol: String = "id"): DataFrame = {
+    require(terms0.nonEmpty, "need at least one query term")
     require(k > 0, "k must be positive")
+    // postings hold lowercased tokens ([[TextOps.tokens]]) — normalize the
+    // query BEFORE hashing, or a mixed-case term probes the wrong bucket
+    // and silently matches nothing
+    val terms = terms0.map(_.toLowerCase).distinct
     val bkts = terms.map(bucketOf).distinct
     def pruned(sub: String): DataFrame =
       spark.read.parquet(s"$path/$sub")

@@ -317,9 +317,12 @@ object TextOps {
     * the one driver scalar.
     */
   def keywordTopK(docs: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], k: Int): DataFrame = {
-    require(terms.nonEmpty, "need at least one query term")
+      terms0: Seq[String], k: Int): DataFrame = {
+    require(terms0.nonEmpty, "need at least one query term")
     require(k > 0, "k must be positive")
+    // the token stream is lowercased ([[tokens]]); a mixed-case query term
+    // would silently match nothing — normalize here instead
+    val terms = terms0.map(_.toLowerCase).distinct
     val n = docs.count()
     def bitlen(x: Column): Column = length(bin(x))
     // persisted: tf feeds BOTH the df aggregate and the scoring join, and

@@ -428,6 +428,12 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
     // docs 1 and 2 tie at 4 -> id ASC breaks it deterministically
     assert(got == List((1L, 4L, 2L), (2L, 4L, 1L), (3L, 1L, 1L)))
+    // tokens are lowercased, so mixed-case query terms must normalize
+    // rather than silently match nothing
+    val mixed = TextOps.keywordTopK(docs, "doc_id", "text",
+      Seq("RARE", "Common"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(mixed == got)
   }
 
   test("postings index: probe == corpus scorer, append additive, replay idempotent, pruned scan") {
@@ -453,6 +459,11 @@ class OperatorsSpec extends SparkTestBase {
       idCol = "doc_id")
     val again = probe.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
     assert(again == direct)
+    // mixed-case probes must hash the NORMALIZED term (a raw hash would
+    // prune to the wrong bucket and silently return nothing)
+    val mixed = SearchOps.keywordTopKIndexed(spark, path, Seq("RARE", "Common"), 5,
+      idCol = "doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(mixed == direct)
     // the postings scan must prune to the query terms' bucket partitions
     val scanLines = probe.queryExecution.executedPlan.toString
       .linesIterator.filter(_.contains("PartitionFilters")).toList
