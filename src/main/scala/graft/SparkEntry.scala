@@ -434,6 +434,15 @@ object SparkEntry {
         "doc_id", "text", k = 4)
     }),
 
+    // span-level decontamination (GPT-3 appendix C's other half): cut the
+    // colliding 4-windows plus a 2-token margin, keep the rest of the doc
+    "text_contam_cut" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.CurationOps.decontaminateSpans(
+        d.where(col("doc_id") % 17 =!= 0), d.where(col("doc_id") % 17 === 0),
+        "doc_id", "text", k = 4, margin = 2)
+    }),
+
     // end-to-end curation: exact-dedup canonical ∧ decontaminated ∧
     // length/repetition quality cuts -> the kept corpus
     "curate_keep" -> ((s, dir) => {
@@ -1343,6 +1352,34 @@ object SparkEntry {
            CAST(n_overlap AS BIGINT) AS n_overlap,
            n_overlap > 0 AS contaminated
          FROM corp ORDER BY doc_id""",
+
+    // matched windows = corpus 4-grams in the bench distinct set; cut
+    // positions [i-2, i+5] clamped at 0 (range end-exclusive i+6), docs
+    // rebuilt from surviving original-case tokens
+    "text_contam_cut" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         g AS (SELECT doc_id, i, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3]
+                 || ' ' || tks[i+4] AS s
+               FROM d, unnest(range(len(tks) - 3)) t(i) WHERE len(tks) >= 4),
+         bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 17 = 0),
+         m AS (SELECT doc_id, i FROM g
+               WHERE doc_id % 17 != 0 AND s IN (SELECT s FROM bench)),
+         cut AS (SELECT DISTINCT doc_id, pos FROM
+                  (SELECT doc_id, unnest(range(greatest(i - 2, 0), i + 6)) pos FROM m)),
+         tk AS (SELECT doc_id, j AS pos, tks0[j+1] AS t
+                FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') tks0
+                      FROM documents WHERE doc_id % 17 != 0),
+                     unnest(range(len(tks0))) u(j)),
+         kept AS (SELECT tk.doc_id, tk.pos, tk.t FROM tk LEFT JOIN cut
+                  ON tk.doc_id = cut.doc_id AND tk.pos = cut.pos
+                  WHERE cut.pos IS NULL),
+         r AS (SELECT doc_id, string_agg(t, ' ' ORDER BY pos) txt, count(*) kc
+               FROM kept GROUP BY doc_id)
+         SELECT d0.doc_id, coalesce(r.txt, '') AS text,
+           CAST(len(string_split(lower(coalesce(d0.text, '')), ' '))
+             - coalesce(r.kc, 0) AS BIGINT) AS n_cut_tokens
+         FROM (SELECT * FROM documents WHERE doc_id % 17 != 0) d0
+         LEFT JOIN r ON d0.doc_id = r.doc_id""",
 
     // composition of the text_contam, text_repetition and dedup_exact_map
     // oracles restricted to the corpus split, with the keep thresholds

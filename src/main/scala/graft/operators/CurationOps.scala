@@ -178,6 +178,60 @@ object CurationOps {
         sum(col("n_tokens")).cast("bigint").as("n_tokens"))
   }
 
+  /** SPAN-level benchmark decontamination — the other half of the GPT-3
+    * appendix-C construction (Brown et al. 2020: remove the colliding
+    * window plus a surrounding margin and keep the REST of the document;
+    * dropping whole docs at any-collision granularity, as [[curateKeep]]
+    * does, overkills long documents that merely quote one benchmark line):
+    * every corpus k-window whose content appears anywhere in `bench` is cut
+    * together with `margin` tokens on each side, and each doc is rebuilt
+    * from its surviving tokens. Returns `(idCol, textCol, n_cut_tokens)`
+    * for EVERY corpus doc — uncontaminated docs come back unchanged with
+    * n_cut_tokens = 0; a fully-contaminated doc becomes "".
+    *
+    * Scale: the bench membership join is the same broadcast-under-char-
+    * bound guard as [[ngramOverlap]] (fail-safe to `shuffle_hash`); cut
+    * positions explode from the MATCHED windows only, anti-join the token
+    * stream on (id, pos), and docs reassemble with one id-keyed aggregate
+    * — the [[DedupOps.dropDuplicateSpans]] rebuild shape. Margin positions
+    * past either end of the doc are harmless (the anti join never matches
+    * them; sequence starts clamp at 0).
+    */
+  def decontaminateSpans(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, k: Int = 4, margin: Int = 0,
+      broadcastBenchChars: Long = 64000000L): DataFrame = {
+    require(margin >= 0, "margin must be >= 0")
+    val corpusShingles = TextOps.shingleRows(corpus, idCol, textCol, k)
+    val benchShingles = TextOps.shingleRows(bench, idCol, textCol, k)
+      .select(col("s")).distinct()
+    val benchChars = bench
+      .agg(coalesce(sum(length(coalesce(col(textCol), lit("")))), lit(0L)))
+      .head().getLong(0)
+    val matched =
+      if (benchChars <= broadcastBenchChars)
+        corpusShingles.join(broadcast(benchShingles), Seq("s"), "left_semi")
+      else corpusShingles.join(benchShingles.hint("shuffle_hash"), Seq("s"), "left_semi")
+    val cut = matched.select(col("id"),
+      explode(sequence(greatest(col("p") - margin, lit(0)),
+        col("p") + k - 1 + margin)).as("__pos"))
+    val toks = corpus.select(col(idCol).as("id"),
+        posexplode(split(coalesce(col(textCol), lit("")), " ")))
+      .select(col("id"), col("pos").as("__pos"), col("col").as("__t"))
+    val rebuilt = toks.join(cut, Seq("id", "__pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__t")))),
+        s => s.getField("__t")), " ").as(textCol),
+        count(lit(1)).as("__kept"))
+    corpus.select(col(idCol),
+        TextOps.tokenCount(coalesce(col(textCol), lit(""))).cast("bigint").as("__n"))
+      .join(rebuilt.select(col("id").as(idCol), col(textCol), col("__kept")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol),
+        (col("__n") - coalesce(col("__kept"), lit(0L))).cast("bigint")
+          .as("n_cut_tokens"))
+  }
+
   /** Per-doc (n_tokens, top_token_frac) in the requested token basis:
     * `None` keeps [[TextOps.repetitionStats]]' whitespace counts (the
     * default — plans unchanged); `Some(counter)` re-denominates `n_tokens`

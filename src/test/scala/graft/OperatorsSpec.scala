@@ -436,11 +436,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(mixed == got)
   }
 
+  test("decontaminateSpans: colliding windows + margin cut, rest of doc survives") {
+    import spark.implicits._
+    val bench = Seq((100L, "secret eval answer key")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c secret eval answer key d e f"), // one colliding window at p=3
+      (2L, "clean doc with no benchmark overlap at all"),
+      (3L, "secret eval answer key"),             // fully contaminated
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = operators.CurationOps.decontaminateSpans(corpus, bench,
+        "doc_id", "text", k = 4, margin = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // window [3,7) + margin 1 -> cut [2,8): "a b" and "e f" survive
+    assert(got(1L) == (("a b e f", 6L)))
+    assert(got(2L) == (("clean doc with no benchmark overlap at all", 0L)))
+    assert(got(3L) == (("", 4L)))
+    assert(got(4L) == (("", 0L))) // null text = 1 empty token, never matches
+  }
+
   test("postings index: probe == corpus scorer, append additive, replay idempotent, pruned scan") {
     import spark.implicits._
     val docs = Seq(
       (1L, "common rare common"), (2L, "common common common common"),
-      (3L, "common x y z"), (4L, "x y z w"), (5L, "rare rare other")
+      (3L, "common x y z"), (4L, "x y z w"), (5L, "rare rare other"),
+      (6L, null.asInstanceOf[String]) // must count in N on BOTH paths
     ).toDF("doc_id", "text")
     val path = s"${Fixtures.tmpRoot}/postings_spec"
     // two batches through build + append; df/N must sum to the whole corpus
