@@ -327,9 +327,13 @@ object TextOps {
     def bitlen(x: Column): Column = length(bin(x))
     // persisted: tf feeds BOTH the df aggregate and the scoring join, and
     // it is tiny (≤ N×|terms| rows) while its lineage is the corpus-wide
-    // explode scan — without the persist the corpus is tokenized twice
+    // explode scan — without the persist the corpus is tokenized twice.
+    // null text = empty text (the curation-wide convention): the doc still
+    // counts in N and still emits its [''] token row, exactly like the
+    // postings index's n_docs sidecar — the two paths must agree on idf
     val tf = graft.CacheScope.persist(
-      docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      docs.select(col(idCol),
+          explode(tokens(coalesce(col(textCol), lit("")))).as("__t"))
         .where(col("__t").isin(terms: _*))
         .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf")))
     val dfT = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
@@ -396,6 +400,30 @@ object TextOps {
       .where(col(s"t${k - 1}").isNotNull)
       .select(col("id"), col("p"),
         concat_ws(" ", (col("t") +: (1 until k).map(i => col(s"t$i"))): _*).as("s"))
+  }
+
+  /** Array-built twin of [[shingleRows]]: the same non-distinct (id, p, s)
+    * rows via per-row token-array slicing instead of k-1 chained `lead()`
+    * window columns. MEASURED LOSER at every tested k (100k×120-token
+    * docs: window 2.4 s vs array 9.8 s even at k = 50 — the chained leads
+    * stay whole-stage-codegen'd while `transform`/`slice` lambdas run
+    * interpreted per element), so [[DedupOps.duplicatedWindows]] uses it
+    * ONLY for k = 1, where the window shape cannot run (it needs >= 1
+    * lead column to anchor its full-window filter). Kept public as the
+    * shuffle-free variant: the window path pays one id exchange, this
+    * shape none — relevant if a caller's input is already exploded-cost-
+    * dominated. Row order differs from [[shingleRows]]; content is
+    * identical (parity-tested).
+    */
+  def shinglePosRows(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tks = tokens(coalesce(col(textCol), lit("")))
+    df.select(col(idCol).as("id"),
+        explode(when(size(tks) >= k,
+          transform(sequence(lit(0), size(tks) - k),
+            i => struct(i.as("p"), concat_ws(" ", slice(tks, i + 1, lit(k))).as("s"))))
+          .otherwise(array().cast("array<struct<p:int,s:string>>"))).as("__w"))
+      .select(col("id"), col("__w.p").as("p"), col("__w.s").as("s"))
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the

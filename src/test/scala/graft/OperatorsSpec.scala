@@ -436,6 +436,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(mixed == got)
   }
 
+  test("shinglePosRows == shingleRows; substring dedup at ExactSubstr k=50") {
+    import spark.implicits._
+    def norm(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    Seq(2, 4, 7).foreach { k =>
+      assert(norm(TextOps.shinglePosRows(docs, "doc_id", "text", k)) ==
+        norm(TextOps.shingleRows(docs, "doc_id", "text", k)),
+        s"builder parity at k=$k")
+    }
+    // k=50 (the Lee 2021 run length): a planted 60-token shared run must
+    // surface as ONE merged span per doc through the array builder
+    val run = (0 until 60).map(i => s"r$i").mkString(" ")
+    val t = Seq(
+      (1L, "u1 u2 u3 " + run),
+      (2L, run + " v1 v2"),
+      (3L, (0 until 70).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val spans = DedupOps.duplicateSpans(t, "doc_id", "text", k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 3L, 63L), (2L, 0L, 60L)))
+    val cut = DedupOps.dropDuplicateSpans(t, "doc_id", "text", k = 50)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut(1L) == "u1 u2 u3 " + run) // canonical copy survives
+    assert(cut(2L) == "v1 v2")
+  }
+
   test("decontaminateSpans: colliding windows + margin cut, rest of doc survives") {
     import spark.implicits._
     val bench = Seq((100L, "secret eval answer key")).toDF("doc_id", "text")
