@@ -275,6 +275,33 @@ object Fixtures {
       path
     })
 
+  private val streamPix = TrieMap[String, String]()
+
+  /** Postings index materialized through the STREAMING maintenance path:
+    * documents split into three id-striped files, drained one file per
+    * micro-batch through [[graft.streaming.StreamingOps.indexAvailableNow]]
+    * (one batch dir per micro-batch), then COMPACTED to a fresh
+    * single-batch index — the gate probing it must equal the whole-corpus
+    * scorer, proving batch accumulation, df/N additivity and compaction
+    * all preserve search semantics.
+    */
+  def streamedPostingsPath(spark: SparkSession, sfDir: String): String =
+    streamPix.getOrElseUpdate(sfDir, {
+      val base = s"${tmpRoot}/spx_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val d = Tables.documents(spark, sfDir)
+      (0 until 3).foreach(m => d.where(col("doc_id") % 3 === m)
+        .repartition(1).write.mode("append").parquet(s"$base/src"))
+      val schema = spark.read.parquet(s"$base/src").schema
+      val stream = graft.streaming.StreamingOps.pacedFileSource(
+        spark, s"$base/src", schema, maxFilesPerTrigger = 1)
+      val q = graft.streaming.StreamingOps.indexAvailableNow(
+        stream, "doc_id", "text", s"$base/pix", s"$base/ckpt")
+      q.awaitTermination(180000)
+      graft.operators.SearchOps.compactPostingsIndex(
+        spark, s"$base/pix", s"$base/pixc")
+      s"$base/pixc"
+    })
+
   private val incDedupMb = TrieMap[String, String]()
 
   /** TRUE multi-micro-batch incremental dedup materialized once per

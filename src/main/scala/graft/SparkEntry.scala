@@ -424,6 +424,14 @@ object SparkEntry {
         Fixtures.postingsIndexPath(s, dir),
         Seq("dup", "spark", "query"), k = 20, idCol = "doc_id")),
 
+    // the same search through an index built by STREAMING maintenance
+    // (one batch dir per micro-batch) and then COMPACTED — accumulation,
+    // additivity and compaction must all preserve the scorer exactly
+    "search_index_stream" -> ((s, dir) =>
+      operators.SearchOps.keywordTopKIndexed(s,
+        Fixtures.streamedPostingsPath(s, dir),
+        Seq("dup", "spark", "query"), k = 20, idCol = "doc_id")),
+
     // benchmark decontamination: word-4-gram overlap of the corpus (doc_id %
     // 17 != 0) against the benchmark split (doc_id % 17 == 0), GPT-3-style
     // any-collision contamination flag; benchmark n-grams broadcast
@@ -1310,6 +1318,20 @@ object SparkEntry {
     // bitlen(df) over the same filtered rows, (score DESC, doc_id) total
     // order at the cut
     "search_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) t
+                      FROM documents),
+         q AS (SELECT doc_id, t FROM tok WHERE t IN ('dup', 'spark', 'query')),
+         tf AS (SELECT doc_id, t, count(*) tf FROM q GROUP BY 1, 2),
+         dft AS (SELECT t, length(bin((SELECT count(*) FROM documents)))
+                      - length(bin(count(*))) idf FROM tf GROUP BY t),
+         s AS (SELECT doc_id, sum(tf * idf) score, count(*) n_terms
+               FROM tf JOIN dft USING (t) GROUP BY 1)
+         SELECT doc_id, CAST(score AS BIGINT) score, CAST(n_terms AS BIGINT) n_terms
+         FROM s ORDER BY score DESC, doc_id LIMIT 20""",
+
+    // identical semantics to search_tfidf_topk — the streamed-then-
+    // compacted index probe must reproduce the whole-corpus scorer exactly
+    "search_index_stream" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) t
                       FROM documents),
          q AS (SELECT doc_id, t FROM tok WHERE t IN ('dup', 'spark', 'query')),

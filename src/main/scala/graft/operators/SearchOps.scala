@@ -52,8 +52,11 @@ object SearchOps {
       batchToken: String = java.util.UUID.randomUUID.toString): Unit = {
     DedupOps.ensureHashRegistered(docs)
     val spark = docs.sparkSession
+    // null text = empty text: the doc must still reach the postings (as its
+    // [''] token) so the n_docs sidecar counts it — [[keywordTopKIndexed]]
+    // and [[TextOps.keywordTopK]] must agree on N for any corpus
     docs.select(col(idCol).as("id"),
-        explode(TextOps.tokens(col(textCol))).as("term"))
+        explode(TextOps.tokens(coalesce(col(textCol), lit("")))).as("term"))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("bkt", pmod(DedupOps.baseHash(col("term")), lit(TermBuckets.toLong)))
       .repartition(col("bkt")) // one writer task per bucket — no small files
@@ -76,6 +79,39 @@ object SearchOps {
     // entries or the next probe reads deleted part files
     Seq("postings", "terms", "counts").foreach(sub =>
       spark.catalog.refreshByPath(s"$path/$sub"))
+  }
+
+  /** Compact a many-batch index (a long-running streaming tail appends one
+    * batch dir per micro-batch) into a fresh single-batch index at
+    * `dstPath` — WITHOUT re-tokenizing any text: postings are read from
+    * the source index and rewritten under one `batch=base`, sidecars
+    * re-derived the same way an append derives them. Crash-safe by
+    * construction: `dstPath` is rebuilt from scratch (an interrupted
+    * compaction leaves a partial dst to overwrite, never a double-counted
+    * src — which is why this does NOT compact in place: a crash between
+    * writing a merged batch and deleting the old dirs would double df/N).
+    * The caller swaps paths when the new index is complete.
+    */
+  def compactPostingsIndex(spark: SparkSession, srcPath: String,
+      dstPath: String): Unit = {
+    require(srcPath != dstPath, "compact to a NEW path, then swap")
+    val p = new org.apache.hadoop.fs.Path(dstPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    spark.read.parquet(s"$srcPath/postings")
+      .select(col("id"), col("term"), col("tf"), col("bkt"))
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$dstPath/postings/batch=base")
+    val back = spark.read.parquet(s"$dstPath/postings/batch=base")
+    back.groupBy(col("term"), col("bkt"))
+      .agg(count(lit(1)).as("df"))
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$dstPath/terms/batch=base")
+    back.agg(count_distinct(col("id")).as("n_docs"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dstPath/counts/batch=base")
   }
 
   /** Top-k docs for `terms` from a persisted index: IDENTICAL result to
