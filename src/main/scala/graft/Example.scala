@@ -73,6 +73,18 @@ object Example {
     val evalSet = spark.createDataFrame(Seq(
       (100L, "the quick brown fox jumps over the lazy dog"))).toDF("doc_id", "text")
     operators.CurationOps.ngramOverlap(docs, evalSet, "doc_id", "text").show()
+    println("exact-substring dedup (Lee 2021): repeated token runs across docs 1-2:")
+    operators.DedupOps.duplicateSpans(docs, "doc_id", "text")
+      .orderBy("doc_id", "span_from").show()
+    println("DSIR importance weights (doc 5 is the most target-like):")
+    val target = spark.createDataFrame(Seq(
+      (200L, "a survey of distributed query engines and parquet storage")))
+      .toDF("doc_id", "text")
+    operators.TextOps.dsirLogRatio(docs, target, "doc_id", "text")
+      .orderBy(desc("avg_logratio_bits")).show()
+    println("keyword search, quantized tf-idf ('fox' or 'parquet'):")
+    operators.TextOps.keywordTopK(docs, "doc_id", "text",
+      Seq("fox", "parquet"), 3).show()
     println("sequence packing into 16-token training chunks:")
     operators.CurationOps.packChunks(docs, "doc_id", "text", chunkTokens = 16)
       .orderBy("chunk_id", "doc_id").show()
