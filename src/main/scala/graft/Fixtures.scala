@@ -296,7 +296,9 @@ object Fixtures {
         spark, s"$base/src", schema, maxFilesPerTrigger = 1)
       val q = graft.streaming.StreamingOps.indexAvailableNow(
         stream, "doc_id", "text", s"$base/pix", s"$base/ckpt")
-      q.awaitTermination(180000)
+      // a silent timeout would compact a PARTIAL index and surface as a
+      // baffling gate mismatch — fail here instead
+      require(q.awaitTermination(180000), "streamed index did not drain")
       graft.operators.SearchOps.compactPostingsIndex(
         spark, s"$base/pix", s"$base/pixc")
       s"$base/pixc"

@@ -112,6 +112,10 @@ object SearchOps {
     back.agg(count_distinct(col("id")).as("n_docs"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dstPath/counts/batch=base")
+    // same staleness hazard as appends: a re-compaction to a dst this
+    // session already probed must drop the old listing-cache entries
+    Seq("postings", "terms", "counts").foreach(sub =>
+      spark.catalog.refreshByPath(s"$dstPath/$sub"))
   }
 
   /** Top-k docs for `terms` from a persisted index: IDENTICAL result to
