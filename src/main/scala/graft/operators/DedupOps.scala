@@ -599,6 +599,67 @@ object DedupOps {
       transform(slice(ids, i + 2, size(ids)), y =>
         struct(x.as("_1"), y.as("_2")))))
 
+  /** Observed-metrics name for [[winnowingPairs]]' stop-fingerprint
+    * accounting: (stop_rows, max_doc_freq).
+    */
+  val WinnowStopMetrics = "graft_winnow_stop"
+
+  /** MOSS-style local-fingerprint near-dup pairs (Schleimer/Wilkerson/
+    * Aiken, SIGMOD'03 §5 — the winnowing paper's own matching
+    * construction): pairs of docs sharing >= `minShared` winnowing
+    * fingerprints, with each doc's distinct-fingerprint count for
+    * containment scoring. This catches PARTIAL overlap — one doc quoting a
+    * long passage of another — which whole-doc Jaccard thresholds miss
+    * when the doc sizes differ (minhash estimates GLOBAL similarity;
+    * winnowing matches are local). Output: (id_a, id_b, shared_fps, n_a,
+    * n_b); containment of A in B = shared_fps / n_a, integer-exact for
+    * the caller's threshold.
+    *
+    * Fingerprints selected by more than `maxDocFreq` docs are STOP
+    * fingerprints (boilerplate — MOSS's "ignore matches in too many
+    * documents") and pair nothing; their removal is REPORTED through the
+    * [[WinnowStopMetrics]] observation, never silent. Within the cap each
+    * fingerprint fans out <= C(maxDocFreq, 2) pairs.
+    *
+    * Scale: distinct (id, fp) shuffles once on the fingerprint;
+    * doc-frequency rides a window over that sort (fingerprint cardinality
+    * ≈ positions/w, near-unique — the [[packedCandidatePairs]] rationale
+    * against a groupBy-sized hash map), and the bucket groupBy + pair
+    * count reuse the same partitioning map-side. Sizes join back on the
+    * doc id.
+    */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5, minShared: Int = 2,
+      maxDocFreq: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minShared >= 1, "minShared must be >= 1")
+    require(maxDocFreq >= 2, "maxDocFreq must be >= 2 (pairs need two docs)")
+    val fps = TextOps.winnowingFingerprints(df, idCol, textCol, k, w)
+      .select(col("id"), col("fingerprint").as("f")).distinct()
+    val sizes = fps.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val counted = fps
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("f"))))
+      .observe(WinnowStopMetrics,
+        // row count, not count_distinct(f): DISTINCT aggregates are
+        // rejected inside observed metrics; stop ROWS = Σ doc-freq over
+        // stop fingerprints, 0 iff no fingerprint was cut
+        sum(when(col("__df") > maxDocFreq, 1L).otherwise(0L)).as("stop_rows"),
+        coalesce(max(col("__df")), lit(0L)).cast("long").as("max_doc_freq"))
+    // __df > 1 is pure pruning (singleton fingerprints cannot pair)
+    val pairs = counted.where(col("__df") > 1 && col("__df") <= maxDocFreq)
+      .groupBy(col("f"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(explode(pairCombinations(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared_fps"),
+        col("n_a").cast("bigint").as("n_a"), col("n_b").cast("bigint").as("n_b"))
+  }
+
   /** Exact n-gram Jaccard pairs — the exhaustive baseline the approximate
     * paths are validated against. Shingles are distinct per doc, so the
     * self-join's match count per (a,b) IS the intersection size: no

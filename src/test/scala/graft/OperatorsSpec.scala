@@ -436,6 +436,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(mixed == got)
   }
 
+  test("winnowingPairs: finds containment that global-Jaccard minhash misses; stop fps cut") {
+    import spark.implicits._
+    val passage = (0 until 30).map(i => s"p$i").mkString(" ")
+    val t = Seq(
+      (1L, passage),                                              // A = the passage
+      (2L, (0 until 100).map(i => s"x$i").mkString(" ") + " " + passage +
+        " " + (0 until 30).map(i => s"y$i").mkString(" ")),       // B quotes A
+      (3L, (0 until 60).map(i => s"z$i").mkString(" "))           // unrelated
+    ).toDF("doc_id", "text")
+    // global Jaccard(A, B) ~ 27/157 — far below 1/2: minhash finds nothing
+    assert(DedupOps.minhashLshPairs(t, "doc_id", "text").count() == 0L)
+    val got = DedupOps.winnowingPairs(t, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    assert(got.map(p => (p._1, p._2)) == List((1L, 2L)))
+    val (_, _, shared, nA, _) = got.head
+    // the local fingerprints of A live inside B: near-total containment
+    assert(shared >= (nA * 3) / 4, s"containment too low: $shared of $nA")
+    // a fingerprint shared by all 3 docs becomes a stop fingerprint at
+    // maxDocFreq = 2 and pairs nothing
+    val boiler = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    val t2 = Seq(
+      (1L, boiler + " " + (0 until 20).map(i => s"u$i").mkString(" ")),
+      (2L, boiler + " " + (0 until 20).map(i => s"v$i").mkString(" ")),
+      (3L, boiler + " " + (0 until 20).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val capped = DedupOps.winnowingPairs(t2, "doc_id", "text", maxDocFreq = 2)
+    assert(capped.count() == 0L)
+    val loose = DedupOps.winnowingPairs(t2, "doc_id", "text", maxDocFreq = 3,
+      minShared = 1)
+    assert(loose.count() == 3L) // boilerplate pairs all three without the cap
+  }
+
   test("shinglePosRows == shingleRows; substring dedup at ExactSubstr k=50") {
     import spark.implicits._
     def norm(x: org.apache.spark.sql.DataFrame) =
