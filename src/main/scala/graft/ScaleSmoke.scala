@@ -356,6 +356,37 @@ object ScaleSmoke {
       require(r.getLong(0) == expected,
         s"expected $expected total pieces, got ${r.getLong(0)}")
     }
+    time("winnowing pairs: 1M docs + 2k planted passage quotes") {
+      // 1M globally-unique-token docs plus 2k "quoters", each embedding
+      // the first 30 tokens of its victim doc after 20 of its own — the
+      // containment shape global-Jaccard dedup misses (J ~ 27/80). A
+      // shared 30-token run guarantees shared winnowing fingerprints
+      // (>= 1 per w+k-1 window), so expected pairs are EXACTLY the 2k
+      // planted (victim, quoter) pairs — unique tokens leave no
+      // background fingerprint collisions.
+      val nd = 1000000L; val q = 2000L
+      val base = spark.range(nd).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(59)),
+          i => concat(lit("t"), col("id").cast("string"),
+            lit("_"), i.cast("string")))).as("text"))
+      val quoters = spark.range(q).select((col("id") + 10000000L).as("doc_id"),
+        concat(
+          concat_ws(" ", transform(sequence(lit(0), lit(19)),
+            i => concat(lit("q"), col("id").cast("string"),
+              lit("_"), i.cast("string")))),
+          lit(" "),
+          concat_ws(" ", transform(sequence(lit(0), lit(29)),
+            i => concat(lit("t"), col("id").cast("string"),
+              lit("_"), i.cast("string"))))).as("text"))
+      val pairs = operators.DedupOps.winnowingPairs(
+        base.unionByName(quoters), "doc_id", "text")
+      val r = pairs.agg(count(lit(1)),
+        sum(when(col("id_b") === col("id_a") + 10000000L &&
+          col("id_a") < q, 1L).otherwise(0L))).head()
+      require(r.getLong(0) == q && r.getLong(1) == q,
+        s"expected exactly $q planted containment pairs, " +
+          s"got ${r.getLong(1)} planted of ${r.getLong(0)} total")
+    }
     time("postings index: 2M-doc build + pruned probe") {
       // 2M common-vocab docs + 1k planted docs holding rare needle terms;
       // the probe must (a) equal the direct whole-corpus scorer EXACTLY,
