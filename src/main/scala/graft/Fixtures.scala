@@ -275,6 +275,25 @@ object Fixtures {
       path
     })
 
+  private val winStores = TrieMap[String, String]()
+
+  /** Window-hash store over docs < 250 in TWO batches (< 125 base,
+    * 125-249 append), built once per (JVM, sf) — the store side of the
+    * incremental substring-dedup gates; the split exercises the probe's
+    * cross-batch canonical fold.
+    */
+  def windowStorePath(spark: SparkSession, sfDir: String): String =
+    winStores.getOrElseUpdate(sfDir, {
+      val path = s"${tmpRoot}/wst_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val d = Tables.documents(spark, sfDir)
+      graft.operators.DedupOps.buildWindowStore(
+        d.where(col("doc_id") < 125), "doc_id", "text", path)
+      graft.operators.DedupOps.appendWindowStore(
+        d.where(col("doc_id") >= 125 && col("doc_id") < 250),
+        "doc_id", "text", path, batchToken = "b2")
+      path
+    })
+
   private val streamPix = TrieMap[String, String]()
 
   /** Postings index materialized through the STREAMING maintenance path:

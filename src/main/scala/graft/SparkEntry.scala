@@ -373,6 +373,21 @@ object SparkEntry {
     "dedup_substring_spans" -> ((s, dir) =>
       operators.DedupOps.duplicateSpans(Tables.documents(s, dir), "doc_id", "text")),
 
+    // incremental ExactSubstr: spans of a NEW batch (docs >= 250) against
+    // a persisted two-batch window-hash store of docs < 250 — must equal
+    // the one-shot whole-corpus spans restricted to the batch
+    "dedup_substring_incremental" -> ((s, dir) =>
+      operators.DedupOps.incrementalDuplicateSpans(
+        Tables.documents(s, dir).where(col("doc_id") >= 250), "doc_id", "text",
+        Fixtures.windowStorePath(s, dir))),
+
+    // the incremental cut: store hits always cut (the store precedes the
+    // batch), batch-only duplicates keep their batch-minimal copy
+    "dedup_substring_incremental_cut" -> ((s, dir) =>
+      operators.DedupOps.incrementalDropDuplicateSpans(
+        Tables.documents(s, dir).where(col("doc_id") >= 250), "doc_id", "text",
+        Fixtures.windowStorePath(s, dir))),
+
     // per-doc duplicated-token coverage over the same spans — the "how much
     // of this corpus is repeated substance" accounting
     "dedup_substring_stats" -> ((s, dir) =>
@@ -1199,6 +1214,55 @@ object SparkEntry {
          SELECT doc_id, CAST(min(i) AS BIGINT) span_from,
            CAST(max(i) + 4 AS BIGINT) span_to, CAST(count(*) AS BIGINT) n_windows
          FROM isl GROUP BY doc_id, isl ORDER BY doc_id, span_from""",
+
+    // the incremental probe must equal the whole-corpus computation
+    // restricted to the probe batch — the oracle IS the one-shot spans SQL
+    // with the final output filtered to doc_id >= 250
+    "dedup_substring_incremental" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         g AS (SELECT doc_id, i, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3]
+                 || ' ' || tks[i+4] AS s
+               FROM d, unnest(range(len(tks) - 3)) t(i) WHERE len(tks) >= 4),
+         h AS (SELECT doc_id, i, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) hh FROM g),
+         dup AS (SELECT doc_id, i FROM (
+                  SELECT doc_id, i, count(*) OVER (PARTITION BY hh) n FROM h) WHERE n > 1),
+         sp AS (SELECT doc_id, i,
+                 CASE WHEN i - coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), -5) > 4
+                      THEN 1 ELSE 0 END brk FROM dup),
+         isl AS (SELECT doc_id, i,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY i) isl FROM sp)
+         SELECT doc_id, CAST(min(i) AS BIGINT) span_from,
+           CAST(max(i) + 4 AS BIGINT) span_to, CAST(count(*) AS BIGINT) n_windows
+         FROM isl WHERE doc_id >= 250
+         GROUP BY doc_id, isl ORDER BY doc_id, span_from""",
+
+    // one-shot cut SQL with output (and the token/rebuild side) restricted
+    // to the probe batch; the canonical CTEs stay corpus-wide
+    "dedup_substring_incremental_cut" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         g AS (SELECT doc_id, i, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3]
+                 || ' ' || tks[i+4] AS s
+               FROM d, unnest(range(len(tks) - 3)) t(i) WHERE len(tks) >= 4),
+         h AS (SELECT doc_id, i, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) hh FROM g),
+         c AS (SELECT hh, min(struct_pack(d := doc_id, i := i)) f, count(*) n
+               FROM h GROUP BY hh),
+         nc AS (SELECT h.doc_id, h.i FROM h JOIN c ON h.hh = c.hh
+                WHERE c.n > 1 AND NOT ((c.f).d = h.doc_id AND (c.f).i = h.i)),
+         cut AS (SELECT DISTINCT doc_id, pos FROM
+                  (SELECT doc_id, unnest(range(i, i + 4)) pos FROM nc)
+                 WHERE doc_id >= 250),
+         tk AS (SELECT doc_id, j AS pos, tks0[j+1] AS t
+                FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') tks0
+                      FROM documents WHERE doc_id >= 250),
+                     unnest(range(len(tks0))) u(j)),
+         kept AS (SELECT tk.doc_id, tk.pos, tk.t FROM tk LEFT JOIN cut
+                  ON tk.doc_id = cut.doc_id AND tk.pos = cut.pos
+                  WHERE cut.pos IS NULL),
+         r AS (SELECT doc_id, string_agg(t, ' ' ORDER BY pos) txt
+               FROM kept GROUP BY doc_id)
+         SELECT d0.doc_id, coalesce(r.txt, '') AS text
+         FROM (SELECT * FROM documents WHERE doc_id >= 250) d0
+         LEFT JOIN r ON d0.doc_id = r.doc_id""",
 
     // per-doc coverage: spans are disjoint by construction so the token sum
     // is exact; n_tokens = whitespace tokens (split yields >= 1 per doc)

@@ -203,9 +203,12 @@ object DedupOps {
     * contents (a false duplicate flag on ~n²·2⁻⁶⁰ positions) — the DuckDB
     * oracle computes the same hash, so gates agree by construction.
     */
-  private def duplicatedWindows(df: DataFrame, idCol: String, textCol: String,
+  /** (id, p, h) hashed window positions — shared by the batch detector and
+    * the persisted-store paths, so batch==incremental semantics cannot
+    * drift.
+    */
+  private def windowHashRows(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1, "window length k must be >= 1")
     ensureHashRegistered(df)
     // the lead-window builder wins at EVERY measured k — 100k×120-token
@@ -217,7 +220,13 @@ object DedupOps {
     val rows =
       if (k > 1) TextOps.shingleRows(df, idCol, textCol, k)
       else TextOps.shinglePosRows(df, idCol, textCol, k)
-    val hashed = rows.select(col("id"), col("p"), baseHash(col("s")).as("h"))
+    rows.select(col("id"), col("p"), baseHash(col("s")).as("h"))
+  }
+
+  private def duplicatedWindows(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = windowHashRows(df, idCol, textCol, k)
     val w = Window.partitionBy(col("h"))
     hashed
       .withColumn("__n", count(lit(1)).over(w))
@@ -225,6 +234,99 @@ object DedupOps {
       .where(col("__n") > 1)
       .select(col("id"), col("p"), col("__first"))
   }
+
+  // ---- persisted window-hash store (incremental ExactSubstr) --------------
+
+  /** Build a persisted WINDOW-HASH store at `path` — the substring-dedup
+    * member of the store family (minhash / fingerprint / postings /
+    * window): one row per DISTINCT window content in the batch —
+    * `(h, id, p)` with (id, p) the content's canonical (smallest)
+    * occurrence — in hive `batch=` dirs with the usual per-token atomic
+    * overwrite replay contract. At 100 TB the corpus-side window hashing
+    * runs once, here; every future crawl batch probes via
+    * [[incrementalDuplicateSpans]] / [[incrementalDropDuplicateSpans]].
+    */
+  def buildWindowStore(df: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 4): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // full rebuild: no stale batch dirs
+    appendWindowStore(df, idCol, textCol, path, k, "base")
+  }
+
+  /** Write one batch's distinct window hashes (+ batch-canonical
+    * occurrence) into the store as `path/batch=<token>`. Ids must be new
+    * to the store; replaying the same token overwrites its dir.
+    */
+  def appendWindowStore(df: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 4,
+      batchToken: String = java.util.UUID.randomUUID.toString): Unit = {
+    windowHashRows(df, idCol, textCol, k)
+      .groupBy(col("h"))
+      .agg(min(struct(col("id"), col("p"))).as("__first"))
+      .select(col("h"), col("__first").getField("id").as("id"),
+        col("__first").getField("p").as("p"))
+      .write.mode("overwrite").parquet(s"$path/batch=$batchToken")
+    df.sparkSession.catalog.refreshByPath(path)
+  }
+
+  /** Duplicated windows of a NEW batch against the store ∪ the batch
+    * itself: (id, p, __first) where __first is the GLOBAL canonical
+    * occurrence (the least (id, p) across store batches and this batch).
+    * Output restricted to batch rows. Probing + then
+    * [[appendWindowStore]]-ing the same batch keeps the invariant that
+    * the result equals the one-shot batch computation over store ∪ batch
+    * restricted to the new ids (spec-pinned).
+    *
+    * Scale: the store is scanned (h, id, p)-only and pruned map-side by
+    * the probe's broadcast distinct-hash set BEFORE its fold and the join
+    * (probe batches are small next to the corpus — the same prune as
+    * every other store probe); batch-internal duplicate detection rides
+    * the same one content-hash window as the batch path.
+    */
+  private def incrementalDuplicatedWindows(newDocs: DataFrame, idCol: String,
+      textCol: String, path: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = windowHashRows(newDocs, idCol, textCol, k)
+    val store = newDocs.sparkSession.read.parquet(path)
+      .select(col("h"), col("id"), col("p"))
+    // map-side prune, then fold per-batch canonicals to the store-wide min
+    val storePruned = store
+      .join(broadcast(hashed.select(col("h")).distinct()), Seq("h"), "left_semi")
+      .groupBy(col("h"))
+      .agg(min(struct(col("id"), col("p"))).as("__sfirst"))
+    val w = Window.partitionBy(col("h"))
+    hashed
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__bfirst", min(struct(col("id"), col("p"))).over(w))
+      .join(storePruned, Seq("h"), "left")
+      .where(col("__n") > 1 || col("__sfirst").isNotNull)
+      // least() skips nulls: batch-only contents take the batch canonical
+      .select(col("id"), col("p"),
+        least(col("__sfirst"), col("__bfirst")).as("__first"))
+  }
+
+  /** [[duplicateSpans]] of a NEW batch against a persisted window store:
+    * maximal spans over windows whose content occurs in the store OR
+    * more than once in the batch. Equals the one-shot whole-corpus spans
+    * restricted to the batch ids (new ids disjoint from stored ids).
+    */
+  def incrementalDuplicateSpans(newDocs: DataFrame, idCol: String,
+      textCol: String, path: String, k: Int = 4): DataFrame =
+    mergeWindowSpans(
+      incrementalDuplicatedWindows(newDocs, idCol, textCol, path, k), k)
+      .withColumnRenamed("id", idCol)
+
+  /** [[dropDuplicateSpans]] of a NEW batch against a persisted window
+    * store: a batch window survives only as the GLOBAL canonical
+    * occurrence of its content — store hits always cut (the store
+    * precedes the batch); batch-only duplicates keep their batch-minimal
+    * copy. Equals the whole-corpus cut restricted to the batch ids.
+    */
+  def incrementalDropDuplicateSpans(newDocs: DataFrame, idCol: String,
+      textCol: String, path: String, k: Int = 4): DataFrame =
+    cutNonCanonical(newDocs, idCol, textCol,
+      incrementalDuplicatedWindows(newDocs, idCol, textCol, path, k), k)
 
   /** Maximal duplicated spans per document: overlapping or contiguous
     * duplicated k-windows ([p, p+k) token intervals; sorted by p, two
@@ -241,13 +343,20 @@ object DedupOps {
     * sorted window.
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 4): DataFrame = {
+      k: Int = 4): DataFrame =
+    mergeWindowSpans(duplicatedWindows(df, idCol, textCol, k), k)
+      .withColumnRenamed("id", idCol)
+
+  /** Island-merge of duplicated window positions `(id, p, ...)` into
+    * maximal per-doc spans — shared by the batch and incremental span
+    * paths. One id-keyed shuffle; a doc's duplicated positions stream
+    * through one task's sorted window.
+    */
+  private def mergeWindowSpans(dup: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dup = duplicatedWindows(df, idCol, textCol, k)
-      .select(col("id"), col("p"))
     val wd = Window.partitionBy(col("id")).orderBy(col("p"))
     val run = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    dup
+    dup.select(col("id"), col("p"))
       .withColumn("__brk",
         when(col("p") - coalesce(lag(col("p"), 1).over(wd), lit(-k - 1)) > k, 1L)
           .otherwise(0L))
@@ -256,8 +365,7 @@ object DedupOps {
       .agg(min(col("p")).cast("bigint").as("span_from"),
         (max(col("p")) + k).cast("bigint").as("span_to"),
         count(lit(1)).as("n_windows"))
-      .select(col("id").as(idCol), col("span_from"), col("span_to"),
-        col("n_windows"))
+      .select(col("id"), col("span_from"), col("span_to"), col("n_windows"))
   }
 
   /** Per-doc duplicated-token accounting over [[duplicateSpans]]:
@@ -302,8 +410,17 @@ object DedupOps {
     * as [[dedupLines]].
     */
   def dropDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 4): DataFrame = {
-    val nc = duplicatedWindows(df, idCol, textCol, k)
+      k: Int = 4): DataFrame =
+    cutNonCanonical(df, idCol, textCol,
+      duplicatedWindows(df, idCol, textCol, k), k)
+
+  /** Cut every token covered by a NON-canonical duplicated window and
+    * rebuild docs — shared tail of the batch and incremental cut paths.
+    * `dup` rows: (id, p, __first) with __first the canonical (id, p).
+    */
+  private def cutNonCanonical(df: DataFrame, idCol: String, textCol: String,
+      dup: DataFrame, k: Int): DataFrame = {
+    val nc = dup
       .where(!(col("__first").getField("id") === col("id") &&
         col("__first").getField("p") === col("p")))
     val cut = nc.select(col("id"),

@@ -436,6 +436,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(mixed == got)
   }
 
+  test("incremental substring dedup == one-shot whole-corpus result on the probe batch") {
+    import spark.implicits._
+    val path = s"${Fixtures.tmpRoot}/winstore_spec"
+    val store1 = docs.where(col("doc_id") < 125)
+    val store2 = docs.where(col("doc_id") >= 125 && col("doc_id") < 250)
+    val probe = docs.where(col("doc_id") >= 250)
+    DedupOps.buildWindowStore(store1, "doc_id", "text", path)
+    DedupOps.appendWindowStore(store2, "doc_id", "text", path, batchToken = "b2")
+    def spanSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val inc = spanSet(DedupOps.incrementalDuplicateSpans(probe, "doc_id", "text", path))
+    val full = spanSet(DedupOps.duplicateSpans(docs, "doc_id", "text")
+      .where(col("doc_id") >= 250))
+    assert(inc == full && inc.nonEmpty)
+    def cutMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val incCut = cutMap(DedupOps.incrementalDropDuplicateSpans(probe, "doc_id", "text", path))
+    val fullCut = cutMap(DedupOps.dropDuplicateSpans(docs, "doc_id", "text")
+      .where(col("doc_id") >= 250))
+    assert(incCut == fullCut)
+    // replaying an append token overwrites its dir; results unchanged
+    DedupOps.appendWindowStore(store2, "doc_id", "text", path, batchToken = "b2")
+    assert(spanSet(DedupOps.incrementalDuplicateSpans(probe, "doc_id", "text", path)) == full)
+  }
+
   test("winnowingPairs: finds containment that global-Jaccard minhash misses; stop fps cut") {
     import spark.implicits._
     val passage = (0 until 30).map(i => s"p$i").mkString(" ")
