@@ -356,6 +356,49 @@ object ScaleSmoke {
       require(r.getLong(0) == expected,
         s"expected $expected total pieces, got ${r.getLong(0)}")
     }
+    time("substring store: 2M-doc build + 100k-doc probe") {
+      // store corpus: globally-unique tokens except a fixed 16-token
+      // passage planted in every 10th doc (the batch smoke's fixture);
+      // probe: 100k fresh unique-token docs, the first 1000 carrying the
+      // SAME passage — each must find span [20, 36) purely via STORE hits
+      // (no probe-internal duplication), and the cut must remove exactly
+      // those 16 tokens per planted doc (canonical lives in the store)
+      val nd = 2000000L
+      def corpus(ids: org.apache.spark.sql.Dataset[java.lang.Long], tok: String,
+          plantEvery: Long): org.apache.spark.sql.DataFrame =
+        ids.select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(59)), i =>
+            when(col("id") % plantEvery === 0 && i.between(lit(20), lit(35)),
+              concat(lit("p"), i.cast("string")))
+              .otherwise(concat(lit(tok), col("id").cast("string"),
+                lit("_"), i.cast("string"))))).as("text"))
+      operators.DedupOps.buildWindowStore(
+        corpus(spark.range(nd), "t", 10), "doc_id", "text", s"$root/wstore")
+      val probeIds = spark.range(50000000L, 50000000L + 100000L)
+      // first 1000 probe ids planted (plantEvery=1 ≡ always), the rest
+      // unplanted (no probe id is ≡ 0 mod 1e8, so nothing matches)
+      val probe = corpus(probeIds.where(col("id") < 50001000L), "u", 1)
+        .unionByName(
+          corpus(probeIds.where(col("id") >= 50001000L), "u", 100000000L))
+      val t1 = System.nanoTime()
+      val spans = operators.DedupOps.incrementalDuplicateSpans(
+        probe, "doc_id", "text", s"$root/wstore")
+      val r = spans.agg(count(lit(1)),
+        sum(when(col("span_from") === 20L && col("span_to") === 36L, 1L)
+          .otherwise(0L))).head()
+      require(r.getLong(0) == 1000L && r.getLong(1) == 1000L,
+        s"exactly the 1000 planted probe docs must span [20,36), " +
+          s"got ${r.getLong(1)} of ${r.getLong(0)} spans")
+      println(f"[scale]   probe spans (store hits only)      ${(System.nanoTime() - t1) / 1e9}%8.2f s")
+      CacheScope.release()
+      val t2 = System.nanoTime()
+      val tok = operators.DedupOps.incrementalDropDuplicateSpans(
+          probe, "doc_id", "text", s"$root/wstore")
+        .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+      require(tok == 100000L * 60L - 1000L * 16L,
+        s"planted probe docs must lose exactly their 16 passage tokens, total $tok")
+      println(f"[scale]   probe cut                          ${(System.nanoTime() - t2) / 1e9}%8.2f s")
+    }
     time("winnowing pairs: 1M docs + 2k planted passage quotes") {
       // 1M globally-unique-token docs plus 2k "quoters", each embedding
       // the first 30 tokens of its victim doc after 20 of its own — the
