@@ -266,6 +266,13 @@ object TextOps {
   def dsirLogRatio(docs: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 4096): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // the count tables are broadcast BY CONSTRUCTION (≤ buckets rows);
+    // a corpus-cardinality bucket count would OOM the driver instead of
+    // hashing — fail loudly (the paper's feature space is 10k buckets)
+    require(buckets <= (1 << 24),
+      s"buckets = $buckets: the per-bucket count tables broadcast, so the " +
+        "bucket space must stay driver-sized (<= 2^24); hashed-n-gram " +
+        "features do not need more (DSIR uses 10k)")
     DedupOps.ensureHashRegistered(docs)
     def featRows(df: DataFrame, extra: Seq[Column]): DataFrame = {
       val tks = tokens(coalesce(col(textCol), lit("")))
