@@ -193,8 +193,25 @@ object StreamingOps {
     */
   def indexAvailableNow(stream: DataFrame, idCol: String, textCol: String,
       path: String, checkpoint: String): StreamingQuery =
+    indexStream(stream, idCol, textCol, path, checkpoint,
+      Trigger.AvailableNow())
+
+  /** [[indexAvailableNow]] as a LIVE TAIL (ProcessingTime trigger): the
+    * index keeps absorbing new crawl files as they land; compact
+    * periodically ([[graft.operators.SearchOps.compactPostingsIndex]])
+    * when the batch-dir count grows. Per-batch scoped cache release keeps
+    * an indefinite tail safe, as in the dedup/curation tails.
+    */
+  def indexProcessingTime(stream: DataFrame, idCol: String, textCol: String,
+      path: String, checkpoint: String,
+      interval: String = "1 second"): StreamingQuery =
+    indexStream(stream, idCol, textCol, path, checkpoint,
+      Trigger.ProcessingTime(interval))
+
+  private def indexStream(stream: DataFrame, idCol: String, textCol: String,
+      path: String, checkpoint: String, trigger: Trigger): StreamingQuery =
     stream.writeStream
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty) {

@@ -274,6 +274,36 @@ class StreamingSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("live-tail postings index: file lands mid-query, probe == direct scorer") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("livetail_pix")
+    val d = Tables.documents(spark, dir)
+    val src = s"$root/src"
+    d.where(col("doc_id") < 200).repartition(1).write.mode("append").parquet(src)
+    d.where(col("doc_id") >= 200 && col("doc_id") < 400)
+      .repartition(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = graft.streaming.StreamingOps.pacedFileSource(
+      spark, src, schema, maxFilesPerTrigger = 1)
+    val baseline = graft.CacheScope.trackedCount
+    val q = graft.streaming.StreamingOps.indexProcessingTime(
+      stream, "doc_id", "text", s"$root/pix", s"$root/ckpt")
+    q.processAllAvailable()
+    // a new crawl file lands while the query keeps running
+    d.where(col("doc_id") >= 400).repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    assert(graft.CacheScope.trackedCount == baseline)
+    val terms = Seq("dup", "spark", "query")
+    val streamed = graft.operators.SearchOps.keywordTopKIndexed(
+        spark, s"$root/pix", terms, 20, idCol = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val direct = graft.operators.TextOps.keywordTopK(d, "doc_id", "text", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(streamed == direct)
+    graft.CacheScope.release()
+  }
+
   test("streaming curation == batch curation on the streamed split") {
     import org.apache.spark.sql.functions._
     val keptDir = Fixtures.curateStreamMbPath(spark, dir)
