@@ -337,6 +337,14 @@ object SparkEntry {
     "text_winnow" -> ((s, dir) =>
       operators.TextOps.winnowingFingerprints(Tables.documents(s, dir), "doc_id", "text")),
 
+    // embedding-free pairwise similarity (Elsayed 2008): integer tf-idf
+    // vectors, per-term postings join, cosine >= 4/5 in exact-int doubles;
+    // stop terms (df > 30) cut — on this corpus only the rare marker word
+    // survives as a live term (everything else has idf_bits = 0 anyway)
+    "sim_tfidf_pairs" -> ((s, dir) =>
+      operators.TextOps.tfidfCosinePairs(Tables.documents(s, dir),
+        "doc_id", "text", maxDocFreq = 30)),
+
     // MOSS-style local-fingerprint pairs: docs sharing >= 2 winnowing
     // fingerprints (catches partial overlap/containment that whole-doc
     // Jaccard misses); fingerprints in > 20 docs are stop fingerprints
@@ -1119,6 +1127,32 @@ object SparkEntry {
          SELECT DISTINCT doc_id AS id, CAST(-win.np AS BIGINT) AS pos,
            win.hh AS fingerprint
          FROM sel WHERE cnt = 5 ORDER BY id, pos""",
+
+    // same quantized idf as the search gates; live terms df <= 20 AND
+    // idf > 0; threshold compare mirrors the Spark-side exact-int doubles
+    "sim_tfidf_pairs" ->
+      """WITH tok AS (SELECT doc_id,
+                        unnest(string_split(lower(coalesce(text, '')), ' ')) t
+                      FROM documents),
+         tf AS (SELECT doc_id, t, count(*) tf FROM tok GROUP BY 1, 2),
+         dft AS (SELECT t, count(*) df,
+                   length(bin((SELECT count(*) FROM documents)))
+                     - length(bin(count(*))) idf
+                 FROM tf GROUP BY t),
+         live AS (SELECT t, idf FROM dft WHERE df <= 30 AND idf > 0),
+         w AS (SELECT tf.t, tf.doc_id, tf.tf * live.idf AS w
+               FROM tf JOIN live ON tf.t = live.t),
+         nrm AS (SELECT doc_id, sum(w * w) n2 FROM w GROUP BY doc_id),
+         d AS (SELECT a.doc_id ia, b.doc_id ib, sum(a.w * b.w) dot
+               FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT ia AS id_a, ib AS id_b, CAST(dot AS BIGINT) dot,
+           CAST(na.n2 AS BIGINT) norm2_a, CAST(nb.n2 AS BIGINT) norm2_b
+         FROM d JOIN nrm na ON d.ia = na.doc_id
+                JOIN nrm nb ON d.ib = nb.doc_id
+         WHERE CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) * 25.0
+           >= 16.0 * CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)
+         ORDER BY id_a, id_b""",
 
     // same winnowing construction as text_winnow, then: distinct (doc, fp),
     // stop-fingerprint cut at doc-freq 20, per-fp self-join pair counts,

@@ -355,6 +355,76 @@ object TextOps {
       .select(col(idCol), col("score"), col("n_terms"))
   }
 
+  /** Observed-metrics name for [[tfidfCosinePairs]]' stop-term accounting:
+    * (stop_terms, zero_idf_terms).
+    */
+  val TfidfStopMetrics = "graft_tfidf_stop"
+
+  /** Pairwise document similarity over integer tf-idf vectors (Elsayed/
+    * Lin/Oard 2008, "Pairwise Document Similarity in Large Collections
+    * with MapReduce" — the per-term postings-join construction): each doc
+    * is the sparse vector w(t, d) = tf(t, d) × idf_bits(t) (the same
+    * quantized idf as [[keywordTopK]]), and docs sharing >= 1 LIVE term
+    * pair up with dot = Σ_t w(t,a)·w(t,b), one partial product per shared
+    * term. The embedding-free member of the similarity family: no vectors
+    * needed, catches topical near-dups the shingle paths miss (same
+    * vocabulary, different word order).
+    *
+    * Output: (id_a, id_b, dot, norm2_a, norm2_b) for pairs with
+    * cosine >= minCosNum/minCosDen, i.e. dot²·den² >= num²·n2a·n2b —
+    * compared in doubles of exact integers: bit-exact in any engine while
+    * the products stay under 2^53 (num²·norm2² bounds it; norm2 <=
+    * |doc|·w_max²).
+    *
+    * Terms are LIVE when doc_freq <= `maxDocFreq` AND idf_bits > 0. Stop
+    * terms both explode the per-term self-join (C(df, 2) pairs) and weigh
+    * nothing — bitlen(N) - bitlen(df) = 0 for any term in more than half
+    * the corpus — so the cut cannot lose a pair the scoring would keep;
+    * it is still REPORTED via [[TfidfStopMetrics]]. Within the cap each
+    * term fans out <= C(maxDocFreq, 2) partial products.
+    *
+    * Scale: tf partial-aggregates on (id, term); doc frequency, the live
+    * cut and the self-join all key on the term — the Zipf head is exactly
+    * what the stop cut removes, so live postings lists are short and the
+    * join is shuffle-bounded. The weight frame feeds three consumers
+    * (norms + both join sides) and is persisted (live doc-term pairs ≪
+    * token stream).
+    */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      minCosNum: Int = 4, minCosDen: Int = 5,
+      maxDocFreq: Int = 1000): DataFrame = {
+    require(minCosDen > 0 && minCosNum >= 0 && minCosNum <= minCosDen,
+      "cosine threshold must be a fraction in [0, 1]")
+    require(maxDocFreq >= 2, "maxDocFreq must be >= 2 (pairs need two docs)")
+    val n = docs.count()
+    def bitlen(x: Column): Column = length(bin(x))
+    val tf = docs.select(col(idCol).as("id"),
+        explode(tokens(coalesce(col(textCol), lit("")))).as("t"))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .withColumn("idf", (bitlen(lit(n)) - bitlen(col("df"))).cast("long"))
+      .observe(TfidfStopMetrics,
+        sum(when(col("df") > maxDocFreq, 1L).otherwise(0L)).as("stop_terms"),
+        sum(when(col("idf") <= 0, 1L).otherwise(0L)).as("zero_idf_terms"))
+    val live = dfT.where(col("df") <= maxDocFreq && col("idf") > 0)
+    val w = graft.CacheScope.persist(
+      tf.join(live.select(col("t"), col("idf")), Seq("t"))
+        .select(col("t"), col("id"), (col("tf") * col("idf")).as("w")))
+    val norms = w.groupBy(col("id")).agg(sum(col("w") * col("w")).as("norm2"))
+    val den2 = (minCosDen.toLong * minCosDen).toDouble
+    val num2 = (minCosNum.toLong * minCosNum).toDouble
+    w.as("a").join(w.as("b"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      .join(norms.select(col("id").as("id_a"), col("norm2").as("norm2_a")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("norm2").as("norm2_b")), Seq("id_b"))
+      .where(col("dot").cast("double") * col("dot").cast("double") * lit(den2) >=
+        lit(num2) * col("norm2_a").cast("double") * col("norm2_b").cast("double"))
+      .select(col("id_a"), col("id_b"), col("dot"),
+        col("norm2_a"), col("norm2_b"))
+  }
+
   def langId(text: Column): Column = {
     val tks = tokens(text)
     val scored = LangMarkers.map { case (lang, markers) =>

@@ -237,6 +237,43 @@ class PropertySpec extends SparkTestBase {
       }
   }
 
+  test("property: tfidfCosinePairs matches a driver-side brute-force recount") {
+    import spark.implicits._
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val (num, den, maxDf) = (1, 2, 30)
+    (1 to 4).flatMap(i => corpusGen.apply(Gen.Parameters.default, Seed(500L + i)))
+      .foreach { rows =>
+        val n = rows.size.toLong
+        val tf = rows.flatMap { case (id, t) =>
+          t.split(" ").groupBy(identity).map { case (w, o) => ((id, w), o.length.toLong) }
+        }.toMap
+        val dfT = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val idf = dfT.view.mapValues(d => (bitlen(n) - bitlen(d)).toLong).toMap
+        val live = dfT.filter { case (t, d) => d <= maxDf && idf(t) > 0 }.keySet
+        val w = tf.collect { case ((id, t), c) if live(t) => ((id, t), c * idf(t)) }
+        val norms = w.groupBy(_._1._1).view.mapValues(_.values.map(x => x * x).sum).toMap
+        // over a Seq, not the Map: a for-yield over a Map collapses
+        // duplicate (ia, ib) keys and would drop shared-term products
+        val ws = w.toSeq
+        val dots = (for {
+          ((ia, ta), wa) <- ws; ((ib, tb), wb) <- ws
+          if ta == tb && ia < ib
+        } yield ((ia, ib), wa * wb))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        val expected = dots.collect { case ((a, b), dot)
+            if dot.toDouble * dot * (den.toLong * den) >=
+              (num.toLong * num).toDouble * norms(a) * norms(b) =>
+          (a, b, dot, norms(a), norms(b))
+        }.toSet
+        val got = graft.operators.TextOps.tfidfCosinePairs(
+            rows.toDF("doc_id", "text"), "doc_id", "text", num, den, maxDf)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+        assert(got == expected)
+        graft.CacheScope.release()
+      }
+  }
+
   test("property: curationReport outcomes always partition the corpus") {
     import spark.implicits._
     (1 to 4).flatMap(i => corpusGen.apply(Gen.Parameters.default, Seed(300L + i)))
