@@ -101,11 +101,19 @@ object Fixtures {
   def eventStream(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
     GraftSession.tune(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(sfDir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    // same schema dispatch as [[Tables.events]]: ts has shipped as both
+    // epoch-nanos LONG and timestamp[us] across driver testdata rounds
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+    }
   }
 
   /** Ensure events/stream_click exists in the fixture store, ingested through

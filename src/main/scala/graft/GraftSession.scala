@@ -75,14 +75,25 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
-  /** `events` with `ts` converted from epoch-nanos long to a microsecond
-    * TimestampType column `ts` (truncated, matching DuckDB's parquet read of
-    * TIMESTAMP(NANOS)) — plus the raw nanos kept as `ts_ns`.
+  /** `events` with `ts` normalized to a microsecond session-tz
+    * TimestampType column plus raw epoch-nanos kept as `ts_ns`. The
+    * driver's testdata has shipped `ts` two ways across rounds — epoch-
+    * nanos int64 (TIMESTAMP(NANOS) physical, which Spark surfaces as
+    * LONG) and timestamp[us] (surfaced as TIMESTAMP_NTZ) — so the
+    * loader dispatches on the read schema instead of assuming either;
+    * DuckDB reads both as its microsecond TIMESTAMP, so the oracle side
+    * is unchanged. The UTC-pinned session makes the NTZ→TimestampType
+    * cast value-preserving.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = read(s, d, "events")
-    raw
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+    }
   }
 }
