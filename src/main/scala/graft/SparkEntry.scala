@@ -553,6 +553,22 @@ object SparkEntry {
       operators.CurationOps.packStats(Tables.documents(s, dir),
         "doc_id", "text", chunkTokens = 512)),
 
+    // dynamic-batching alternative to packing: length-bucketed batches of
+    // 8 docs within (bucket, shard), with exact per-batch padding waste;
+    // docs past the 512-token cap drop like a trainer's max_seq_len
+    "pack_length_batches" -> ((s, dir) =>
+      operators.CurationOps.lengthBucketBatches(Tables.documents(s, dir),
+        "doc_id", "text", boundaries = Seq(32L, 64L, 128L, 256L, 512L),
+        batchDocs = 8, shards = 4)),
+
+    // per-group exact-quantile cut: keep each language's shortest 40% by
+    // n_chars — the rank-based form of "drop the worst X% per language"
+    "quality_quantile_keep" -> ((s, dir) =>
+      operators.CurationOps.quantileKeep(Tables.documents(s, dir),
+          "doc_id", "n_chars", "lang", 0.4)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("q_rank"), col("q_n"))),
+
     // materialized training sequences: the packed spans joined back to
     // tokens and concatenated per chunk (512 tokens each except the tail)
     "corpus_pack_text" -> ((s, dir) =>
@@ -620,6 +636,13 @@ object SparkEntry {
         "doc_id", "text", "lang",
         Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), totalTokens = 10000L)),
 
+    // deterministic train/val/test assignment: disjoint + total by
+    // construction from the id-hash slot (80/10/10)
+    "sample_split" -> ((s, dir) =>
+      operators.SampleOps.splitAssign(Tables.documents(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("split"))),
+
     // connected components: dedup pairs -> duplicate clusters (min-id
     // label) via alternating large-star/small-star contraction. Edges are
     // a deterministic fixture (7-blocks chained every 3rd block) so the
@@ -674,6 +697,15 @@ object SparkEntry {
         batchToken = "b1")
       operators.SimilarityOps.ivfTopKIndexed(s,
         emb.where(col("vec_id") < 10), "vec_id", "embedding", path, 10)
+    }),
+
+    // SQ8 two-stage ANN: int8-quantized candidate scan (40 candidates),
+    // exact fixed-point rescore to top 10 — candidate codes and scores
+    // are engine-exact integers, so the oracle replays both stages
+    "ann_sq8_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.SimilarityOps.sq8TopK(emb,
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", 10)
     }),
 
     // embedding near-duplicate pairs (quantized-exact cosine >= 0.4)
@@ -1689,6 +1721,42 @@ object SparkEntry {
 
     // aggregate of the corpus_pack span set; last_chunk_tokens falls out
     // of totals (all non-tail chunks hold exactly 512 by construction)
+    // length-bucketed batches: bucket = first boundary the whitespace
+    // token count fits under (cap 512 drops longer docs), shard = id-hash
+    // slot mod 4, batches of 8 in (tokens, id) order within (bucket, shard)
+    "pack_length_batches" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(string_split(lower(coalesce(text, '')), ' ')) AS BIGINT) n,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 4 AS shard
+           FROM documents),
+         b AS (SELECT doc_id, n, shard,
+                 CASE WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+                      WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+                      WHEN n <= 512 THEN 512 END AS bucket
+               FROM t),
+         r AS (SELECT *, row_number() OVER (PARTITION BY bucket, shard
+                 ORDER BY n, doc_id) rn
+               FROM b WHERE bucket IS NOT NULL)
+         SELECT CAST(bucket AS BIGINT) AS bucket, shard,
+           CAST((rn - 1) // 8 AS BIGINT) AS batch,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           max(n) AS max_tokens, CAST(sum(n) AS BIGINT) AS sum_tokens,
+           CAST(count(*) * max(n) - sum(n) AS BIGINT) AS pad_tokens
+         FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    // exact per-language quantile cut in ppm-integer arithmetic:
+    // rank <= ceil(n * 0.4) == (n * 400000 + 999999) // 1000000
+    "quality_quantile_keep" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY n_chars, doc_id) AS BIGINT) q_rank,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) q_n
+           FROM documents)
+         SELECT doc_id, lang, n_chars, q_rank, q_n FROM r
+         WHERE q_rank <= (q_n * 400000 + 999999) // 1000000
+         ORDER BY doc_id""",
+
     "corpus_pack_stats" ->
       """WITH t AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n
                     FROM documents),
@@ -1847,6 +1915,18 @@ object SparkEntry {
                       WHEN 'fr' THEN 2000 ELSE 0 END
          ORDER BY doc_id""",
 
+    // same slot hash; cumulative ppm thresholds 800000/900000, last split
+    // absorbs the remainder
+    "sample_split" ->
+      """SELECT doc_id, lang,
+           CASE WHEN slot < 800000 THEN 'train'
+                WHEN slot < 900000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id, lang,
+                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 1000000 AS slot
+               FROM documents)
+         ORDER BY doc_id""",
+
     "sample_mixture_report" ->
       """WITH t AS (SELECT doc_id, lang, len(string_split(lower(text), ' ')) n,
              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
@@ -1902,6 +1982,38 @@ object SparkEntry {
           scored AS (SELECT qid query_id, nid neighbor_id,
               CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) cosine
             FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = nid)
+          SELECT query_id, neighbor_id, rank, cosine FROM
+            (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) rank FROM scored)
+          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // SQ8 replay: int8 codes q = ((x+gmax)*127)//gmax - 127 over the
+    // fixed-point ints (shift keeps the dividend non-negative, where floor
+    // and truncation agree), integer candidate scores, 40 candidates per
+    // query by (score DESC, id), exact-cosine rescore to top 10
+    "ann_sq8_topk" ->
+      s"""WITH $embFlat,
+          g AS (SELECT max(abs(x)) gm FROM flat),
+          q8 AS (SELECT vec_id, i,
+                   CASE WHEN gm = 0 THEN 0
+                        ELSE ((x + gm) * 127) // gm - 127 END AS q
+                 FROM flat, g),
+          qq AS (SELECT * FROM q8 WHERE vec_id < 10),
+          s8 AS (SELECT qq.vec_id qid, c.vec_id nid, sum(qq.q * c.q) sc
+                 FROM qq JOIN q8 c ON qq.i = c.i AND qq.vec_id != c.vec_id
+                 GROUP BY 1, 2),
+          cand AS (SELECT qid, nid FROM
+                     (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY sc DESC, nid) r FROM s8)
+                   WHERE r <= 40),
+          dots AS (SELECT qid, nid, sum(fq.x * fc.x) dot
+                   FROM cand JOIN flat fq ON fq.vec_id = qid
+                   JOIN flat fc ON fc.vec_id = nid AND fq.i = fc.i
+                   GROUP BY 1, 2),
+          scored AS (SELECT qid query_id, nid neighbor_id,
+              CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) cosine
+            FROM dots JOIN norms nq ON nq.vec_id = qid
+            JOIN norms nc ON nc.vec_id = nid)
           SELECT query_id, neighbor_id, rank, cosine FROM
             (SELECT *, row_number() OVER (PARTITION BY query_id
                ORDER BY cosine DESC, neighbor_id) rank FROM scored)

@@ -470,4 +470,93 @@ object CurationOps {
       .sortWithinPartitions(col("shard"), slot, col("chunk_id"))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
   }
+
+  /** Per-group exact-quantile keep — "drop the worst X% per language",
+    * the CCNet head/middle/tail cut and the standard way perplexity or
+    * quality scores become a filter. Keeps each group's `frac` lowest
+    * rows by `scoreCol` (ascending; negate the score to keep the top),
+    * ties broken by id so the kept SET is engine/partitioning/rerun-
+    * independent — an approx-percentile threshold is not (two runs
+    * disagree at the boundary), which is why this is rank-based.
+    * Adds `q_rank` (1-based within group) and `q_n` (group size);
+    * keeps rank <= ceil(n · frac) computed in ppm-integer arithmetic
+    * (`frac` floored to parts-per-million, like every rate in
+    * [[SampleOps]]) — fp `ceil(n * frac)` is a landmine (500 · 0.4
+    * rounds to 200.0000…03, ceil 201), integers are not. A non-empty
+    * group always keeps at least one row; frac=1 keeps all.
+    *
+    * Scale shape: ONE shuffle on the group key; rank + count share the
+    * same window partitioning. A group sorts through one partition —
+    * for huge groups under a small frac, pre-cut with a cheap loose
+    * threshold (e.g. score below the group's approx p(frac·1.2)
+    * percentile) and rank the survivors; the kept set is unchanged as
+    * long as the pre-cut retains every row the exact rank admits.
+    */
+  def quantileKeep(df: DataFrame, idCol: String, scoreCol: String,
+      groupCol: String, frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
+    val ppm = math.floor(frac * SampleOps.Ppm).toLong
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol), col(idCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    df.withColumn("q_rank", row_number().over(w).cast("bigint"))
+      .withColumn("q_n", count(lit(1)).over(wAll))
+      .where(col("q_rank") <=
+        expr(s"(q_n * ${ppm}L + ${SampleOps.Ppm - 1}L) DIV ${SampleOps.Ppm}L"))
+  }
+
+  /** Length-bucketed batch assembly with padding accounting — the
+    * "dynamic batching" a trainer uses when sequences are NOT packed:
+    * group docs of similar token length so each batch pads to its own
+    * max, not the corpus max. Docs are bucketed by the first boundary
+    * their token count fits under (the last boundary is a hard cap:
+    * longer docs are dropped, like a trainer's max_seq_len), then
+    * batches of `batchDocs` docs form within each (bucket, shard) in
+    * (tokens, id) order. Returns one row per batch:
+    * `(bucket, shard, batch, n_docs, max_tokens, sum_tokens,
+    * pad_tokens)` where `pad_tokens = n_docs·max_tokens − sum_tokens`
+    * is exactly the attention-wasted padding a trainer pays for the
+    * batch. All-integer columns — two engines agree cell-for-cell.
+    *
+    * Scale shape: batches form per (bucket, shard) — shard is an
+    * id-hash slot mod `shards` — so no single window ever sees more
+    * than ~docs/(buckets·shards) rows; size `shards` so that fits one
+    * executor's sort buffer. Sharding costs nothing statistically
+    * (each shard is a uniform subsample, so per-shard length
+    * distributions match) and buys full parallelism: the global-order
+    * alternative sorts the whole corpus through `buckets` partitions.
+    * One shuffle total.
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
+      boundaries: Seq[Long], batchDocs: Int, shards: Int = 1,
+      salt: String = "",
+      tokenCounter: Column => Column = TextOps.tokenCount): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+        boundaries.distinct == boundaries,
+      s"boundaries must be strictly increasing, got $boundaries")
+    require(batchDocs > 0 && shards > 0,
+      "batchDocs and shards must be positive")
+    DedupOps.ensureHashRegistered(df)
+    val n = tokenCounter(coalesce(col(textCol), lit(""))).cast("bigint")
+    // first boundary >= n wins; docs past the cap fall out via the null
+    val bucket = boundaries.reverse.foldLeft(lit(null).cast("bigint")) {
+      case (acc, b) => when(n <= lit(b), lit(b)).otherwise(acc)
+    }
+    val shard = pmod(DedupOps.baseHash(
+      concat(lit(salt), col(idCol).cast("string"))), lit(shards.toLong))
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("__n"), col(idCol))
+    df.select(col(idCol), n.as("__n"), bucket.as("bucket"),
+        shard.as("shard"))
+      .where(col("bucket").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      // true integer division (DIV), not fp floor — engine-exact at any rank
+      .withColumn("batch", expr(s"CAST((__rn - 1) DIV $batchDocs AS BIGINT)"))
+      .groupBy(col("bucket"), col("shard"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("__n")).as("max_tokens"),
+        sum(col("__n")).as("sum_tokens"))
+      .withColumn("pad_tokens",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+  }
 }

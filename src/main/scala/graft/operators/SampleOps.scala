@@ -188,4 +188,43 @@ object SampleOps {
         coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
   }
+
+  /** Deterministic train/val/test assignment: every row gets exactly one
+    * split label from its id-hash slot, so the partition is disjoint and
+    * total by construction — the invariant downstream decontamination and
+    * eval hygiene depend on (a doc must never drift between train and val
+    * across reruns or engines; cf. qafs's train/test dataset split role,
+    * /root/reference/src/qafs/api.py dataset retrieval).
+    *
+    * `fractions` is an ORDERED list of (name, fraction): slot thresholds
+    * are the cumulative ppm floors, and the LAST split absorbs the
+    * sub-ppm rounding remainder so no slot is unassigned. Fractions must
+    * be positive and sum to 1 within ppm resolution. Re-salting draws an
+    * independent partition (e.g. per-ablation splits).
+    *
+    * Scale shape: one map-side `CASE` over a handful of thresholds —
+    * no shuffle, no join, pushdown-friendly; composes with any
+    * downstream filter.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(fractions.nonEmpty, "splitAssign needs at least one split")
+    require(fractions.forall(_._2 > 0),
+      s"split fractions must be positive, got $fractions")
+    val total = fractions.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-6,
+      s"split fractions must sum to 1, got $total from $fractions")
+    DedupOps.ensureHashRegistered(df)
+    // cumulative ppm bounds; the last bound is pinned to Ppm so flooring
+    // never leaves a slot without a split
+    val bounds = fractions.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.floor(f * Ppm).toLong
+    }.tail.init :+ Ppm
+    val s = slot(col(idCol), salt)
+    val assigned = fractions.map(_._1).zip(bounds).reverse
+      .foldLeft(lit(null).cast("string")) { case (acc, (name, hi)) =>
+        when(s < lit(hi), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
 }

@@ -379,6 +379,66 @@ object SimilarityOps {
       .select(col(idCol), coalesce(col("__cc_component"), col(idCol)).as("component"))
   }
 
+  /** SQ8 two-stage ANN: scan a symmetric-int8-quantized corpus for
+    * candidates, then rerank only those exactly — the standard memory/IO
+    * trade for billion-vector search (4 bytes/dim float → 1 byte/dim,
+    * so the candidate scan moves 4× less data; FAISS's SQ8 flat index is
+    * this exact shape). Quantization uses ONE per-corpus scale (the max
+    * absolute fixed-point coordinate, a build-time constant):
+    * `q = ((x + gmax)·127) div gmax − 127 ∈ [−127, 127]` — the shift
+    * keeps the dividend non-negative, where floor and truncation agree,
+    * so any engine reproduces the codes bit-for-bit; candidate scores
+    * `Σ qa·qb` are then small exact integers (≤ 127²·dims) and the
+    * candidate SET is deterministic (score desc, id tiebreak). Stage 2
+    * rescores the `k·candFactor` survivors per query with the exact
+    * fixed-point cosine, restoring exact scores — only the RANKING
+    * beyond the candidate pool is approximate, and recall vs brute force
+    * is property-tested. Queries with coordinates beyond the corpus gmax
+    * quantize linearly past ±127 (no clamp) — benign, but keep queries
+    * on the corpus scale for the int8 intuition to hold.
+    *
+    * Scale shape: corpus scanned once map-side against broadcast
+    * quantized queries (identical to [[bruteForceTopK]] but on int8
+    * codes); rescore touches only candidates (broadcast-joined back to
+    * the full vectors). Deployment note: persist the q8 codes next to
+    * the corpus (cf. [[buildIvfIndex]]) so probes never touch the float
+    * vectors until rescore.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      candFactor: Int = 4): DataFrame = {
+    require(k > 0 && candFactor > 0, "k and candFactor must be positive")
+    ensureRegistered(corpus)
+    val c = graft.CacheScope.persist(
+      prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn"))
+    val q = graft.CacheScope.persist(
+      prep(queries, idCol, vecCol, "query_id", "qv", "qn"))
+    val gm = c.select(max(expr(
+      "aggregate(cv, 0L, (m, x) -> greatest(m, abs(CAST(x AS BIGINT))))"))
+      .as("__gm"))
+    def q8(v: String) = expr(
+      s"""transform($v, x -> CASE WHEN __gm = 0L THEN 0L
+         |  ELSE ((CAST(x AS BIGINT) + __gm) * 127L) DIV __gm - 127L
+         |END)""".stripMargin)
+    val c8 = c.crossJoin(broadcast(gm))
+      .select(col("neighbor_id"), q8("cv").as("c8"))
+    val q8q = q.crossJoin(broadcast(gm))
+      .select(col("query_id"), q8("qv").as("qq8"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("s8").desc, col("neighbor_id"))
+    val cands = c8.join(broadcast(q8q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotInt(col("qq8"), col("c8")).as("s8"))
+      .withColumn("__r", row_number().over(wc))
+      .where(col("__r") <= k * candFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = c.join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        cosPre(col("qv"), col("cv"), col("qn"), col("cn")))
+    topKPerQuery(rescored, k)
+  }
+
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

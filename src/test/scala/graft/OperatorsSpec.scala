@@ -1182,4 +1182,102 @@ class OperatorsSpec extends SparkTestBase {
     val top1 = TextOps.tokenHistogram(fixture, "id", "text", 1).collect()
     assert(top1.head.getString(0) == "a")
   }
+
+  test("splitAssign: disjoint total partition, fraction-accurate, salt-independent draws") {
+    val n = docs.count()
+    val split = SampleOps.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // total: every row labeled, none dropped
+    assert(split.count() == n && split.where(col("split").isNull).count() == 0)
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // hash-uniformity: each share within a loose binomial band
+    assert(math.abs(counts("train").toDouble / n - 0.8) < 0.1)
+    // deterministic: rerun yields the identical assignment
+    val again = SampleOps.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.select("doc_id", "split").except(
+      again.select("doc_id", "split")).count() == 0)
+    // a different salt draws a different partition (overwhelmingly)
+    val salted = SampleOps.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s2")
+    assert(split.select("doc_id", "split").except(
+      salted.select("doc_id", "split")).count() > 0)
+    // bad fractions fail loudly
+    intercept[IllegalArgumentException] {
+      SampleOps.splitAssign(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
+  test("quantileKeep: exact per-group rank cut, ppm-integer threshold, frac=1 keeps all") {
+    import spark.implicits._
+    // 10 docs in one group with distinct scores 1..10
+    val fixture = (1L to 10L).map(i => (i, i * 10L, "g")).toDF("id", "score", "grp")
+    val kept = CurationOps.quantileKeep(fixture, "id", "score", "grp", 0.4)
+      .select("id").as[Long].collect().toSet
+    // ceil(10 * 0.4) = 4 — and NOT 5, the fp-ceil landmine
+    assert(kept == Set(1L, 2L, 3L, 4L), s"got $kept")
+    // ties broken by id: equal scores keep the smallest ids
+    val tied = (1L to 10L).map(i => (i, 7L, "g")).toDF("id", "score", "grp")
+    val keptTied = CurationOps.quantileKeep(tied, "id", "score", "grp", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(keptTied == Set(1L, 2L, 3L))
+    // frac=1 keeps everything; groups are independent
+    val two = ((1L to 4L).map(i => (i, i, "a")) ++ (5L to 7L).map(i => (i, i, "b")))
+      .toDF("id", "score", "grp")
+    assert(CurationOps.quantileKeep(two, "id", "score", "grp", 1.0).count() == 7)
+    val perGroup = CurationOps.quantileKeep(two, "id", "score", "grp", 0.5)
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ceil(4*0.5)=2, ceil(3*0.5)=2
+    assert(perGroup == Map("a" -> 2L, "b" -> 2L))
+  }
+
+  test("lengthBucketBatches: caps respected, padding arithmetic exact, over-cap docs dropped") {
+    import spark.implicits._
+    // tokens: 3,3,3,3,3 in bucket 4; 10 in bucket 16; 100 over the cap
+    val fixture = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b c"), (4L, "a b c"), (5L, "a b c"),
+      (6L, Seq.fill(10)("t").mkString(" ")),
+      (7L, Seq.fill(100)("t").mkString(" "))).toDF("id", "text")
+    val batches = CurationOps.lengthBucketBatches(fixture, "id", "text",
+      boundaries = Seq(4L, 16L), batchDocs = 2, shards = 1)
+    val rows = batches.collect().map(r => (r.getLong(0), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // doc 7 (100 tokens) dropped; 5 docs in bucket 4 -> batches of 2,2,1
+    assert(rows.map(_._3).sum == 6, s"got $rows")
+    assert(rows.forall { case (_, _, nd, mx, sm, pad) =>
+      nd <= 2 && pad == nd * mx - sm && pad >= 0 })
+    val b4 = rows.filter(_._1 == 4L).sortBy(_._2)
+    assert(b4.map(_._3).toSeq == Seq(2L, 2L, 1L))
+    // all bucket-4 docs are 3 tokens -> zero padding; singleton batch too
+    assert(b4.forall(_._6 == 0L))
+    // sharding partitions the batch space, never loses docs
+    val sharded = CurationOps.lengthBucketBatches(fixture, "id", "text",
+      boundaries = Seq(4L, 16L), batchDocs = 2, shards = 4)
+    assert(sharded.agg(sum("n_docs")).head.getLong(0) == 6)
+    intercept[IllegalArgumentException] {
+      CurationOps.lengthBucketBatches(fixture, "id", "text", Seq(16L, 4L), 2)
+    }
+  }
+
+  test("sq8TopK: exact-rescored candidates reach high recall vs brute force") {
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = SimilarityOps.sq8TopK(emb, queries, "vec_id", "embedding", 10,
+      candFactor = 8)
+    val got = sq8.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // shape: k dense ranks per query, self excluded, cosines in range
+    val full = sq8.collect()
+    assert(full.length == 100)
+    assert(full.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(full.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-12))
+    // recall: int8 candidates + exact rescore recover nearly all true top-10
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"sq8 recall $recall below 0.9")
+    graft.CacheScope.release()
+  }
 }
