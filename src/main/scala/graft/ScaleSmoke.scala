@@ -543,6 +543,72 @@ object ScaleSmoke {
       require(kept >= nv - planted - 5 && kept <= nv - planted,
         s"expected ~${nv - planted} kept (band ±5) after collapsing $planted planted 2-clusters, got $kept")
     }
+    time("SQ8 index: 1M-vector build + 100-query probe vs brute force") {
+      // same 64-dim synthetic family as the RH-LSH entry (no plants —
+      // recall here is vs the exact brute-force answer, not a construction)
+      val nv = 1000000L
+      val dims = (0 until 64).map { i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(2001)) - lit(1000))
+          .cast("double") / lit(1000.0)
+      }
+      val vecs = spark.range(nv).select(col("id").as("vec_id"),
+        array(dims: _*).as("embedding"))
+      val queries = vecs.where(col("vec_id") < 100)
+      val path = s"$root/sq8_smoke"
+      val t0 = System.nanoTime()
+      operators.SimilarityOps.buildSq8Index(vecs, "vec_id", "embedding", path)
+      println(f"[scale]   sq8 build 1M x 64d               ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val t1 = System.nanoTime()
+      val got = operators.SimilarityOps.sq8TopKIndexed(vecs, queries,
+        "vec_id", "embedding", path, 10, candFactor = 8)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"[scale]   sq8 probe (40 cands/query)        ${(System.nanoTime() - t1) / 1e9}%8.2f s")
+      CacheScope.release()
+      val exact = operators.SimilarityOps.bruteForceTopK(vecs, queries,
+        "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & got).size.toDouble / exact.size
+      println(f"[scale]   sq8 recall vs brute force         $recall%8.4f")
+      require(recall >= 0.85,
+        s"sq8 recall $recall at 1M vectors below 0.85 — candidate pool too tight")
+    }
+    time("length-bucketed batches over 5M variable-length docs") {
+      val nd = 5000000L
+      // token counts 1..512, exact independently-computable total
+      val lens = spark.range(nd).select(col("id"),
+        (pmod(xxhash64(col("id")), lit(512)) + 1).as("len"))
+      val docs = lens.select(col("id"),
+        concat_ws(" ", transform(sequence(lit(1), col("len")), _ => lit("t")))
+          .as("text"))
+      val batches = operators.CurationOps.lengthBucketBatches(docs, "id",
+        "text", boundaries = Seq(64L, 128L, 256L, 512L), batchDocs = 16,
+        shards = 64)
+      val agg = batches.agg(
+        sum("n_docs").as("docs"), sum("sum_tokens").as("toks"),
+        max("n_docs").as("mx"), sum("pad_tokens").as("pad")).head()
+      val expectTokens = lens.agg(sum("len")).head().getLong(0)
+      require(agg.getLong(0) == nd && agg.getLong(1) == expectTokens,
+        s"batching must partition all docs/tokens exactly, got $agg")
+      require(agg.getLong(2) <= 16, "no batch may exceed batchDocs")
+      println(f"[scale]   pad fraction                      ${agg.getLong(3).toDouble / expectTokens}%8.4f")
+    }
+    time("quantileKeepLarge == exact cut over 5M scored rows") {
+      val nr = 5000000L
+      val scored = spark.range(nr).select(col("id"),
+        pmod(xxhash64(col("id"), lit(7)), lit(1000000)).as("score"),
+        pmod(col("id"), lit(5)).cast("string").as("grp"))
+      val large = operators.CurationOps.quantileKeepLarge(
+        scored, "id", "score", "grp", 0.2).select("id")
+      val exact = operators.CurationOps.quantileKeep(
+        scored, "id", "score", "grp", 0.2).select("id")
+      // set equality, not just count equality: same size AND no difference
+      val exactKept = exact.count()
+      require(large.count() == exactKept &&
+          large.except(exact).count() == 0,
+        s"pre-cut path diverged from the exact cut at scale ($exactKept exact)")
+    }
     hfs.delete(p, true)
     spark.stop()
   }

@@ -569,6 +569,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           col("q_rank"), col("q_n"))),
 
+    // the scale path: approx-threshold pre-cut + exact rank among the
+    // survivors, containment checked — same answer, same oracle
+    "quality_quantile_keep_large" -> ((s, dir) =>
+      operators.CurationOps.quantileKeepLarge(Tables.documents(s, dir),
+          "doc_id", "n_chars", "lang", 0.4)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("q_rank"), col("q_n"))),
+
     // materialized training sequences: the packed spans joined back to
     // tokens and concatenated per chunk (512 tokens each except the tail)
     "corpus_pack_text" -> ((s, dir) =>
@@ -706,6 +714,17 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       operators.SimilarityOps.sq8TopK(emb,
         emb.where(col("vec_id") < 10), "vec_id", "embedding", 10)
+    }),
+
+    // same SQ8 search through a PERSISTED code index (build once, probe
+    // many; rescore touches only candidate rows of the source corpus) —
+    // results, and the oracle, are identical to ann_sq8_topk
+    "ann_sq8_persisted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = s"${Fixtures.tmpRoot}/sq8_gate_index"
+      operators.SimilarityOps.buildSq8Index(emb, "vec_id", "embedding", path)
+      operators.SimilarityOps.sq8TopKIndexed(emb,
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", path, 10)
     }),
 
     // embedding near-duplicate pairs (quantized-exact cosine >= 0.4)
@@ -901,6 +920,12 @@ object SparkEntry {
     // the persisted-index probe computes the same answer as the in-memory
     // IVF search — one oracle, two execution paths
     ("ann_ivf_persisted" -> oracleSqlBase("ann_ivf_topk")) +
+    // the persisted SQ8 probe computes the same answer as the in-memory
+    // two-stage search — one oracle, two execution paths
+    ("ann_sq8_persisted" -> oracleSqlBase("ann_sq8_topk")) +
+    // the pre-cut scale path keeps the exact cut's answer by construction
+    // (containment checked at run time) — one oracle, two execution paths
+    ("quality_quantile_keep_large" -> oracleSqlBase("quality_quantile_keep")) +
     // micro-batched incremental dedup drains to the same pair set as the
     // one-shot probe — one oracle, two execution paths
     ("stream_dedup_incremental" -> oracleSqlBase("dedup_incremental"))

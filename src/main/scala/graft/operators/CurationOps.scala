@@ -505,6 +505,53 @@ object CurationOps {
         expr(s"(q_n * ${ppm}L + ${SampleOps.Ppm - 1}L) DIV ${SampleOps.Ppm}L"))
   }
 
+  /** The 100 TB shape of [[quantileKeep]] — same EXACT result, without
+    * sorting whole groups. Pass 1 computes per-group exact counts and an
+    * approximate loose score threshold at `min(1, frac·margin)` (one
+    * partial-aggregate pass, `approx_percentile`). Pass 2 ranks only the
+    * rows under the loose threshold — a `margin`-fraction of each group —
+    * against the FULL group size, so the cut is identical to the exact
+    * operator whenever the pre-cut retained every admissible row. That
+    * containment is CHECKED, not assumed: survivors form a (score, id)
+    * prefix of the group (the filter keeps all rows ≤ threshold), so
+    * "survivors ≥ ceil(n·frac)" per group is sufficient for exactness,
+    * and a group failing it (an adversarial score distribution beating
+    * the sketch) throws with the margin to raise rather than returning
+    * a silently-shifted quantile. Cost: two passes, one group-keyed
+    * shuffle of ~frac·margin of the corpus instead of all of it.
+    */
+  def quantileKeepLarge(df: DataFrame, idCol: String, scoreCol: String,
+      groupCol: String, frac: Double, margin: Double = 1.3,
+      sketchAccuracy: Int = 10000): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
+    require(margin > 1, s"margin must exceed 1, got $margin")
+    val ppm = math.floor(frac * SampleOps.Ppm).toLong
+    val loose = math.min(1.0, frac * margin)
+    val stats = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("q_n"),
+        percentile_approx(col(scoreCol), lit(loose), lit(sketchAccuracy))
+          .as("__loose"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol), col(idCol))
+    val ranked = graft.CacheScope.persist(
+      df.join(broadcast(stats), Seq(groupCol))
+        .where(col(scoreCol) <= col("__loose"))
+        .withColumn("q_rank", row_number().over(w).cast("bigint"))
+        .withColumn("__k", expr(
+          s"(q_n * ${ppm}L + ${SampleOps.Ppm - 1}L) DIV ${SampleOps.Ppm}L")))
+    val short = ranked.groupBy(col(groupCol))
+      .agg(max(col("q_rank")).as("__got"), max(col("__k")).as("__want"))
+      .where(col("__got") < col("__want"))
+      .limit(1).collect()
+    if (short.nonEmpty)
+      throw new IllegalStateException(
+        s"quantileKeepLarge: group '${short.head.get(0)}' pre-cut kept " +
+          s"${short.head.getLong(1)} of the ${short.head.getLong(2)} rows the " +
+          s"exact cut admits — raise margin above $margin (sketch missed the " +
+          "quantile) or fall back to quantileKeep")
+    ranked.where(col("q_rank") <= col("__k")).drop("__loose", "__k")
+  }
+
   /** Length-bucketed batch assembly with padding accounting — the
     * "dynamic batching" a trainer uses when sequences are NOT packed:
     * group docs of similar token length so each batch pads to its own

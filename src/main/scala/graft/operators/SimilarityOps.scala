@@ -413,30 +413,129 @@ object SimilarityOps {
       prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn"))
     val q = graft.CacheScope.persist(
       prep(queries, idCol, vecCol, "query_id", "qv", "qn"))
-    val gm = c.select(max(expr(
-      "aggregate(cv, 0L, (m, x) -> greatest(m, abs(CAST(x AS BIGINT))))"))
-      .as("__gm"))
-    def q8(v: String) = expr(
-      s"""transform($v, x -> CASE WHEN __gm = 0L THEN 0L
-         |  ELSE ((CAST(x AS BIGINT) + __gm) * 127L) DIV __gm - 127L
-         |END)""".stripMargin)
+    val gm = corpusGmax(c, "cv")
     val c8 = c.crossJoin(broadcast(gm))
-      .select(col("neighbor_id"), q8("cv").as("c8"))
-    val q8q = q.crossJoin(broadcast(gm))
-      .select(col("query_id"), q8("qv").as("qq8"))
+      .select(col("neighbor_id"), q8Expr("cv").as("c8"))
+    sq8Rescore(sq8Candidates(c8, sq8Queries(q, gm), k, candFactor), c, q, k)
+  }
+
+  /** One-row frame holding the per-corpus SQ8 scale `__gm` — the max
+    * absolute fixed-point coordinate (exact long aggregation).
+    */
+  private def corpusGmax(c: DataFrame, vCol: String): DataFrame =
+    c.select(max(expr(
+      s"aggregate($vCol, 0L, (m, x) -> greatest(m, abs(CAST(x AS BIGINT))))"))
+      .as("__gm"))
+
+  /** Engine-exact int8 codes for the vector column named `v`, given a
+    * `__gm` scale column in scope: `((x + gm)·127) div gm − 127` — the
+    * shift keeps the dividend non-negative, where floor == truncation.
+    */
+  private def q8Expr(v: String): Column = expr(
+    s"""transform($v, x -> CASE WHEN __gm = 0L THEN 0L
+       |  ELSE ((CAST(x AS BIGINT) + __gm) * 127L) DIV __gm - 127L
+       |END)""".stripMargin)
+
+  private def sq8Queries(q: DataFrame, gm: DataFrame): DataFrame =
+    q.crossJoin(broadcast(gm)).select(col("query_id"), q8Expr("qv").as("qq8"))
+
+  /** Stage 1: scan int8 codes against broadcast int8 queries, keep the
+    * `k·candFactor` best integer scores per query (score desc, id).
+    */
+  private def sq8Candidates(c8: DataFrame, q8q: DataFrame,
+      k: Int, candFactor: Int): DataFrame = {
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("s8").desc, col("neighbor_id"))
-    val cands = c8.join(broadcast(q8q), col("query_id") =!= col("neighbor_id"))
+    c8.join(broadcast(q8q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         dotInt(col("qq8"), col("c8")).as("s8"))
       .withColumn("__r", row_number().over(wc))
       .where(col("__r") <= k * candFactor)
       .select(col("query_id"), col("neighbor_id"))
-    val rescored = c.join(broadcast(cands), Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .withColumn("cosine",
-        cosPre(col("qv"), col("cv"), col("qn"), col("cn")))
-    topKPerQuery(rescored, k)
+  }
+
+  /** Stage 2: exact fixed-point cosine over candidates only. */
+  private def sq8Rescore(cands: DataFrame, c: DataFrame, q: DataFrame,
+      k: Int): DataFrame =
+    topKPerQuery(
+      c.join(broadcast(cands), Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cosine",
+          cosPre(col("qv"), col("cv"), col("qn"), col("cn"))), k)
+
+  /** Persist the SQ8 side of [[sq8TopK]] — build once, probe many. Layout:
+    * `path/meta` (one row: the scale `gmax` + vector dim) and
+    * `path/codes/batch=<token>/` (id, int8 code array; parquet bit-packing
+    * stores the small ints near 1 byte/dim). The float/fixed-point vectors
+    * are NOT duplicated into the index: stage-2 rescore touches only
+    * `k·candFactor` rows per query, a semi-join point-lookup against the
+    * source corpus — the scan-side win is what the index exists for.
+    * Appends ([[appendSq8Index]]) reuse the STORED scale so codes stay
+    * mutually comparable, and land as replay-idempotent `batch=` dirs
+    * (the minhash-store pattern); a drifting data range eventually wants
+    * a rebuild, which recomputes the scale.
+    */
+  def buildSq8Index(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    ensureRegistered(corpus)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val c = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val gm = corpusGmax(c, "cv")
+    c.crossJoin(broadcast(gm))
+      .select(col("__gm").as("gmax"), size(col("cv")).as("dim"))
+      .limit(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+    c.crossJoin(broadcast(gm))
+      .select(col("neighbor_id").as("id"),
+        q8Expr("cv").cast("array<int>").as("c8"))
+      .write.mode("overwrite").parquet(s"$path/codes/batch=base")
+  }
+
+  /** Append new vectors' codes to a persisted SQ8 index without a rebuild
+    * (cf. [[appendIvfIndex]]): encode under the STORED scale, reject a
+    * dimension mismatch loudly, land as an atomic `batch=<token>` dir.
+    */
+  def appendSq8Index(newVecs: DataFrame, idCol: String, vecCol: String,
+      path: String,
+      batchToken: String = java.util.UUID.randomUUID.toString): Unit = {
+    ensureRegistered(newVecs)
+    val spark = newVecs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").limit(1).collect()
+      .headOption.getOrElse(
+        throw new IllegalStateException(s"no SQ8 index at $path"))
+    val dim = meta.getAs[Int]("dim")
+    val bad = newVecs.where(size(col(vecCol)) =!= dim).limit(1).collect()
+    require(bad.isEmpty,
+      s"appendSq8Index: appended vector dimension != index dimension $dim at $path")
+    val c = prep(newVecs, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val gm = spark.read.parquet(s"$path/meta").select(col("gmax").as("__gm"))
+    c.crossJoin(broadcast(gm))
+      .select(col("neighbor_id").as("id"),
+        q8Expr("cv").cast("array<int>").as("c8"))
+      .write.mode("overwrite").parquet(s"$path/codes/batch=$batchToken")
+  }
+
+  /** Probe a persisted SQ8 index: stage-1 candidates from the stored
+    * codes (queries encoded under the STORED scale), stage-2 exact
+    * rescore against `corpus` (the source of truth for vectors — only
+    * candidate rows are touched). With the index built from the same
+    * corpus, results == [[sq8TopK]] with the same parameters.
+    */
+  def sq8TopKIndexed(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, path: String, k: Int,
+      candFactor: Int = 4): DataFrame = {
+    require(k > 0 && candFactor > 0, "k and candFactor must be positive")
+    ensureRegistered(corpus)
+    val spark = corpus.sparkSession
+    val gm = spark.read.parquet(s"$path/meta").select(col("gmax").as("__gm"))
+    val c8 = spark.read.parquet(s"$path/codes")
+      .select(col("id").as("neighbor_id"), col("c8"))
+    val q = graft.CacheScope.persist(
+      prep(queries, idCol, vecCol, "query_id", "qv", "qn"))
+    val c = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    sq8Rescore(sq8Candidates(c8, sq8Queries(q, gm), k, candFactor), c, q, k)
   }
 
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {

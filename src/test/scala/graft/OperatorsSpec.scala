@@ -1233,6 +1233,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(perGroup == Map("a" -> 2L, "b" -> 2L))
   }
 
+  test("quantileKeepLarge == quantileKeep; impossible margin fails loudly, not silently") {
+    import spark.implicits._
+    val exact = CurationOps.quantileKeep(docs, "doc_id", "n_chars", "lang", 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    val large = CurationOps.quantileKeepLarge(docs, "doc_id", "n_chars", "lang", 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(large == exact, "pre-cut path must reproduce the exact cut")
+    // ranks and group sizes survive the pre-cut unchanged too
+    val fullRows = CurationOps.quantileKeepLarge(docs, "doc_id", "n_chars",
+      "lang", 0.4).select("doc_id", "q_rank", "q_n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exactRows = CurationOps.quantileKeep(docs, "doc_id", "n_chars",
+      "lang", 0.4).select("doc_id", "q_rank", "q_n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fullRows == exactRows)
+    // margin <= 1 cannot cover the cut even with a perfect sketch — loud
+    intercept[IllegalArgumentException] {
+      CurationOps.quantileKeepLarge(docs, "doc_id", "n_chars", "lang",
+        0.4, margin = 1.0)
+    }
+    graft.CacheScope.release()
+  }
+
   test("lengthBucketBatches: caps respected, padding arithmetic exact, over-cap docs dropped") {
     import spark.implicits._
     // tokens: 3,3,3,3,3 in bucket 4; 10 in bucket 16; 100 over the cap
@@ -1278,6 +1301,47 @@ class OperatorsSpec extends SparkTestBase {
     // recall: int8 candidates + exact rescore recover nearly all true top-10
     val recall = (exact & got).size.toDouble / exact.size
     assert(recall >= 0.9, s"sq8 recall $recall below 0.9")
+    graft.CacheScope.release()
+  }
+
+  test("sq8 persisted index: probe == in-memory; append under stored scale; dim mismatch loud") {
+    import spark.implicits._
+    val path = s"${Fixtures.tmpRoot}/sq8_spec_index"
+    val queries = emb.where(col("vec_id") < 10)
+    SimilarityOps.buildSq8Index(emb, "vec_id", "embedding", path)
+    val probed = SimilarityOps.sq8TopKIndexed(emb, queries,
+      "vec_id", "embedding", path, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mem = SimilarityOps.sq8TopK(emb, queries,
+      "vec_id", "embedding", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probed == mem, "persisted probe must equal the in-memory search")
+    // append path: split so the base holds the global max-abs coordinate
+    // (precondition asserted), then base-build + append == full build
+    val base = emb.where(col("vec_id") >= 10)
+    val delta = emb.where(col("vec_id") < 10)
+    def gmax(df: org.apache.spark.sql.DataFrame): Long = {
+      val perRow = "aggregate(embedding, 0L, " +
+        "(m, x) -> greatest(m, abs(CAST(floor(x * 1000000) AS BIGINT))))"
+      df.select(max(expr(perRow))).head().getLong(0)
+    }
+    assert(gmax(base) == gmax(emb), "fixture precondition: base holds gmax")
+    val path2 = s"${Fixtures.tmpRoot}/sq8_spec_append"
+    SimilarityOps.buildSq8Index(base, "vec_id", "embedding", path2)
+    SimilarityOps.appendSq8Index(delta, "vec_id", "embedding", path2, "b1")
+    val appended = SimilarityOps.sq8TopKIndexed(emb, queries,
+      "vec_id", "embedding", path2, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(appended == mem, "append under the stored scale must match a full build")
+    // replayed append overwrites itself (idempotent batch dir)
+    SimilarityOps.appendSq8Index(delta, "vec_id", "embedding", path2, "b1")
+    assert(SimilarityOps.sq8TopKIndexed(emb, queries,
+      "vec_id", "embedding", path2, 10).count() == 100)
+    // dimension mismatch fails loudly
+    val badDim = Seq((9999L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.appendSq8Index(badDim, "vec_id", "embedding", path2, "b2")
+    }
     graft.CacheScope.release()
   }
 }
