@@ -443,16 +443,14 @@ object SimilarityOps {
     * `k·candFactor` best integer scores per query (score desc, id).
     */
   private def sq8Candidates(c8: DataFrame, q8q: DataFrame,
-      k: Int, candFactor: Int): DataFrame = {
-    val wc = Window.partitionBy(col("query_id"))
-      .orderBy(col("s8").desc, col("neighbor_id"))
-    c8.join(broadcast(q8q), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        dotInt(col("qq8"), col("c8")).as("s8"))
-      .withColumn("__r", row_number().over(wc))
-      .where(col("__r") <= k * candFactor)
+      k: Int, candFactor: Int): DataFrame =
+    topKTwoPhase(
+      c8.join(broadcast(q8q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          dotInt(col("qq8"), col("c8")).as("s8")),
+      "query_id", "neighbor_id",
+      Seq(col("s8").desc, col("neighbor_id")), k * candFactor)
       .select(col("query_id"), col("neighbor_id"))
-  }
 
   /** Stage 2: exact fixed-point cosine over candidates only. */
   private def sq8Rescore(cands: DataFrame, c: DataFrame, q: DataFrame,
@@ -538,12 +536,40 @@ object SimilarityOps {
     sq8Rescore(sq8Candidates(c8, sq8Queries(q, gm), k, candFactor), c, q, k)
   }
 
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.select(col("query_id"), col("neighbor_id"), col("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"), col("cosine"))
+  /** Salt buckets for the two-phase per-key top-k: phase-1 sorts are
+    * (corpus/keys)/TopKSalts rows each instead of one partition per key.
+    */
+  val TopKSalts = 32
+
+  /** Per-key top-n in two phases — the scale-correct shape for few queries
+    * over a huge scored corpus: a single window over `keyCol` funnels each
+    * key's ENTIRE candidate set through one sort partition (1M corpus × 1
+    * query = one 1M-row sort on one core); instead phase 1 ranks within
+    * (key, id-salt) — `TopKSalts`-way parallel, each bucket keeps its best
+    * n — and phase 2 ranks the ≤ n·TopKSalts survivors per key. The result
+    * is IDENTICAL (every global top-n row is its salt bucket's top-n, and
+    * both phases order by the same (order, id) total order); the big sort
+    * is gone and the per-key serial work is O(n·TopKSalts·log).
+    */
+  private def topKTwoPhase(scored: DataFrame, keyCol: String, idCol: String,
+      order: Seq[Column], n: Int): DataFrame = {
+    val w1 = Window.partitionBy(col(keyCol),
+        pmod(col(idCol), lit(TopKSalts.toLong)))
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    scored
+      .withColumn("__r1", row_number().over(w1))
+      .where(col("__r1") <= n)
+      .withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= n)
+      .drop("__r1")
   }
+
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    topKTwoPhase(
+      scored.select(col("query_id"), col("neighbor_id"), col("cosine")),
+      "query_id", "neighbor_id",
+      Seq(col("cosine").desc, col("neighbor_id")), k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("bigint").as("rank"), col("cosine"))
 }
