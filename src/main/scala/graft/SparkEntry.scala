@@ -569,6 +569,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           col("q_rank"), col("q_n"))),
 
+    // CCNet-style head/middle/tail banding: every doc labeled by the band
+    // its exact per-language (score, id) rank falls in — a partition of
+    // each group, not a cut
+    "quality_quantile_label" -> ((s, dir) =>
+      operators.CurationOps.quantileLabel(Tables.documents(s, dir),
+          "doc_id", "n_chars", "lang",
+          Seq("head" -> 0.1, "middle" -> 0.4, "tail" -> 0.5))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("q_rank"), col("q_n"), col("band"))),
+
     // the scale path: approx-threshold pre-cut + exact rank among the
     // survivors, containment checked — same answer, same oracle
     "quality_quantile_keep_large" -> ((s, dir) =>
@@ -1781,6 +1791,20 @@ object SparkEntry {
          SELECT doc_id, lang, n_chars, q_rank, q_n FROM r
          WHERE q_rank <= (q_n * 400000 + 999999) // 1000000
          ORDER BY doc_id""",
+
+    // cumulative ppm rank thresholds (head 100000, +middle -> 500000),
+    // last band absorbs the remainder
+    "quality_quantile_label" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY n_chars, doc_id) AS BIGINT) q_rank,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) q_n
+           FROM documents)
+         SELECT doc_id, lang, n_chars, q_rank, q_n,
+           CASE WHEN q_rank <= (q_n * 100000 + 999999) // 1000000 THEN 'head'
+                WHEN q_rank <= (q_n * 500000 + 999999) // 1000000 THEN 'middle'
+                ELSE 'tail' END AS band
+         FROM r ORDER BY doc_id""",
 
     "corpus_pack_stats" ->
       """WITH t AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n

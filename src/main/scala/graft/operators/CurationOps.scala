@@ -505,6 +505,42 @@ object CurationOps {
         expr(s"(q_n * ${ppm}L + ${SampleOps.Ppm - 1}L) DIV ${SampleOps.Ppm}L"))
   }
 
+  /** Per-group quantile LABELS instead of a cut — CCNet's head/middle/tail
+    * perplexity binning: every row keeps its group and gets the band its
+    * exact (score, id) rank falls in. `bands` is ordered (name, fraction)
+    * with fractions summing to 1 (ppm resolution, like [[SampleOps
+    * .splitAssign]]); thresholds are cumulative `ceil(n·Σfrac)` ranks in
+    * ppm-integer arithmetic and the LAST band absorbs the remainder, so
+    * the labeling partitions each group exactly. Same one-shuffle window
+    * shape as [[quantileKeep]]; the same pre-cut escape applies when only
+    * the first bands are consumed downstream.
+    */
+  def quantileLabel(df: DataFrame, idCol: String, scoreCol: String,
+      groupCol: String, bands: Seq[(String, Double)]): DataFrame = {
+    require(bands.nonEmpty, "quantileLabel needs at least one band")
+    require(bands.forall(_._2 > 0),
+      s"band fractions must be positive, got $bands")
+    val total = bands.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-6,
+      s"band fractions must sum to 1, got $total from $bands")
+    val cum = bands.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.floor(f * SampleOps.Ppm).toLong
+    }.tail.init // the last band needs no threshold: it takes the rest
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol), col(idCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    val ranked = df
+      .withColumn("q_rank", row_number().over(w).cast("bigint"))
+      .withColumn("q_n", count(lit(1)).over(wAll))
+    val label = bands.map(_._1).init.zip(cum).reverse
+      .foldLeft(lit(bands.last._1)) { case (acc, (name, ppm)) =>
+        when(col("q_rank") <= expr(
+          s"(q_n * ${ppm}L + ${SampleOps.Ppm - 1}L) DIV ${SampleOps.Ppm}L"),
+          lit(name)).otherwise(acc)
+      }
+    ranked.withColumn("band", label)
+  }
+
   /** The 100 TB shape of [[quantileKeep]] — same EXACT result, without
     * sorting whole groups. Pass 1 computes per-group exact counts and an
     * approximate loose score threshold at `min(1, frac·margin)` (one

@@ -1256,6 +1256,31 @@ class OperatorsSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("quantileLabel: bands partition each group; boundaries agree with quantileKeep") {
+    import spark.implicits._
+    val fixture = (1L to 10L).map(i => (i, i * 10L, "g")).toDF("id", "score", "grp")
+    val labeled = CurationOps.quantileLabel(fixture, "id", "score", "grp",
+      Seq("head" -> 0.2, "middle" -> 0.3, "tail" -> 0.5)).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("band")).toMap
+    // ceil(10*0.2)=2, cumulative ceil(10*0.5)=5, rest tail
+    assert(labeled == Map(1L -> "head", 2L -> "head", 3L -> "middle",
+      4L -> "middle", 5L -> "middle", 6L -> "tail", 7L -> "tail",
+      8L -> "tail", 9L -> "tail", 10L -> "tail"), s"got $labeled")
+    // the head∪middle prefix == quantileKeep at the same cumulative frac
+    val kept = CurationOps.quantileKeep(docs, "doc_id", "n_chars", "lang", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val headMid = CurationOps.quantileLabel(docs, "doc_id", "n_chars", "lang",
+      Seq("head" -> 0.1, "middle" -> 0.4, "tail" -> 0.5))
+      .where(col("band") =!= "tail")
+      .select("doc_id").as[Long].collect().toSet
+    assert(headMid == kept, "band prefix must equal the equivalent cut")
+    // fractions not summing to 1 fail loudly
+    intercept[IllegalArgumentException] {
+      CurationOps.quantileLabel(fixture, "id", "score", "grp",
+        Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
   test("lengthBucketBatches: caps respected, padding arithmetic exact, over-cap docs dropped") {
     import spark.implicits._
     // tokens: 3,3,3,3,3 in bucket 4; 10 in bucket 16; 100 over the cap
