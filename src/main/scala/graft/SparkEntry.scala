@@ -661,6 +661,18 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("lang"), col("split"))),
 
+    // eval hygiene end-to-end: the same 80/10/10 split, then every TRAIN
+    // doc sharing a word 4-gram with the val∪test holdout is flagged —
+    // splitAssign composed with the guarded ngramOverlap
+    "split_decontam" -> ((s, dir) => {
+      val split = operators.SampleOps.splitAssign(Tables.documents(s, dir),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      operators.CurationOps.ngramOverlap(
+          split.where(col("split") === "train"),
+          split.where(col("split") =!= "train"), "doc_id", "text")
+        .where(col("contaminated"))
+    }),
+
     // connected components: dedup pairs -> duplicate clusters (min-id
     // label) via alternating large-star/small-star contraction. Edges are
     // a deterministic fixture (7-blocks chained every 3rd block) so the
@@ -1975,6 +1987,25 @@ object SparkEntry {
                    % 1000000 AS slot
                FROM documents)
          ORDER BY doc_id""",
+
+    // the text_contam shape with the slot-hash split as the benchmark
+    // boundary: holdout = slot >= 800000 (val + test), corpus = train
+    "split_decontam" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') tks,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000000 AS slot
+           FROM documents),
+         g AS (SELECT doc_id, slot, tks[i+1] || ' ' || tks[i+2] || ' ' ||
+                 tks[i+3] || ' ' || tks[i+4] AS s
+               FROM d, unnest(range(len(tks) - 3)) t(i) WHERE len(tks) >= 4),
+         bench AS (SELECT DISTINCT s FROM g WHERE slot >= 800000),
+         corp AS (SELECT doc_id, count(DISTINCT s) n_shingles,
+                    count(DISTINCT s) FILTER (s IN (SELECT s FROM bench)) n_overlap
+                  FROM g WHERE slot < 800000 GROUP BY 1)
+         SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           n_overlap > 0 AS contaminated
+         FROM corp WHERE n_overlap > 0 ORDER BY doc_id""",
 
     "sample_mixture_report" ->
       """WITH t AS (SELECT doc_id, lang, len(string_split(lower(text), ' ')) n,
