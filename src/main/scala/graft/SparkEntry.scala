@@ -561,6 +561,13 @@ object SparkEntry {
         "doc_id", "text", boundaries = Seq(32L, 64L, 128L, 256L, 512L),
         batchDocs = 8, shards = 4)),
 
+    // the doc->batch assignment behind the same batching — what a
+    // trainer's loader consumes (one row per admitted doc)
+    "pack_length_assign" -> ((s, dir) =>
+      operators.CurationOps.lengthBucketAssign(Tables.documents(s, dir),
+        "doc_id", "text", boundaries = Seq(32L, 64L, 128L, 256L, 512L),
+        batchDocs = 8, shards = 4)),
+
     // per-group exact-quantile cut: keep each language's shortest 40% by
     // n_chars — the rank-based form of "drop the worst X% per language"
     "quality_quantile_keep" -> ((s, dir) =>
@@ -1791,6 +1798,25 @@ object SparkEntry {
            max(n) AS max_tokens, CAST(sum(n) AS BIGINT) AS sum_tokens,
            CAST(count(*) * max(n) - sum(n) AS BIGINT) AS pad_tokens
          FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    // the per-doc assignment the batch stats aggregate over
+    "pack_length_assign" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(string_split(lower(coalesce(text, '')), ' ')) AS BIGINT) n,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 4 AS shard
+           FROM documents),
+         b AS (SELECT doc_id, n, shard,
+                 CASE WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+                      WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+                      WHEN n <= 512 THEN 512 END AS bucket
+               FROM t),
+         r AS (SELECT *, row_number() OVER (PARTITION BY bucket, shard
+                 ORDER BY n, doc_id) rn
+               FROM b WHERE bucket IS NOT NULL)
+         SELECT doc_id, n AS n_tokens, CAST(bucket AS BIGINT) AS bucket,
+           shard, CAST((rn - 1) // 8 AS BIGINT) AS batch
+         FROM r ORDER BY doc_id""",
 
     // exact per-language quantile cut in ppm-integer arithmetic:
     // rank <= ceil(n * 0.4) == (n * 400000 + 999999) // 1000000

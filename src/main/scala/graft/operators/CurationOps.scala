@@ -613,6 +613,28 @@ object CurationOps {
   def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
       boundaries: Seq[Long], batchDocs: Int, shards: Int = 1,
       salt: String = "",
+      tokenCounter: Column => Column = TextOps.tokenCount): DataFrame =
+    lengthBucketAssign(df, idCol, textCol, boundaries, batchDocs, shards,
+      salt, tokenCounter)
+      .groupBy(col("bucket"), col("shard"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("pad_tokens",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+
+  /** The doc→batch ASSIGNMENT behind [[lengthBucketBatches]] — what a
+    * trainer's loader actually consumes: one row per admitted doc,
+    * `(idCol, n_tokens, bucket, shard, batch)`, batches of `batchDocs`
+    * formed in (tokens, id) order within (bucket, shard). Over-cap docs
+    * (tokens > last boundary) are dropped, like max_seq_len. The stats
+    * frame is this grouped — both views agree by construction; the agg
+    * reuses the window's (bucket, shard) partitioning with no further
+    * exchange.
+    */
+  def lengthBucketAssign(df: DataFrame, idCol: String, textCol: String,
+      boundaries: Seq[Long], batchDocs: Int, shards: Int = 1,
+      salt: String = "",
       tokenCounter: Column => Column = TextOps.tokenCount): DataFrame = {
     require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
         boundaries.distinct == boundaries,
@@ -628,18 +650,13 @@ object CurationOps {
     val shard = pmod(DedupOps.baseHash(
       concat(lit(salt), col(idCol).cast("string"))), lit(shards.toLong))
     val w = Window.partitionBy(col("bucket"), col("shard"))
-      .orderBy(col("__n"), col(idCol))
-    df.select(col(idCol), n.as("__n"), bucket.as("bucket"),
+      .orderBy(col("n_tokens"), col(idCol))
+    df.select(col(idCol), n.as("n_tokens"), bucket.as("bucket"),
         shard.as("shard"))
       .where(col("bucket").isNotNull)
       .withColumn("__rn", row_number().over(w))
       // true integer division (DIV), not fp floor — engine-exact at any rank
       .withColumn("batch", expr(s"CAST((__rn - 1) DIV $batchDocs AS BIGINT)"))
-      .groupBy(col("bucket"), col("shard"), col("batch"))
-      .agg(count(lit(1)).as("n_docs"),
-        max(col("__n")).as("max_tokens"),
-        sum(col("__n")).as("sum_tokens"))
-      .withColumn("pad_tokens",
-        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+      .drop("__rn")
   }
 }

@@ -1304,6 +1304,15 @@ class OperatorsSpec extends SparkTestBase {
     val sharded = CurationOps.lengthBucketBatches(fixture, "id", "text",
       boundaries = Seq(4L, 16L), batchDocs = 2, shards = 4)
     assert(sharded.agg(sum("n_docs")).head.getLong(0) == 6)
+    // the assignment view is the stats' pre-image: same admitted docs,
+    // same batch keys, batch sizes within batchDocs
+    val assign = CurationOps.lengthBucketAssign(fixture, "id", "text",
+      boundaries = Seq(4L, 16L), batchDocs = 2, shards = 1)
+    assert(assign.count() == 6)
+    assert(assign.groupBy("bucket", "shard", "batch").count()
+      .collect().forall(_.getLong(3) <= 2))
+    assert(assign.select("id").except(fixture.where(col("id") =!= 7L)
+      .select("id")).count() == 0)
     intercept[IllegalArgumentException] {
       CurationOps.lengthBucketBatches(fixture, "id", "text", Seq(16L, 4L), 2)
     }
