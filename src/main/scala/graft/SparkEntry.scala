@@ -281,9 +281,13 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       operators.DedupOps.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text")),
 
-    // brute-force n-gram Jaccard baseline (same contract as the LSH path)
+    // exact n-gram Jaccard pairs with the boilerplate guard: shingles in
+    // more than 50 docs are cut from every set before the per-shingle
+    // self-join (bounded by |vocab|·C(50,2) instead of quadratic in one
+    // hot shingle's df); the uncapped form stays the property-test baseline
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      operators.DedupOps.exactJaccardPairs(Tables.documents(s, dir), "doc_id", "text")),
+      operators.DedupOps.exactJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxDocFreq = 50)),
 
     // SimHash signature per document (64-char bit-string)
     "dedup_simhash" -> ((s, dir) =>
@@ -1130,7 +1134,22 @@ object SparkEntry {
          FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
          WHERE 2 * isz >= (sa.n + sb.n - isz)
          ORDER BY 1, 2""",
-    "dedup_ngram_jaccard" -> jaccardOracle,
+    // the gated path applies the df<=50 stop-shingle cut: sizes,
+    // intersections and unions over the surviving vocabulary only (at
+    // sf0.1 max shingle df is 25, so the capped and uncapped answers
+    // coincide — the SQL still expresses the capped contract)
+    "dedup_ngram_jaccard" ->
+      """WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         sh AS (SELECT DISTINCT doc_id, tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2] AS s
+                FROM docs, unnest(generate_series(1, len(tks) - 2)) t(i) WHERE len(tks) >= 3),
+         live AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+         tok AS (SELECT sh.doc_id, sh.s FROM sh JOIN live USING (s)),
+         sz AS (SELECT doc_id, count(*) n FROM tok GROUP BY 1),
+         inter AS (SELECT a.doc_id ia, b.doc_id ib, count(*) m
+                   FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT ia AS id_a, ib AS id_b, m AS intersect_size, sa.n + sb.n - m AS union_size
+         FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+         WHERE 2 * m >= sa.n + sb.n - m ORDER BY 1, 2""",
 
     "dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) h FROM documents),

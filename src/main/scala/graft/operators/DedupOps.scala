@@ -777,21 +777,66 @@ object DedupOps {
         col("n_a").cast("bigint").as("n_a"), col("n_b").cast("bigint").as("n_b"))
   }
 
+  /** Observation name for [[exactJaccardPairs]]'s stop-shingle cut:
+    * `stop_shingles` = distinct shingles with df > maxDocFreq (removed from
+    * every doc's set), `stop_rows` = (doc, shingle) postings rows they
+    * carried (the self-join fan-out avoided is Σ C(df,2) over them).
+    */
+  val JaccardStopMetrics = "graft_jaccard_stop"
+
   /** Exact n-gram Jaccard pairs — the exhaustive baseline the approximate
-    * paths are validated against. Shingles are distinct per doc, so the
-    * self-join's match count per (a,b) IS the intersection size: no
-    * distinct pass, no per-pair array ops, map-side partial counts.
+    * paths are validated against, with an optional boilerplate guard.
+    * Shingles are distinct per doc, so the self-join's match count per
+    * (a,b) IS the intersection size: no distinct pass, no per-pair array
+    * ops, map-side partial counts.
     *
-    * Cost is inherently Σ_s C(df_s, 2) over shingle doc-frequencies; at
-    * corpus scale use [[minhashLshPairs]] (candidates only) — an AllPairs/
-    * PPJoin prefix filter was measured here and lost to this shape on
-    * small-vocabulary corpora (prefixes stay ~|doc|/2, and the extra
+    * Cost is inherently Σ_s C(df_s, 2) over shingle doc-frequencies — so
+    * ONE corpus-wide hot shingle (a boilerplate header, a licence line)
+    * makes the self-join quadratic. `maxDocFreq` caps that fan-out:
+    * shingles in more than `maxDocFreq` docs are removed from EVERY doc's
+    * set, and sizes / intersections / unions are all computed over the
+    * surviving vocabulary — the output is the exact Jaccard of the capped
+    * sets (a defined, boilerplate-robust semantic, not an approximation of
+    * the uncapped answer; mirroring [[TextOps.tfidfCosinePairs]]'s
+    * stop-term contract). The cut is REPORTED via [[JaccardStopMetrics]].
+    * Under the cap the join is bounded by |vocab|·C(maxDocFreq, 2). The
+    * `Int.MaxValue` default keeps the historical uncapped contract (the
+    * property-test baseline) with its original two-shuffle plan.
+    *
+    * At corpus scale use [[minhashLshPairs]] (candidates only) — an
+    * AllPairs/PPJoin prefix filter was measured here and lost to this shape
+    * on small-vocabulary corpora (prefixes stay ~|doc|/2, and the extra
     * windows + distinct cost more than the join they save).
     */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
-    val tok = TextOps.shingleRows(df, idCol, textCol, shingleK)
+      shingleK: Int = 3, thresholdNum: Int = 1, thresholdDen: Int = 2,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    require(maxDocFreq >= 2, "maxDocFreq must be >= 2 (pairs need two docs)")
+    val raw = TextOps.shingleRows(df, idCol, textCol, shingleK)
       .select(col("id"), col("s")).distinct()
+    val tok =
+      if (maxDocFreq == Int.MaxValue) raw
+      else {
+        // df rides a window over the shingle — one extra shuffle on `s`
+        // (which the self-join below then REUSES as its own partitioning),
+        // no df join, no second pass over the shingle window. rn marks one
+        // row per shingle so the observation can count cut shingles
+        // exactly without a distinct. A corpus-wide hot shingle lands its
+        // whole df in one window partition; count/row_number stream with
+        // linear spill and those are exactly the rows the filter then
+        // drops, so the skew is paid once at cut time, never joined.
+        import org.apache.spark.sql.expressions.Window
+        val ws = Window.partitionBy(col("s"))
+        raw
+          .withColumn("df", count(lit(1)).over(ws))
+          .withColumn("rn", row_number().over(ws.orderBy(col("id"))))
+          .observe(JaccardStopMetrics,
+            sum(when(col("df") > maxDocFreq && col("rn") === 1, 1L)
+              .otherwise(0L)).as("stop_shingles"),
+            sum(when(col("df") > maxDocFreq, 1L).otherwise(0L)).as("stop_rows"))
+          .where(col("df") <= maxDocFreq)
+          .select(col("id"), col("s"))
+      }
     val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = tok.as("a").join(tok.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))

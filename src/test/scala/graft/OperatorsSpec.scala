@@ -21,6 +21,60 @@ class OperatorsSpec extends SparkTestBase {
     assert(lsh == exact) // j≈0.99 pairs: miss probability (1-j^4)^32 ≈ 0
   }
 
+  test("exactJaccardPairs df cap drops boilerplate-only pairs and reports the cut") {
+    import spark.implicits._
+    // 8 docs sharing one 10-token boilerplate line (8 hot shingles of
+    // df 8), of which docs 0/1 additionally share real content; with
+    // 3-token bodies each pair shares 8 of 14 union shingles uncapped —
+    // above the 1/2 threshold on boilerplate alone
+    val boiler = "this page is copyright acme corp all rights reserved worldwide"
+    val real = "alpha beta gamma"
+    val rows = (0L until 8L).map { i =>
+      val body = if (i < 2) real else s"unique$i only$i text$i"
+      (i, s"$boiler $body")
+    }
+    val df = rows.toDF("doc_id", "text")
+    var observed: Map[String, Any] = Map.empty
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = {
+        qe.observedMetrics.get(DedupOps.JaccardStopMetrics).foreach { row =>
+          observed = row.getValuesMap(Seq("stop_shingles", "stop_rows"))
+        }
+      }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val got =
+      try {
+        val capped = DedupOps.exactJaccardPairs(df, "doc_id", "text", maxDocFreq = 4)
+        val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        // listener delivery is async — poll briefly
+        val deadline = System.currentTimeMillis() + 10000
+        while (observed.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        pairs
+      } finally spark.listenerManager.unregister(listener)
+    // only (0,1) survives: every other pair shares just the boilerplate
+    // shingles, which have df = 8 > 4 and are cut from every set
+    assert(got == Set((0L, 1L)), s"got $got")
+    // the boilerplate line yields 8 internal shingles of df 8, all cut
+    // and reported
+    assert(observed.get("stop_shingles").exists(_.asInstanceOf[Long] == 8L),
+      s"stop-shingle cut must be reported via observed metrics, got $observed")
+    assert(observed.get("stop_rows").exists(_.asInstanceOf[Long] == 64L), s"got $observed")
+    // uncapped baseline keeps the boilerplate pairs (jaccard over full sets)
+    val full = DedupOps.exactJaccardPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.contains((2L, 3L)), "uncapped baseline should keep boilerplate pairs")
+    // cap that cuts nothing == uncapped answer, byte-identical
+    val loose = DedupOps.exactJaccardPairs(df, "doc_id", "text", maxDocFreq = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val fullFull = DedupOps.exactJaccardPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(loose == fullFull)
+  }
+
   test("blocked exact near-dup pairs == single-broadcast all-pairs result") {
     // the blocked equi-join cartesian must reproduce the naive all-pairs
     // exactly (it is the same computation, just routed without a
