@@ -579,12 +579,20 @@ object CurationOps {
       .agg(max(col("q_rank")).as("__got"), max(col("__k")).as("__want"))
       .where(col("__got") < col("__want"))
       .limit(1).collect()
-    if (short.nonEmpty)
+    if (short.nonEmpty) {
+      // don't leave the eager persist behind on the failure path — the
+      // caller never gets a frame to consume, so nothing downstream will
+      // reach a CacheScope.release for it
+      ranked.unpersist(blocking = false)
       throw new IllegalStateException(
         s"quantileKeepLarge: group '${short.head.get(0)}' pre-cut kept " +
           s"${short.head.getLong(1)} of the ${short.head.getLong(2)} rows the " +
           s"exact cut admits — raise margin above $margin (sketch missed the " +
           "quantile) or fall back to quantileKeep")
+    }
+    // success path: the persist stays live for the returned frame's
+    // consumers — callers outside the gate harness should CacheScope
+    // .release() (or unpersist) once the result is consumed
     ranked.where(col("q_rank") <= col("__k")).drop("__loose", "__k")
   }
 

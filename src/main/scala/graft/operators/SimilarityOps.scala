@@ -480,6 +480,10 @@ object SimilarityOps {
     val fs = p.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     val c = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    // an empty corpus has no scale: a zero-row meta would make every later
+    // probe silently return nothing — fail at build time instead (the same
+    // loud contract as appendSq8Index on a missing index)
+    require(!c.isEmpty, s"buildSq8Index: empty corpus, no scale to derive for $path")
     val gm = corpusGmax(c, "cv")
     c.crossJoin(broadcast(gm))
       .select(col("__gm").as("gmax"), size(col("cv")).as("dim"))
@@ -494,10 +498,19 @@ object SimilarityOps {
   /** Append new vectors' codes to a persisted SQ8 index without a rebuild
     * (cf. [[appendIvfIndex]]): encode under the STORED scale, reject a
     * dimension mismatch loudly, land as an atomic `batch=<token>` dir.
+    *
+    * Ids must be NEW: a duplicate id lands duplicate code rows, stage 1
+    * then emits the same neighbor twice and the rescore can displace true
+    * top-k rows. `checkIds` (default on) rejects an overlap loudly with
+    * one id-column scan of the OTHER batches (parquet prunes to the id
+    * column; the appending batch's own dir is partition-pruned out, so a
+    * same-token replay stays idempotent). Turn it off only when the caller
+    * proves disjointness upstream.
     */
   def appendSq8Index(newVecs: DataFrame, idCol: String, vecCol: String,
       path: String,
-      batchToken: String = java.util.UUID.randomUUID.toString): Unit = {
+      batchToken: String = java.util.UUID.randomUUID.toString,
+      checkIds: Boolean = true): Unit = {
     ensureRegistered(newVecs)
     val spark = newVecs.sparkSession
     val meta = spark.read.parquet(s"$path/meta").limit(1).collect()
@@ -507,6 +520,17 @@ object SimilarityOps {
     val bad = newVecs.where(size(col(vecCol)) =!= dim).limit(1).collect()
     require(bad.isEmpty,
       s"appendSq8Index: appended vector dimension != index dimension $dim at $path")
+    if (checkIds) {
+      val existing = spark.read.parquet(s"$path/codes")
+        .where(col("batch") =!= lit(batchToken)).select(col("id"))
+      val clash = existing
+        .join(newVecs.select(col(idCol).as("id")), Seq("id"))
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"appendSq8Index: id ${clash.head.get(0)} already present in the index " +
+          s"at $path — duplicate codes corrupt top-k results (pass checkIds " +
+          "= false only with upstream disjointness)")
+    }
     val c = prep(newVecs, idCol, vecCol, "neighbor_id", "cv", "cn")
     val gm = spark.read.parquet(s"$path/meta").select(col("gmax").as("__gm"))
     c.crossJoin(broadcast(gm))
@@ -528,6 +552,11 @@ object SimilarityOps {
     ensureRegistered(corpus)
     val spark = corpus.sparkSession
     val gm = spark.read.parquet(s"$path/meta").select(col("gmax").as("__gm"))
+    // a zero-row meta (e.g. a corrupt or hand-built index) would cross-join
+    // to an empty query set and silently return no neighbors — fail loudly
+    // like appendSq8Index does on a missing index
+    require(gm.limit(1).collect().nonEmpty,
+      s"sq8TopKIndexed: empty SQ8 meta at $path")
     val c8 = spark.read.parquet(s"$path/codes")
       .select(col("id").as("neighbor_id"), col("c8"))
     val q = graft.CacheScope.persist(
@@ -550,11 +579,14 @@ object SimilarityOps {
     * is IDENTICAL (every global top-n row is its salt bucket's top-n, and
     * both phases order by the same (order, id) total order); the big sort
     * is gone and the per-key serial work is O(n·TopKSalts·log).
+    * The salt hashes the id (not pmod on the raw column): a non-numeric id
+    * would cast to null under pmod and collapse every row into one bucket —
+    * still correct, but with the parallelism silently gone.
     */
   private def topKTwoPhase(scored: DataFrame, keyCol: String, idCol: String,
       order: Seq[Column], n: Int): DataFrame = {
     val w1 = Window.partitionBy(col(keyCol),
-        pmod(col(idCol), lit(TopKSalts.toLong)))
+        pmod(xxhash64(col(idCol)), lit(TopKSalts.toLong)))
       .orderBy(order: _*)
     val w2 = Window.partitionBy(col(keyCol)).orderBy(order: _*)
     scored

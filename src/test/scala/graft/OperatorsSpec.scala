@@ -1432,4 +1432,41 @@ class OperatorsSpec extends SparkTestBase {
     }
     graft.CacheScope.release()
   }
+
+  test("sq8 index guards: duplicate-id append and empty builds fail loudly") {
+    import spark.implicits._
+    val path = s"${Fixtures.tmpRoot}/sq8_spec_guards"
+    val base = emb.where(col("vec_id") >= 10)
+    SimilarityOps.buildSq8Index(base, "vec_id", "embedding", path)
+    // re-appending ids already in the index under a NEW token corrupts
+    // top-k (duplicate candidate rows) — rejected before anything lands
+    val dup = emb.where(col("vec_id") >= 10 && col("vec_id") < 12)
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityOps.appendSq8Index(dup, "vec_id", "embedding", path, "b9")
+    }
+    assert(ex.getMessage.contains("already present"), ex.getMessage)
+    assert(!new java.io.File(s"$path/codes/batch=b9").exists(),
+      "rejected append must not land a batch dir")
+    // disjoint ids under a new token still append fine
+    SimilarityOps.appendSq8Index(emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", path, "b10")
+    // empty corpus: no scale to derive — build throws instead of writing
+    // a zero-row meta that probes would silently return nothing against
+    intercept[IllegalArgumentException] {
+      SimilarityOps.buildSq8Index(emb.where(col("vec_id") < 0),
+        "vec_id", "embedding", s"${Fixtures.tmpRoot}/sq8_spec_empty")
+    }
+    // an empty meta (corrupt/hand-built index) probes loudly too
+    val badPath = s"${Fixtures.tmpRoot}/sq8_spec_badmeta"
+    emb.limit(1).select(lit(1L).as("gmax"), lit(8).as("dim"))
+      .where(lit(false)).write.mode("overwrite").parquet(s"$badPath/meta")
+    emb.limit(0).select(col("vec_id").as("id"),
+        array().cast("array<int>").as("c8"))
+      .write.mode("overwrite").parquet(s"$badPath/codes/batch=base")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.sq8TopKIndexed(emb, emb.where(col("vec_id") < 3),
+        "vec_id", "embedding", badPath, 5).collect()
+    }
+    graft.CacheScope.release()
+  }
 }
