@@ -59,7 +59,7 @@ object SearchOps {
         explode(TextOps.tokens(coalesce(col(textCol), lit("")))).as("term"))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("bkt", pmod(DedupOps.baseHash(col("term")), lit(TermBuckets.toLong)))
-      .repartition(col("bkt")) // one writer task per bucket — no small files
+      .repartition(TermBuckets, col("bkt")) // one writer task per bucket — no small files
       .write.partitionBy("bkt").mode("overwrite")
       .parquet(s"$path/postings/batch=$batchToken")
     // sidecars from the written batch: one (id, term) row per doc-term, so
@@ -68,7 +68,7 @@ object SearchOps {
     val back = spark.read.parquet(s"$path/postings/batch=$batchToken")
     back.groupBy(col("term"), col("bkt"))
       .agg(count(lit(1)).as("df"))
-      .repartition(col("bkt"))
+      .repartition(TermBuckets, col("bkt"))
       .write.partitionBy("bkt").mode("overwrite")
       .parquet(s"$path/terms/batch=$batchToken")
     back.agg(count_distinct(col("id")).as("n_docs"))
@@ -100,13 +100,13 @@ object SearchOps {
     if (fs.exists(p)) fs.delete(p, true)
     spark.read.parquet(s"$srcPath/postings")
       .select(col("id"), col("term"), col("tf"), col("bkt"))
-      .repartition(col("bkt"))
+      .repartition(TermBuckets, col("bkt"))
       .write.partitionBy("bkt").mode("overwrite")
       .parquet(s"$dstPath/postings/batch=base")
     val back = spark.read.parquet(s"$dstPath/postings/batch=base")
     back.groupBy(col("term"), col("bkt"))
       .agg(count(lit(1)).as("df"))
-      .repartition(col("bkt"))
+      .repartition(TermBuckets, col("bkt"))
       .write.partitionBy("bkt").mode("overwrite")
       .parquet(s"$dstPath/terms/batch=base")
     back.agg(count_distinct(col("id")).as("n_docs"))

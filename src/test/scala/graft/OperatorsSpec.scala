@@ -627,6 +627,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(scanLines.nonEmpty && scanLines.forall(l =>
       l.contains("bkt") && !l.contains("PartitionFilters: []")),
       s"probe scans must partition-prune on bkt:\n${scanLines.mkString("\n")}")
+    // one writer per bucket: every bkt= dir the append touched holds
+    // exactly ONE part file (the TermBuckets-way hash repartition keeps a
+    // bucket's rows in a single task — a bucket split across tasks would
+    // land 2+ files here)
+    for (sub <- Seq("postings", "terms"); batch <- Seq("base", "b2")) {
+      val dirs = new java.io.File(s"$path/$sub/batch=$batch")
+        .listFiles().filter(_.getName.startsWith("bkt="))
+      assert(dirs.nonEmpty, s"$sub/batch=$batch should have bucket dirs")
+      dirs.foreach { d =>
+        val parts = d.listFiles().filter(_.getName.startsWith("part-"))
+        assert(parts.length == 1,
+          s"${d.getPath} has ${parts.length} part files, want 1 writer per bucket")
+      }
+    }
   }
 
   test("hashedLinearScore: mean of bucket weights, missing buckets 0, empty doc = intercept") {
