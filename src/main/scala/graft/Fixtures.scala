@@ -285,10 +285,14 @@ object Fixtures {
 
   private val winStores = TrieMap[String, String]()
 
-  /** Window-hash store over docs < 250 in TWO batches (< 125 base,
-    * 125-249 append), built once per (JVM, sf) — the store side of the
-    * incremental substring-dedup gates; the split exercises the probe's
-    * cross-batch canonical fold.
+  /** Window-hash store over docs < 250, built as TWO batches (< 125 base,
+    * 125-249 append) and then COMPACTED to a fresh single-batch path
+    * ([[graft.operators.DedupOps.compactWindowStore]]'s
+    * rebuild-dst-then-swap contract) — the store side of the incremental
+    * substring-dedup gates, so those gates run their oracle against a
+    * compacted store (probe results are byte-identical by construction;
+    * the multi-batch canonical fold itself is spec-covered in
+    * OperatorsSpec). Built once per (JVM, sf).
     */
   def windowStorePath(spark: SparkSession, sfDir: String): String =
     winStores.getOrElseUpdate(sfDir, {
@@ -299,7 +303,8 @@ object Fixtures {
       graft.operators.DedupOps.appendWindowStore(
         d.where(col("doc_id") >= 125 && col("doc_id") < 250),
         "doc_id", "text", path, batchToken = "b2")
-      path
+      graft.operators.DedupOps.compactWindowStore(spark, path, s"${path}_c")
+      s"${path}_c"
     })
 
   private val streamPix = TrieMap[String, String]()

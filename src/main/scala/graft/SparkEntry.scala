@@ -900,6 +900,17 @@ object SparkEntry {
         operators.MultimodalOps.asMediaTable(Tables.documents(s, dir), "doc_id", "text"))
         .toDF().select(col("id"), col("frame_idx").cast("bigint").as("frame_idx"),
           length(col("frame_bytes")).cast("bigint").as("n_bytes"))),
+
+    // multimodal: REAL image decode — executor-generated PNG payloads whose
+    // pixels are the closed form (id·31 + x·7 + y·13 + c·101) mod 256,
+    // decoded back through the JDK's javax.imageio codec; PNG is lossless,
+    // so the oracle reproduces the decoded per-channel pixel sums
+    // arithmetically without a codec
+    "mm_decode_real" -> ((s, dir) =>
+      operators.MultimodalOps.decodeImageStats(
+        operators.MultimodalOps.syntheticImageTable(
+          Tables.documents(s, dir), "doc_id"))
+        .toDF().orderBy(col("id"), col("channel"))),
   )
 
   /** Fixture + load for the `serialized` drift feature: 500 struct values,
@@ -2419,6 +2430,21 @@ object SparkEntry {
          FROM wh w JOIN dims dm ON dm.id = w.id
          LEFT JOIN feat f ON f.id = dm.id AND f.dim = dm.dim
          ORDER BY 1, 5""",
+
+    // REAL image decode: the synthetic PNGs' pixels are the closed form
+    // (id*31 + x*7 + y*13 + c*101) mod 256 at dims (8 + id%9, 8 + (id/9)%9);
+    // PNG is lossless, so the decoded per-channel sums equal the formula's
+    "mm_decode_real" ->
+      """WITH d AS (SELECT doc_id AS id, 8 + doc_id % 9 AS w,
+                      8 + (doc_id // 9) % 9 AS h FROM documents),
+         px AS (SELECT d.id, c, CAST(sum((d.id*31 + x*7 + y*13 + c*101) % 256) AS BIGINT) s
+                FROM d, unnest(range(0, w)) tx(x), unnest(range(0, h)) ty(y),
+                     unnest(range(0, 3)) tc(c)
+                GROUP BY 1, 2)
+         SELECT d.id, CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+           CAST(px.c AS BIGINT) AS channel, px.s AS pix_sum
+         FROM d JOIN px ON px.id = d.id
+         ORDER BY 1, 4""",
 
     // approximate aggregates: the Spark side emits bound-check booleans
     // (sketch vs exact computed in the same query); the oracle recomputes

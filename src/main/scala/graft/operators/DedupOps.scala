@@ -270,6 +270,56 @@ object DedupOps {
     df.sparkSession.catalog.refreshByPath(path)
   }
 
+  /** Compact a many-batch window store (a long-running incremental tail
+    * appends one `batch=` dir per micro-batch) into a fresh single-batch
+    * store at `dstPath`: one row per distinct window content with the
+    * STORE-GLOBAL canonical (smallest (id, p)) occurrence — exactly the
+    * per-h fold every probe pays over the batch dirs on each read
+    * ([[incrementalDuplicatedWindows]]), so probes against the compacted
+    * store return byte-identical results with that fold pre-paid and the
+    * per-micro-batch small files gone. Crash-safe by the
+    * [[SearchOps.compactPostingsIndex]] contract: dst is rebuilt from
+    * scratch and the caller swaps paths when complete — NEVER in place
+    * (an interrupted compaction leaves only a partial dst to overwrite,
+    * never a half-deleted src).
+    */
+  def compactWindowStore(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    require(srcPath != dstPath, "compact to a NEW path, then swap")
+    val p = new org.apache.hadoop.fs.Path(dstPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    spark.read.parquet(srcPath)
+      .select(col("h"), col("id"), col("p"))
+      .groupBy(col("h"))
+      .agg(min(struct(col("id"), col("p"))).as("__first"))
+      .select(col("h"), col("__first").getField("id").as("id"),
+        col("__first").getField("p").as("p"))
+      .write.mode("overwrite").parquet(s"$dstPath/batch=base")
+    // a dst this session already probed must drop stale listing caches
+    spark.catalog.refreshByPath(dstPath)
+  }
+
+  /** Compact a many-batch per-id store (minhash [[buildMinhashStore]] or
+    * fingerprint [[buildFingerprintStore]] layout — rows are per-id and
+    * ids are disjoint across batches, so compaction is a pure rewrite of
+    * the union into one `batch=base` dir; no fold exists to pre-pay, the
+    * win is collapsing thousands of micro-batch dirs' listing + small
+    * files). Same crash-safe rebuild-dst-then-swap contract as
+    * [[compactWindowStore]].
+    */
+  def compactIdStore(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    require(srcPath != dstPath, "compact to a NEW path, then swap")
+    val p = new org.apache.hadoop.fs.Path(dstPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val src = spark.read.parquet(srcPath)
+    src.select(src.columns.filter(_ != "batch").map(col): _*)
+      .write.mode("overwrite").parquet(s"$dstPath/batch=base")
+    spark.catalog.refreshByPath(dstPath)
+  }
+
   /** Duplicated windows of a NEW batch against the store ∪ the batch
     * itself: (id, p, __first) where __first is the GLOBAL canonical
     * occurrence (the least (id, p) across store batches and this batch).
@@ -1000,12 +1050,15 @@ object DedupOps {
     * assumed: the freeze test is per-root (one impure in-edge keeps the
     * whole star active) and the final label set is checked
     * count == count_distinct — an overlap between a banked star and the
-    * active remainder throws rather than mislabeling. Off by default:
+    * active remainder throws rather than mislabeling. ON by default (after
+    * a soak round of byte-identical gates and a 2× 10M-edge smoke win):
     * identical output either way, the flag only trades per-round freeze
-    * overhead against skewed-tail round cost (wins when rounds >> 3).
+    * overhead against skewed-tail round cost (wins when rounds >> 3); pass
+    * `freezeStars = false` to opt out on graphs known to converge in 1-2
+    * rounds.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 50, freezeStars: Boolean = false): DataFrame = {
+      maxRounds: Int = 50, freezeStars: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
     val nodes = pairs.select(col(aCol).as("id"))
       .union(pairs.select(col(bCol).as("id"))).distinct()

@@ -6,12 +6,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 /** Multimodal column handling: media as opaque `binary` columns with typed
   * metadata, processed per-partition in batches.
   *
-  * The Spark-side plumbing — schema, partitioning, iterator-based batch
-  * processing, typed encoders — is real and tested; the actual byte→pixels/
-  * samples decode is STUBBED with a deterministic fake (this environment has
-  * no image/audio codecs): [[MultimodalOps.fakeDecode]] derives "features"
-  * from a rolling hash of the bytes. Swap `fakeDecode` for a real codec
-  * call; nothing else changes.
+  * IMAGE decode is REAL: [[decodeImageStats]] runs the JDK's built-in PNG
+  * codec (`javax.imageio`, public and dependency-free) over the binary
+  * column inside the batched mapPartitions plumbing — actual pixels out of
+  * actual compressed bytes. Video/audio remain STUBBED with a deterministic
+  * fake ([[MultimodalOps.fakeDecode]], a rolling hash of the bytes) because
+  * this environment ships no video/audio codecs; the Spark-side plumbing —
+  * schema, partitioning, iterator-based batch processing, typed encoders —
+  * is identical for both, so swapping the fake for a real codec call
+  * changes nothing else.
   */
 object MultimodalOps {
 
@@ -19,6 +22,8 @@ object MultimodalOps {
   case class MediaFeatures(id: Long, n_bytes: Long, width: Int, height: Int,
       feature: Array[Double])
   case class Frame(id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+  case class ImageStats(id: Long, width: Long, height: Long, channel: Long,
+      pix_sum: Long)
 
   /** Wrap any (id, string-payload) frame as a media table: payload bytes as
     * the opaque `media` binary + derived metadata. Stands in for
@@ -106,4 +111,99 @@ object MultimodalOps {
   /** Metadata-only pass: exact byte length + format, no decode. */
   def mediaMeta(media: DataFrame): DataFrame =
     media.select(col("id"), length(col("media")).cast("bigint").as("n_bytes"), col("format"))
+
+  // ---------------------------------------------------------------------
+  // REAL image path (JDK javax.imageio — PNG codec ships with the JVM)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic RGB pixel value for the synthetic test images:
+    * `v(id, x, y, c) = (id·31 + x·7 + y·13 + c·101) mod 256`. Closed-form,
+    * so a SQL oracle reproduces the DECODED pixel statistics arithmetically
+    * without ever touching a codec — the PNG round trip is lossless, which
+    * is exactly what makes the decode verifiable end-to-end.
+    */
+  private def synthPixel(id: Long, x: Int, y: Int, c: Int): Int =
+    (((id * 31 + x * 7L + y * 13L + c * 101L) % 256 + 256) % 256).toInt
+
+  /** Synthetic image dimensions for an id: 8–16 px per side, both derived
+    * from the id so every image differs.
+    */
+  def synthDims(id: Long): (Int, Int) =
+    (8 + ((id % 9 + 9) % 9).toInt, 8 + ((id / 9 % 9 + 9) % 9).toInt)
+
+  /** A REAL PNG payload (JDK encoder) whose pixels follow [[synthPixel]].
+    * PNG is lossless: decoding these bytes with any conformant codec
+    * returns the formula's exact pixel values.
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val (w, h) = synthDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (synthPixel(id, x, y, 0) << 16) |
+            (synthPixel(id, x, y, 1) << 8) |
+            synthPixel(id, x, y, 2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table of real PNG payloads, one per id — GENERATED IN EXECUTORS
+    * (mapPartitions): at fixture scale this is a convenience, at 100 TB the
+    * same shape is "encode/transcode a media column distributedly" with no
+    * driver involvement and no shuffle (narrow map over the id frame).
+    */
+  def syntheticImageTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { ids => ids.map(id => (id, syntheticPng(id), "image/png")) }
+      .toDF("id", "media", "format")
+  }
+
+  /** REAL image decode over the opaque binary column: `javax.imageio` parses
+    * the compressed payload into pixels; per image we emit one row per RGB
+    * channel with the exact integer pixel sum — (id, width, height, channel,
+    * pix_sum). mapPartitions keeps the batched-codec shape (decoder state,
+    * real codecs' native buffers, amortize per partition, not per row);
+    * an undecodable payload fails loudly with the offending id rather than
+    * silently dropping rows.
+    */
+  def decodeImageStats(media: DataFrame): Dataset[ImageStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"decodeImageStats: undecodable image payload for id=$id")
+          val w = img.getWidth
+          val h = img.getHeight
+          val sums = new Array[Long](3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sums(0) += (rgb >> 16) & 0xff
+              sums(1) += (rgb >> 8) & 0xff
+              sums(2) += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (0 until 3).map(c => ImageStats(id, w.toLong, h.toLong, c.toLong, sums(c)))
+        }
+      }
+  }
 }

@@ -361,7 +361,7 @@ object SimilarityOps {
   def semanticDedupKeep(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, blocks: Int = 0, bands: Int = 64,
       rowsPerBand: Int = 16, seed: Long = 42L,
-      maxBucket: Int = 1000, freezeStars: Boolean = false): DataFrame = {
+      maxBucket: Int = 1000, freezeStars: Boolean = true): DataFrame = {
     val pairs = nearDupPairs(df, idCol, vecCol, minCosine, blocks, bands,
       rowsPerBand, seed, maxBucket)
     // the label frame's columns are renamed to reserved names BEFORE the
@@ -563,6 +563,260 @@ object SimilarityOps {
       prep(queries, idCol, vecCol, "query_id", "qv", "qn"))
     val c = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     sq8Rescore(sq8Candidates(c8, sq8Queries(q, gm), k, candFactor), c, q, k)
+  }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ) ANN — the compression step past SQ8
+  // ---------------------------------------------------------------------
+
+  /** PQ two-stage ANN (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011; FAISS's PQ index family): vectors split
+    * into `m` sub-spaces; each sub-space gets its own `ksub`-centroid
+    * codebook (same deterministic floored-integer Lloyd as
+    * [[refinedCentroids]], seeded from the lowest-id vectors, run per
+    * sub-space); a vector's code is its m nearest-sub-centroid indices —
+    * m·log2(ksub) bits instead of 32·dim, an order of magnitude smaller
+    * than even SQ8's 8·dim. Query scoring is ADC (asymmetric distance
+    * computation): per query ONE m×ksub table of exact integer
+    * sub-dot-products against every sub-centroid, then each corpus
+    * vector's approximate dot is m table lookups — no per-pair arithmetic
+    * beyond m adds. Stage 2 rescores the k·candFactor survivors with the
+    * exact fixed-point cosine (identical tail to [[sq8TopK]]).
+    *
+    * Everything integral: codebook refinement uses floored integer means
+    * (exact-integer avgs in double, |sums| < 2^53), assignment maximizes
+    * the exact long `2·x·c − |c|²` (== L2 argmin at constant |x|²) with
+    * ties to the lowest cell id, ADC tables are exact long dots — so the
+    * candidate SET is engine-reproducible and the gate oracle replays the
+    * whole construction in SQL (the [[ivfTopK]] contract, per sub-space).
+    *
+    * Scale shape: training touches seeds+corpus in `refineIters`+1 small
+    * sub-vector shuffles; encoding is one broadcast-join + map-side
+    * partial-agg pass; the probe scan is map-side (codes × broadcast
+    * per-query tables) into the salted two-phase top-k. Rescore touches
+    * only candidates. Recall at equal candidate budget trails SQ8 (64-bit
+    * codes vs 512-bit at m=8/ksub=256) — buy it back with `candFactor`,
+    * measured in the 1M-vector ScaleSmoke.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 4, ksub: Int = 8, refineIters: Int = 1,
+      candFactor: Int = 4): DataFrame = {
+    require(k > 0 && candFactor > 0, "k and candFactor must be positive")
+    ensureRegistered(corpus)
+    val c = graft.CacheScope.persist(
+      prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn"))
+    val q = graft.CacheScope.persist(
+      prep(queries, idCol, vecCol, "query_id", "qv", "qn"))
+    val sub = graft.CacheScope.persist(
+      subVectors(c.select(col("neighbor_id").as("id"), col("cv").as("v")), m))
+    val cents = pqCodebooks(sub, ksub, refineIters)
+    val codes = pqCodes(sub, cents, ksub)
+    val tables = pqAdcTables(
+      subVectors(q.select(col("query_id").as("id"), col("qv").as("v")), m),
+      cents, ksub)
+    sq8Rescore(pqCandidates(codes, tables, m, ksub, k, candFactor), c, q, k)
+  }
+
+  /** (id, j, sv): vector split into m equal sub-vectors. Fails loudly on a
+    * dimension not divisible by m (silent ragged slices would score
+    * garbage).
+    */
+  private def subVectors(df: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, "m must be >= 1")
+    df.select(col("id"), col("v"), (size(col("v")) / m).as("__sd"))
+      .withColumn("__chk",
+        when(size(col("v")) % m =!= 0, raise_error(concat(
+          lit(s"pq: vector dimension "), size(col("v")).cast("string"),
+          lit(s" not divisible by m=$m")))).otherwise(lit(null)))
+      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("j"),
+        col("v"), col("__sd"), col("__chk"))
+      .select(col("id"), col("j"),
+        slice(col("v"), col("j") * col("__sd") + 1, col("__sd")).as("sv"))
+  }
+
+  /** Per-(id, j) nearest sub-centroid as an AGGREGATION (max_by over the
+    * broadcast-joined candidates, map-side partial agg — the [[bestCell]]
+    * shape): maximize exact long `2·x·c − |c|²`, ties to the lowest cell.
+    */
+  private def bestPqCell(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.join(broadcast(cents), Seq("j"))
+      .groupBy(col("id"), col("j"))
+      .agg(
+        max_by(col("cell"),
+          struct((dotInt(col("sv"), col("cv")) * 2 - dotInt(col("cv"), col("cv"))).as("s"),
+            (-col("cell")).as("nc"))).as("cell"),
+        first(col("sv")).as("sv"))
+
+  /** Per-sub-space codebooks: seeds = the ksub lowest ids' sub-vectors,
+    * then `refineIters` assign → floored-integer-mean rounds (each one
+    * small sub-vector shuffle). Returns (j, cell, cv); cells are seed ids,
+    * mapped to dense 0-based codes by [[pqCodes]]' ordering.
+    */
+  private def pqCodebooks(sub: DataFrame, ksub: Int, refineIters: Int): DataFrame = {
+    require(ksub >= 1, "ksub must be >= 1")
+    require(refineIters >= 0, "refineIters must be >= 0")
+    val seedIds = sub.select(col("id")).distinct().orderBy(col("id")).limit(ksub)
+    var cents = sub
+      .join(broadcast(seedIds), Seq("id"), "left_semi")
+      .select(col("j"), col("id").as("cell"), col("sv").as("cv"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to refineIters) {
+      val assigned = bestPqCell(sub, cents)
+      cents = assigned
+        .select(col("j"), col("cell"), posexplode(col("sv")))
+        .groupBy(col("j"), col("cell"), col("pos"))
+        // exact-integer avg of int components (|sums| < 2^53), floored
+        // identically in any engine — cross-engine deterministic
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("j"), col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("j"), col("cell"),
+          transform(col("pm"), p => floor(p.getField("m")).cast("bigint")).as("cv"))
+        .localCheckpoint(eager = true)
+    }
+    cents
+  }
+
+  /** Dense 0-based code per (j, cell): codes order by cell id within each
+    * sub-space — the layout both the packed code arrays and the flattened
+    * ADC tables agree on.
+    */
+  private def pqCellIndex(cents: DataFrame): DataFrame =
+    cents.select(col("j"), col("cell"))
+      .withColumn("code",
+        (row_number().over(Window.partitionBy(col("j")).orderBy(col("cell"))) - 1)
+          .cast("int"))
+
+  /** Encode: (id, codes array<int> of length m) — each vector's nearest
+    * sub-centroid indices. One broadcast join + two map-side-partial aggs.
+    */
+  private def pqCodes(sub: DataFrame, cents: DataFrame, ksub: Int): DataFrame =
+    bestPqCell(sub, cents)
+      .join(broadcast(pqCellIndex(cents)), Seq("j", "cell"))
+      .groupBy(col("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** Per-query flattened ADC table: table[j·ksub + code] = exact long dot
+    * of the query's j-th sub-vector with that code's sub-centroid. One
+    * m×ksub-row broadcast join per query set, packed to one array row.
+    */
+  private def pqAdcTables(qsub: DataFrame, cents: DataFrame, ksub: Int): DataFrame =
+    qsub.join(broadcast(cents.join(pqCellIndex(cents), Seq("j", "cell"))), Seq("j"))
+      .select(col("id").as("query_id"), (col("j") * ksub + col("code")).as("slot"),
+        dotInt(col("sv"), col("cv")).as("d"))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("slot"), col("d")))),
+        s => s.getField("d")).as("table"))
+
+  /** Stage 1: ADC scan — corpus codes against broadcast per-query tables;
+    * each score is m table lookups summed (exact longs); keep the
+    * k·candFactor best (score desc, id) via the salted two-phase top-k.
+    */
+  private def pqCandidates(codes: DataFrame, tables: DataFrame,
+      m: Int, ksub: Int, k: Int, candFactor: Int): DataFrame =
+    topKTwoPhase(
+      codes.select(col("id").as("neighbor_id"), col("codes"))
+        .join(broadcast(tables), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          expr(s"""aggregate(sequence(0, ${m - 1}), 0L,
+                  |  (acc, j) -> acc + element_at(table, j * $ksub + element_at(codes, j + 1) + 1))
+                  |""".stripMargin).as("s8")),
+      "query_id", "neighbor_id",
+      Seq(col("s8").desc, col("neighbor_id")), k * candFactor)
+      .select(col("query_id"), col("neighbor_id"))
+
+  /** Persist the PQ side of [[pqTopK]] — build once, probe many (the
+    * [[buildSq8Index]] layout): `path/meta` (m, ksub, dim), `path/codebooks`
+    * (the m·ksub sub-centroids — tiny), `path/codes/batch=<token>` (id,
+    * m-byte-ish code array; the 4-byte int elements bit-pack near log2(ksub)
+    * bits in parquet). Source vectors are NOT duplicated — rescore
+    * point-looks-up the corpus like every store in the family.
+    */
+  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, m: Int = 4, ksub: Int = 8, refineIters: Int = 1): Unit = {
+    ensureRegistered(corpus)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val c = prep(corpus, idCol, vecCol, "id", "v", "nrm")
+    require(!c.isEmpty, s"buildPqIndex: empty corpus, no codebooks to train for $path")
+    val sub = graft.CacheScope.persist(subVectors(c.select(col("id"), col("v")), m))
+    val cents = pqCodebooks(sub, ksub, refineIters)
+    c.select(size(col("v")).as("dim")).limit(1)
+      .select(lit(m).as("m"), lit(ksub).as("ksub"), col("dim"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+    cents.write.mode("overwrite").parquet(s"$path/codebooks")
+    pqCodes(sub, cents, ksub)
+      .select(col("id"), col("codes").cast("array<int>").as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes/batch=base")
+  }
+
+  /** Append new vectors' codes under the FROZEN codebooks (cf.
+    * [[appendSq8Index]]): encode against the stored sub-centroids, reject
+    * dimension mismatches and id overlaps loudly, land as an atomic
+    * replay-idempotent `batch=<token>` dir. Codebooks are deliberately not
+    * re-trained — that is the rebuild's job; drifting appended mass decays
+    * per-candidate recall until a rebuild.
+    */
+  def appendPqIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+      path: String,
+      batchToken: String = java.util.UUID.randomUUID.toString,
+      checkIds: Boolean = true): Unit = {
+    ensureRegistered(newVecs)
+    val spark = newVecs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").limit(1).collect()
+      .headOption.getOrElse(throw new IllegalStateException(s"no PQ index at $path"))
+    val (m, ksub, dim) =
+      (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"), meta.getAs[Int]("dim"))
+    val bad = newVecs.where(size(col(vecCol)) =!= dim).limit(1).collect()
+    require(bad.isEmpty,
+      s"appendPqIndex: appended vector dimension != index dimension $dim at $path")
+    if (checkIds) {
+      val clash = spark.read.parquet(s"$path/codes")
+        .where(col("batch") =!= lit(batchToken)).select(col("id"))
+        .join(newVecs.select(col(idCol).as("id")), Seq("id"))
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"appendPqIndex: id ${clash.headOption.map(_.get(0)).orNull} already " +
+          s"present in the index at $path — duplicate codes corrupt top-k " +
+          "(pass checkIds = false only with upstream disjointness)")
+    }
+    val cents = spark.read.parquet(s"$path/codebooks")
+    val sub = subVectors(
+      prep(newVecs, idCol, vecCol, "id", "v", "nrm").select(col("id"), col("v")), m)
+    pqCodes(sub, cents, ksub)
+      .select(col("id"), col("codes").cast("array<int>").as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes/batch=$batchToken")
+    spark.catalog.refreshByPath(s"$path/codes")
+  }
+
+  /** Probe a persisted PQ index: ADC scan over the stored codes, exact
+    * rescore against `corpus` (vectors' source of truth; only candidate
+    * rows touched). With the index built from the same corpus and
+    * parameters, results == [[pqTopK]].
+    */
+  def pqTopKIndexed(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, path: String, k: Int,
+      candFactor: Int = 4): DataFrame = {
+    require(k > 0 && candFactor > 0, "k and candFactor must be positive")
+    ensureRegistered(corpus)
+    val spark = corpus.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").limit(1).collect()
+      .headOption.getOrElse(throw new IllegalStateException(s"no PQ index at $path"))
+    val (m, ksub) = (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"))
+    val cents = spark.read.parquet(s"$path/codebooks")
+    val codes = spark.read.parquet(s"$path/codes").select(col("id"), col("codes"))
+    val c = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val q = graft.CacheScope.persist(
+      prep(queries, idCol, vecCol, "query_id", "qv", "qn"))
+    val tables = pqAdcTables(
+      subVectors(q.select(col("query_id").as("id"), col("qv").as("v")), m),
+      cents, ksub)
+    sq8Rescore(pqCandidates(codes, tables, m, ksub, k, candFactor), c, q, k)
   }
 
   /** Salt buckets for the two-phase per-key top-k: phase-1 sorts are

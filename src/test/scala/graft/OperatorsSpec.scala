@@ -361,6 +361,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(frames.forall(_.frame_idx % 4 == 0))
   }
 
+  test("multimodal: REAL PNG decode round-trips the pixel formula exactly") {
+    import spark.implicits._
+    // local truth: the closed-form per-channel sums, no codec involved
+    def expected(id: Long): Seq[(Long, Long, Long, Long, Long)] = {
+      val (w, h) = MultimodalOps.synthDims(id)
+      (0 until 3).map { c =>
+        var s = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          s += (((id * 31 + x * 7L + y * 13L + c * 101L) % 256 + 256) % 256)
+        (id, w.toLong, h.toLong, c.toLong, s)
+      }
+    }
+    val ids = Seq(0L, 1L, 7L, 42L, 80L, 12345L)
+    val media = MultimodalOps.syntheticImageTable(ids.toDF("doc_id"), "doc_id")
+    // the payloads are genuine PNGs, not the fake format
+    val magic = media.select($"id", $"media").as[(Long, Array[Byte])].collect()
+    assert(magic.forall { case (_, b) =>
+      b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' })
+    val got = MultimodalOps.decodeImageStats(media).collect()
+      .map(r => (r.id, r.width, r.height, r.channel, r.pix_sum)).sortBy(t => (t._1, t._4))
+    val want = ids.flatMap(expected).sortBy(t => (t._1, t._4))
+    assert(got.toSeq == want)
+    // a corrupt payload fails loudly, not silently
+    val bad = Seq((99L, Array[Byte](1, 2, 3), "image/png")).toDF("id", "media", "format")
+    val ex = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodeImageStats(bad).collect()
+    }
+    assert(ex.getMessage.contains("undecodable") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("undecodable"))
+  }
+
   test("connectedComponents == brute-force union-find on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
@@ -513,6 +544,59 @@ class OperatorsSpec extends SparkTestBase {
     // replaying an append token overwrites its dir; results unchanged
     DedupOps.appendWindowStore(store2, "doc_id", "text", path, batchToken = "b2")
     assert(spanSet(DedupOps.incrementalDuplicateSpans(probe, "doc_id", "text", path)) == full)
+  }
+
+  test("compactWindowStore: probe == pre-compaction probe; single batch dir; rebuild-dst idempotent") {
+    import spark.implicits._
+    val path = s"${Fixtures.tmpRoot}/winstore_compact_src"
+    val dst = s"${Fixtures.tmpRoot}/winstore_compact_dst"
+    // three appended micro-batches, like a streaming tail would leave
+    DedupOps.buildWindowStore(docs.where(col("doc_id") < 100), "doc_id", "text", path)
+    DedupOps.appendWindowStore(docs.where(col("doc_id") >= 100 && col("doc_id") < 180),
+      "doc_id", "text", path, batchToken = "b2")
+    DedupOps.appendWindowStore(docs.where(col("doc_id") >= 180 && col("doc_id") < 250),
+      "doc_id", "text", path, batchToken = "b3")
+    val probe = docs.where(col("doc_id") >= 250)
+    def spanSet(p: String) = DedupOps.incrementalDuplicateSpans(probe, "doc_id", "text", p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def cutMap(p: String) = DedupOps.incrementalDropDuplicateSpans(probe, "doc_id", "text", p)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (beforeSpans, beforeCut) = (spanSet(path), cutMap(path))
+    DedupOps.compactWindowStore(spark, path, dst)
+    assert(spanSet(dst) == beforeSpans && beforeSpans.nonEmpty)
+    assert(cutMap(dst) == beforeCut)
+    // one batch dir, one row per distinct window content (the per-h fold is
+    // pre-paid: compacted rows == distinct hashes of the source store)
+    val dirs = new java.io.File(dst).listFiles.filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("batch=base"))
+    val srcDistinct = spark.read.parquet(path).select("h").distinct().count()
+    assert(spark.read.parquet(dst).count() == srcDistinct)
+    // re-compacting rebuilds dst from scratch (crash-safe contract)
+    DedupOps.compactWindowStore(spark, path, dst)
+    assert(spanSet(dst) == beforeSpans)
+    // in-place compaction is refused loudly
+    intercept[IllegalArgumentException] {
+      DedupOps.compactWindowStore(spark, path, path)
+    }
+  }
+
+  test("compactIdStore: minhash probe == pre-compaction probe across batch dirs") {
+    import spark.implicits._
+    val path = s"${Fixtures.tmpRoot}/mhstore_compact_src"
+    val dst = s"${Fixtures.tmpRoot}/mhstore_compact_dst"
+    DedupOps.buildMinhashStore(docs.where(col("doc_id") < 125), "doc_id", "text", path)
+    DedupOps.appendMinhashStore(docs.where(col("doc_id") >= 125 && col("doc_id") < 250),
+      "doc_id", "text", path, batchToken = "b2")
+    val probe = docs.where(col("doc_id") >= 250)
+    def pairs(p: String) = DedupOps.incrementalNearDupPairs(probe, "doc_id", "text", p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = pairs(path)
+    graft.CacheScope.release()
+    DedupOps.compactIdStore(spark, path, dst)
+    assert(pairs(dst) == before && before.nonEmpty)
+    graft.CacheScope.release()
+    val dirs = new java.io.File(dst).listFiles.filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("batch=base"))
   }
 
   test("winnowingPairs: finds containment that global-Jaccard minhash misses; stop fps cut") {
@@ -681,7 +765,8 @@ class OperatorsSpec extends SparkTestBase {
         (rnd.nextInt(80).toLong + 100, rnd.nextInt(80).toLong + 100))
         .filter { case (a, b) => a != b }
       val edges = (stars ++ chain ++ randomEdges).toDF("id_a", "id_b")
-      val want = DedupOps.connectedComponents(edges, "id_a", "id_b")
+      val want = DedupOps.connectedComponents(edges, "id_a", "id_b",
+          freezeStars = false)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val got = DedupOps.connectedComponents(edges, "id_a", "id_b",
           freezeStars = true)
@@ -1480,6 +1565,87 @@ class OperatorsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       SimilarityOps.sq8TopKIndexed(emb, emb.where(col("vec_id") < 3),
         "vec_id", "embedding", badPath, 5).collect()
+    }
+    graft.CacheScope.release()
+  }
+
+  test("pqTopK: dense ranks, exact rescored cosines, reasonable recall vs brute force") {
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val pq = SimilarityOps.pqTopK(emb, queries, "vec_id", "embedding", 10,
+      m = 4, ksub = 8, refineIters = 1, candFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // shape: 10 dense ranks per query, self excluded
+    assert(pq.length == 100)
+    assert(pq.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._3).sorted.toSeq == (1L to 10L) })
+    assert(pq.forall { case (q, n, _, _) => q != n })
+    // stage-2 cosines are EXACT: every returned pair must score identically
+    // to the brute-force path (quantized-fixed-point contract)
+    val bruteAll = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 499)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pq.forall { case (q, n, _, c) => bruteAll((q, n)) == c })
+    // recall@10 vs brute force: PQ at 64->4x3-bit codes is coarse, but the
+    // exact rescore over 80 candidates should recover well over half
+    val hits = pq.count { case (q, n, _, _) => exact.contains((q, n)) }
+    assert(hits >= 50, s"recall@10 too low: $hits/100")
+    graft.CacheScope.release()
+  }
+
+  test("pq persisted index: probe == in-memory; append encodes under frozen codebooks; guards loud") {
+    import spark.implicits._
+    val path = s"${Fixtures.tmpRoot}/pq_spec_index"
+    val queries = emb.where(col("vec_id") < 10)
+    SimilarityOps.buildPqIndex(emb, "vec_id", "embedding", path,
+      m = 4, ksub = 8, refineIters = 1)
+    val probed = SimilarityOps.pqTopKIndexed(emb, queries,
+      "vec_id", "embedding", path, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mem = SimilarityOps.pqTopK(emb, queries, "vec_id", "embedding", 10,
+      m = 4, ksub = 8, refineIters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probed == mem, "persisted probe must equal the in-memory search")
+    // append: delta vectors encode under the FROZEN base codebooks and
+    // appear as neighbors after the append
+    val path2 = s"${Fixtures.tmpRoot}/pq_spec_append"
+    val base = emb.where(col("vec_id") >= 20)
+    val delta = emb.where(col("vec_id") < 20)
+    SimilarityOps.buildPqIndex(base, "vec_id", "embedding", path2,
+      m = 4, ksub = 8, refineIters = 1)
+    SimilarityOps.appendPqIndex(delta, "vec_id", "embedding", path2, "b1")
+    val appended = SimilarityOps.pqTopKIndexed(emb, queries,
+      "vec_id", "embedding", path2, 10)
+    assert(appended.count() == 100)
+    assert(appended.where(col("neighbor_id") < 20).count() > 0,
+      "appended vectors must be searchable")
+    // replayed append token overwrites its dir (idempotent)
+    SimilarityOps.appendPqIndex(delta, "vec_id", "embedding", path2, "b1")
+    assert(SimilarityOps.pqTopKIndexed(emb, queries,
+      "vec_id", "embedding", path2, 10).count() == 100)
+    // duplicate-id append under a NEW token is rejected before landing
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityOps.appendPqIndex(emb.where(col("vec_id") < 2),
+        "vec_id", "embedding", path2, "b9")
+    }
+    assert(ex.getMessage.contains("already present"), ex.getMessage)
+    assert(!new java.io.File(s"$path2/codes/batch=b9").exists())
+    // dimension mismatch fails loudly
+    intercept[IllegalArgumentException] {
+      SimilarityOps.appendPqIndex(
+        Seq((9999L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", path2, "b10")
+    }
+    // dim not divisible by m fails loudly at build
+    intercept[Exception] {
+      SimilarityOps.buildPqIndex(
+        Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", s"${Fixtures.tmpRoot}/pq_spec_ragged", m = 4)
+    }
+    // empty corpus build fails loudly
+    intercept[IllegalArgumentException] {
+      SimilarityOps.buildPqIndex(emb.where(col("vec_id") < 0),
+        "vec_id", "embedding", s"${Fixtures.tmpRoot}/pq_spec_empty")
     }
     graft.CacheScope.release()
   }
