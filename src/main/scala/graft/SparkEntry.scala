@@ -760,6 +760,30 @@ object SparkEntry {
         emb.where(col("vec_id") < 10), "vec_id", "embedding", path, 10)
     }),
 
+    // PQ two-stage ANN: per-subspace codebooks (m=4, ksub=8, one
+    // floored-integer Lloyd refinement), exact-long ADC candidate scan
+    // (40 candidates), exact fixed-point rescore to top 10 — codebooks,
+    // codes and candidate scores are engine-exact integers, so the oracle
+    // replays the whole construction per sub-space
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.SimilarityOps.pqTopK(emb,
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", 10,
+        m = 4, ksub = 8, refineIters = 1)
+    }),
+
+    // same PQ search through a PERSISTED code index (codebooks + codes on
+    // disk; rescore point-looks-up the source corpus) — results, and the
+    // oracle, are identical to ann_pq_topk
+    "ann_pq_persisted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = s"${Fixtures.tmpRoot}/pq_gate_index"
+      operators.SimilarityOps.buildPqIndex(emb, "vec_id", "embedding", path,
+        m = 4, ksub = 8, refineIters = 1)
+      operators.SimilarityOps.pqTopKIndexed(emb,
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", path, 10)
+    }),
+
     // embedding near-duplicate pairs (quantized-exact cosine >= 0.4)
     "emb_neardup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).where(col("vec_id") < 500)
@@ -967,6 +991,9 @@ object SparkEntry {
     // the persisted SQ8 probe computes the same answer as the in-memory
     // two-stage search — one oracle, two execution paths
     ("ann_sq8_persisted" -> oracleSqlBase("ann_sq8_topk")) +
+    // the persisted PQ probe computes the same answer as the in-memory
+    // search (same codebooks, codes, tables) — one oracle, two paths
+    ("ann_pq_persisted" -> oracleSqlBase("ann_pq_topk")) +
     // the pre-cut scale path keeps the exact cut's answer by construction
     // (containment checked at run time) — one oracle, two execution paths
     ("quality_quantile_keep_large" -> oracleSqlBase("quality_quantile_keep")) +
@@ -2150,6 +2177,60 @@ object SparkEntry {
               CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) cosine
             FROM dots JOIN norms nq ON nq.vec_id = qid
             JOIN norms nc ON nc.vec_id = nid)
+          SELECT query_id, neighbor_id, rank, cosine FROM
+            (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) rank FROM scored)
+          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // PQ is deterministic end-to-end too: the oracle replays the whole
+    // construction per sub-space (j = i div 16 at m=4 over 64 dims) —
+    // seed cells = 8 lowest ids' sub-vectors, one floored-integer-mean
+    // Lloyd refinement, nearest-sub-centroid assignment maximizing the
+    // exact long 2·x·c − |c|² (ties to the lowest cell), ADC scores =
+    // per-(query, sub-space) exact dot with the ASSIGNED sub-centroid
+    // summed over sub-spaces, top 40 candidates (score DESC, id), exact
+    // cosine rerank to top 10
+    "ann_pq_topk" ->
+      s"""WITH $embFlat,
+          nn AS (SELECT vec_id, sqrt(CAST(n2 AS DOUBLE)) nrm FROM norms),
+          sub AS (SELECT vec_id, i // 16 AS j, i % 16 AS p, x FROM flat),
+          c0 AS (SELECT s.j, s.vec_id AS cell, s.p, s.x AS cx FROM sub s
+                 WHERE s.vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
+          d0 AS (SELECT s.vec_id, s.j, c.cell,
+                   CAST(2*sum(s.x*c.cx) - sum(c.cx*c.cx) AS BIGINT) sc
+                 FROM sub s JOIN c0 c ON c.j = s.j AND c.p = s.p
+                 GROUP BY 1, 2, 3),
+          a0 AS (SELECT vec_id, j, cell FROM d0
+                 QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                   ORDER BY sc DESC, cell) = 1),
+          m1 AS (SELECT a0.j, a0.cell, s.p,
+                   CAST(floor(avg(CAST(s.x AS DOUBLE))) AS BIGINT) cx
+                 FROM a0 JOIN sub s ON s.vec_id = a0.vec_id AND s.j = a0.j
+                 GROUP BY 1, 2, 3),
+          d1 AS (SELECT s.vec_id, s.j, c.cell,
+                   CAST(2*sum(s.x*c.cx) - sum(c.cx*c.cx) AS BIGINT) sc
+                 FROM sub s JOIN m1 c ON c.j = s.j AND c.p = s.p
+                 GROUP BY 1, 2, 3),
+          a1 AS (SELECT vec_id, j, cell FROM d1
+                 QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                   ORDER BY sc DESC, cell) = 1),
+          qd AS (SELECT s.vec_id qid, c.j, c.cell, CAST(sum(s.x*c.cx) AS BIGINT) dot
+                 FROM sub s JOIN m1 c ON c.j = s.j AND c.p = s.p
+                 WHERE s.vec_id < 10 GROUP BY 1, 2, 3),
+          sc AS (SELECT q.qid, a.vec_id nid, CAST(sum(q.dot) AS BIGINT) s8
+                 FROM a1 a JOIN qd q ON q.j = a.j AND q.cell = a.cell
+                 WHERE q.qid != a.vec_id GROUP BY 1, 2),
+          cand AS (SELECT qid, nid FROM sc
+                   QUALIFY row_number() OVER (PARTITION BY qid
+                     ORDER BY s8 DESC, nid) <= 40),
+          dots AS (SELECT c.qid, c.nid, sum(q.x * n.x) dot
+                   FROM cand c JOIN flat q ON q.vec_id = c.qid
+                     JOIN flat n ON n.vec_id = c.nid AND n.i = q.i
+                   GROUP BY 1, 2),
+          scored AS (SELECT qid query_id, nid neighbor_id,
+                       CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) cosine
+                     FROM dots JOIN nn nq ON nq.vec_id = qid
+                       JOIN nn nc ON nc.vec_id = nid)
           SELECT query_id, neighbor_id, rank, cosine FROM
             (SELECT *, row_number() OVER (PARTITION BY query_id
                ORDER BY cosine DESC, neighbor_id) rank FROM scored)

@@ -614,7 +614,7 @@ object SimilarityOps {
     val codes = pqCodes(sub, cents, ksub)
     val tables = pqAdcTables(
       subVectors(q.select(col("query_id").as("id"), col("qv").as("v")), m),
-      cents, ksub)
+      cents, m, ksub)
     sq8Rescore(pqCandidates(codes, tables, m, ksub, k, candFactor), c, q, k)
   }
 
@@ -702,15 +702,21 @@ object SimilarityOps {
   /** Per-query flattened ADC table: table[j·ksub + code] = exact long dot
     * of the query's j-th sub-vector with that code's sub-centroid. One
     * m×ksub-row broadcast join per query set, packed to one array row.
+    * The array is DENSELY slot-indexed over the full 0..m·ksub-1 range
+    * (vanished cells — a centroid refinement round can empty a cell — fill
+    * with 0, which no code ever references): a positional collect of only
+    * the live slots would silently shift every later sub-space's lookups.
     */
-  private def pqAdcTables(qsub: DataFrame, cents: DataFrame, ksub: Int): DataFrame =
+  private def pqAdcTables(qsub: DataFrame, cents: DataFrame, m: Int,
+      ksub: Int): DataFrame =
     qsub.join(broadcast(cents.join(pqCellIndex(cents), Seq("j", "cell"))), Seq("j"))
       .select(col("id").as("query_id"), (col("j") * ksub + col("code")).as("slot"),
         dotInt(col("sv"), col("cv")).as("d"))
       .groupBy(col("query_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("slot"), col("d")))),
-        s => s.getField("d")).as("table"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("d")))).as("__tm"))
+      .select(col("query_id"),
+        transform(sequence(lit(0), lit(m * ksub - 1)),
+          s => coalesce(element_at(col("__tm"), s), lit(0L))).as("table"))
 
   /** Stage 1: ADC scan — corpus codes against broadcast per-query tables;
     * each score is m table lookups summed (exact longs); keep the
@@ -815,7 +821,7 @@ object SimilarityOps {
       prep(queries, idCol, vecCol, "query_id", "qv", "qn"))
     val tables = pqAdcTables(
       subVectors(q.select(col("query_id").as("id"), col("qv").as("v")), m),
-      cents, ksub)
+      cents, m, ksub)
     sq8Rescore(pqCandidates(codes, tables, m, ksub, k, candFactor), c, q, k)
   }
 
