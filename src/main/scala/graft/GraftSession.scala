@@ -25,11 +25,23 @@ object GraftSession {
     // feature storage treats hive partition values as strings ("2024-01-03",
     // "2024"); don't let Spark re-infer them as date/int
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    // ObjectHashAggregate (any agg whose buffer isn't primitive: max_by on
+    // a struct, first on an array, collect_list) falls back to SORT-BASED
+    // aggregation after this many in-memory keys — the 128 default turns
+    // every large object agg into a full sort-spill of its input stream
+    // (the PQ smoke's 2e9-row encode join spilled 80 GB through it before
+    // the codegen'd encode kernel replaced that plan). 256K keys/task keeps
+    // the map memory bounded while covering the per-task key counts of the
+    // shapes this engine runs (bestCell, latest-dedup max_by, code packs).
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
     // custom codegen'd functions available on every session we touch
     graft.functions.LongDotProduct.register(spark)
     graft.functions.Md5Prefix60.register(spark)
     graft.functions.RademacherBands.register(spark)
     graft.functions.QuantizeVec.register(spark)
+    graft.functions.PqEncode.register(spark)
+    graft.functions.PqAdcTable.register(spark)
+    graft.functions.PqAdcScore.register(spark)
     spark
   }
 

@@ -601,6 +601,82 @@ object ScaleSmoke {
       require(agg.getLong(2) <= 16, "no batch may exceed batchDocs")
       println(f"[scale]   pad fraction                      ${agg.getLong(3).toDouble / expectTokens}%8.4f")
     }
+    time("PQ index: 1M-vector build + 100-query probe vs brute force") {
+      // same synthetic vector family as the SQ8 entry; PQ at m=8/ksub=256
+      // stores 8 small codes per vector (~8 B effective after parquet
+      // bit-packing) vs SQ8's 64 int8s — the next compression step; recall
+      // at the same 80-candidate budget is bought back by the exact rescore
+      val nv = 1000000L
+      val dims = (0 until 64).map { i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(2001)) - lit(1000))
+          .cast("double") / lit(1000.0)
+      }
+      val vecs = spark.range(nv).select(col("id").as("vec_id"),
+        array(dims: _*).as("embedding"))
+      val queries = vecs.where(col("vec_id") < 100)
+      val path = s"$root/pq_smoke"
+      val t0 = System.nanoTime()
+      operators.SimilarityOps.buildPqIndex(vecs, "vec_id", "embedding", path,
+        m = 8, ksub = 256, refineIters = 1)
+      println(f"[scale]   pq build 1M x 64d (m=8, k=256)    ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val t1 = System.nanoTime()
+      val got = operators.SimilarityOps.pqTopKIndexed(vecs, queries,
+        "vec_id", "embedding", path, 10, candFactor = 8)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"[scale]   pq probe (80 cands/query)         ${(System.nanoTime() - t1) / 1e9}%8.2f s")
+      CacheScope.release()
+      // ground truth on a 16-query subsample (same budget discipline as
+      // the SQ8 entry: the exact scan is the cost ANN exists to avoid)
+      val exact = operators.SimilarityOps.bruteForceTopK(vecs,
+        vecs.where(col("vec_id") < 16), "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gotSub = got.filter(_._1 < 16)
+      val recall = (exact & gotSub).size.toDouble / exact.size
+      println(f"[scale]   pq recall vs brute force          $recall%8.4f")
+      require(recall >= 0.75,
+        s"pq recall $recall at 1M vectors below 0.75 — codebooks or candidate pool too tight")
+    }
+    time("wide fan-in: 100-feature loadFeatures through one flat plan") {
+      // feature-store width (M2 fan-in at training-set-export scale): 100
+      // features, each its own time grid, loaded through ONE plan. Above
+      // Align.WideAlignThreshold the align runs stack-then-pivot — one
+      // shuffle and a flat plan — instead of a 100-deep full-outer join
+      // chain (whose Catalyst analysis alone is the scale risk here);
+      // equivalence of the two shapes is pinned in AlignSpec.
+      val fsRoot = s"$root/widefs"
+      val fstore = new graft.api.FeatureStore(fsRoot, spark)
+      fstore.catalog.createNamespace(graft.catalog.NamespaceDef("wide", "wide smoke"))
+      val nf = 100
+      val perF = 20000L
+      val t0 = System.nanoTime()
+      (0 until nf).foreach { i =>
+        fstore.createFeature(s"wide/f$i")
+        fstore.saveDf(spark.range(perF).select(
+          timestamp_micros(lit(1609459200000000L) + col("id") * 600000000L +
+            lit(i.toLong * 7000000L)).as("time"),
+          (col("id") + i.toLong * 1000000L).cast("double").as("value"),
+          timestamp_micros(lit(1609459200000000L)).as("created_time")),
+          name = Some(s"wide/f$i"))
+      }
+      println(f"[scale]   ingest 100 x 20k features         ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val names = (0 until nf).map(i => s"wide/f$i")
+      val t1 = System.nanoTime()
+      val wide = fstore.loadFeatures(names)
+      val plan = wide.queryExecution.executedPlan // forces analysis+planning
+      val planSecs = (System.nanoTime() - t1) / 1e9
+      println(f"[scale]   plan build (analyze+optimize)     $planSecs%8.2f s")
+      val t2 = System.nanoTime()
+      val cnt = wide.count()
+      println(f"[scale]   execute (count)                   ${(System.nanoTime() - t2) / 1e9}%8.2f s")
+      // every (feature, id) time is distinct by construction: offsets 7s
+      // apart inside a 600s id step
+      require(cnt == nf * perF, s"wide align row count $cnt != ${nf * perF}")
+      require(planSecs < 60.0, f"plan build took $planSecs%.1f s — join-chain blowup is back?")
+      val nEx = plan.toString.linesIterator.count(_.contains("Exchange"))
+      require(nEx < 30, s"wide load ran $nEx exchanges — expected the one-shuffle pivot shape")
+    }
     time("quantileKeepLarge == exact cut over 5M scored rows") {
       val nr = 5000000L
       val scored = spark.range(nr).select(col("id"),

@@ -604,6 +604,18 @@ object SparkEntry {
       operators.CurationOps.packChunkText(Tables.documents(s, dir),
         "doc_id", "text", chunkTokens = 512)),
 
+    // chunk materialization in PIECE space: top-200-word vocab maps words
+    // to piece sequences (single pieces here; a real tokenizer dump slots
+    // in), OOV words fall back to 2-char pieces, and the 512-PIECE cut +
+    // concat runs on the piece stream — the oracle replays vocab,
+    // fallback split and packing in SQL
+    "corpus_pack_pieces" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.CurationOps.packChunkPieces(docs, "doc_id", "text",
+        operators.TextOps.topWordPieceVocab(docs, "text", 200),
+        chunkTokens = 512)
+    }),
+
     // train-ready sharded layout: write 16-chunk contiguous shards, read
     // back, and account (shard, n_chunks, n_tokens) — the write path is
     // under test, the oracle recomputes the accounting from raw docs
@@ -1972,6 +1984,34 @@ object SparkEntry {
          c AS (SELECT doc_id, tks, len(tks) n,
                  CAST(sum(len(tks)) OVER (ORDER BY doc_id ROWS UNBOUNDED
                    PRECEDING) AS BIGINT) cum FROM t),
+         s AS (SELECT doc_id, tks, n, cum - n AS strt, cum FROM c WHERE n > 0),
+         sp AS (SELECT CAST(b AS BIGINT) chunk_id, doc_id, tks,
+                  CAST(greatest(0, b * 512 - strt) AS BIGINT) a,
+                  CAST(least(n, (b + 1) * 512 - strt) AS BIGINT) e
+                FROM s, unnest(range(strt // 512, ((cum - 1) // 512) + 1)) u(b))
+         SELECT chunk_id,
+           string_agg(array_to_string(tks[a+1:e], ' '), ' ' ORDER BY doc_id)
+             AS text
+         FROM sp GROUP BY 1 ORDER BY 1""",
+
+    // piece-space packing: replay the top-200 vocab (count DESC, word),
+    // the single-piece vocab hit / 2-char OOV fallback split, then the
+    // same 512-cut concat machinery over the piece stream
+    "corpus_pack_pieces" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS wds FROM documents),
+         voc AS (SELECT word FROM (SELECT unnest(wds) word FROM w) t
+                 GROUP BY word ORDER BY count(*) DESC, word LIMIT 200),
+         wx AS (SELECT doc_id, unnest(wds) wrd, unnest(range(len(wds))) i FROM w),
+         wp AS (SELECT wx.doc_id, wx.i,
+                  CASE WHEN v.word IS NOT NULL THEN [wx.wrd]
+                       WHEN len(wx.wrd) = 0 THEN ['']
+                       ELSE list_transform(range((len(wx.wrd)-1)//2 + 1),
+                              k -> substring(wx.wrd, k*2+1, 2)) END pcs
+                FROM wx LEFT JOIN voc v ON v.word = wx.wrd),
+         pc AS (SELECT doc_id, flatten(list(pcs ORDER BY i)) tks FROM wp GROUP BY doc_id),
+         c AS (SELECT doc_id, tks, len(tks) n,
+                 CAST(sum(len(tks)) OVER (ORDER BY doc_id ROWS UNBOUNDED
+                   PRECEDING) AS BIGINT) cum FROM pc),
          s AS (SELECT doc_id, tks, n, cum - n AS strt, cum FROM c WHERE n > 0),
          sp AS (SELECT CAST(b AS BIGINT) chunk_id, doc_id, tks,
                   CAST(greatest(0, b * 512 - strt) AS BIGINT) a,

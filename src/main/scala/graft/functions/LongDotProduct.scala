@@ -110,5 +110,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     Md5Prefix60.inject(ext)
     RademacherBands.inject(ext)
     QuantizeVec.inject(ext)
+    PqEncode.inject(ext)
+    PqAdcTable.inject(ext)
+    PqAdcScore.inject(ext)
   }
 }

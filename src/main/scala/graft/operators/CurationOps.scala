@@ -393,6 +393,33 @@ object CurationOps {
         s => s.getField("f")), " ").as("text"))
   }
 
+  /** [[packChunkText]] in REAL-tokenizer PIECE space — the train-ready
+    * chunk materialization in actual tokenizer pieces, not whitespace
+    * words: every word maps through the broadcast `(word, pieces)` vocab
+    * ([[TextOps.topWordPieceVocab]] for the self-contained demo, a real
+    * tokenizer's dump in production), OOV words fall back to 2-char
+    * pieces ([[TextOps.pieceTokens]]), and the concat-and-chunk cut runs
+    * on the resulting piece sequence. Output `(chunk_id, text)` with text
+    * the space-joined piece sequence; every chunk except the last holds
+    * exactly `chunkTokens` PIECES. Span counts derive from the same piece
+    * tokenization that gets sliced (the [[packChunkText]] contract), so
+    * accounting and materialization cannot disagree.
+    *
+    * Scale: the vocab becomes ONE broadcast map row (megabytes for a
+    * top-1M-word table) via crossJoin — no corpus-side join or shuffle is
+    * added; everything downstream is [[packChunks]]' one prefix-sum
+    * shuffle + the chunk_id shuffle. A duplicate vocab word fails loudly
+    * in map_from_entries rather than silently picking a winner.
+    */
+  def packChunkPieces(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, chunkTokens: Long): DataFrame = {
+    val vm = broadcast(vocab.agg(
+      map_from_entries(collect_list(struct(col("word"), col("pieces"))))
+        .as("__vm")))
+    packChunkText(df.crossJoin(vm), idCol, textCol, chunkTokens,
+      c => TextOps.pieceTokens(c, col("__vm")))
+  }
+
   /** Packing-efficiency accounting over [[packChunks]]: ONE summary row —
     * `(chunks, incidences, packed_docs, split_docs, total_tokens,
     * last_chunk_tokens)`. `split_docs` counts documents cut by a chunk

@@ -44,6 +44,9 @@ object SimilarityOps {
   private def ensureRegistered(df: DataFrame): Unit = {
     graft.functions.LongDotProduct.register(df.sparkSession)
     graft.functions.QuantizeVec.register(df.sparkSession)
+    graft.functions.PqEncode.register(df.sparkSession)
+    graft.functions.PqAdcTable.register(df.sparkSession)
+    graft.functions.PqAdcScore.register(df.sparkSession)
   }
 
   /** Exact cosine between quantized vectors, as double. */
@@ -574,29 +577,36 @@ object SimilarityOps {
     * into `m` sub-spaces; each sub-space gets its own `ksub`-centroid
     * codebook (same deterministic floored-integer Lloyd as
     * [[refinedCentroids]], seeded from the lowest-id vectors, run per
-    * sub-space); a vector's code is its m nearest-sub-centroid indices —
+    * sub-space); a vector's code is its m nearest-sub-centroid ranks —
     * m·log2(ksub) bits instead of 32·dim, an order of magnitude smaller
     * than even SQ8's 8·dim. Query scoring is ADC (asymmetric distance
-    * computation): per query ONE m×ksub table of exact integer
-    * sub-dot-products against every sub-centroid, then each corpus
-    * vector's approximate dot is m table lookups — no per-pair arithmetic
-    * beyond m adds. Stage 2 rescores the k·candFactor survivors with the
-    * exact fixed-point cosine (identical tail to [[sq8TopK]]).
+    * computation): per query ONE table of exact integer sub-dot-products
+    * against every live sub-centroid, then each corpus vector's
+    * approximate dot is m table gathers — no per-pair arithmetic beyond m
+    * adds. Stage 2 rescores the k·candFactor survivors with the exact
+    * fixed-point cosine (identical tail to [[sq8TopK]]).
     *
     * Everything integral: codebook refinement uses floored integer means
-    * (exact-integer avgs in double, |sums| < 2^53), assignment maximizes
-    * the exact long `2·x·c − |c|²` (== L2 argmin at constant |x|²) with
-    * ties to the lowest cell id, ADC tables are exact long dots — so the
-    * candidate SET is engine-reproducible and the gate oracle replays the
-    * whole construction in SQL (the [[ivfTopK]] contract, per sub-space).
+    * (exact-integer avgs in double, |sums| < 2^53), assignment minimizes
+    * the exact long L2 Σ(x−c)² with ties to the lowest cell rank, ADC
+    * tables are exact long dots — so the candidate SET is
+    * engine-reproducible and the gate oracle replays the whole
+    * construction in SQL (the [[ivfTopK]] contract, per sub-space).
     *
-    * Scale shape: training touches seeds+corpus in `refineIters`+1 small
-    * sub-vector shuffles; encoding is one broadcast-join + map-side
-    * partial-agg pass; the probe scan is map-side (codes × broadcast
-    * per-query tables) into the salted two-phase top-k. Rescore touches
-    * only candidates. Recall at equal candidate budget trails SQ8 (64-bit
-    * codes vs 512-bit at m=8/ksub=256) — buy it back with `candFactor`,
-    * measured in the 1M-vector ScaleSmoke.
+    * Scale shape: the codebook is k-means-small (m·ksub·subDim longs —
+    * 16K at m=8/ksub=256/64d) and lives DRIVER-side between rounds, flat
+    * broadcast arrays during them; encode / table / score are the three
+    * codegen'd kernels in [[graft.functions.PqEncode]] — ONE tight loop
+    * per corpus row, no joined n·m·ksub stream (the declarative
+    * explode+join+max_by spelling streamed 2·10⁹ rows into an
+    * ObjectHashAggregate whose 128-key sort fallback spilled 80 GB on the
+    * 1M-vector smoke before this shape replaced it). Refinement's means
+    * are ONE primitive-buffer hash aggregation per round over the
+    * (j, code, component) explode. The probe scan is map-side (codes ×
+    * broadcast per-query tables) into the salted two-phase top-k; rescore
+    * touches only candidates. Recall at equal candidate budget trails SQ8
+    * (64-bit codes vs 512-bit at m=8/ksub=256) — buy it back with
+    * `candFactor`, measured in the 1M-vector ScaleSmoke.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -608,157 +618,169 @@ object SimilarityOps {
       prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn"))
     val q = graft.CacheScope.persist(
       prep(queries, idCol, vecCol, "query_id", "qv", "qn"))
-    val sub = graft.CacheScope.persist(
-      subVectors(c.select(col("neighbor_id").as("id"), col("cv").as("v")), m))
-    val cents = pqCodebooks(sub, ksub, refineIters)
-    val codes = pqCodes(sub, cents, ksub)
-    val tables = pqAdcTables(
-      subVectors(q.select(col("query_id").as("id"), col("qv").as("v")), m),
-      cents, m, ksub)
-    sq8Rescore(pqCandidates(codes, tables, m, ksub, k, candFactor), c, q, k)
+    val book = trainPqBook(c.select(col("neighbor_id").as("id"), col("cv").as("v")),
+      m, ksub, refineIters)
+    val codes = pqEncodeAll(c.select(col("neighbor_id").as("id"), col("cv").as("v")), book)
+    val tables = pqAdcTables(q, book)
+    sq8Rescore(pqCandidates(codes, tables, k * candFactor), c, q, k)
   }
 
-  /** (id, j, sv): vector split into m equal sub-vectors. Fails loudly on a
-    * dimension not divisible by m (silent ragged slices would score
-    * garbage).
+  /** Driver-side PQ codebook: flat centroid components in (sub-space,
+    * cell rank, component) order + per-sub-space rank offsets (jagged —
+    * a refinement round may empty a cell; see
+    * [[graft.functions.PqEncode]] for the layout contract).
     */
-  private def subVectors(df: DataFrame, m: Int): DataFrame = {
-    require(m >= 1, "m must be >= 1")
-    df.select(col("id"), col("v"), (size(col("v")) / m).as("__sd"))
-      .withColumn("__chk",
-        when(size(col("v")) % m =!= 0, raise_error(concat(
-          lit(s"pq: vector dimension "), size(col("v")).cast("string"),
-          lit(s" not divisible by m=$m")))).otherwise(lit(null)))
-      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("j"),
-        col("v"), col("__sd"), col("__chk"))
-      .select(col("id"), col("j"),
-        slice(col("v"), col("j") * col("__sd") + 1, col("__sd")).as("sv"))
+  private[operators] case class PqBook(flat: Array[Long], joff: Array[Long],
+      m: Int, dim: Int) {
+    def frame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      Seq((flat.toSeq, joff.toSeq)).toDF("__cents", "__joff")
+    }
+    /** (j, cell, cv) rows for persistence — cell = rank within sub-space. */
+    def rows: Seq[(Int, Long, Seq[Long])] = {
+      val sub = dim / m
+      (0 until m).flatMap { j =>
+        (joff(j) until joff(j + 1)).map { g =>
+          (j, g - joff(j), flat.slice((g * sub).toInt, ((g + 1) * sub).toInt).toSeq)
+        }
+      }
+    }
   }
 
-  /** Per-(id, j) nearest sub-centroid as an AGGREGATION (max_by over the
-    * broadcast-joined candidates, map-side partial agg — the [[bestCell]]
-    * shape): maximize exact long `2·x·c − |c|²`, ties to the lowest cell.
-    */
-  private def bestPqCell(sub: DataFrame, cents: DataFrame): DataFrame =
-    sub.join(broadcast(cents), Seq("j"))
-      .groupBy(col("id"), col("j"))
-      .agg(
-        max_by(col("cell"),
-          struct((dotInt(col("sv"), col("cv")) * 2 - dotInt(col("cv"), col("cv"))).as("s"),
-            (-col("cell")).as("nc"))).as("cell"),
-        first(col("sv")).as("sv"))
+  private def pqEncodeCol(v: Column, cents: Column, joff: Column): Column =
+    call_function(graft.functions.PqEncode.name, v, cents, joff)
 
-  /** Per-sub-space codebooks: seeds = the ksub lowest ids' sub-vectors,
-    * then `refineIters` assign → floored-integer-mean rounds (each one
-    * small sub-vector shuffle). Returns (j, cell, cv); cells are seed ids,
-    * mapped to dense 0-based codes by [[pqCodes]]' ordering.
+  /** Train per-sub-space codebooks: seeds = the ksub lowest ids' vectors
+    * (ranks in id order — the oracle's seed-id order), then `refineIters`
+    * assign → floored-integer-mean rounds. Each round is one codegen'd
+    * encode pass + one primitive hash aggregation; the (tiny) means come
+    * back to the driver, exactly like any k-means training loop.
     */
-  private def pqCodebooks(sub: DataFrame, ksub: Int, refineIters: Int): DataFrame = {
-    require(ksub >= 1, "ksub must be >= 1")
-    require(refineIters >= 0, "refineIters must be >= 0")
-    val seedIds = sub.select(col("id")).distinct().orderBy(col("id")).limit(ksub)
-    var cents = sub
-      .join(broadcast(seedIds), Seq("id"), "left_semi")
-      .select(col("j"), col("id").as("cell"), col("sv").as("cv"))
-      .localCheckpoint(eager = true)
+  private def trainPqBook(df: DataFrame, m: Int, ksub: Int,
+      refineIters: Int): PqBook = {
+    require(m >= 1 && ksub >= 1 && refineIters >= 0,
+      "m, ksub must be >= 1; refineIters >= 0")
+    val spark = df.sparkSession
+    val seeds = df.orderBy(col("id")).limit(ksub)
+      .select(col("v").cast("array<bigint>")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(seeds.nonEmpty, "pq: empty corpus, no codebooks to train")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"pq: vector dimension $dim not divisible by m=$m")
+    val sub = dim / m
+    def bookOf(cells: Array[Array[Array[Long]]]): PqBook = {
+      val joff = cells.map(_.length.toLong).scanLeft(0L)(_ + _)
+      PqBook(cells.flatMap(_.flatten), joff, m, dim)
+    }
+    // seed book: sub-slice j of each seed vector, ranks in seed-id order
+    var book = bookOf(Array.tabulate(m) { j =>
+      seeds.map(_.slice(j * sub, (j + 1) * sub))
+    })
     for (_ <- 1 to refineIters) {
-      val assigned = bestPqCell(sub, cents)
-      cents = assigned
-        .select(col("j"), col("cell"), posexplode(col("sv")))
-        .groupBy(col("j"), col("cell"), col("pos"))
+      val bf = book.frame(spark)
+      val means = df.crossJoin(broadcast(bf))
+        .select(col("v"),
+          posexplode(pqEncodeCol(col("v"), col("__cents"), col("__joff"))))
+        .select(col("col").as("code"), col("pos").as("j"),
+          posexplode(slice(col("v"), col("pos") * sub + 1, lit(sub))))
+        .groupBy(col("j"), col("code"), col("pos"))
         // exact-integer avg of int components (|sums| < 2^53), floored
         // identically in any engine — cross-engine deterministic
-        .agg(avg(col("col")).as("m"))
-        .groupBy(col("j"), col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("j"), col("cell"),
-          transform(col("pm"), p => floor(p.getField("m")).cast("bigint")).as("cv"))
-        .localCheckpoint(eager = true)
+        .agg(avg(col("col")).as("mn"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+          math.floor(r.getDouble(3)).toLong))
+      val cells = Array.tabulate(m) { j =>
+        means.filter(_._1 == j).groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (_, comps) =>
+            val arr = new Array[Long](sub)
+            comps.foreach { case (_, _, p, x) => arr(p) = x }
+            arr
+          }.toArray
+      }
+      book = bookOf(cells)
     }
-    cents
+    book
   }
 
-  /** Dense 0-based code per (j, cell): codes order by cell id within each
-    * sub-space — the layout both the packed code arrays and the flattened
-    * ADC tables agree on.
+  /** Encode the corpus: (id, codes array<int>) — one codegen'd pass, no
+    * explode, no join, no aggregation.
     */
-  private def pqCellIndex(cents: DataFrame): DataFrame =
-    cents.select(col("j"), col("cell"))
-      .withColumn("code",
-        (row_number().over(Window.partitionBy(col("j")).orderBy(col("cell"))) - 1)
-          .cast("int"))
+  private def pqEncodeAll(df: DataFrame, book: PqBook): DataFrame = {
+    val bf = book.frame(df.sparkSession)
+    df.crossJoin(broadcast(bf))
+      .select(col("id"),
+        pqEncodeCol(col("v"), col("__cents"), col("__joff")).as("codes"))
+  }
 
-  /** Encode: (id, codes array<int> of length m) — each vector's nearest
-    * sub-centroid indices. One broadcast join + two map-side-partial aggs.
+  /** Per-query ADC tables: one codegen'd pass over the (small) query set;
+    * each row carries the table plus the rank offsets the scorer gathers
+    * through.
     */
-  private def pqCodes(sub: DataFrame, cents: DataFrame, ksub: Int): DataFrame =
-    bestPqCell(sub, cents)
-      .join(broadcast(pqCellIndex(cents)), Seq("j", "cell"))
-      .groupBy(col("id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("j"), col("code")))),
-        s => s.getField("code")).as("codes"))
-
-  /** Per-query flattened ADC table: table[j·ksub + code] = exact long dot
-    * of the query's j-th sub-vector with that code's sub-centroid. One
-    * m×ksub-row broadcast join per query set, packed to one array row.
-    * The array is DENSELY slot-indexed over the full 0..m·ksub-1 range
-    * (vanished cells — a centroid refinement round can empty a cell — fill
-    * with 0, which no code ever references): a positional collect of only
-    * the live slots would silently shift every later sub-space's lookups.
-    */
-  private def pqAdcTables(qsub: DataFrame, cents: DataFrame, m: Int,
-      ksub: Int): DataFrame =
-    qsub.join(broadcast(cents.join(pqCellIndex(cents), Seq("j", "cell"))), Seq("j"))
-      .select(col("id").as("query_id"), (col("j") * ksub + col("code")).as("slot"),
-        dotInt(col("sv"), col("cv")).as("d"))
-      .groupBy(col("query_id"))
-      .agg(map_from_entries(collect_list(struct(col("slot"), col("d")))).as("__tm"))
+  private def pqAdcTables(q: DataFrame, book: PqBook): DataFrame = {
+    val bf = book.frame(q.sparkSession)
+    q.crossJoin(broadcast(bf))
       .select(col("query_id"),
-        transform(sequence(lit(0), lit(m * ksub - 1)),
-          s => coalesce(element_at(col("__tm"), s), lit(0L))).as("table"))
+        call_function(graft.functions.PqAdcTable.name,
+          col("qv"), col("__cents"), col("__joff")).as("table"),
+        col("__joff"))
+  }
 
   /** Stage 1: ADC scan — corpus codes against broadcast per-query tables;
-    * each score is m table lookups summed (exact longs); keep the
-    * k·candFactor best (score desc, id) via the salted two-phase top-k.
+    * each score is m table gathers summed ([[graft.functions.PqAdcScore]],
+    * exact longs); keep the `n` best (score desc, id) via the salted
+    * two-phase top-k. `tables` carries (query_id, table, __joff).
     */
   private def pqCandidates(codes: DataFrame, tables: DataFrame,
-      m: Int, ksub: Int, k: Int, candFactor: Int): DataFrame =
+      n: Int): DataFrame =
     topKTwoPhase(
       codes.select(col("id").as("neighbor_id"), col("codes"))
         .join(broadcast(tables), col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
-          expr(s"""aggregate(sequence(0, ${m - 1}), 0L,
-                  |  (acc, j) -> acc + element_at(table, j * $ksub + element_at(codes, j + 1) + 1))
-                  |""".stripMargin).as("s8")),
+          call_function(graft.functions.PqAdcScore.name,
+            col("codes"), col("table"), col("__joff")).as("s8")),
       "query_id", "neighbor_id",
-      Seq(col("s8").desc, col("neighbor_id")), k * candFactor)
+      Seq(col("s8").desc, col("neighbor_id")), n)
       .select(col("query_id"), col("neighbor_id"))
 
   /** Persist the PQ side of [[pqTopK]] — build once, probe many (the
-    * [[buildSq8Index]] layout): `path/meta` (m, ksub, dim), `path/codebooks`
-    * (the m·ksub sub-centroids — tiny), `path/codes/batch=<token>` (id,
-    * m-byte-ish code array; the 4-byte int elements bit-pack near log2(ksub)
-    * bits in parquet). Source vectors are NOT duplicated — rescore
-    * point-looks-up the corpus like every store in the family.
+    * [[buildSq8Index]] layout): `path/meta` (m, ksub, dim),
+    * `path/codebooks` (the live sub-centroids — tiny), `path/codes/
+    * batch=<token>` (id, m-code array; the small ints bit-pack near
+    * log2(ksub) bits in parquet). Source vectors are NOT duplicated —
+    * rescore point-looks-up the corpus like every store in the family.
     */
   def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, m: Int = 4, ksub: Int = 8, refineIters: Int = 1): Unit = {
     ensureRegistered(corpus)
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     val c = prep(corpus, idCol, vecCol, "id", "v", "nrm")
     require(!c.isEmpty, s"buildPqIndex: empty corpus, no codebooks to train for $path")
-    val sub = graft.CacheScope.persist(subVectors(c.select(col("id"), col("v")), m))
-    val cents = pqCodebooks(sub, ksub, refineIters)
-    c.select(size(col("v")).as("dim")).limit(1)
-      .select(lit(m).as("m"), lit(ksub).as("ksub"), col("dim"))
+    val book = trainPqBook(c.select(col("id"), col("v")), m, ksub, refineIters)
+    Seq((m, ksub, book.dim)).toDF("m", "ksub", "dim")
       .write.mode("overwrite").parquet(s"$path/meta")
-    cents.write.mode("overwrite").parquet(s"$path/codebooks")
-    pqCodes(sub, cents, ksub)
-      .select(col("id"), col("codes").cast("array<int>").as("codes"))
+    book.rows.toDF("j", "cell", "cv")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    pqEncodeAll(c.select(col("id"), col("v")), book)
       .write.mode("overwrite").parquet(s"$path/codes/batch=base")
+  }
+
+  /** Read a persisted codebook back into driver form. */
+  private def readPqBook(spark: org.apache.spark.sql.SparkSession,
+      path: String, m: Int, dim: Int): PqBook = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select(col("j").cast("int"), col("cell").cast("bigint"),
+        col("cv").cast("array<bigint>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .sortBy(t => (t._1, t._2))
+    val cells = Array.tabulate(m)(j => rows.filter(_._1 == j).map(_._3))
+    val joff = cells.map(_.length.toLong).scanLeft(0L)(_ + _)
+    PqBook(cells.flatMap(_.flatten), joff, m, dim)
   }
 
   /** Append new vectors' codes under the FROZEN codebooks (cf.
@@ -776,8 +798,7 @@ object SimilarityOps {
     val spark = newVecs.sparkSession
     val meta = spark.read.parquet(s"$path/meta").limit(1).collect()
       .headOption.getOrElse(throw new IllegalStateException(s"no PQ index at $path"))
-    val (m, ksub, dim) =
-      (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"), meta.getAs[Int]("dim"))
+    val (m, dim) = (meta.getAs[Int]("m"), meta.getAs[Int]("dim"))
     val bad = newVecs.where(size(col(vecCol)) =!= dim).limit(1).collect()
     require(bad.isEmpty,
       s"appendPqIndex: appended vector dimension != index dimension $dim at $path")
@@ -791,11 +812,9 @@ object SimilarityOps {
           s"present in the index at $path — duplicate codes corrupt top-k " +
           "(pass checkIds = false only with upstream disjointness)")
     }
-    val cents = spark.read.parquet(s"$path/codebooks")
-    val sub = subVectors(
-      prep(newVecs, idCol, vecCol, "id", "v", "nrm").select(col("id"), col("v")), m)
-    pqCodes(sub, cents, ksub)
-      .select(col("id"), col("codes").cast("array<int>").as("codes"))
+    val book = readPqBook(spark, path, m, dim)
+    val c = prep(newVecs, idCol, vecCol, "id", "v", "nrm")
+    pqEncodeAll(c.select(col("id"), col("v")), book)
       .write.mode("overwrite").parquet(s"$path/codes/batch=$batchToken")
     spark.catalog.refreshByPath(s"$path/codes")
   }
@@ -813,16 +832,13 @@ object SimilarityOps {
     val spark = corpus.sparkSession
     val meta = spark.read.parquet(s"$path/meta").limit(1).collect()
       .headOption.getOrElse(throw new IllegalStateException(s"no PQ index at $path"))
-    val (m, ksub) = (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"))
-    val cents = spark.read.parquet(s"$path/codebooks")
+    val (m, dim) = (meta.getAs[Int]("m"), meta.getAs[Int]("dim"))
+    val book = readPqBook(spark, path, m, dim)
     val codes = spark.read.parquet(s"$path/codes").select(col("id"), col("codes"))
     val c = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     val q = graft.CacheScope.persist(
       prep(queries, idCol, vecCol, "query_id", "qv", "qn"))
-    val tables = pqAdcTables(
-      subVectors(q.select(col("query_id").as("id"), col("qv").as("v")), m),
-      cents, m, ksub)
-    sq8Rescore(pqCandidates(codes, tables, m, ksub, k, candFactor), c, q, k)
+    sq8Rescore(pqCandidates(codes, pqAdcTables(q, book), k * candFactor), c, q, k)
   }
 
   /** Salt buckets for the two-phase per-key top-k: phase-1 sorts are

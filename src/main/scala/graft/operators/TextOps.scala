@@ -115,6 +115,36 @@ object TextOps {
       .limit(n)
       .select(col("word"), lit(1L).as("pieces"))
 
+  /** Top-n corpus words as a `(word, pieces)` vocab whose `pieces` is the
+    * piece SEQUENCE (here: the word itself as a single piece — frequent
+    * words are single tokens in any trained tokenizer), the materializing
+    * sibling of [[topWordVocab]]'s counts-only table. A real tokenizer's
+    * dump plugs in behind the same (word, array-of-piece-strings) schema.
+    * Ties at the cut rank break on the word — deterministic anywhere.
+    */
+  def topWordPieceVocab(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    docs.select(explode(tokens(coalesce(col(textCol), lit("")))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("word"))
+      .limit(n)
+      .select(col("word"), array(col("word")).as("pieces"))
+
+  /** Piece-sequence tokenizer: each whitespace word maps through the
+    * broadcast `vocabMap` (word → array of piece strings); out-of-vocab
+    * words fall back to consecutive 2-char pieces — exactly ceil(len/2)
+    * of them, the SAME count [[vocabTokenCounts]]' byte-fallback charges,
+    * so piece-denominated accounting and piece materialization can never
+    * disagree. Pure column expression (the map rides a one-row broadcast
+    * crossJoin), so it slots into any `tokenizer: Column => Column` hook.
+    */
+  def pieceTokens(text: Column, vocabMap: Column): Column =
+    flatten(transform(tokens(coalesce(text, lit(""))), w =>
+      coalesce(element_at(vocabMap, w),
+        when(length(w) === lit(0), array(lit("")))
+          .otherwise(transform(
+            sequence(lit(0), ((length(w) - 1) / lit(2)).cast("int")),
+            i => w.substr(i * 2 + 1, lit(2)))))))
+
   /** Token accounting in a REAL tokenizer's counts, the way a 100 TB
     * pipeline actually does it: per-word piece counts are precomputed
     * OFFLINE by running the tokenizer over a vocabulary (a table of

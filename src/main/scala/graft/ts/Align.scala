@@ -239,15 +239,45 @@ object Align {
     }.drop("__b").drop(valueCols.map(c => s"__carry_$c"): _*)
   }
 
+  /** Above this many frames (with one common value dtype), [[alignOuter]]
+    * switches from the full-outer join chain to the stacked-pivot shape —
+    * see the scale note inside.
+    */
+  val WideAlignThreshold = 16
+
   /** Outer-align N named series on the time axis then forward-fill each —
     * the reference's `pd.concat(..., join="outer", axis=1).ffill()`
     * (src/qafs/timeseries.py:12-14). Inputs: (columnName, df(time, value)).
+    *
+    * Scale note (feature-store width): the natural spelling — a reduce of
+    * full-outer joins — is a LEFT-LINEAR chain: n−1 shuffle joins and an
+    * O(n)-deep plan whose Catalyst analysis cost grows superlinearly in n.
+    * Fine at the 2–8 features queries ask for; wrong at the 50–200 a
+    * training-set export loads. Past [[WideAlignThreshold]] frames (when
+    * every frame's value dtype agrees — mixed dtypes can't stack) the same
+    * result is computed as stack-then-pivot: union all frames to
+    * (time, feature, value) rows and aggregate once by time with one
+    * conditional-max column per feature — ONE shuffle and a flat n-wide
+    * plan instead of n chained exchanges. Equivalent because each input
+    * frame is time-unique (latest-version dedup upstream guarantees one
+    * row per time per feature — the conditional max picks THE value, never
+    * a winner among several).
     */
   def alignOuter(timeCol: String, frames: Seq[(String, DataFrame)],
       doFfill: Boolean = true, memo: Option[CutsMemo] = None): DataFrame = {
     require(frames.nonEmpty, "alignOuter needs at least one frame")
     val renamed = frames.map { case (n, d) => d.select(col(timeCol), col("value").as(n)) }
-    val joined = renamed.reduce((a, b) => a.join(b, Seq(timeCol), "full_outer"))
+    val oneDtype = frames.map(_._2.schema("value").dataType).distinct.size == 1
+    val joined =
+      if (frames.size > WideAlignThreshold && oneDtype) {
+        val stacked = frames.map { case (n, d) =>
+          d.select(col(timeCol), lit(n).as("__f"), col("value"))
+        }.reduce(_ unionByName _)
+        val aggs = frames.map { case (n, _) =>
+          max(when(col("__f") === n, col("value"))).as(n)
+        }
+        stacked.groupBy(col(timeCol)).agg(aggs.head, aggs.tail: _*)
+      } else renamed.reduce((a, b) => a.join(b, Seq(timeCol), "full_outer"))
     // ffill exists to fill the holes the outer join punches; a single frame
     // has none, so skip the bucketed-window machinery (2 driver jobs) there.
     // (Divergence note: stored NULL values in a lone series are then not

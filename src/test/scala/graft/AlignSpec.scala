@@ -69,6 +69,40 @@ class AlignSpec extends SparkTestBase {
     assert(at4.getAs[Double]("x") == 3.0 && at4.getAs[Double]("y") == 40.0)
   }
 
+  test("alignOuter wide stack-pivot path == full-outer join chain") {
+    import spark.implicits._
+    // 20 frames (> WideAlignThreshold) with interleaved, partially-shared
+    // time grids and holes — the wide path must reproduce the join chain's
+    // frame (including ffill) exactly
+    val frames = (0 until 20).map { i =>
+      val rows = (0 until 40).map { t =>
+        (new java.sql.Timestamp(1609459200000L + (t.toLong * 20 + i * 3) * 60000L),
+          (i * 1000 + t).toDouble)
+      }
+      s"f$i" -> rows.toDF("time", "value")
+    }
+    assert(frames.size > Align.WideAlignThreshold)
+    val wide = Align.alignOuter("time", frames)
+    // the chain spelling, inlined (what alignOuter runs below threshold)
+    val renamed = frames.map { case (n, d) =>
+      d.select(col("time"), col("value").as(n)) }
+    val chained = Align.ffill(
+      renamed.reduce((a, b) => a.join(b, Seq("time"), "full_outer")),
+      "time", frames.map(_._1))
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect().map { r =>
+      (0 until r.length).map(c => Option(r.get(c)).map(_.toString).orNull).mkString("|")
+    }.sorted.toSeq
+    assert(wide.columns.toSeq == chained.columns.toSeq)
+    assert(canon(wide) == canon(chained))
+    // mixed value dtypes cannot stack: the chain path must still be taken
+    // (and produce a frame) even above the threshold
+    val mixed = frames.take(10) ++ (10 until 20).map { i =>
+      s"f$i" -> frames(i)._2.select(col("time"),
+        col("value").cast("string").as("value"))
+    }
+    assert(Align.alignOuter("time", mixed).columns.length == 21)
+  }
+
   test("asOfJoin: spine rows get last value at-or-before their time, payload preserved") {
     import spark.implicits._
     val data = seriesDf(Seq("2021-01-02" -> 2.0, "2021-01-05" -> 5.0))

@@ -1321,6 +1321,31 @@ class OperatorsSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("packChunkPieces: vocab hits stay whole, OOV words split to 2-char pieces, conservation holds") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "hello world xyzzy"),  // hello/world in vocab; xyzzy OOV -> xy zz y
+      (2L, "hello hello qwerty"), // qwerty OOV -> qw er ty
+      (3L, "")).toDF("doc_id", "text")
+    val vocab = Seq(("hello", Seq("hello")), ("world", Seq("wor", "ld")))
+      .toDF("word", "pieces") // 'world' maps to TWO pieces — a real BPE shape
+    val K = 4L
+    val chunks = CurationOps.packChunkPieces(fixture, "doc_id", "text", vocab, K)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // piece stream in doc order:
+    //   doc1: hello wor ld xy zz y   (6)
+    //   doc2: hello hello qw er ty   (5)
+    //   doc3: ""                     (1 empty piece)
+    // chunks of 4: [hello wor ld xy] [zz y hello hello] [qw er ty ""]
+    assert(chunks(0L) == "hello wor ld xy", chunks)
+    assert(chunks(1L) == "zz y hello hello", chunks)
+    assert(chunks(2L) == "qw er ty ", chunks) // trailing empty OOV piece of doc3
+    // conservation: total pieces across chunks == total per-doc piece count
+    val totalPieces = chunks.values.map(_.split(" ", -1).length).sum
+    assert(totalPieces == 12, s"piece conservation broke: $totalPieces")
+    graft.CacheScope.release()
+  }
+
   test("tokenHistogram counts frequencies and doc frequencies exactly") {
     import spark.implicits._
     val fixture = Seq(
