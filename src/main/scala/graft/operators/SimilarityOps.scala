@@ -730,12 +730,22 @@ object SimilarityOps {
     * each score is m table gathers summed ([[graft.functions.PqAdcScore]],
     * exact longs); keep the `n` best (score desc, id) via the salted
     * two-phase top-k. `tables` carries (query_id, table, __joff).
+    *
+    * The fan-out join is SPLIT: the nested-loop product runs over the
+    * query IDS alone, and the (wide — m·ksub longs) ADC table attaches
+    * afterwards through a broadcast HASH join, whose codegen consumes the
+    * build-side row in place. Fanning the table itself through the
+    * nested-loop join copied it into every one of the corpus×queries
+    * output rows — at 1M×100 and a 16 KB table that was ~1.6 TB of row
+    * traffic, measured 5× slower than this shape.
     */
   private def pqCandidates(codes: DataFrame, tables: DataFrame,
       n: Int): DataFrame =
     topKTwoPhase(
       codes.select(col("id").as("neighbor_id"), col("codes"))
-        .join(broadcast(tables), col("query_id") =!= col("neighbor_id"))
+        .join(broadcast(tables.select(col("query_id"))),
+          col("query_id") =!= col("neighbor_id"))
+        .join(broadcast(tables), Seq("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           call_function(graft.functions.PqAdcScore.name,
             col("codes"), col("table"), col("__joff")).as("s8")),
