@@ -336,6 +336,35 @@ object Fixtures {
       s"$base/pixc"
     })
 
+  private val streamPq = TrieMap[String, String]()
+
+  /** PQ index materialized through the STREAMING maintenance path: the
+    * codebooks train on the base corpus (vec_id < 350), the remaining
+    * vectors arrive as three id-striped files drained one per micro-batch
+    * through [[graft.streaming.StreamingOps.annIndexAvailableNow]] — each
+    * batch encodes under the FROZEN codebooks into its own `batch=` dir.
+    * The gate probing it replays the same construction in SQL (training
+    * restricted to the base, encoding over everything), proving frozen-
+    * codebook append semantics end-to-end.
+    */
+  def streamedPqPath(spark: SparkSession, sfDir: String): String =
+    streamPq.getOrElseUpdate(sfDir, {
+      val base = s"${tmpRoot}/spq_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val emb = Tables.embeddings(spark, sfDir)
+      graft.operators.SimilarityOps.buildPqIndex(
+        emb.where(col("vec_id") < 350), "vec_id", "embedding",
+        s"$base/pq", m = 4, ksub = 8, refineIters = 1)
+      (0 until 3).foreach(m => emb.where(col("vec_id") >= 350 && col("vec_id") % 3 === m)
+        .repartition(1).write.mode("append").parquet(s"$base/src"))
+      val schema = spark.read.parquet(s"$base/src").schema
+      val stream = graft.streaming.StreamingOps.pacedFileSource(
+        spark, s"$base/src", schema, maxFilesPerTrigger = 1)
+      val q = graft.streaming.StreamingOps.annIndexAvailableNow(
+        stream, "vec_id", "embedding", s"$base/pq", s"$base/ckpt")
+      require(q.awaitTermination(180000), "streamed PQ index did not drain")
+      s"$base/pq"
+    })
+
   private val incDedupMb = TrieMap[String, String]()
 
   /** TRUE multi-micro-batch incremental dedup materialized once per

@@ -796,6 +796,18 @@ object SparkEntry {
         emb.where(col("vec_id") < 10), "vec_id", "embedding", path, 10)
     }),
 
+    // PQ search through an index maintained by the STREAMING append path:
+    // codebooks trained on the base corpus (vec_id < 350), the rest drained
+    // micro-batch by micro-batch under frozen codebooks; the oracle replays
+    // the same construction (training restricted to the base, encoding over
+    // everything)
+    "ann_pq_stream" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.SimilarityOps.pqTopKIndexed(emb,
+        emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        Fixtures.streamedPqPath(s, dir), 10)
+    }),
+
     // embedding near-duplicate pairs (quantized-exact cosine >= 0.4)
     "emb_neardup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).where(col("vec_id") < 500)
@@ -947,6 +959,17 @@ object SparkEntry {
         operators.MultimodalOps.syntheticImageTable(
           Tables.documents(s, dir), "doc_id"))
         .toDF().orderBy(col("id"), col("channel"))),
+
+    // multimodal: REAL audio decode — executor-generated WAV payloads whose
+    // 16-bit PCM samples are the closed form ((id·31 + i·7) mod 65536) −
+    // 32768, decoded back through the JDK's javax.sound.sampled WAV parser;
+    // PCM-in-WAV is lossless, so the oracle reproduces the decoded sample
+    // statistics (incl. zero-crossing counts) arithmetically
+    "mm_audio_stats" -> ((s, dir) =>
+      operators.MultimodalOps.decodeAudioStats(
+        operators.MultimodalOps.syntheticAudioTable(
+          Tables.documents(s, dir), "doc_id"))
+        .toDF().orderBy(col("id"))),
   )
 
   /** Fixture + load for the `serialized` drift feature: 500 struct values,
@@ -2276,6 +2299,58 @@ object SparkEntry {
                ORDER BY cosine DESC, neighbor_id) rank FROM scored)
           WHERE rank <= 10 ORDER BY query_id, rank""",
 
+    // the streamed PQ index: same construction as ann_pq_topk, except the
+    // codebooks train only on the BASE corpus (vec_id < 350 — the d0
+    // training assignment is restricted; seeds are the 8 lowest ids, which
+    // the base contains) while d1 encodes EVERY vector, base + streamed,
+    // under those frozen codebooks — exactly what the streaming append does
+    "ann_pq_stream" ->
+      s"""WITH $embFlat,
+          nn AS (SELECT vec_id, sqrt(CAST(n2 AS DOUBLE)) nrm FROM norms),
+          sub AS (SELECT vec_id, i // 16 AS j, i % 16 AS p, x FROM flat),
+          c0 AS (SELECT s.j, s.vec_id AS cell, s.p, s.x AS cx FROM sub s
+                 WHERE s.vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
+          d0 AS (SELECT s.vec_id, s.j, c.cell,
+                   CAST(2*sum(s.x*c.cx) - sum(c.cx*c.cx) AS BIGINT) sc
+                 FROM sub s JOIN c0 c ON c.j = s.j AND c.p = s.p
+                 WHERE s.vec_id < 350
+                 GROUP BY 1, 2, 3),
+          a0 AS (SELECT vec_id, j, cell FROM d0
+                 QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                   ORDER BY sc DESC, cell) = 1),
+          m1 AS (SELECT a0.j, a0.cell, s.p,
+                   CAST(floor(avg(CAST(s.x AS DOUBLE))) AS BIGINT) cx
+                 FROM a0 JOIN sub s ON s.vec_id = a0.vec_id AND s.j = a0.j
+                 GROUP BY 1, 2, 3),
+          d1 AS (SELECT s.vec_id, s.j, c.cell,
+                   CAST(2*sum(s.x*c.cx) - sum(c.cx*c.cx) AS BIGINT) sc
+                 FROM sub s JOIN m1 c ON c.j = s.j AND c.p = s.p
+                 GROUP BY 1, 2, 3),
+          a1 AS (SELECT vec_id, j, cell FROM d1
+                 QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                   ORDER BY sc DESC, cell) = 1),
+          qd AS (SELECT s.vec_id qid, c.j, c.cell, CAST(sum(s.x*c.cx) AS BIGINT) dot
+                 FROM sub s JOIN m1 c ON c.j = s.j AND c.p = s.p
+                 WHERE s.vec_id < 10 GROUP BY 1, 2, 3),
+          sc AS (SELECT q.qid, a.vec_id nid, CAST(sum(q.dot) AS BIGINT) s8
+                 FROM a1 a JOIN qd q ON q.j = a.j AND q.cell = a.cell
+                 WHERE q.qid != a.vec_id GROUP BY 1, 2),
+          cand AS (SELECT qid, nid FROM sc
+                   QUALIFY row_number() OVER (PARTITION BY qid
+                     ORDER BY s8 DESC, nid) <= 40),
+          dots AS (SELECT c.qid, c.nid, sum(q.x * n.x) dot
+                   FROM cand c JOIN flat q ON q.vec_id = c.qid
+                     JOIN flat n ON n.vec_id = c.nid AND n.i = q.i
+                   GROUP BY 1, 2),
+          scored AS (SELECT qid query_id, nid neighbor_id,
+                       CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) cosine
+                     FROM dots JOIN nn nq ON nq.vec_id = qid
+                       JOIN nn nc ON nc.vec_id = nid)
+          SELECT query_id, neighbor_id, rank, cosine FROM
+            (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) rank FROM scored)
+          WHERE rank <= 10 ORDER BY query_id, rank""",
+
     // IVF is deterministic end-to-end (int-quantized vectors, exact-integer
     // centroid means floored identically, tie-breaks pinned) — the oracle
     // unrolls the 2 Lloyd iterations: seed cells = 16 lowest ids, assign by
@@ -2566,6 +2641,25 @@ object SparkEntry {
            CAST(px.c AS BIGINT) AS channel, px.s AS pix_sum
          FROM d JOIN px ON px.id = d.id
          ORDER BY 1, 4""",
+
+    // REAL audio decode: the synthetic WAVs' samples are the closed form
+    // ((id*31 + i*7) % 65536) - 32768 over 400 + (id%7)*100 samples; WAV
+    // PCM is lossless, so the decoded statistics equal the formula's. The
+    // zero-crossing definition is a sign-class change (s>=0) between
+    // consecutive samples, reproduced with a lag window.
+    "mm_audio_stats" ->
+      """WITH d AS (SELECT doc_id AS id, 400 + (doc_id % 7) * 100 AS n FROM documents),
+         s AS (SELECT d.id, i, ((d.id*31 + i*7) % 65536) - 32768 AS v
+               FROM d, unnest(range(0, n)) t(i)),
+         z AS (SELECT id, i, v, lag(v) OVER (PARTITION BY id ORDER BY i) AS pv FROM s)
+         SELECT id, CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_val,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(min(v) AS BIGINT) AS min_val,
+           CAST(max(v) AS BIGINT) AS max_val,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) != (pv >= 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+         FROM z GROUP BY 1 ORDER BY 1""",
 
     // approximate aggregates: the Spark side emits bound-check booleans
     // (sketch vs exact computed in the same query); the oracle recomputes

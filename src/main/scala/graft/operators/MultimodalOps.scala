@@ -9,11 +9,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * IMAGE decode is REAL: [[decodeImageStats]] runs the JDK's built-in PNG
   * codec (`javax.imageio`, public and dependency-free) over the binary
   * column inside the batched mapPartitions plumbing — actual pixels out of
-  * actual compressed bytes. Video/audio remain STUBBED with a deterministic
+  * actual compressed bytes. AUDIO decode is REAL too:
+  * [[decodeAudioStats]] parses WAV containers with the JDK's
+  * `javax.sound.sampled` and folds the 16-bit PCM stream into exact
+  * integer statistics. Only VIDEO remains STUBBED with a deterministic
   * fake ([[MultimodalOps.fakeDecode]], a rolling hash of the bytes) because
-  * this environment ships no video/audio codecs; the Spark-side plumbing —
+  * this environment ships no video codecs; the Spark-side plumbing —
   * schema, partitioning, iterator-based batch processing, typed encoders —
-  * is identical for both, so swapping the fake for a real codec call
+  * is identical for all three, so swapping the fake for a real codec call
   * changes nothing else.
   */
 object MultimodalOps {
@@ -24,6 +27,8 @@ object MultimodalOps {
   case class Frame(id: Long, frame_idx: Int, frame_bytes: Array[Byte])
   case class ImageStats(id: Long, width: Long, height: Long, channel: Long,
       pix_sum: Long)
+  case class AudioStats(id: Long, n_samples: Long, sum_val: Long,
+      sum_abs: Long, min_val: Long, max_val: Long, zero_cross: Long)
 
   /** Wrap any (id, string-payload) frame as a media table: payload bytes as
     * the opaque `media` binary + derived metadata. Stands in for
@@ -203,6 +208,95 @@ object MultimodalOps {
             y += 1
           }
           (0 until 3).map(c => ImageStats(id, w.toLong, h.toLong, c.toLong, sums(c)))
+        }
+      }
+  }
+
+  /** Synthetic 16-bit PCM sample for (id, index): a closed-form value in
+    * [-32768, 32767]. WAV stores PCM losslessly, so — like [[synthPixel]]
+    * for PNG — a SQL oracle reproduces the DECODED sample statistics
+    * arithmetically without a codec.
+    */
+  private def synthSample(id: Long, i: Int): Int =
+    ((((id * 31 + i.toLong * 7) % 65536) + 65536) % 65536).toInt - 32768
+
+  /** Synthetic clip length in samples: 400–1000, id-derived. */
+  def synthAudioLen(id: Long): Int = 400 + ((id % 7 + 7) % 7).toInt * 100
+
+  /** A REAL WAV payload (JDK `javax.sound.sampled` encoder): mono 16 kHz
+    * 16-bit signed little-endian PCM whose samples follow [[synthSample]].
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = synthAudioLen(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = synthSample(id, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Media table of real WAV payloads, one per id — generated in executors
+    * (narrow map over the id frame), mirroring [[syntheticImageTable]].
+    */
+  def syntheticAudioTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { ids => ids.map(id => (id, syntheticWav(id), "audio/wav")) }
+      .toDF("id", "media", "format")
+  }
+
+  /** REAL audio decode over the opaque binary column: the JDK WAV parser
+    * streams the container back into PCM frames; per clip we fold the
+    * samples into exact integer statistics — count, sum, sum of absolute
+    * values, min, max, and sign-change (zero-crossing) count, where a
+    * crossing at index i≥1 means `(s(i) >= 0) != (s(i-1) >= 0)`. All-Long
+    * output keeps the DuckDB oracle exact. mapPartitions keeps the batched
+    * codec shape; an unparsable payload or an unexpected PCM layout fails
+    * loudly with the offending id.
+    */
+  def decodeAudioStats(media: DataFrame): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"decodeAudioStats: id=$id is not mono 16-bit LE signed PCM ($fmt)")
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          var sum = 0L; var sumAbs = 0L; var zc = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          var prevNonNeg = false
+          var i = 0
+          while (i < n) {
+            val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toLong
+            sum += s; sumAbs += math.abs(s)
+            if (s < mn) mn = s
+            if (s > mx) mx = s
+            val nonNeg = s >= 0
+            if (i > 0 && nonNeg != prevNonNeg) zc += 1
+            prevNonNeg = nonNeg
+            i += 1
+          }
+          require(n > 0, s"decodeAudioStats: empty PCM payload for id=$id")
+          AudioStats(id, n.toLong, sum, sumAbs, mn, mx, zc)
         }
       }
   }

@@ -224,6 +224,45 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming ANN-index maintenance: each micro-batch of new vectors is
+    * encoded under the PERSISTED PQ index's frozen codebooks and landed as
+    * a replay-idempotent `batch=b<id>` code dir
+    * ([[graft.operators.SimilarityOps.appendPqIndex]]) — the vector-store
+    * analogue of [[indexAvailableNow]]. Codebooks never retrain in-stream
+    * (that is a rebuild's job); probes see every drained batch. The id
+    * clash check stays ON: it excludes the batch's own token, so replays
+    * are idempotent while genuine duplicate ids still fail loudly.
+    */
+  def annIndexAvailableNow(stream: DataFrame, idCol: String, vecCol: String,
+      path: String, checkpoint: String): StreamingQuery =
+    annIndexStream(stream, idCol, vecCol, path, checkpoint,
+      Trigger.AvailableNow())
+
+  /** [[annIndexAvailableNow]] as a LIVE TAIL (ProcessingTime trigger) for
+    * a continuously-growing embedding corpus.
+    */
+  def annIndexProcessingTime(stream: DataFrame, idCol: String, vecCol: String,
+      path: String, checkpoint: String,
+      interval: String = "1 second"): StreamingQuery =
+    annIndexStream(stream, idCol, vecCol, path, checkpoint,
+      Trigger.ProcessingTime(interval))
+
+  private def annIndexStream(stream: DataFrame, idCol: String, vecCol: String,
+      path: String, checkpoint: String, trigger: Trigger): StreamingQuery =
+    stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val scope = graft.CacheScope.snapshot()
+          graft.operators.SimilarityOps.appendPqIndex(
+            batch, idCol, vecCol, path, s"b$bid")
+          graft.CacheScope.releaseNewSince(scope)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming curation — the crawl-to-kept-corpus pipeline as a stream:
     * each micro-batch of documents is (1) exact-deduped against the
     * persisted fingerprint store (base corpus + every earlier batch's KEPT

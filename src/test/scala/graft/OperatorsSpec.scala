@@ -392,6 +392,33 @@ class OperatorsSpec extends SparkTestBase {
       ex.getCause != null && ex.getCause.getMessage.contains("undecodable"))
   }
 
+  test("multimodal: REAL WAV decode round-trips the PCM formula exactly") {
+    import spark.implicits._
+    // local truth: fold the closed-form samples, no codec involved
+    def expected(id: Long): (Long, Long, Long, Long, Long, Long, Long) = {
+      val n = MultimodalOps.synthAudioLen(id)
+      val vs = (0 until n).map(i => ((((id * 31 + i.toLong * 7) % 65536) + 65536) % 65536) - 32768)
+      val zc = vs.sliding(2).count { case Seq(a, b) => (a >= 0) != (b >= 0); case _ => false }
+      (id, n.toLong, vs.sum, vs.map(math.abs).sum, vs.min, vs.max, zc.toLong)
+    }
+    val ids = Seq(0L, 1L, 6L, 42L, 499L, 12345L)
+    val media = MultimodalOps.syntheticAudioTable(ids.toDF("doc_id"), "doc_id")
+    // the payloads are genuine RIFF/WAVE containers
+    val magic = media.select($"id", $"media").as[(Long, Array[Byte])].collect()
+    assert(magic.forall { case (_, b) =>
+      b.length > 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' })
+    val got = MultimodalOps.decodeAudioStats(media).collect()
+      .map(r => (r.id, r.n_samples, r.sum_val, r.sum_abs, r.min_val, r.max_val, r.zero_cross))
+      .sortBy(_._1)
+    assert(got.toSeq == ids.map(expected).sortBy(_._1))
+    // a non-WAV payload fails loudly, not silently
+    val bad = Seq((99L, Array[Byte](1, 2, 3, 4), "audio/wav")).toDF("id", "media", "format")
+    intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodeAudioStats(bad).collect()
+    }
+  }
+
   test("connectedComponents == brute-force union-find on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -304,6 +304,44 @@ class StreamingSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("streamed PQ index == one-shot append under the same frozen codebooks") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("stream_pq")
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.where(col("vec_id") < 350)
+    val rest = emb.where(col("vec_id") >= 350)
+    // reference: build on the base, append the rest in ONE direct call
+    graft.operators.SimilarityOps.buildPqIndex(
+      base, "vec_id", "embedding", s"$root/one", m = 4, ksub = 8, refineIters = 1)
+    graft.operators.SimilarityOps.appendPqIndex(
+      rest, "vec_id", "embedding", s"$root/one", batchToken = "all")
+    // streamed: same base build, rest drained as 3 micro-batches
+    graft.operators.SimilarityOps.buildPqIndex(
+      base, "vec_id", "embedding", s"$root/pq", m = 4, ksub = 8, refineIters = 1)
+    val src = s"$root/src"
+    (0 until 3).foreach(m => rest.where(col("vec_id") % 3 === m)
+      .repartition(1).write.mode("append").parquet(src))
+    val schema = spark.read.parquet(src).schema
+    val stream = graft.streaming.StreamingOps.pacedFileSource(
+      spark, src, schema, maxFilesPerTrigger = 1)
+    val q = graft.streaming.StreamingOps.annIndexAvailableNow(
+      stream, "vec_id", "embedding", s"$root/pq", s"$root/ckpt")
+    assert(q.awaitTermination(120000))
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    // frozen codebooks make encoding batch-split-invariant: the streamed
+    // index's codes must equal the one-shot append's, row for row
+    val codesOf = (p: String) => spark.read.parquet(s"$p/codes")
+      .select(col("id"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSet
+    assert(codesOf(s"$root/pq") == codesOf(s"$root/one"))
+    // and the probe answers match through both indexes
+    val probe = (p: String) => graft.operators.SimilarityOps.pqTopKIndexed(
+        emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", p, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(probe(s"$root/pq") == probe(s"$root/one"))
+    graft.CacheScope.release()
+  }
+
   test("streaming curation == batch curation on the streamed split") {
     import org.apache.spark.sql.functions._
     val keptDir = Fixtures.curateStreamMbPath(spark, dir)
