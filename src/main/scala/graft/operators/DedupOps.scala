@@ -78,6 +78,39 @@ object DedupOps {
       .select(col(idCol), col("fp").as("fingerprint"), col("canonical_id"))
   }
 
+  /** Probe key sets bigger than this stop broadcasting into the store
+    * prune and degrade to a shuffled hash semi join (see [[probePrune]]).
+    * Sizing: 32M long keys ≈ 256 MB serialized — a heavy but deliberate
+    * broadcast ceiling, because the alternative the fallback buys is a
+    * full shuffle of the STORE scan (the 100 TB side); only a backfill-
+    * scale probe should cross it. Distinct keys <= the bound each caller
+    * computes (rows, rows × fan-out, or an exact count of a frame it was
+    * about to persist anyway).
+    */
+  val BroadcastProbeRows = 32000000L
+
+  /** The store-probe prune shared by every persisted-store probe: the
+    * probe batch's distinct key set cuts store rows MAP-SIDE via broadcast
+    * semi join — the right plan when the batch is a day's crawl against a
+    * 100 TB store (store cost ∝ matches, zero store shuffle). But probe
+    * size is caller data: a backfill can replay months in one "batch", and
+    * an unguarded broadcast of a giant key set is a driver OOM. Guarded
+    * like [[CurationOps.ngramOverlap]]'s chars bound: above
+    * `maxBroadcastRows` (a cheap row-count upper bound on distinct keys,
+    * computed by the caller) the prune degrades to a shuffled hash semi
+    * join — identical semantics, the store pays one shuffle instead of
+    * zero, nothing is collected. shuffle_hash (not sort-merge) because the
+    * key-set side stays far smaller than the store even when it does not
+    * broadcast.
+    */
+  private[graft] def probePrune(store: DataFrame, keys: DataFrame,
+      keyCols: Seq[String], probeRows: Long,
+      maxBroadcastRows: Long = BroadcastProbeRows): DataFrame =
+    if (probeRows <= maxBroadcastRows)
+      store.join(broadcast(keys), keyCols, "left_semi")
+    else
+      store.join(keys.hint("shuffle_hash"), keyCols, "left_semi")
+
   // ---- persisted exact-dedup fingerprint store ----------------------------
 
   /** Build a persisted EXACT-dedup fingerprint store at `path` — the
@@ -116,20 +149,22 @@ object DedupOps {
     *
     * Scale: the batch's fps are map-side md5; the store is scanned
     * `(id, fp)`-only, and only rows whose fp appears in the probe batch
-    * survive to the shuffle — the probe's distinct fp set is broadcast and
-    * store rows are pruned map-side (the same prune shape as
-    * [[incrementalPairsFromSigs]]'s bucket semi-join: probe batches are
-    * small next to the corpus). The canonical min then aggregates the
-    * pruned union with map-side partial min absorbing hot fingerprints —
-    * probe cost ∝ batch + matches, not corpus.
+    * survive to the shuffle — [[probePrune]]'s guarded map-side cut (the
+    * same prune shape as [[incrementalPairsFromSigs]]'s bucket semi-join:
+    * probe batches are normally small next to the corpus, and a backfill-
+    * sized batch degrades to a shuffled semi join instead of a giant
+    * broadcast). The canonical min then aggregates the pruned union with
+    * map-side partial min absorbing hot fingerprints — probe cost ∝
+    * batch + matches, not corpus.
     */
   def incrementalExactDedup(newDocs: DataFrame, idCol: String, textCol: String,
       path: String): DataFrame = {
+    val probeRows = newDocs.count()
     val fresh = newDocs.select(col(idCol).as("id"),
       TextOps.fingerprint(col(textCol)).as("fp"))
     val old = newDocs.sparkSession.read.parquet(path).select(col("id"), col("fp"))
-    val oldPruned = old.join(broadcast(fresh.select(col("fp")).distinct()),
-      Seq("fp"), "left_semi")
+    val oldPruned = probePrune(old, fresh.select(col("fp")).distinct(),
+      Seq("fp"), probeRows)
     val canon = fresh.unionByName(oldPruned)
       .groupBy(col("fp")).agg(min(col("id")).as("canonical_id"))
     fresh.join(canon, Seq("fp"))
@@ -329,20 +364,27 @@ object DedupOps {
     * restricted to the new ids (spec-pinned).
     *
     * Scale: the store is scanned (h, id, p)-only and pruned map-side by
-    * the probe's broadcast distinct-hash set BEFORE its fold and the join
-    * (probe batches are small next to the corpus — the same prune as
-    * every other store probe); batch-internal duplicate detection rides
-    * the same one content-hash window as the batch path.
+    * the probe's distinct-hash set BEFORE its fold and the join
+    * ([[probePrune]]'s guarded cut — small batches broadcast, backfill-
+    * sized batches degrade to a shuffled semi join); batch-internal
+    * duplicate detection rides the same one content-hash window as the
+    * batch path.
     */
   private def incrementalDuplicatedWindows(newDocs: DataFrame, idCol: String,
       textCol: String, path: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hashed = windowHashRows(newDocs, idCol, textCol, k)
+    // the probe's window rows feed two consumers (the batch window pass
+    // and the prune's distinct-hash set) — persist once, and the count
+    // that materializes the cache doubles as the exact row bound for the
+    // broadcast guard (distinct hashes <= window rows)
+    val hashed = graft.CacheScope.persist(
+      windowHashRows(newDocs, idCol, textCol, k))
+    val probeWindows = hashed.count()
     val store = newDocs.sparkSession.read.parquet(path)
       .select(col("h"), col("id"), col("p"))
     // map-side prune, then fold per-batch canonicals to the store-wide min
-    val storePruned = store
-      .join(broadcast(hashed.select(col("h")).distinct()), Seq("h"), "left_semi")
+    val storePruned = probePrune(store, hashed.select(col("h")).distinct(),
+        Seq("h"), probeWindows)
       .groupBy(col("h"))
       .agg(min(struct(col("id"), col("p"))).as("__sfirst"))
     val w = Window.partitionBy(col("h"))
@@ -663,10 +705,13 @@ object DedupOps {
     def pack(d: DataFrame) = bandRows(d, bands, rowsPerBand)
       .select(col("id"), xxhash64(col("band"), col("key")).as("__bucket"))
     val newPacked = pack(fresh.select(col("id"), col("sig")))
-    // map-side prune: only store rows in buckets the probe batch touches
-    val oldPruned = pack(old.select(col("id"), col("sig")))
-      .join(broadcast(newPacked.select(col("__bucket")).distinct()),
-        Seq("__bucket"), "left_semi")
+    // map-side prune: only store rows in buckets the probe batch touches.
+    // Guarded ([[probePrune]]): the bucket-set bound is batch rows × bands
+    // (exact fan-out; fresh is persisted by every caller, so the count is
+    // a cache materialization, not a recompute)
+    val probeBuckets = fresh.count() * bands
+    val oldPruned = probePrune(pack(old.select(col("id"), col("sig"))),
+      newPacked.select(col("__bucket")).distinct(), Seq("__bucket"), probeBuckets)
     val cands = packedCandidatePairs(newPacked.unionByName(oldPruned), maxBucket)
     val nids = fresh.select(col("id"))
     // old-old pairs inside a shared bucket were found when the store side
@@ -675,10 +720,15 @@ object DedupOps {
     // hash-set prune) and is tiny by construction; measured on the sf0.1
     // gate, re-evaluating the banding subtree per consumer costs 2x the
     // persist barrier.
+    // the new-id tag set is batch-rows-sized — same broadcast guard as the
+    // bucket prune (a backfill-scale batch tags via shuffled hash joins)
+    val tag = (d: DataFrame) =>
+      if (probeBuckets / bands <= BroadcastProbeRows) broadcast(d)
+      else d.hint("shuffle_hash")
     val touchingNew = graft.CacheScope.persist(cands
-      .join(broadcast(nids.select(col("id").as("id_a"), lit(1).as("__na"))),
+      .join(tag(nids.select(col("id").as("id_a"), lit(1).as("__na"))),
         Seq("id_a"), "left")
-      .join(broadcast(nids.select(col("id").as("id_b"), lit(1).as("__nb"))),
+      .join(tag(nids.select(col("id").as("id_b"), lit(1).as("__nb"))),
         Seq("id_b"), "left")
       .where(col("__na").isNotNull || col("__nb").isNotNull)
       .select(col("id_a"), col("id_b")))
