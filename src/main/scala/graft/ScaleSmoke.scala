@@ -680,6 +680,38 @@ object ScaleSmoke {
       val nEx = plan.toString.linesIterator.count(_.contains("Exchange"))
       require(nEx < 30, s"wide load ran $nEx exchanges — expected the one-shuffle pivot shape")
     }
+    time("media decode: 200k real WAV clips, exact stats") {
+      // codec throughput shape: executor-side encode then decode of 200k
+      // genuine WAV containers (~120M samples) through the batched
+      // mapPartitions plumbing — no shuffle, embarrassingly parallel, the
+      // 100 TB story is partition count × this per-core rate. Exactness:
+      // sample sums are closed-form, so the aggregate total is checked
+      // against driver-side arithmetic, not just row counts.
+      val nClips = 200000L
+      val ids = spark.range(nClips).select(col("id").as("doc_id"))
+      val t0 = System.nanoTime()
+      val stats = operators.MultimodalOps.decodeAudioStats(
+        operators.MultimodalOps.syntheticAudioTable(ids, "doc_id"))
+      val agg = stats.toDF().agg(
+        sum("n_samples"), sum("sum_val"), count(lit(1))).head()
+      println(f"[scale]   encode+decode 200k WAVs           ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      require(agg.getLong(2) == nClips, s"every clip must decode, got ${agg.getLong(2)}")
+      // driver-side truth over the closed forms (id-periodic, cheap)
+      var wantN = 0L; var wantSum = 0L
+      var id = 0L
+      while (id < nClips) {
+        val n = operators.MultimodalOps.synthAudioLen(id)
+        wantN += n
+        var i = 0
+        while (i < n) {
+          wantSum += ((((id * 31 + i.toLong * 7) % 65536) + 65536) % 65536) - 32768
+          i += 1
+        }
+        id += 1
+      }
+      require(agg.getLong(0) == wantN && agg.getLong(1) == wantSum,
+        s"decoded totals (${agg.getLong(0)}, ${agg.getLong(1)}) != ($wantN, $wantSum)")
+    }
     time("quantileKeepLarge == exact cut over 5M scored rows") {
       val nr = 5000000L
       val scored = spark.range(nr).select(col("id"),

@@ -796,6 +796,16 @@ object SparkEntry {
         emb.where(col("vec_id") < 10), "vec_id", "embedding", path, 10)
     }),
 
+    // IVF + PQ composed ANN (the billion-scale serving shape): IVF cells
+    // prune the ADC scan to nProbe/nCells of the corpus, PQ codes compress
+    // what is scanned, exact rescore of the survivors — both constructions
+    // deterministic, so the oracle replays the two chains and joins them
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.SimilarityOps.ivfPqTopK(emb,
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", 10)
+    }),
+
     // PQ search through an index maintained by the STREAMING append path:
     // codebooks trained on the base corpus (vec_id < 350), the rest drained
     // micro-batch by micro-batch under frozen codebooks; the oracle replays
@@ -2283,6 +2293,97 @@ object SparkEntry {
           sc AS (SELECT q.qid, a.vec_id nid, CAST(sum(q.dot) AS BIGINT) s8
                  FROM a1 a JOIN qd q ON q.j = a.j AND q.cell = a.cell
                  WHERE q.qid != a.vec_id GROUP BY 1, 2),
+          cand AS (SELECT qid, nid FROM sc
+                   QUALIFY row_number() OVER (PARTITION BY qid
+                     ORDER BY s8 DESC, nid) <= 40),
+          dots AS (SELECT c.qid, c.nid, sum(q.x * n.x) dot
+                   FROM cand c JOIN flat q ON q.vec_id = c.qid
+                     JOIN flat n ON n.vec_id = c.nid AND n.i = q.i
+                   GROUP BY 1, 2),
+          scored AS (SELECT qid query_id, nid neighbor_id,
+                       CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) cosine
+                     FROM dots JOIN nn nq ON nq.vec_id = qid
+                       JOIN nn nc ON nc.vec_id = nid)
+          SELECT query_id, neighbor_id, rank, cosine FROM
+            (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) rank FROM scored)
+          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // IVF + PQ composed: the ann_ivf_topk chain (2 Lloyd rounds, assign by
+    // (cos DESC, cell), probe 4 cells/query) supplies the candidate POOL;
+    // the ann_pq_topk chain (p-prefixed CTEs) supplies ADC scores that cut
+    // the pool to 40; exact cosine rerank to 10 — the joined replay of the
+    // two verified constructions
+    "ann_ivfpq_topk" ->
+      s"""WITH $embFlat,
+          nn AS (SELECT vec_id, sqrt(CAST(n2 AS DOUBLE)) nrm FROM norms),
+          c0 AS (SELECT vec_id AS cell, i, x AS cx FROM flat
+                 WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+          cn0 AS (SELECT cell, sqrt(CAST(sum(cx*cx) AS DOUBLE)) cn FROM c0 GROUP BY 1),
+          d0 AS (SELECT f.vec_id, c.cell, sum(f.x * c.cx) dot
+                 FROM flat f JOIN c0 c ON f.i = c.i GROUP BY 1, 2),
+          a0 AS (SELECT vec_id, cell FROM
+                   (SELECT d0.vec_id, d0.cell,
+                      CAST(dot AS DOUBLE) / (nn.nrm * cn0.cn) cos
+                    FROM d0 JOIN nn USING (vec_id) JOIN cn0 USING (cell))
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, cell) = 1),
+          m1 AS (SELECT a0.cell, f.i, CAST(floor(avg(CAST(f.x AS DOUBLE))) AS BIGINT) cx
+                 FROM a0 JOIN flat f USING (vec_id) GROUP BY 1, 2),
+          cn1 AS (SELECT cell, sqrt(CAST(sum(cx*cx) AS DOUBLE)) cn FROM m1 GROUP BY 1),
+          d1 AS (SELECT f.vec_id, c.cell, sum(f.x * c.cx) dot
+                 FROM flat f JOIN m1 c ON f.i = c.i GROUP BY 1, 2),
+          a1 AS (SELECT vec_id, cell FROM
+                   (SELECT d1.vec_id, d1.cell,
+                      CAST(dot AS DOUBLE) / (nn.nrm * cn1.cn) cos
+                    FROM d1 JOIN nn USING (vec_id) JOIN cn1 USING (cell))
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, cell) = 1),
+          m2 AS (SELECT a1.cell, f.i, CAST(floor(avg(CAST(f.x AS DOUBLE))) AS BIGINT) cx
+                 FROM a1 JOIN flat f USING (vec_id) GROUP BY 1, 2),
+          cn2 AS (SELECT cell, sqrt(CAST(sum(cx*cx) AS DOUBLE)) cn FROM m2 GROUP BY 1),
+          d2 AS (SELECT f.vec_id, c.cell, sum(f.x * c.cx) dot
+                 FROM flat f JOIN m2 c ON f.i = c.i GROUP BY 1, 2),
+          sc2 AS (SELECT d2.vec_id, d2.cell,
+                    CAST(dot AS DOUBLE) / (nn.nrm * cn2.cn) cos
+                  FROM d2 JOIN nn USING (vec_id) JOIN cn2 USING (cell)),
+          assigned AS (SELECT vec_id, cell FROM sc2
+                       QUALIFY row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, cell) = 1),
+          probes AS (SELECT vec_id, cell FROM sc2 WHERE vec_id < 10
+                     QUALIFY row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cell) <= 4),
+          sub AS (SELECT vec_id, i // 16 AS j, i % 16 AS p, x FROM flat),
+          pc0 AS (SELECT s.j, s.vec_id AS cell, s.p, s.x AS cx FROM sub s
+                  WHERE s.vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
+          pd0 AS (SELECT s.vec_id, s.j, c.cell,
+                    CAST(2*sum(s.x*c.cx) - sum(c.cx*c.cx) AS BIGINT) sc
+                  FROM sub s JOIN pc0 c ON c.j = s.j AND c.p = s.p
+                  GROUP BY 1, 2, 3),
+          pa0 AS (SELECT vec_id, j, cell FROM pd0
+                  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                    ORDER BY sc DESC, cell) = 1),
+          pm1 AS (SELECT pa0.j, pa0.cell, s.p,
+                    CAST(floor(avg(CAST(s.x AS DOUBLE))) AS BIGINT) cx
+                  FROM pa0 JOIN sub s ON s.vec_id = pa0.vec_id AND s.j = pa0.j
+                  GROUP BY 1, 2, 3),
+          pd1 AS (SELECT s.vec_id, s.j, c.cell,
+                    CAST(2*sum(s.x*c.cx) - sum(c.cx*c.cx) AS BIGINT) sc
+                  FROM sub s JOIN pm1 c ON c.j = s.j AND c.p = s.p
+                  GROUP BY 1, 2, 3),
+          pa1 AS (SELECT vec_id, j, cell FROM pd1
+                  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                    ORDER BY sc DESC, cell) = 1),
+          qd AS (SELECT s.vec_id qid, c.j, c.cell, CAST(sum(s.x*c.cx) AS BIGINT) dot
+                 FROM sub s JOIN pm1 c ON c.j = s.j AND c.p = s.p
+                 WHERE s.vec_id < 10 GROUP BY 1, 2, 3),
+          cand0 AS (SELECT p.vec_id qid, a.vec_id nid
+                    FROM probes p JOIN assigned a USING (cell)
+                    WHERE p.vec_id != a.vec_id),
+          sc AS (SELECT c.qid, c.nid, CAST(sum(q.dot) AS BIGINT) s8
+                 FROM cand0 c JOIN pa1 a ON a.vec_id = c.nid
+                   JOIN qd q ON q.qid = c.qid AND q.j = a.j AND q.cell = a.cell
+                 GROUP BY 1, 2),
           cand AS (SELECT qid, nid FROM sc
                    QUALIFY row_number() OVER (PARTITION BY qid
                      ORDER BY s8 DESC, nid) <= 40),

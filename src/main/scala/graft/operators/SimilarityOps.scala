@@ -753,6 +753,67 @@ object SimilarityOps {
       Seq(col("s8").desc, col("neighbor_id")), n)
       .select(col("query_id"), col("neighbor_id"))
 
+  /** IVF + PQ composed ANN — the canonical billion-scale serving shape
+    * (FAISS's IVFPQ family): IVF cells PRUNE the scan — only the query's
+    * nProbe cells' codes are ADC-scored, nProbe/nCells of the corpus —
+    * while PQ codes COMPRESS what is scanned. The construction is the
+    * exact composition of [[ivfTopK]]'s cell machinery (same centroids,
+    * same assignment tie-breaks) and [[pqTopK]]'s codebooks over the FULL
+    * corpus vectors (not per-cell residuals: residual codes couple every
+    * code to its cell centroid, so a centroid refresh would invalidate
+    * the whole code store and appends under frozen codebooks — the store
+    * family's contract — would be impossible). Both chains are
+    * deterministic, so the DuckDB oracle replays them and joins: ADC
+    * candidates restricted to probed cells, top k·candFactor by
+    * (int score DESC, id), exact rescore to k.
+    *
+    * Scale: centroids and codebooks broadcast (tiny); the cell
+    * restriction is an equi-join of the code frame with the assignment
+    * frame on id (in the persisted layout the codes would live
+    * `cell=*`-partitioned, making this a directory prune instead); the
+    * candidate fan-out joins broadcast probe/table frames and feeds the
+    * salted two-phase top-k. Per-query scan cost drops from |corpus|
+    * codes ([[pqTopK]]) to |corpus|·nProbe/nCells.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, m: Int = 4, ksub: Int = 8,
+      ivfRefine: Int = 2, pqRefine: Int = 1, candFactor: Int = 4): DataFrame = {
+    require(k > 0 && candFactor > 0 && nProbe > 0, "k, candFactor, nProbe must be positive")
+    ensureRegistered(corpus)
+    val c = graft.CacheScope.persist(
+      prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn"))
+    val q = graft.CacheScope.persist(
+      prep(queries, idCol, vecCol, "query_id", "qv", "qn"))
+    val cq = c.select(col("neighbor_id").as("id"), col("cv").as("v"), col("cn").as("nrm"))
+    val cents = refinedCentroids(cq, nCells, ivfRefine)
+    val assigned = bestCell(cq, cents, "id", "v", "nrm")
+      .select(col("id").as("neighbor_id"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(cosPre(col("qv"), col("cv"), col("qn"), col("cn")).desc, col("cell"))
+    val probes = q.join(broadcast(cents))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val book = trainPqBook(
+      c.select(col("neighbor_id").as("id"), col("cv").as("v")), m, ksub, pqRefine)
+    val codes = pqEncodeAll(
+      c.select(col("neighbor_id").as("id"), col("cv").as("v")), book)
+    val tables = pqAdcTables(q, book)
+    val scoredCands = codes.select(col("id").as("neighbor_id"), col("codes"))
+      .join(assigned, Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(tables), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        call_function(graft.functions.PqAdcScore.name,
+          col("codes"), col("table"), col("__joff")).as("s8"))
+    val cands = topKTwoPhase(scoredCands, "query_id", "neighbor_id",
+      Seq(col("s8").desc, col("neighbor_id")), k * candFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    sq8Rescore(cands, c, q, k)
+  }
+
   /** Persist the PQ side of [[pqTopK]] — build once, probe many (the
     * [[buildSq8Index]] layout): `path/meta` (m, ksub, dim),
     * `path/codebooks` (the live sub-centroids — tiny), `path/codes/

@@ -1144,6 +1144,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(spark.read.parquet(path).count() == docs.count())
   }
 
+  test("probePrune: shuffled-hash fallback == broadcast prune, and is shuffle-shaped") {
+    import spark.implicits._
+    val store = (0L until 2000L).map(i => (i, i % 97)).toDF("id", "fp")
+    val keys = (0L until 97L by 3L).map(Tuple1(_)).toDF("fp")
+    val run = (maxRows: Long) =>
+      DedupOps.probePrune(store, keys, Seq("fp"), probeRows = keys.count(), maxRows)
+    val viaBroadcast = run(DedupOps.BroadcastProbeRows)
+    val viaShuffle = run(0L)
+    assert(viaBroadcast.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      viaShuffle.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(viaBroadcast.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    val shufflePlan = viaShuffle.queryExecution.executedPlan.toString
+    assert(!shufflePlan.contains("BroadcastHashJoin") &&
+      shufflePlan.contains("LeftSemi"),
+      s"fallback must not broadcast, got:\n$shufflePlan")
+  }
+
   test("curation edge cases: empty benchmark, empty store, empty prefix input") {
     import spark.implicits._
     val docs5 = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
@@ -1642,6 +1660,32 @@ class OperatorsSpec extends SparkTestBase {
     // exact rescore over 80 candidates should recover well over half
     val hits = pq.count { case (q, n, _, _) => exact.contains((q, n)) }
     assert(hits >= 50, s"recall@10 too low: $hits/100")
+    graft.CacheScope.release()
+  }
+
+  test("ivfPqTopK: probe-everything == pqTopK; pruned probe keeps recall; shape sane") {
+    val queries = emb.where(col("vec_id") < 10)
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    // nProbe == nCells probes every cell: the candidate pool equals the
+    // full-corpus PQ scan, so the composition must reproduce pqTopK exactly
+    val all = key(SimilarityOps.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      10, nCells = 16, nProbe = 16, m = 4, ksub = 8, candFactor = 4))
+    val pq = key(SimilarityOps.pqTopK(emb, queries, "vec_id", "embedding", 10,
+      m = 4, ksub = 8, refineIters = 1, candFactor = 4))
+    assert(all == pq)
+    // the pruned default (4/16 cells): dense ranks, self excluded, exact
+    // rescored cosines, and recall against the unpruned PQ answer holds
+    val pruned = key(SimilarityOps.ivfPqTopK(emb, queries, "vec_id", "embedding", 10))
+    assert(pruned.length == 100)
+    assert(pruned.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._3).sorted.toSeq == (1L to 10L) })
+    val bruteAll = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 499)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pruned.forall { case (q, n, _, c) => q != n && bruteAll((q, n)) == c })
+    val hits = pruned.map(t => (t._1, t._2)).toSet
+      .intersect(pq.map(t => (t._1, t._2)).toSet).size
+    assert(hits >= 50, s"cell pruning lost too much vs full PQ scan: $hits/100")
     graft.CacheScope.release()
   }
 
