@@ -806,6 +806,17 @@ object SparkEntry {
         emb.where(col("vec_id") < 10), "vec_id", "embedding", 10)
     }),
 
+    // same IVF+PQ search through a PERSISTED index: codes live CELL-
+    // partitioned on disk, the probe lists only its nProbe cells' dirs —
+    // results, and the oracle, are identical to ann_ivfpq_topk
+    "ann_ivfpq_persisted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = s"${Fixtures.tmpRoot}/ivfpq_gate_index"
+      operators.SimilarityOps.buildIvfPqIndex(emb, "vec_id", "embedding", path)
+      operators.SimilarityOps.ivfPqTopKIndexed(emb,
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", path, 10)
+    }),
+
     // PQ search through an index maintained by the STREAMING append path:
     // codebooks trained on the base corpus (vec_id < 350), the rest drained
     // micro-batch by micro-batch under frozen codebooks; the oracle replays
@@ -1039,6 +1050,10 @@ object SparkEntry {
     // the persisted PQ probe computes the same answer as the in-memory
     // search (same codebooks, codes, tables) — one oracle, two paths
     ("ann_pq_persisted" -> oracleSqlBase("ann_pq_topk")) +
+    // the persisted IVF+PQ probe computes the same answer as the in-memory
+    // composition (same centroids, codebooks, cells, tie-breaks) — one
+    // oracle, two execution paths
+    ("ann_ivfpq_persisted" -> oracleSqlBase("ann_ivfpq_topk")) +
     // the pre-cut scale path keeps the exact cut's answer by construction
     // (containment checked at run time) — one oracle, two execution paths
     ("quality_quantile_keep_large" -> oracleSqlBase("quality_quantile_keep")) +

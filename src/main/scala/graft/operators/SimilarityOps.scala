@@ -814,6 +814,136 @@ object SimilarityOps {
     sq8Rescore(cands, c, q, k)
   }
 
+  /** Persist the IVF+PQ serving index — build once, probe many:
+    * `path/centroids` (coarse cells, tiny), `path/meta` + `path/codebooks`
+    * (the PQ side, as [[buildPqIndex]]), and `path/codes/batch=<token>` of
+    * `cell=N` subdirs — PQ codes hive-partitioned BY CELL, so a probe
+    * reads ONLY its nProbe cells' directories (the directory prune that
+    * [[ivfPqTopK]]'s in-memory equi-join stands in for: at 100 TB the
+    * probe's scan is nProbe/nCells of the code store, enforced by
+    * partition pruning, not a filter after a full scan). Source vectors
+    * are not duplicated; rescore point-looks-up the corpus like every
+    * store in the family.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nCells: Int = 16, ivfRefine: Int = 2,
+      m: Int = 4, ksub: Int = 8, pqRefine: Int = 1): Unit = {
+    ensureRegistered(corpus)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val c = prep(corpus, idCol, vecCol, "id", "v", "nrm")
+    require(!c.isEmpty, s"buildIvfPqIndex: empty corpus, nothing to train for $path")
+    val cents = refinedCentroids(c, nCells, ivfRefine)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    val book = trainPqBook(c.select(col("id"), col("v")), m, ksub, pqRefine)
+    Seq((m, ksub, book.dim)).toDF("m", "ksub", "dim")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    book.rows.toDF("j", "cell", "cv")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    writeCellCodes(bestCell(c, cents, "id", "v", "nrm"), book, path, "base")
+  }
+
+  /** One batch's (id, codes) rows land cell-partitioned under an atomic
+    * per-token batch dir (the [[writeAssignedBatch]] + [[appendPqIndex]]
+    * contracts combined): replay-idempotent, one writer task per cell.
+    */
+  private def writeCellCodes(assigned: DataFrame, book: PqBook, path: String,
+      batchToken: String): Unit = {
+    val bf = book.frame(assigned.sparkSession)
+    assigned.crossJoin(broadcast(bf))
+      .select(col("id"),
+        pqEncodeCol(col("v"), col("__cents"), col("__joff")).as("codes"),
+        col("cell"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$path/codes/batch=$batchToken")
+  }
+
+  /** Append new vectors under the FROZEN centroids and codebooks: assign
+    * to the stored cells, encode against the stored sub-centroids, land as
+    * a replay-idempotent `batch=<token>/cell=*` dir. Dimension mismatches
+    * and id overlaps are rejected loudly (cf. [[appendPqIndex]]); neither
+    * the centroids nor the codebooks retrain — that is a rebuild's job.
+    */
+  def appendIvfPqIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+      path: String,
+      batchToken: String = java.util.UUID.randomUUID.toString,
+      checkIds: Boolean = true): Unit = {
+    ensureRegistered(newVecs)
+    val spark = newVecs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").limit(1).collect()
+      .headOption.getOrElse(throw new IllegalStateException(s"no IVF+PQ index at $path"))
+    val (m, dim) = (meta.getAs[Int]("m"), meta.getAs[Int]("dim"))
+    val bad = newVecs.where(size(col(vecCol)) =!= dim).limit(1).collect()
+    require(bad.isEmpty,
+      s"appendIvfPqIndex: appended vector dimension != index dimension $dim at $path")
+    if (checkIds) {
+      val clash = spark.read.parquet(s"$path/codes")
+        .where(col("batch") =!= lit(batchToken)).select(col("id"))
+        .join(newVecs.select(col(idCol).as("id")), Seq("id"))
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"appendIvfPqIndex: id ${clash.headOption.map(_.get(0)).orNull} already " +
+          s"present in the index at $path — duplicate codes corrupt top-k " +
+          "(pass checkIds = false only with upstream disjointness)")
+    }
+    val cents = spark.read.parquet(s"$path/centroids")
+    val book = readPqBook(spark, path, m, dim)
+    val c = prep(newVecs, idCol, vecCol, "id", "v", "nrm")
+    writeCellCodes(bestCell(c, cents, "id", "v", "nrm"), book, path, batchToken)
+    spark.catalog.refreshByPath(s"$path/codes")
+  }
+
+  /** Probe a persisted IVF+PQ index: the probed cell set (≤ queries ×
+    * nProbe scalars) is collected and pushed as a partition filter, so the
+    * scan touches ONLY those cells' code directories; ADC scores cut to
+    * k·candFactor, exact rescore against `corpus` (the vectors' source of
+    * truth). Built from the same corpus and parameters, results ==
+    * [[ivfPqTopK]].
+    */
+  def ivfPqTopKIndexed(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, path: String, k: Int,
+      nProbe: Int = 4, candFactor: Int = 4): DataFrame = {
+    require(k > 0 && candFactor > 0 && nProbe > 0, "k, candFactor, nProbe must be positive")
+    ensureRegistered(corpus)
+    val spark = corpus.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").limit(1).collect()
+      .headOption.getOrElse(throw new IllegalStateException(s"no IVF+PQ index at $path"))
+    val (m, dim) = (meta.getAs[Int]("m"), meta.getAs[Int]("dim"))
+    val cents = spark.read.parquet(s"$path/centroids")
+    val book = readPqBook(spark, path, m, dim)
+    val c = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val q = graft.CacheScope.persist(
+      prep(queries, idCol, vecCol, "query_id", "qv", "qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(cosPre(col("qv"), col("cv"), col("qn"), col("cn")).desc, col("cell"))
+    val probes = graft.CacheScope.persist(q.join(broadcast(cents))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= nProbe)
+      .select(col("query_id"), col("cell")))
+    // scalar-bounded driver carry: <= queries * nProbe cell ids, pushed as
+    // a static partition filter so unprobed cell dirs are never listed
+    val cells = probes.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val codes = spark.read.parquet(s"$path/codes")
+      .where(col("cell").cast("bigint").isin(cells: _*))
+      .select(col("id").as("neighbor_id"), col("codes"),
+        col("cell").cast("bigint").as("cell"))
+    val scoredCands = codes
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(pqAdcTables(q, book)), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        call_function(graft.functions.PqAdcScore.name,
+          col("codes"), col("table"), col("__joff")).as("s8"))
+    val cands = topKTwoPhase(scoredCands, "query_id", "neighbor_id",
+      Seq(col("s8").desc, col("neighbor_id")), k * candFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    sq8Rescore(cands, c, q, k)
+  }
+
   /** Persist the PQ side of [[pqTopK]] — build once, probe many (the
     * [[buildSq8Index]] layout): `path/meta` (m, ksub, dim),
     * `path/codebooks` (the live sub-centroids — tiny), `path/codes/

@@ -1745,4 +1745,48 @@ class OperatorsSpec extends SparkTestBase {
     }
     graft.CacheScope.release()
   }
+
+  test("ivfpq persisted index: probe == in-memory; cell-pruned scan; append under frozen everything") {
+    val path = s"${Fixtures.tmpRoot}/ivfpq_spec_index"
+    val queries = emb.where(col("vec_id") < 10)
+    SimilarityOps.buildIvfPqIndex(emb, "vec_id", "embedding", path)
+    val probe = SimilarityOps.ivfPqTopKIndexed(emb, queries,
+      "vec_id", "embedding", path, 10)
+    val probed = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList.sorted
+    val mem = SimilarityOps.ivfPqTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList.sorted
+    assert(probed == mem, "persisted probe must equal the in-memory composition")
+    // the code scan is partition-pruned to the probed cells' dirs: the
+    // formatted plan's code-store scan carries cell partition filters
+    val planStr = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val codeScan = planStr.linesIterator
+      .dropWhile(l => !(l.contains("Location:") && l.contains("ivfpq_spec_index/codes")))
+      .take(6).mkString("\n")
+    assert(codeScan.contains("PartitionFilters") && codeScan.contains("cell"),
+      s"code scan must be partition-filtered on cell, got:\n$codeScan\n$planStr")
+    // append: new vectors assign to frozen cells + encode under frozen
+    // codebooks, then surface in probes; replay idempotent; clash loud
+    val path2 = s"${Fixtures.tmpRoot}/ivfpq_spec_append"
+    SimilarityOps.buildIvfPqIndex(emb.where(col("vec_id") >= 20),
+      "vec_id", "embedding", path2)
+    SimilarityOps.appendIvfPqIndex(emb.where(col("vec_id") < 20),
+      "vec_id", "embedding", path2, "b1")
+    val appended = SimilarityOps.ivfPqTopKIndexed(emb, queries,
+      "vec_id", "embedding", path2, 10)
+    assert(appended.count() == 100)
+    assert(appended.where(col("neighbor_id") < 20).count() > 0,
+      "appended vectors must be searchable")
+    SimilarityOps.appendIvfPqIndex(emb.where(col("vec_id") < 20),
+      "vec_id", "embedding", path2, "b1")
+    assert(SimilarityOps.ivfPqTopKIndexed(emb, queries,
+      "vec_id", "embedding", path2, 10).count() == 100)
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityOps.appendIvfPqIndex(emb.where(col("vec_id") < 2),
+        "vec_id", "embedding", path2, "b9")
+    }
+    assert(ex.getMessage.contains("already present"), ex.getMessage)
+    graft.CacheScope.release()
+  }
 }
