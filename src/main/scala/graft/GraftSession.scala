@@ -42,6 +42,7 @@ object GraftSession {
     graft.functions.PqEncode.register(spark)
     graft.functions.PqAdcTable.register(spark)
     graft.functions.PqAdcScore.register(spark)
+    graft.functions.IvfBestCell.register(spark)
     spark
   }
 

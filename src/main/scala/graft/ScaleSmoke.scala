@@ -641,6 +641,51 @@ object ScaleSmoke {
       require(recall >= 0.75,
         s"pq recall $recall at 1M vectors below 0.75 — codebooks or candidate pool too tight")
     }
+    time("IVF+PQ: 1M-vector cell-partitioned index, pruned probe") {
+      // same structure-free vector family as the PQ entry — with uniform
+      // vectors IVF cells tile the sphere arbitrarily, so the probed
+      // 8/64 of the corpus bounds recall vs the full-scan PQ answer: this
+      // measures the PRUNING mechanics (cell-partitioned layout, probe
+      // reads only its cells' dirs, candidates ∝ nProbe/nCells) and the
+      // agreement floor, honestly below clustered real-embedding recall.
+      val nv = 1000000L
+      val dims = (0 until 64).map { i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(2001)) - lit(1000))
+          .cast("double") / lit(1000.0)
+      }
+      val vecs = spark.range(nv).select(col("id").as("vec_id"),
+        array(dims: _*).as("embedding"))
+      val queries = vecs.where(col("vec_id") < 100)
+      val path = s"$root/ivfpq_smoke"
+      val t0 = System.nanoTime()
+      operators.SimilarityOps.buildIvfPqIndex(vecs, "vec_id", "embedding",
+        path, nCells = 64, ivfRefine = 1, m = 16, ksub = 256, pqRefine = 1)
+      println(f"[scale]   ivfpq build (64 cells, m=16)      ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val t1 = System.nanoTime()
+      val got = operators.SimilarityOps.ivfPqTopKIndexed(vecs, queries,
+        "vec_id", "embedding", path, 10, nProbe = 8, candFactor = 32)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"[scale]   ivfpq probe (8/64 cells)          ${(System.nanoTime() - t1) / 1e9}%8.2f s")
+      require(got.size == 1000, s"expected 100 queries x 10 rows, got ${got.size}")
+      CacheScope.release()
+      // agreement vs the unpruned PQ scan on a 16-query subsample (the
+      // exact scan baseline lives in the PQ entry; here the delta under
+      // test is the cell pruning itself)
+      val t2 = System.nanoTime()
+      val full = operators.SimilarityOps.pqTopK(vecs,
+        vecs.where(col("vec_id") < 16), "vec_id", "embedding", 10,
+        m = 16, ksub = 256, refineIters = 1, candFactor = 32)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"[scale]   full-scan PQ (16q, same params)   ${(System.nanoTime() - t2) / 1e9}%8.2f s")
+      val gotSub = got.filter(_._1 < 16)
+      val agree = (full & gotSub).size.toDouble / full.size
+      println(f"[scale]   probed/full agreement             $agree%8.4f")
+      require(agree >= 0.25,
+        s"8/64-cell probe agreement $agree vs full PQ scan collapsed — pruning broken?")
+      CacheScope.release()
+    }
     time("wide fan-in: 100-feature loadFeatures through one flat plan") {
       // feature-store width (M2 fan-in at training-set-export scale): 100
       // features, each its own time grid, loaded through ONE plan. Above

@@ -113,5 +113,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     PqEncode.inject(ext)
     PqAdcTable.inject(ext)
     PqAdcScore.inject(ext)
+    IvfBestCell.inject(ext)
   }
 }

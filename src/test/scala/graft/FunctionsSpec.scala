@@ -78,4 +78,40 @@ class FunctionsSpec extends SparkTestBase {
     val e = intercept[Exception](df.selectExpr(s"${LongDotProduct.name}(a, b)").collect())
     assert(e.getMessage.contains("dot_long") || e.getMessage.toLowerCase.contains("type"))
   }
+
+  test("ivf_best_cell == the joined max_by(cell, struct(cos, -cell)) shape, ties to lowest") {
+    graft.functions.IvfBestCell.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val nc = 5
+    val cents = Seq.tabulate(nc)(g => Seq.fill(dim)(rnd.nextInt(2001) - 1000L))
+    val flat = cents.flatten
+    val cns = cents.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
+    // vectors: random ones plus EXACT copies of centroids scaled 2x (cosine
+    // ties with the centroid itself are exercised via duplicate centroids)
+    val dupCents = cents :+ cents.head // cell 5 duplicates cell 0 -> tie
+    val dupFlat = dupCents.flatten
+    val dupCns = cns :+ cns.head
+    val vecs = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextInt(2001) - 1000L))) ++
+      cents.zipWithIndex.map { case (c, i) => (100L + i, c.map(_ * 2)) }
+    val df = vecs.toDF("id", "v")
+    val got = df.select(col("id"),
+      call_function(graft.functions.IvfBestCell.name, col("v"),
+        typedLit(dupFlat), typedLit(dupCns)).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // driver-side reference: max cos, ties to lowest index
+    def best(v: Seq[Long]): Int = {
+      val nrm = math.sqrt(v.map(x => x * x).sum.toDouble)
+      val cos = dupCents.zip(dupCns).map { case (c, cn) =>
+        v.zip(c).map { case (a, b) => a * b }.sum.toDouble / (nrm * cn) }
+      cos.zipWithIndex.maxBy { case (s, i) => (s, -i) }._2
+    }
+    vecs.foreach { case (id, v) => assert(got(id) == best(v), s"id $id") }
+    // the scaled centroid copies must pick their own cell, and the
+    // duplicated centroid's tie must resolve to the LOWER index (0, not 5)
+    assert(got(100L) == 0)
+    (1 until nc).foreach(i => assert(got(100L + i) == i))
+  }
 }
