@@ -362,7 +362,11 @@ object Fixtures {
       val q = graft.streaming.StreamingOps.annIndexAvailableNow(
         stream, "vec_id", "embedding", s"$base/pq", s"$base/ckpt")
       require(q.awaitTermination(180000), "streamed PQ index did not drain")
-      s"$base/pq"
+      // gate probes the COMPACTED index (the postings-fixture pattern):
+      // batch accumulation AND compaction must both preserve the answer
+      graft.operators.SimilarityOps.compactPqIndex(
+        spark, s"$base/pq", s"$base/pqc")
+      s"$base/pqc"
     })
 
   private val incDedupMb = TrieMap[String, String]()

@@ -817,11 +817,12 @@ object SparkEntry {
         emb.where(col("vec_id") < 10), "vec_id", "embedding", path, 10)
     }),
 
-    // PQ search through an index maintained by the STREAMING append path:
-    // codebooks trained on the base corpus (vec_id < 350), the rest drained
-    // micro-batch by micro-batch under frozen codebooks; the oracle replays
-    // the same construction (training restricted to the base, encoding over
-    // everything)
+    // PQ search through an index maintained by the STREAMING append path
+    // and then COMPACTED (batch dirs collapsed, sidecars carried): codebooks
+    // trained on the base corpus (vec_id < 350), the rest drained micro-
+    // batch by micro-batch under frozen codebooks; the oracle replays the
+    // same construction (training restricted to the base, encoding over
+    // everything) — so accumulation AND compaction must both preserve it
     "ann_pq_stream" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       operators.SimilarityOps.pqTopKIndexed(emb,

@@ -1032,6 +1032,52 @@ object SimilarityOps {
     spark.catalog.refreshByPath(s"$path/codes")
   }
 
+  /** Compact a streaming-grown PQ index to a NEW path: meta + codebooks
+    * rewritten verbatim, the many `batch=` code dirs collapsed into one
+    * `batch=base` (code rows are per-id and ids are disjoint across
+    * batches — the [[graft.operators.DedupOps.compactIdStore]] contract,
+    * here with the index sidecars carried along). Crash-safe like every
+    * compactor in the family: dst is rebuilt from scratch and src is
+    * untouched until the caller swaps paths.
+    */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    require(srcPath != dstPath, "compact to a NEW path, then swap")
+    val p = new org.apache.hadoop.fs.Path(dstPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    spark.read.parquet(s"$srcPath/meta")
+      .write.mode("overwrite").parquet(s"$dstPath/meta")
+    spark.read.parquet(s"$srcPath/codebooks")
+      .write.mode("overwrite").parquet(s"$dstPath/codebooks")
+    val codes = spark.read.parquet(s"$srcPath/codes")
+    codes.select(codes.columns.filter(_ != "batch").map(col): _*)
+      .write.mode("overwrite").parquet(s"$dstPath/codes/batch=base")
+    spark.catalog.refreshByPath(s"$dstPath/codes")
+  }
+
+  /** [[compactPqIndex]] for the IVF+PQ layout: centroids come along and
+    * the rewritten codes KEEP their `cell=` partitioning (one writer task
+    * per cell), so probes stay directory-pruned after compaction.
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    require(srcPath != dstPath, "compact to a NEW path, then swap")
+    val p = new org.apache.hadoop.fs.Path(dstPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    Seq("centroids", "meta", "codebooks").foreach { side =>
+      spark.read.parquet(s"$srcPath/$side")
+        .write.mode("overwrite").parquet(s"$dstPath/$side")
+    }
+    val codes = spark.read.parquet(s"$srcPath/codes")
+    codes.select(codes.columns.filter(_ != "batch").map(col): _*)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dstPath/codes/batch=base")
+    spark.catalog.refreshByPath(s"$dstPath/codes")
+  }
+
   /** Probe a persisted PQ index: ADC scan over the stored codes, exact
     * rescore against `corpus` (vectors' source of truth; only candidate
     * rows touched). With the index built from the same corpus and

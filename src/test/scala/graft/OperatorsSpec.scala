@@ -1787,6 +1787,23 @@ class OperatorsSpec extends SparkTestBase {
         "vec_id", "embedding", path2, "b9")
     }
     assert(ex.getMessage.contains("already present"), ex.getMessage)
+    // compaction collapses the batch dirs, KEEPS the cell partitioning,
+    // and preserves the probe answer exactly
+    val path2c = s"${Fixtures.tmpRoot}/ivfpq_spec_compact"
+    SimilarityOps.compactIvfPqIndex(spark, path2, path2c)
+    val beforeC = SimilarityOps.ivfPqTopKIndexed(emb, queries,
+      "vec_id", "embedding", path2, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val afterC = SimilarityOps.ivfPqTopKIndexed(emb, queries,
+      "vec_id", "embedding", path2c, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(afterC == beforeC, "compaction must preserve the probe answer")
+    val batchDirs = new java.io.File(s"$path2c/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(batchDirs.toSeq == Seq("batch=base"))
+    assert(new java.io.File(s"$path2c/codes/batch=base").listFiles()
+      .exists(_.getName.startsWith("cell=")),
+      "compacted codes must keep the cell= hive layout")
     graft.CacheScope.release()
   }
 }
