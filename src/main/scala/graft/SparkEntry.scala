@@ -948,6 +948,41 @@ object SparkEntry {
       streaming.StreamingOps.sessionizeBatch(
         Tables.events(s, dir).select(col("user_id"), col("ts")), "ts", "user_id", 30)),
 
+    // binned range join, keyed: every click inside a same-user purchase's
+    // 2h attribution window. 30-minute bins -> each window explodes to
+    // <= 5 cells; the equi-join runs on (user_id, cell), never a
+    // nested-loop. Oracle is DuckDB's literal inequality join.
+    "range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val windows = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+      operators.RangeJoinOps.rangeJoin(clicks, "click_ts", windows,
+          "w_start", "w_end", binWidth = 30L * 60 * 1000000, keys = Seq("user_id"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("click_ts"))
+    }),
+
+    // binned range join, KEYLESS: clicks inside ANY error's 5-minute
+    // blast window — the bin cells alone carry the parallelism (no equi
+    // key to hash on), which is exactly where Spark's own planner falls
+    // back to a broadcast nested-loop
+    "range_join_global" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val windows = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as("w_end"))
+      operators.RangeJoinOps.rangeJoin(clicks, "click_ts", windows,
+          "w_start", "w_end", binWidth = 5L * 60 * 1000000)
+        .select(col("click_id"), col("error_id"), col("click_ts"))
+    }),
+
     // multimodal: metadata-only pass over the opaque binary column
     "mm_media_meta" -> ((s, dir) =>
       operators.MultimodalOps.mediaMeta(
@@ -2712,6 +2747,26 @@ object SparkEntry {
     "stream_sessionize" -> sessionizeOracle,
     "stream_sessionize_mb" -> sessionizeOracle,
     "sessionize_batch" -> sessionizeOracle,
+
+    "range_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+                    FROM events WHERE event_type = 'click'),
+          p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS w_start
+                FROM events WHERE event_type = 'purchase')
+         SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts
+         FROM c JOIN p ON c.user_id = p.user_id
+           AND c.click_ts >= p.w_start AND c.click_ts <= p.w_start + INTERVAL 2 HOUR
+         ORDER BY 1, 2, 3""",
+
+    "range_join_global" ->
+      """WITH c AS (SELECT event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+                    FROM events WHERE event_type = 'click'),
+          w AS (SELECT event_id AS error_id, CAST(ts AS TIMESTAMP) AS w_start
+                FROM events WHERE event_type = 'error')
+         SELECT c.click_id, w.error_id, c.click_ts
+         FROM c JOIN w ON c.click_ts >= w.w_start
+           AND c.click_ts <= w.w_start + INTERVAL 5 MINUTE
+         ORDER BY 1, 2""",
 
     // frame sampling stub is pure block arithmetic: every `stride`-th
     // 64-byte block of the UTF-8 payload.

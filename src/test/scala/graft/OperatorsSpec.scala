@@ -1806,4 +1806,61 @@ class OperatorsSpec extends SparkTestBase {
       "compacted codes must keep the cell= hive layout")
     graft.CacheScope.release()
   }
+
+  test("rangeJoin == brute-force inequality join, keyed and keyless") {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("cid"), col("ts").as("ct"))
+    val wins = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("ws"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("we"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("cid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(clicks.join(wins, Seq("user_id"))
+      .where(col("ct") >= col("ws") && col("ct") <= col("we")))
+    assert(brute.nonEmpty, "fixture should produce matches")
+    // keyed, across several bin widths (boundary-crossing windows included)
+    for (w <- Seq(60L * 1000000, 30L * 60 * 1000000, 7L * 3600 * 1000000)) {
+      val got = pairs(RangeJoinOps.rangeJoin(clicks, "ct", wins, "ws", "we",
+        binWidth = w, keys = Seq("user_id")))
+      assert(got == brute, s"binWidth=$w")
+    }
+    // keyless: same windows, key dropped from both sides
+    val bruteG = pairs(clicks.drop("user_id").crossJoin(wins.drop("user_id"))
+      .where(col("ct") >= col("ws") && col("ct") <= col("we")))
+    val gotG = pairs(RangeJoinOps.rangeJoin(clicks.drop("user_id"), "ct",
+      wins.drop("user_id"), "ws", "we", binWidth = 30L * 60 * 1000000))
+    assert(gotG == bruteG)
+    // forced shuffle path (broadcast bound 0) is identical
+    val gotS = pairs(RangeJoinOps.rangeJoin(clicks, "ct", wins, "ws", "we",
+      binWidth = 30L * 60 * 1000000, keys = Seq("user_id"),
+      broadcastMaxExplodedRows = 0))
+    assert(gotS == brute)
+  }
+
+  test("rangeJoin guards: reversed bounds, bin explosion, shared columns; negative integral axis") {
+    import spark.implicits._
+    val pts = Seq((1L, -7L), (2L, -3L), (3L, 4L)).toDF("pid", "t")
+    val ivl = Seq((10L, -8L, -2L), (11L, 0L, 5L)).toDF("iid", "s", "e")
+    // negative axis values bin correctly (floor, not truncate-toward-zero)
+    val got = RangeJoinOps.rangeJoin(pts, "t", ivl, "s", "e", binWidth = 3)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (3L, 11L)))
+    val rev = intercept[IllegalArgumentException] {
+      RangeJoinOps.rangeJoin(pts, "t",
+        Seq((9L, 5L, 1L)).toDF("iid", "s", "e"), "s", "e", binWidth = 3).count()
+    }
+    assert(rev.getMessage.contains("reversed"), rev.getMessage)
+    val boom = intercept[IllegalArgumentException] {
+      RangeJoinOps.rangeJoin(pts, "t",
+        Seq((9L, 0L, 100000L)).toDF("iid", "s", "e"), "s", "e",
+        binWidth = 1, maxBinsPerInterval = 16).count()
+    }
+    assert(boom.getMessage.contains("raise binWidth"), boom.getMessage)
+    val shared = intercept[IllegalArgumentException] {
+      RangeJoinOps.rangeJoin(pts, "t",
+        Seq((9L, 0L, 1L)).toDF("pid", "s", "e"), "s", "e", binWidth = 3).count()
+    }
+    assert(shared.getMessage.contains("rename one side"), shared.getMessage)
+  }
 }
