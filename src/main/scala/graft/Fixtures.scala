@@ -265,6 +265,19 @@ object Fixtures {
       path
     })
 
+  private val fpBlooms = TrieMap[String, String]()
+
+  /** [[fingerprintStorePath]]'s store with its Bloom sketch built — the
+    * store side of the bloom-probe gate. Built once per (JVM, sf); the
+    * sketch lives under the store's own `_bloom/` dir.
+    */
+  def fingerprintBloomPath(spark: SparkSession, sfDir: String): String =
+    fpBlooms.getOrElseUpdate(sfDir, {
+      val path = fingerprintStorePath(spark, sfDir)
+      graft.operators.DedupOps.buildFingerprintBloom(spark, path)
+      path
+    })
+
   private val postingsIdx = TrieMap[String, String]()
 
   /** Persisted postings index built once per (JVM, sf) in TWO batches —

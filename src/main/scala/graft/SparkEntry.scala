@@ -321,6 +321,14 @@ object SparkEntry {
         Tables.documents(s, dir).where(col("doc_id") >= 250), "doc_id", "text",
         Fixtures.fingerprintStorePath(s, dir))),
 
+    // the same probe behind the store's broadcast Bloom sketch: membership
+    // tested map-side, only bloom-positive fingerprints drive the
+    // store-confirm join; result identical to dedup_exact_incremental
+    "dedup_bloom_probe" -> ((s, dir) =>
+      operators.DedupOps.bloomProbeExactDedup(
+        Tables.documents(s, dir).where(col("doc_id") >= 250), "doc_id", "text",
+        Fixtures.fingerprintBloomPath(s, dir))),
+
     // the same incremental dedup as TRUE STREAMING: three micro-batches
     // probe-then-append against the store; cross-batch pairs must be found
     // by the later batch. Drained pairs == the one-shot oracle.
@@ -1095,7 +1103,10 @@ object SparkEntry {
     ("quality_quantile_keep_large" -> oracleSqlBase("quality_quantile_keep")) +
     // micro-batched incremental dedup drains to the same pair set as the
     // one-shot probe — one oracle, two execution paths
-    ("stream_dedup_incremental" -> oracleSqlBase("dedup_incremental"))
+    ("stream_dedup_incremental" -> oracleSqlBase("dedup_incremental")) +
+    // the bloom pre-filtered probe computes the same answer as the plain
+    // store probe (exact confirm join) — one oracle, two execution paths
+    ("dedup_bloom_probe" -> oracleSqlBase("dedup_exact_incremental"))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "fs_load_latest" ->

@@ -172,6 +172,108 @@ object DedupOps {
         col("canonical_id"))
   }
 
+  // ---- Bloom-filter-accelerated store probe -------------------------------
+
+  private def storeBatchTokens(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch="))
+      .sorted.toSeq
+  }
+
+  /** Build (or rebuild) a Bloom sketch over every fingerprint in the store
+    * at `path`, persisted to `path/_bloom/` (the `_` prefix keeps Spark's
+    * parquet discovery of the store itself blind to it). The sketch is
+    * sized from the store's exact row count at the requested `fpp`; the
+    * batch tokens it covers are recorded beside it so a probe can detect
+    * staleness — a bloom missing later appends would produce FALSE
+    * NEGATIVES, i.e. silently missed duplicates, so [[bloomProbeExactDedup]]
+    * refuses to run against a store whose batch set has drifted.
+    *
+    * Scale: the sketch build is one distributed aggregate over the store
+    * (map-side partial sketches, merged on the driver). Memory is the
+    * fpp dial: 1e9 fingerprints at fpp=0.01 is ~1.1 GiB — fine to
+    * broadcast once per probe wave; at 1e10 keys raise fpp or shard the
+    * store and hold one bloom per shard.
+    */
+  def buildFingerprintBloom(spark: org.apache.spark.sql.SparkSession,
+      path: String, fpp: Double = 0.01): Unit = {
+    val tokens = storeBatchTokens(spark, path)
+    require(tokens.nonEmpty, s"buildFingerprintBloom: no batch dirs under $path")
+    val fps = spark.read.parquet(path).select(col("fp"))
+    val n = math.max(1L, fps.count())
+    val bloom = fps.stat.bloomFilter("fp", n, fpp)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_bloom")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "sketch.bin"))
+    try bloom.writeTo(out) finally out.close()
+    val meta = fs.create(new org.apache.hadoop.fs.Path(dir, "batches.txt"))
+    try meta.write((tokens.mkString("\n") + s"\n#n=$n fpp=$fpp\n")
+      .getBytes("UTF-8")) finally meta.close()
+  }
+
+  /** [[incrementalExactDedup]] behind a broadcast Bloom pre-filter — same
+    * output, reversed cost direction. The plain probe broadcasts the
+    * BATCH's fingerprints into the store scan, which is the right shape
+    * for small batches; a backfill-sized batch degrades it to a shuffled
+    * semi join of the full store against the full batch. Here the
+    * store's persisted sketch ([[buildFingerprintBloom]]) broadcasts
+    * instead: every batch row checks membership map-side, and only the
+    * bloom-POSITIVE fingerprints (true store hits + the fpp sliver) drive
+    * the store-confirm semi join — shuffle volume ∝ duplicate candidates,
+    * not batch size. Bloom false positives cost only confirm work; false
+    * negatives cannot occur against the recorded batch set (probes against
+    * a drifted store throw — see [[buildFingerprintBloom]]). The exact
+    * confirm join makes the result identical to [[incrementalExactDedup]]:
+    * each new row keyed to the min id sharing its fingerprint across
+    * store ∪ batch.
+    *
+    * The membership test is a scala UDF over the broadcast sketch — one
+    * non-codegen boolean in a map stage, paid to delete a store-sized
+    * shuffle; new ids must be disjoint from stored ids (same contract as
+    * the plain probe).
+    */
+  def bloomProbeExactDedup(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_bloom")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sketchPath = new org.apache.hadoop.fs.Path(dir, "sketch.bin")
+    require(fs.exists(sketchPath),
+      s"bloomProbeExactDedup: no sketch at $path/_bloom — run buildFingerprintBloom first")
+    val metaIn = fs.open(new org.apache.hadoop.fs.Path(dir, "batches.txt"))
+    val recorded = try scala.io.Source.fromInputStream(metaIn, "UTF-8")
+      .getLines().filterNot(_.startsWith("#")).filter(_.nonEmpty).toList
+    finally metaIn.close()
+    val current = storeBatchTokens(spark, path)
+    require(recorded == current,
+      s"bloomProbeExactDedup: bloom is STALE — built over batches " +
+        s"[${recorded.mkString(", ")}] but the store has " +
+        s"[${current.mkString(", ")}]; rebuild with buildFingerprintBloom " +
+        "(a stale bloom risks false negatives = silently missed duplicates)")
+    val in = fs.open(sketchPath)
+    val bloom = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    finally in.close()
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => fp != null && bc.value.mightContainString(fp))
+
+    val fresh = newDocs.select(col(idCol).as("id"),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+    val positives = fresh.where(mightContain(col("fp")))
+      .select(col("fp")).distinct()
+    val nPos = positives.count()
+    val old = spark.read.parquet(path).select(col("id"), col("fp"))
+    val oldPruned = probePrune(old, positives, Seq("fp"), nPos)
+    val canon = fresh.unionByName(oldPruned)
+      .groupBy(col("fp")).agg(min(col("id")).as("canonical_id"))
+    fresh.join(canon, Seq("fp"))
+      .select(col("id").as(idCol), col("fp").as("fingerprint"),
+        col("canonical_id"))
+  }
+
   /** C4-style LINE-level exact dedup across the whole corpus (Raffel 2020
     * §2.2 "we discard ... any line that occurred more than once", kept at
     * its first occurrence): every line keeps exactly one copy corpus-wide —

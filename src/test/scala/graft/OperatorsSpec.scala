@@ -1807,6 +1807,31 @@ class OperatorsSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("bloomProbeExactDedup == plain store probe; stale bloom refuses to run") {
+    val store = s"${Fixtures.tmpRoot}/bloom_spec_store"
+    DedupOps.buildFingerprintStore(docs.where(col("doc_id") < 250),
+      "doc_id", "text", store)
+    DedupOps.buildFingerprintBloom(spark, store)
+    val batch = docs.where(col("doc_id") >= 250)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val plain = rows(DedupOps.incrementalExactDedup(batch, "doc_id", "text", store))
+    val bloom = rows(DedupOps.bloomProbeExactDedup(batch, "doc_id", "text", store))
+    assert(plain.nonEmpty)
+    assert(bloom == plain, "bloom path must be exactly the plain probe's answer")
+    // appending after the bloom build makes the sketch stale -> loud refusal
+    DedupOps.appendFingerprintStore(batch, "doc_id", "text", store, "b2")
+    val ex = intercept[IllegalArgumentException] {
+      DedupOps.bloomProbeExactDedup(batch, "doc_id", "text", store)
+    }
+    assert(ex.getMessage.contains("STALE"), ex.getMessage)
+    // rebuild over both batches -> probing works again and still equals
+    // the plain probe over the grown store
+    DedupOps.buildFingerprintBloom(spark, store)
+    val plain2 = rows(DedupOps.incrementalExactDedup(batch, "doc_id", "text", store))
+    assert(rows(DedupOps.bloomProbeExactDedup(batch, "doc_id", "text", store)) == plain2)
+  }
+
   test("rangeJoin == brute-force inequality join, keyed and keyless") {
     val ev = Tables.events(spark, dir)
     val clicks = ev.where(col("event_type") === "click")
