@@ -717,6 +717,19 @@ object SparkEntry {
       operators.DedupOps.connectedComponents(stars.union(bridges), "id_a", "id_b")
     }),
 
+    // keep-BEST-quality representative per near-dup cluster (same pair
+    // fixture as dedup_clusters, quality = n_chars, ties to min id);
+    // singletons keep themselves
+    "dedup_cluster_keep" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val stars = d.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") - col("doc_id") % 7).as("id_b"))
+      val bridges = d.where(col("doc_id") % 21 === 0 && col("doc_id") > 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") - 1).as("id_b"))
+      operators.DedupOps.clusterKeepBest(d, "doc_id", "n_chars",
+        stars.union(bridges), "id_a", "id_b")
+    }),
+
     // exact cosine top-10 for the first 10 vectors as queries
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -2271,6 +2284,29 @@ object SparkEntry {
            UNION
            SELECT s.a AS id, rc.r FROM sym s JOIN reach rc ON s.b = rc.id)
          SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""",
+
+    "dedup_cluster_keep" ->
+      """WITH RECURSIVE
+         e AS (SELECT doc_id AS a, doc_id - doc_id % 7 AS b FROM documents
+               WHERE doc_id % 7 != 0
+               UNION ALL
+               SELECT doc_id, doc_id - 1 FROM documents
+               WHERE doc_id % 21 = 0 AND doc_id > 0),
+         sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+         reach(id, r) AS (
+           SELECT DISTINCT a AS id, a AS r FROM sym
+           UNION
+           SELECT s.a AS id, rc.r FROM sym s JOIN reach rc ON s.b = rc.id),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+                        d.n_chars
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         mx AS (SELECT component, max(n_chars) AS m FROM lab GROUP BY 1),
+         win AS (SELECT l.component, min(l.doc_id) AS keep_id
+                 FROM lab l JOIN mx ON l.component = mx.component AND l.n_chars = mx.m
+                 GROUP BY 1)
+         SELECT l.doc_id, l.component, l.doc_id = w.keep_id AS keep
+         FROM lab l JOIN win w ON l.component = w.component ORDER BY 1""",
 
     "ann_cosine_topk" ->
       s"""WITH $embFlat,

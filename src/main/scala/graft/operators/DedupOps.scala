@@ -1382,4 +1382,42 @@ object DedupOps {
           .otherwise(coalesce(col("__c"), col("id"))).as("component"))
     }
   }
+
+  /** Per-cluster KEEP-BEST representative selection: every doc labeled with
+    * its near-dup component ([[connectedComponents]] over `pairs`; docs in
+    * no pair are their own singleton component) and a `keep` flag — true on
+    * exactly one doc per component, the highest-`scoreCol` one, ties to the
+    * min id. Dedup-by-min-id ([[semanticDedupKeep]] et al.) throws away
+    * dup groups' BEST copy whenever quality varies within a group; at
+    * curation time the kept representative should be chosen by the same
+    * quality signal the pipeline already scores (LM surprise, classifier,
+    * length) — this operator is that selection, composable with any pair
+    * generator (minhash / simhash / winnowing / embedding).
+    *
+    * Scale: no windows — a boilerplate mega-cluster must not serialize
+    * through one task's sort. Winner selection is two partial-aggregable
+    * hash-agg shuffles on the component key (max score, then min id among
+    * the score-ties), both map-side combinable, so a hot component costs
+    * its share of rows, not a single-partition sort. Score-null rows lose
+    * to any scored sibling (null-safe equality keeps all-null components
+    * from vanishing: their min id wins).
+    */
+  def clusterKeepBest(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      freezeStars: Boolean = true): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol, freezeStars = freezeStars)
+      .select(col("id").as("__ck_id"), col("component"))
+    val labeled = docs
+      .select(col(idCol).as("__ck_id"), col(scoreCol).as("__ck_score"))
+      .join(cc, Seq("__ck_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("__ck_id")))
+    val maxS = labeled.groupBy(col("component"))
+      .agg(max(col("__ck_score")).as("__ck_max"))
+    val winners = labeled.join(maxS, Seq("component"))
+      .where(col("__ck_score") <=> col("__ck_max"))
+      .groupBy(col("component")).agg(min(col("__ck_id")).as("__ck_keep"))
+    labeled.join(winners, Seq("component"))
+      .select(col("__ck_id").as(idCol), col("component"),
+        (col("__ck_id") === col("__ck_keep")).as("keep"))
+  }
 }

@@ -1807,6 +1807,24 @@ class OperatorsSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("clusterKeepBest: max score wins, ties to min id, null scores lose, singletons keep") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Some(10L)), (2L, Some(30L)), (3L, Some(30L)), // cluster A: tie 2 vs 3
+      (4L, None), (5L, Some(1L)),                        // cluster B: null loses
+      (6L, None), (7L, None),                            // cluster C: all-null -> min id
+      (8L, Some(99L))                                    // singleton
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L)).toDF("a", "b")
+    val got = DedupOps.clusterKeepBest(d, "doc_id", "score", pairs, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (4L, 4L, false), (5L, 4L, true),
+      (6L, 6L, true), (7L, 6L, false),
+      (8L, 8L, true)))
+  }
+
   test("bloomProbeExactDedup == plain store probe; stale bloom refuses to run") {
     val store = s"${Fixtures.tmpRoot}/bloom_spec_store"
     DedupOps.buildFingerprintStore(docs.where(col("doc_id") < 250),
