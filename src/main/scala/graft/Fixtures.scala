@@ -278,6 +278,30 @@ object Fixtures {
       path
     })
 
+  private val clusterStores = TrieMap[String, String]()
+
+  /** Cluster-label store built in TWO steps — base = the dedup_clusters
+    * graph's edges with id_a < 250, update = the rest — so the gate
+    * probing its latest-wins view exercises the incremental merge path:
+    * the second batch's bridges must fuse base-era components to the
+    * exact one-shot CC labeling.
+    */
+  def clusterStorePath(spark: SparkSession, sfDir: String): String =
+    clusterStores.getOrElseUpdate(sfDir, {
+      val path = s"${tmpRoot}/ccs_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val d = Tables.documents(spark, sfDir)
+      val stars = d.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") - col("doc_id") % 7).as("id_b"))
+      val bridges = d.where(col("doc_id") % 21 === 0 && col("doc_id") > 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") - 1).as("id_b"))
+      val edges = stars.union(bridges)
+      graft.operators.DedupOps.buildClusterStore(
+        edges.where(col("id_a") < 250), "id_a", "id_b", path)
+      graft.operators.DedupOps.updateClusterStore(
+        edges.where(col("id_a") >= 250), "id_a", "id_b", path, "b1")
+      path
+    })
+
   private val postingsIdx = TrieMap[String, String]()
 
   /** Persisted postings index built once per (JVM, sf) in TWO batches —

@@ -166,14 +166,14 @@ object ScaleSmoke {
       operators.DedupOps.buildFingerprintStore(syntheticDocs(spark, 5000000),
         "doc_id", "text", s"$root/fpstore")
     }
-    time("exact-dedup fp store: 100k probe vs 5M store") {
-      // 50k fresh docs (new blocks — but 50 per block share text, so their
-      // canonical is the min batch id of the block) + 50k planted exact
-      // copies of store docs. syntheticDocs makes the 49 non-swapped docs
-      // of each 50-block byte-identical, so every planted copy of a
-      // doc with id % 50 != 0 must canonicalize to a STORE id (< 5M) —
-      // probing must not touch store rows outside the batch's broadcast
-      // fp set
+    // batch shared by the plain fp-store probe and its bloom twin:
+    // 50k fresh docs (new blocks — but 50 per block share text, so their
+    // canonical is the min batch id of the block) + 50k planted exact
+    // copies of store docs. syntheticDocs makes the 49 non-swapped docs
+    // of each 50-block byte-identical, so every planted copy of a
+    // doc with id % 50 != 0 must canonicalize to a STORE id (< 5M) —
+    // probing must not touch store rows outside the batch's probe fp set
+    def fpProbeBatch = {
       val vocab = array((0 until 50).map(i => lit(s"w$i")): _*)
       val fresh = spark.range(250000000000L, 250000000000L + 50000).select(
         col("id").as("doc_id"),
@@ -186,8 +186,9 @@ object ScaleSmoke {
         .where(col("doc_id") % 50 =!= 0)
         .limit(50000)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
-      val probe = operators.DedupOps.incrementalExactDedup(
-        fresh.unionByName(planted), "doc_id", "text", s"$root/fpstore")
+      fresh.unionByName(planted)
+    }
+    def fpProbeChecks(probe: org.apache.spark.sql.DataFrame): Unit = {
       val rows = probe.count()
       val storeHits = probe
         .where(col("doc_id") >= 10000000L && col("canonical_id") < 5000000L)
@@ -196,6 +197,24 @@ object ScaleSmoke {
       require(storeHits == 50000L,
         s"all 50k planted copies must canonicalize to store ids, got $storeHits")
       println(s"[scale]   $rows probe rows, $storeHits store-canonical")
+    }
+    time("exact-dedup fp store: 100k probe vs 5M store") {
+      fpProbeChecks(operators.DedupOps.incrementalExactDedup(
+        fpProbeBatch, "doc_id", "text", s"$root/fpstore"))
+    }
+    time("bloom sketch build over the 5M-fp store") {
+      operators.DedupOps.buildFingerprintBloom(spark, s"$root/fpstore")
+    }
+    time("bloom-prefiltered 100k probe vs 5M store (parity)") {
+      // identical batch through the bloom path: same invariants, and
+      // row-for-row parity with the plain probe via anti-join
+      val bloom = operators.DedupOps.bloomProbeExactDedup(
+        fpProbeBatch, "doc_id", "text", s"$root/fpstore")
+      fpProbeChecks(bloom)
+      val plain = operators.DedupOps.incrementalExactDedup(
+        fpProbeBatch, "doc_id", "text", s"$root/fpstore")
+      val diff = bloom.exceptAll(plain).count() + plain.exceptAll(bloom).count()
+      require(diff == 0L, s"bloom path must equal plain probe, $diff rows differ")
     }
     time("bigram LM surprise: 1M docs vs 100k-doc reference model") {
       // 1k planted docs drawn from a DISJOINT vocab must score all-OOV
@@ -492,6 +511,34 @@ object ScaleSmoke {
     time("connected components, freezeStars: same graph + exactness") {
       ccGraphGate(freeze = true)
     }
+    time("cluster store: build from 10M star edges") {
+      val blocks = 1000000L; val bsize = 11L
+      val stars = spark.range(blocks * (bsize - 1)).select(
+        ((col("id") / (bsize - 1)).cast("long") * bsize).as("id_a"),
+        ((col("id") / (bsize - 1)).cast("long") * bsize + pmod(col("id"), lit(bsize - 1)) + 1)
+          .as("id_b"))
+      operators.DedupOps.buildClusterStore(stars, "id_a", "id_b", s"$root/ccstore")
+    }
+    time("cluster store: 100k-bridge incremental update + exactness") {
+      // bridge k fuses blocks 2k and 2k+1 → 200k of the 1M components
+      // merge; the update must touch ONLY those (2.2M member labels), not
+      // re-cluster the 11M-node graph, and the latest-wins view must match
+      // the closed-form labeling per node
+      val bsize = 11L
+      val bridges = spark.range(100000).select(
+        (col("id") * 2L * bsize).as("id_a"),
+        ((col("id") * 2L + 1L) * bsize).as("id_b"))
+      operators.DedupOps.updateClusterStore(bridges, "id_a", "id_b",
+        s"$root/ccstore", "b1")
+      val labels = operators.DedupOps.loadClusterLabels(spark, s"$root/ccstore")
+        .withColumn("b", expr(s"id div $bsize"))
+      val mislabeled = labels.where(col("component") =!=
+        when(col("b") < 200000L, (col("b") - pmod(col("b"), lit(2L))) * bsize)
+          .otherwise(col("b") * bsize)).count()
+      val total = labels.count()
+      require(mislabeled == 0L, s"$mislabeled nodes got a wrong merged label")
+      require(total == 11000000L, s"expected 11M labeled nodes, got $total")
+    }
     time("salted aggregation over skewed key") {
       // 90% of rows share one key — the shape AQE can't fix for groupBy
       val skewed = spark.range(n).select(
@@ -499,6 +546,27 @@ object ScaleSmoke {
         col("id").as("x"))
       operators.SkewOps.saltedAgg(skewed, Seq("k"),
         Seq(operators.SkewOps.Agg("x", "sum"), operators.SkewOps.Agg("*", "count")), 32).count()
+    }
+    time("range join: 10M points vs 200k windows, keyed, vs brute") {
+      // 20k users, 1h windows, 30-min bins → each window explodes to ≤3
+      // cells and the 600k-row exploded side broadcasts: the 10M-point
+      // side joins without shuffling. Brute force = equi-join on user +
+      // residual filter (~1e8 intermediate rows) as ground truth.
+      val t0us = 1704067200000000L // 2024-01-01
+      val span = 30L * 86400 * 1000000
+      val pts = spark.range(10000000).select(
+        (col("id") % 20000).as("uid"), col("id").as("pid"),
+        timestamp_micros(lit(t0us) + pmod(xxhash64(col("id")), lit(span))).as("t"))
+      val wins = spark.range(200000).select(
+        (col("id") % 20000).as("uid"), col("id").as("wid"),
+        timestamp_micros(lit(t0us) + pmod(xxhash64(col("id"), lit(7)), lit(span))).as("ws"))
+        .withColumn("we", col("ws") + expr("INTERVAL 1 HOUR"))
+      val got = operators.RangeJoinOps.rangeJoin(pts, "t", wins, "ws", "we",
+        binWidth = 30L * 60 * 1000000, keys = Seq("uid")).count()
+      val brute = pts.join(wins, Seq("uid"))
+        .where(col("t") >= col("ws") && col("t") <= col("we")).count()
+      require(got == brute, s"range join $got != brute $brute")
+      println(s"[scale]   $got matched pairs (== brute force)")
     }
     time("RH-LSH embedding near-dup over 1M vectors") {
       // 950k random 64-dim vectors + 50k planted near-identical copies

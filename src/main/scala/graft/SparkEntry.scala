@@ -717,6 +717,12 @@ object SparkEntry {
       operators.DedupOps.connectedComponents(stars.union(bridges), "id_a", "id_b")
     }),
 
+    // incremental CC maintenance: the label store built base + one update
+    // batch (bridges fusing base-era components) must read back as the
+    // one-shot CC of the full edge set — same oracle as dedup_clusters
+    "dedup_clusters_incremental" -> ((s, dir) =>
+      operators.DedupOps.loadClusterLabels(s, Fixtures.clusterStorePath(s, dir))),
+
     // keep-BEST-quality representative per near-dup cluster (same pair
     // fixture as dedup_clusters, quality = n_chars, ties to min id);
     // singletons keep themselves
@@ -1119,7 +1125,10 @@ object SparkEntry {
     ("stream_dedup_incremental" -> oracleSqlBase("dedup_incremental")) +
     // the bloom pre-filtered probe computes the same answer as the plain
     // store probe (exact confirm join) — one oracle, two execution paths
-    ("dedup_bloom_probe" -> oracleSqlBase("dedup_exact_incremental"))
+    ("dedup_bloom_probe" -> oracleSqlBase("dedup_exact_incremental")) +
+    // the incrementally-maintained label store reads back as the one-shot
+    // CC labeling — one oracle, two execution paths
+    ("dedup_clusters_incremental" -> oracleSqlBase("dedup_clusters"))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "fs_load_latest" ->

@@ -1383,6 +1383,111 @@ object DedupOps {
     }
   }
 
+  // ---- persisted cluster-label store (incremental CC maintenance) ---------
+
+  /** Latest-wins view of a cluster-label store: one `(id, component)` row
+    * per id, resolved by the max update seq — the same max_by-shaped
+    * partial aggregation as the feature store's latest-version dedup (A1),
+    * so hot ids combine map-side and no window sort exists.
+    */
+  def loadClusterLabels(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("id"))
+      .agg(max(struct(col("seq"), col("component"))).as("__l"))
+      .select(col("id"), col("__l").getField("component").as("component"))
+
+  /** Initialize a cluster-label store at `path` from a pair set: labels =
+    * [[connectedComponents]] (component = min member id), written under
+    * `path/batch=base` with seq 0. The store invariant every update
+    * preserves: the latest-wins view IS the min-id CC labeling of every
+    * edge ever fed in — which is what makes [[updateClusterStore]]'s
+    * touched-components-only recompute equal to the one-shot answer.
+    */
+  def buildClusterStore(pairs: DataFrame, aCol: String, bCol: String,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(pairs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    connectedComponents(pairs, aCol, bCol)
+      .select(col("id"), col("component"), lit(0L).as("seq"))
+      .write.mode("overwrite").parquet(s"$path/batch=base")
+  }
+
+  /** Fold a NEW batch of near-dup pairs (e.g. [[incrementalNearDupPairs]]'
+    * output) into the label store WITHOUT re-clustering the corpus: only
+    * components actually touched by the new pairs are recomputed. The new
+    * pairs' endpoints look up their current components; every stored
+    * member of those components re-enters a local CC as (id → component)
+    * edges together with the new pairs; the resulting labels (min member
+    * id, merges collapsing to the global min) are appended under
+    * `path/batch=<token>` with the next seq, shadowing the affected ids'
+    * old rows in the latest-wins view. Untouched components never leave
+    * their parquet files. Returns the appended label frame.
+    *
+    * Cost ∝ touched components' size + new pairs — not corpus size: the
+    * member lookup prunes the store scan with the affected-component set
+    * ([[probePrune]]'s guarded broadcast), and the CC rounds run on that
+    * slice only. Replay: re-running with the SAME token overwrites its
+    * batch dir and recomputes the same seq, but only as the MOST RECENT
+    * batch (a crash-retry), not after later updates have landed.
+    */
+  def updateClusterStore(newPairs: DataFrame, aCol: String, bCol: String,
+      path: String,
+      batchToken: String = java.util.UUID.randomUUID.toString): DataFrame = {
+    val spark = newPairs.sparkSession
+    require(batchToken != "base", "batchToken 'base' is reserved for the build")
+    // a crashed prior attempt of THIS token may have left a partial batch
+    // dir; its half-visible labels would poison the touched-component
+    // lookup (a member shadowed into the merged component while a sibling
+    // is not → the sibling silently keeps its stale label). Replay starts
+    // from a clean slate instead.
+    val tokDir = new org.apache.hadoop.fs.Path(s"$path/batch=$batchToken")
+    val tfs = tokDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tfs.exists(tokDir)) { tfs.delete(tokDir, true); spark.catalog.refreshByPath(path) }
+    // prune the RAW store BEFORE any latest-wins aggregation — the full
+    // [[loadClusterLabels]] view would cost a corpus-sized hash-agg per
+    // update. The prune is exact because membership is MONOTONE: edges are
+    // only ever added, so an id never leaves its cluster; its label only
+    // changes when its whole component retires into a merge, which retires
+    // that component name for every member at once. Hence (a) an id's
+    // rows all agree with its current component once that component is
+    // current for anyone, and (b) component-pruned rows can never carry a
+    // stale name that is still current elsewhere.
+    val raw = spark.read.parquet(path)
+    def latest(slice: DataFrame): DataFrame = slice
+      .groupBy(col("id"))
+      .agg(max(struct(col("seq"), col("component"))).as("__l"))
+      .select(col("id"), col("__l").getField("component").as("component"))
+    val ends = newPairs.select(col(aCol).as("id"))
+      .union(newPairs.select(col(bCol).as("id"))).distinct()
+    val nEnds = ends.count()
+    val touched = latest(probePrune(raw, ends, Seq("id"), nEnds))
+      .select(col("component")).distinct()
+    val nTouched = touched.count()
+    // every stored member of a touched component re-enters as an
+    // (id, component) edge: component ids are min member ids, so they are
+    // real nodes and min-id canonicalization stays consistent globally
+    val memberEdges = latest(probePrune(raw, touched, Seq("component"), nTouched))
+      .select(col("id").as(aCol), col("component").as(bCol))
+    // checkpoint the CC input: it is bounded (touched members + new pairs),
+    // CC is iterative over it anyway, and the probe-join lineage trips
+    // Catalyst's Union constraint rewrite inside the CC loop
+    val ccInput = newPairs.select(col(aCol), col(bCol)).unionByName(memberEdges)
+      .localCheckpoint(eager = true)
+    val fresh = connectedComponents(ccInput, aCol, bCol)
+    // next seq: max over batches OTHER than this token, +1 — deterministic
+    // under immediate crash-retry of the same token
+    val seqRow = spark.read.parquet(path)
+      .where(col("batch") =!= batchToken)
+      .agg(coalesce(max(col("seq")), lit(-1L))).head()
+    val seq = seqRow.getLong(0) + 1L
+    val out = fresh.select(col("id"), col("component"), lit(seq).as("seq"))
+    out.write.mode("overwrite").parquet(s"$path/batch=$batchToken")
+    spark.catalog.refreshByPath(path)
+    out
+  }
+
   /** Per-cluster KEEP-BEST representative selection: every doc labeled with
     * its near-dup component ([[connectedComponents]] over `pairs`; docs in
     * no pair are their own singleton component) and a `keep` flag — true on

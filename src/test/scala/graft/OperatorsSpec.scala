@@ -1807,6 +1807,31 @@ class OperatorsSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("cluster store: 3-batch incremental maintenance == one-shot CC; replay-safe") {
+    import spark.implicits._
+    // deterministic graph: 3 chains that only fully connect across batches
+    def edges(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (i.toLong, (i.toLong * 31 + 7) % 60)
+    }
+    val all = edges(0, 60)
+    val path = s"${Fixtures.tmpRoot}/ccstore_spec"
+    DedupOps.buildClusterStore(edges(0, 20).toDF("a", "b"), "a", "b", path)
+    DedupOps.updateClusterStore(edges(20, 40).toDF("a", "b"), "a", "b", path, "b1")
+    DedupOps.updateClusterStore(edges(40, 60).toDF("a", "b"), "a", "b", path, "b2")
+    def labelSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = labelSet(DedupOps.connectedComponents(all.toDF("a", "b"), "a", "b"))
+    assert(labelSet(DedupOps.loadClusterLabels(spark, path)) == oneShot)
+    // replay of the LAST batch (crash-retry) converges to the same view
+    DedupOps.updateClusterStore(edges(40, 60).toDF("a", "b"), "a", "b", path, "b2")
+    assert(labelSet(DedupOps.loadClusterLabels(spark, path)) == oneShot)
+    // 'base' is reserved
+    val ex = intercept[IllegalArgumentException] {
+      DedupOps.updateClusterStore(edges(0, 5).toDF("a", "b"), "a", "b", path, "base")
+    }
+    assert(ex.getMessage.contains("reserved"))
+  }
+
   test("clusterKeepBest: max score wins, ties to min id, null scores lose, singletons keep") {
     import spark.implicits._
     val d = Seq(
