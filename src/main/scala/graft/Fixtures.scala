@@ -418,6 +418,47 @@ object Fixtures {
     * found by the LATER batch against the grown store. The drained pair
     * set must equal the one-shot dedup_incremental oracle.
     */
+  private val streamClusters = TrieMap[String, String]()
+
+  /** Streaming cluster maintenance driven to completion: the WHOLE corpus
+    * in 3 micro-batch files against COLD-START minhash + label stores.
+    * Returns the label-store path; its latest-wins view must equal the
+    * one-shot CC over the corpus's full near-dup pair set.
+    */
+  def streamClustersPath(spark: SparkSession, sfDir: String): String =
+    streamClusters.getOrElseUpdate(sfDir, {
+      val base = s"${tmpRoot}/scl_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val (src, cp, store, labels, stage) =
+        (s"$base/src", s"$base/cp", s"$base/store", s"$base/labels", s"$base/stage")
+      val hfs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (hfs.exists(new org.apache.hadoop.fs.Path(base)))
+        hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+      hfs.mkdirs(new org.apache.hadoop.fs.Path(src))
+      val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      val files = Seq(
+        d.where(col("doc_id") % 3 === 0),
+        d.where(col("doc_id") % 3 === 1),
+        d.where(col("doc_id") % 3 === 2))
+      files.zipWithIndex.foreach { case (df, i) =>
+        val st = s"$stage/$i"
+        df.coalesce(1).write.mode("overwrite").parquet(st)
+        val part = hfs.listStatus(new org.apache.hadoop.fs.Path(st))
+          .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+        val dst = new org.apache.hadoop.fs.Path(s"$src/batch_$i.parquet")
+        hfs.rename(part, dst)
+        hfs.setTimes(dst, 1000000L * (i + 1), -1)
+      }
+      hfs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      graft.streaming.StreamingOps.clustersAvailableNow(
+        stream, "doc_id", "text", store, labels, cp).awaitTermination()
+      labels
+    })
+
   def incrementalDedupMbPath(spark: SparkSession, sfDir: String): String =
     incDedupMb.getOrElseUpdate(sfDir, {
       import org.apache.spark.sql.streaming.Trigger

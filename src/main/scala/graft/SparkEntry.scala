@@ -723,6 +723,12 @@ object SparkEntry {
     "dedup_clusters_incremental" -> ((s, dir) =>
       operators.DedupOps.loadClusterLabels(s, Fixtures.clusterStorePath(s, dir))),
 
+    // streaming cluster maintenance drained over the whole corpus from
+    // cold-start stores: the label view must equal the one-shot CC over
+    // the corpus's full near-dup pair set
+    "stream_clusters" -> ((s, dir) =>
+      operators.DedupOps.loadClusterLabels(s, Fixtures.streamClustersPath(s, dir))),
+
     // keep-BEST-quality representative per near-dup cluster (same pair
     // fixture as dedup_clusters, quality = n_chars, ties to min id);
     // singletons keep themselves
@@ -1279,6 +1285,26 @@ object SparkEntry {
          FROM w WHERE doc_id >= 250 ORDER BY doc_id""",
 
     "dedup_minhash_lsh" -> jaccardOracle,
+
+    // CC labeling over the corpus's full near-dup pair set (the jaccard
+    // oracle's edge set, which the LSH path reproduces exactly here)
+    "stream_clusters" ->
+      """WITH RECURSIVE
+         docs AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         sh AS (SELECT DISTINCT doc_id, tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2] AS s
+                FROM docs, unnest(generate_series(1, len(tks) - 2)) t(i) WHERE len(tks) >= 3),
+         sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id ia, b.doc_id ib, count(*) m
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         e AS (SELECT ia AS a, ib AS b
+               FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+               WHERE 2 * m >= sa.n + sb.n - m),
+         sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+         reach(id, r) AS (
+           SELECT DISTINCT a AS id, a AS r FROM sym
+           UNION
+           SELECT s.a AS id, rc.r FROM sym s JOIN reach rc ON s.b = rc.id)
+         SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""",
 
     // same ground truth restricted to pairs touching the new split
     // (doc_id >= 250), but over 31-bit shingle-hash sets — exactly what the

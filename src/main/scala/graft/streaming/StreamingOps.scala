@@ -181,6 +181,81 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming CLUSTER maintenance — the label-store capstone of the
+    * incremental dedup family: every micro-batch probes the minhash store
+    * for its near-dup pairs ([[graft.operators.DedupOps.incrementalPairsFromSigs]]),
+    * appends its signatures, and folds the pairs into the persisted
+    * cluster-label store ([[graft.operators.DedupOps.updateClusterStore]])
+    * — so at any moment between batches the store's latest-wins view IS
+    * the connected-components labeling of every near-dup pair the corpus
+    * has ever produced, without any batch re-clustering the corpus. Cold
+    * start bootstraps both stores empty; a replayed micro-batch overwrites
+    * its own signature batch and label batch (exactly-once labels as long
+    * as the replay is the most recent batch, the foreachBatch retry case).
+    */
+  def clustersAvailableNow(stream: DataFrame, idCol: String, textCol: String,
+      storePath: String, labelPath: String, checkpoint: String,
+      shingleK: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
+      thresholdNum: Int = 1, thresholdDen: Int = 2,
+      maxBucket: Int = 1000): StreamingQuery =
+    clustersStream(stream, idCol, textCol, storePath, labelPath, checkpoint,
+      Trigger.AvailableNow(), shingleK, bands, rowsPerBand, thresholdNum,
+      thresholdDen, maxBucket)
+
+  /** [[clustersAvailableNow]] as a LIVE TAIL (ProcessingTime trigger):
+    * cluster labels stay current as new crawl files land. Per-batch scoped
+    * cache release keeps an indefinite tail safe, as in the other tails.
+    */
+  def clustersProcessingTime(stream: DataFrame, idCol: String, textCol: String,
+      storePath: String, labelPath: String, checkpoint: String,
+      interval: String = "1 second", shingleK: Int = 3, bands: Int = 32,
+      rowsPerBand: Int = 4, thresholdNum: Int = 1, thresholdDen: Int = 2,
+      maxBucket: Int = 1000): StreamingQuery =
+    clustersStream(stream, idCol, textCol, storePath, labelPath, checkpoint,
+      Trigger.ProcessingTime(interval), shingleK, bands, rowsPerBand,
+      thresholdNum, thresholdDen, maxBucket)
+
+  private def clustersStream(stream: DataFrame, idCol: String, textCol: String,
+      storePath: String, labelPath: String, checkpoint: String,
+      trigger: Trigger, shingleK: Int, bands: Int, rowsPerBand: Int,
+      thresholdNum: Int, thresholdDen: Int, maxBucket: Int): StreamingQuery =
+    stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val scope = graft.CacheScope.snapshot()
+          val fresh = graft.CacheScope.persist(graft.operators.DedupOps
+            .sigAndHashes(batch, idCol, textCol, shingleK, bands * rowsPerBand))
+          val sp = new org.apache.hadoop.fs.Path(storePath)
+          val old =
+            if (sp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sp))
+              spark.read.parquet(storePath).where(col("batch") =!= s"b$bid")
+            else fresh.limit(0)
+          val pairs = graft.operators.DedupOps
+            .incrementalPairsFromSigs(fresh, old, bands, rowsPerBand,
+              thresholdNum, thresholdDen, maxBucket)
+            .select(col("id_a"), col("id_b"))
+          // label-store cold start: an empty base batch types the store
+          // from the batch's id column; later updates shadow it
+          val lp = new org.apache.hadoop.fs.Path(labelPath)
+          if (!lp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(lp))
+            batch.select(col(idCol).as("id"), col(idCol).as("component"),
+                lit(0L).as("seq")).limit(0)
+              .write.mode("overwrite").parquet(s"$labelPath/batch=base")
+          // an empty pair batch has nothing to fold (and CC over an empty
+          // edge set is degenerate); the skip replays identically
+          if (!pairs.isEmpty)
+            graft.operators.DedupOps.updateClusterStore(
+              pairs, "id_a", "id_b", labelPath, s"b$bid")
+          graft.operators.DedupOps.writeStoreBatch(fresh, storePath, s"b$bid")
+          graft.CacheScope.releaseNewSince(scope)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming search-index maintenance — the postings-store twin of
     * [[dedupIncrementalAvailableNow]]: every micro-batch of new documents
     * appends to the persisted postings index

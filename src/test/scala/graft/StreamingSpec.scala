@@ -374,4 +374,23 @@ class StreamingSpec extends SparkTestBase {
       "store must hold exactly the kept docs' fingerprints")
     graft.CacheScope.release()
   }
+
+  test("streaming cluster maintenance drains to the one-shot CC labeling") {
+    val labels = spark.read.parquet(
+      Fixtures.streamClustersPath(spark, "/root/testdata/sf0.001"))
+    val got = graft.operators.DedupOps.loadClusterLabels(spark,
+      Fixtures.streamClustersPath(spark, "/root/testdata/sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = graft.operators.DedupOps.minhashLshPairs(
+      Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+    val oneShot = graft.operators.DedupOps
+      .connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oneShot.nonEmpty, "fixture must produce near-dup clusters")
+    assert(got == oneShot)
+    // the store accumulated one label batch per pair-bearing micro-batch
+    // on top of the cold-start base
+    assert(labels.select("batch").distinct().count() >= 2)
+    graft.CacheScope.release()
+  }
 }
