@@ -1488,6 +1488,25 @@ object DedupOps {
     out
   }
 
+  /** Compact a cluster-label store: many shadowing update batches collapse
+    * to one `batch=base` of the latest-wins view at seq 0. NOT
+    * [[compactIdStore]] — label batches intentionally overlap on id
+    * (later batches shadow earlier rows), so compaction must resolve the
+    * latest-wins view first, not just union the dirs. Same crash-safe
+    * rebuild-dst-then-swap contract as the other compactors.
+    */
+  def compactClusterStore(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    require(srcPath != dstPath, "compact to a NEW path, then swap")
+    val p = new org.apache.hadoop.fs.Path(dstPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    loadClusterLabels(spark, srcPath)
+      .select(col("id"), col("component"), lit(0L).as("seq"))
+      .write.mode("overwrite").parquet(s"$dstPath/batch=base")
+    spark.catalog.refreshByPath(dstPath)
+  }
+
   /** Per-cluster KEEP-BEST representative selection: every doc labeled with
     * its near-dup component ([[connectedComponents]] over `pairs`; docs in
     * no pair are their own singleton component) and a `keep` flag — true on
@@ -1509,9 +1528,19 @@ object DedupOps {
     */
   def clusterKeepBest(docs: DataFrame, idCol: String, scoreCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
-      freezeStars: Boolean = true): DataFrame = {
-    val cc = connectedComponents(pairs, aCol, bCol, freezeStars = freezeStars)
-      .select(col("id").as("__ck_id"), col("component"))
+      freezeStars: Boolean = true): DataFrame =
+    clusterKeepBestFromLabels(docs, idCol, scoreCol,
+      connectedComponents(pairs, aCol, bCol, freezeStars = freezeStars))
+
+  /** [[clusterKeepBest]] over PRECOMPUTED `(id, component)` labels — e.g.
+    * the incremental label store's latest-wins view
+    * ([[loadClusterLabels]]), so a curation pass never re-clusters the
+    * corpus the store already maintains. Docs absent from the labels are
+    * their own singleton components.
+    */
+  def clusterKeepBestFromLabels(docs: DataFrame, idCol: String,
+      scoreCol: String, labels: DataFrame): DataFrame = {
+    val cc = labels.select(col("id").as("__ck_id"), col("component"))
     val labeled = docs
       .select(col(idCol).as("__ck_id"), col(scoreCol).as("__ck_score"))
       .join(cc, Seq("__ck_id"), "left")

@@ -1830,6 +1830,34 @@ class OperatorsSpec extends SparkTestBase {
       DedupOps.updateClusterStore(edges(0, 5).toDF("a", "b"), "a", "b", path, "base")
     }
     assert(ex.getMessage.contains("reserved"))
+    // compaction resolves the latest-wins view (NOT a disjoint-id union),
+    // preserves it exactly, and collapses to one base batch; further
+    // updates on the compacted store still work
+    val cPath = s"${Fixtures.tmpRoot}/ccstore_spec_compact"
+    DedupOps.compactClusterStore(spark, path, cPath)
+    assert(labelSet(DedupOps.loadClusterLabels(spark, cPath)) == oneShot)
+    assert(spark.read.parquet(cPath).select("batch").distinct().count() == 1)
+    DedupOps.updateClusterStore(edges(0, 60).toDF("a", "b"), "a", "b", cPath, "b3")
+    assert(labelSet(DedupOps.loadClusterLabels(spark, cPath)) == oneShot)
+    // keep-best over the STORE's labels == keep-best over the raw pairs
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = (0L until 60L).map(i => (i, i * 13 % 47)).toDF("doc_id", "score")
+    val fromPairs = DedupOps.clusterKeepBest(docs, "doc_id", "score",
+      all.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val fromStore = DedupOps.clusterKeepBestFromLabels(docs, "doc_id", "score",
+      DedupOps.loadClusterLabels(spark, cPath))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(fromStore == fromPairs)
+  }
+
+  test("suggestBinWidth returns the median interval length") {
+    import spark.implicits._
+    val ivl = Seq((0L, 10L), (0L, 20L), (0L, 30L), (0L, 40L), (0L, 50L))
+      .toDF("s", "e")
+    assert(RangeJoinOps.suggestBinWidth(ivl, "s", "e") == 30L)
+    // empty interval side degrades to 1, never 0
+    assert(RangeJoinOps.suggestBinWidth(ivl.limit(0), "s", "e") == 1L)
   }
 
   test("clusterKeepBest: max score wins, ties to min id, null scores lose, singletons keep") {
