@@ -302,6 +302,18 @@ object Fixtures {
       path
     })
 
+  private val shBlooms = TrieMap[String, String]()
+
+  /** [[fingerprintStorePath]]'s store with SHARDED Bloom sketches built
+    * (4 shards) — the store side of the sharded-bloom-probe gate.
+    */
+  def shardedBloomPath(spark: SparkSession, sfDir: String): String =
+    shBlooms.getOrElseUpdate(sfDir, {
+      val path = fingerprintStorePath(spark, sfDir)
+      graft.operators.DedupOps.buildShardedFingerprintBloom(spark, path, shards = 4)
+      path
+    })
+
   private val postingsIdx = TrieMap[String, String]()
 
   /** Persisted postings index built once per (JVM, sf) in TWO batches —

@@ -216,6 +216,12 @@ object ScaleSmoke {
       val diff = bloom.exceptAll(plain).count() + plain.exceptAll(bloom).count()
       require(diff == 0L, s"bloom path must equal plain probe, $diff rows differ")
     }
+    time("sharded bloom (16): build + 100k probe vs 5M store") {
+      // the zero-broadcast shape: per-partition lazy sketch loads
+      operators.DedupOps.buildShardedFingerprintBloom(spark, s"$root/fpstore")
+      fpProbeChecks(operators.DedupOps.shardedBloomProbeExactDedup(
+        fpProbeBatch, "doc_id", "text", s"$root/fpstore"))
+    }
     time("bigram LM surprise: 1M docs vs 100k-doc reference model") {
       // 1k planted docs drawn from a DISJOINT vocab must score all-OOV
       // (hit_contexts = 0) at EXACTLY bitlen(V) - 1 bits per position

@@ -329,6 +329,13 @@ object SparkEntry {
         Tables.documents(s, dir).where(col("doc_id") >= 250), "doc_id", "text",
         Fixtures.fingerprintBloomPath(s, dir))),
 
+    // the SHARDED sketches (per-partition lazy load, zero broadcast —
+    // the past-1e9-keys shape): same answer again
+    "dedup_bloom_sharded" -> ((s, dir) =>
+      operators.DedupOps.shardedBloomProbeExactDedup(
+        Tables.documents(s, dir).where(col("doc_id") >= 250), "doc_id", "text",
+        Fixtures.shardedBloomPath(s, dir))),
+
     // the same incremental dedup as TRUE STREAMING: three micro-batches
     // probe-then-append against the store; cross-batch pairs must be found
     // by the later batch. Drained pairs == the one-shot oracle.
@@ -1132,6 +1139,7 @@ object SparkEntry {
     // the bloom pre-filtered probe computes the same answer as the plain
     // store probe (exact confirm join) — one oracle, two execution paths
     ("dedup_bloom_probe" -> oracleSqlBase("dedup_exact_incremental")) +
+    ("dedup_bloom_sharded" -> oracleSqlBase("dedup_exact_incremental")) +
     // the incrementally-maintained label store reads back as the one-shot
     // CC labeling — one oracle, two execution paths
     ("dedup_clusters_incremental" -> oracleSqlBase("dedup_clusters"))

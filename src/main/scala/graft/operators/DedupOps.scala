@@ -215,6 +215,108 @@ object DedupOps {
       .getBytes("UTF-8")) finally meta.close()
   }
 
+  /** [[buildFingerprintBloom]]'s scale successor: one Bloom sketch per
+    * fingerprint shard (`shard = pmod(xxhash64(fp), shards)`), persisted
+    * under `path/_bloomshards/shard=<s>/sketch.bin`. A single sketch at
+    * 1e9 keys / 1% fpp is ~1.1 GiB — broadcastable once, painful; past
+    * that the broadcast dies. Sharding caps PROBE memory at one shard's
+    * sketch per task instead: [[shardedBloomProbeExactDedup]] repartitions
+    * the batch by shard and each partition lazily loads only the sketches
+    * it actually meets from storage — no broadcast at any size.
+    *
+    * Build cost: `shards + 1` column-pruned scans of the store (one count
+    * pass sizing each sketch, then one scan per shard) — a deliberate
+    * simplicity trade over a one-pass sketch aggregator whose partial
+    * buffers would serialize whole sketches between map and reduce; the
+    * build runs once per store generation. Same staleness contract as the
+    * single sketch: covered batch tokens are recorded and drifted stores
+    * refuse to probe.
+    */
+  def buildShardedFingerprintBloom(spark: org.apache.spark.sql.SparkSession,
+      path: String, shards: Int = 16, fpp: Double = 0.01): Unit = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val tokens = storeBatchTokens(spark, path)
+    require(tokens.nonEmpty, s"buildShardedFingerprintBloom: no batch dirs under $path")
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_bloomshards")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    val fps = spark.read.parquet(path)
+      .select(col("fp"), pmod(xxhash64(col("fp")), lit(shards.toLong)).as("__s"))
+    val counts = fps.groupBy(col("__s")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until shards).foreach { s =>
+      val n = math.max(1L, counts.getOrElse(s.toLong, 0L))
+      val bloom = fps.where(col("__s") === s.toLong).stat.bloomFilter("fp", n, fpp)
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"shard=$s/sketch.bin"))
+      try bloom.writeTo(out) finally out.close()
+    }
+    val meta = fs.create(new org.apache.hadoop.fs.Path(dir, "batches.txt"))
+    try meta.write((tokens.mkString("\n") + s"\n#shards=$shards fpp=$fpp\n")
+      .getBytes("UTF-8")) finally meta.close()
+  }
+
+  /** [[bloomProbeExactDedup]] against the SHARDED sketches — identical
+    * output, no broadcast: the batch's (fp, shard) pairs repartition on
+    * the shard key and each partition filters through sketches it loads
+    * lazily from storage (usually exactly one), so task memory is one
+    * shard's sketch regardless of total store size. The surviving
+    * bloom-positive fingerprints drive the same exact store-confirm join.
+    * The per-partition loader reads via a fresh default Hadoop
+    * configuration on the executor (the sketch paths live beside the
+    * store, any FS the store itself works on resolves the same way).
+    */
+  def shardedBloomProbeExactDedup(newDocs: DataFrame, idCol: String,
+      textCol: String, path: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_bloomshards")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(dir, "batches.txt")),
+      s"shardedBloomProbeExactDedup: no sharded sketches at $path/_bloomshards " +
+        "— run buildShardedFingerprintBloom first")
+    val metaIn = fs.open(new org.apache.hadoop.fs.Path(dir, "batches.txt"))
+    val lines = try scala.io.Source.fromInputStream(metaIn, "UTF-8")
+      .getLines().toList finally metaIn.close()
+    val recorded = lines.filterNot(_.startsWith("#")).filter(_.nonEmpty)
+    val shards = lines.find(_.startsWith("#shards=")).map(
+      _.stripPrefix("#shards=").takeWhile(_.isDigit).toInt).getOrElse(
+      throw new IllegalStateException("sharded bloom meta missing #shards="))
+    val current = storeBatchTokens(spark, path)
+    require(recorded == current,
+      s"shardedBloomProbeExactDedup: sketches are STALE — built over batches " +
+        s"[${recorded.mkString(", ")}] but the store has " +
+        s"[${current.mkString(", ")}]; rebuild with buildShardedFingerprintBloom")
+    val shardDir = s"$path/_bloomshards"
+
+    import spark.implicits._
+    val fresh = newDocs.select(col(idCol).as("id"),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+    val positives = fresh
+      .select(col("fp"), pmod(xxhash64(col("fp")), lit(shards.toLong)).as("__s"))
+      .distinct()
+      .repartition(col("__s"))
+      .as[(String, Long)]
+      .mapPartitions { rows =>
+        val loaded = scala.collection.mutable.Map[Long, org.apache.spark.util.sketch.BloomFilter]()
+        def sketch(s: Long) = loaded.getOrElseUpdate(s, {
+          val p = new org.apache.hadoop.fs.Path(s"$shardDir/shard=$s/sketch.bin")
+          val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+          try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+        })
+        rows.collect { case (fp, s) if fp != null && sketch(s).mightContainString(fp) => fp }
+      }.toDF("fp")
+    // persisted: the count below AND the confirm join both consume the
+    // mapPartitions pass; without the pin each would reload sketches
+    val posCached = graft.CacheScope.persist(positives)
+    val nPos = posCached.count()
+    val old = spark.read.parquet(path).select(col("id"), col("fp"))
+    val oldPruned = probePrune(old, posCached, Seq("fp"), nPos)
+    val canon = fresh.unionByName(oldPruned)
+      .groupBy(col("fp")).agg(min(col("id")).as("canonical_id"))
+    fresh.join(canon, Seq("fp"))
+      .select(col("id").as(idCol), col("fp").as("fingerprint"),
+        col("canonical_id"))
+  }
+
   /** [[incrementalExactDedup]] behind a broadcast Bloom pre-filter — same
     * output, reversed cost direction. The plain probe broadcasts the
     * BATCH's fingerprints into the store scan, which is the right shape

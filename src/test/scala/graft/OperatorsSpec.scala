@@ -1903,6 +1903,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows(DedupOps.bloomProbeExactDedup(batch, "doc_id", "text", store)) == plain2)
   }
 
+  test("sharded bloom probe == plain probe; stale shards refuse; meta pins shard count") {
+    val store = s"${Fixtures.tmpRoot}/bloomsh_spec_store"
+    DedupOps.buildFingerprintStore(docs.where(col("doc_id") < 250),
+      "doc_id", "text", store)
+    DedupOps.buildShardedFingerprintBloom(spark, store, shards = 4)
+    val batch = docs.where(col("doc_id") >= 250)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val plain = rows(DedupOps.incrementalExactDedup(batch, "doc_id", "text", store))
+    val sharded = rows(DedupOps.shardedBloomProbeExactDedup(batch, "doc_id", "text", store))
+    assert(plain.nonEmpty)
+    assert(sharded == plain)
+    // all 4 shard sketches exist on disk
+    assert((0 until 4).forall(s =>
+      new java.io.File(s"$store/_bloomshards/shard=$s/sketch.bin").exists()))
+    DedupOps.appendFingerprintStore(batch, "doc_id", "text", store, "b2")
+    val ex = intercept[IllegalArgumentException] {
+      DedupOps.shardedBloomProbeExactDedup(batch, "doc_id", "text", store)
+    }
+    assert(ex.getMessage.contains("STALE"), ex.getMessage)
+    DedupOps.buildShardedFingerprintBloom(spark, store, shards = 4)
+    val plain2 = rows(DedupOps.incrementalExactDedup(batch, "doc_id", "text", store))
+    assert(rows(DedupOps.shardedBloomProbeExactDedup(batch, "doc_id", "text", store)) == plain2)
+    graft.CacheScope.release()
+  }
+
   test("rangeJoin == brute-force inequality join, keyed and keyless") {
     val ev = Tables.events(spark, dir)
     val clicks = ev.where(col("event_type") === "click")
