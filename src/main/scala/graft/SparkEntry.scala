@@ -749,6 +749,12 @@ object SparkEntry {
         stars.union(bridges), "id_a", "id_b")
     }),
 
+    // cluster-balanced diversity sampling: equal md5-slot quota from each
+    // semantic k-means cell (the IVF coarse quantizer's assignment)
+    "sample_cluster_balanced" -> ((s, dir) =>
+      operators.SimilarityOps.clusterBalancedSample(
+        Tables.embeddings(s, dir), "vec_id", "embedding", perCellQuota = 5)),
+
     // exact cosine top-10 for the first 10 vectors as queries
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -2598,6 +2604,54 @@ object SparkEntry {
     // unrolls the 2 Lloyd iterations: seed cells = 16 lowest ids, assign by
     // (cos DESC, cell), re-mean, assign again, then probe 4 cells per query
     // and exact-rerank top 10.
+    // ann_ivf_topk's unrolled 2-iter Lloyd refinement (identical CTEs),
+    // then an equal per-cell quota in md5-slot order
+    "sample_cluster_balanced" ->
+      s"""WITH $embFlat,
+          nn AS (SELECT vec_id, sqrt(CAST(n2 AS DOUBLE)) nrm FROM norms),
+          c0 AS (SELECT vec_id AS cell, i, x AS cx FROM flat
+                 WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+          cn0 AS (SELECT cell, sqrt(CAST(sum(cx*cx) AS DOUBLE)) cn FROM c0 GROUP BY 1),
+          d0 AS (SELECT f.vec_id, c.cell, sum(f.x * c.cx) dot
+                 FROM flat f JOIN c0 c ON f.i = c.i GROUP BY 1, 2),
+          a0 AS (SELECT vec_id, cell FROM
+                   (SELECT d0.vec_id, d0.cell,
+                      CAST(dot AS DOUBLE) / (nn.nrm * cn0.cn) cos
+                    FROM d0 JOIN nn USING (vec_id) JOIN cn0 USING (cell))
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, cell) = 1),
+          m1 AS (SELECT a0.cell, f.i, CAST(floor(avg(CAST(f.x AS DOUBLE))) AS BIGINT) cx
+                 FROM a0 JOIN flat f USING (vec_id) GROUP BY 1, 2),
+          cn1 AS (SELECT cell, sqrt(CAST(sum(cx*cx) AS DOUBLE)) cn FROM m1 GROUP BY 1),
+          d1 AS (SELECT f.vec_id, c.cell, sum(f.x * c.cx) dot
+                 FROM flat f JOIN m1 c ON f.i = c.i GROUP BY 1, 2),
+          a1 AS (SELECT vec_id, cell FROM
+                   (SELECT d1.vec_id, d1.cell,
+                      CAST(dot AS DOUBLE) / (nn.nrm * cn1.cn) cos
+                    FROM d1 JOIN nn USING (vec_id) JOIN cn1 USING (cell))
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, cell) = 1),
+          m2 AS (SELECT a1.cell, f.i, CAST(floor(avg(CAST(f.x AS DOUBLE))) AS BIGINT) cx
+                 FROM a1 JOIN flat f USING (vec_id) GROUP BY 1, 2),
+          cn2 AS (SELECT cell, sqrt(CAST(sum(cx*cx) AS DOUBLE)) cn FROM m2 GROUP BY 1),
+          d2 AS (SELECT f.vec_id, c.cell, sum(f.x * c.cx) dot
+                 FROM flat f JOIN m2 c ON f.i = c.i GROUP BY 1, 2),
+          assigned AS (SELECT vec_id, cell FROM
+                         (SELECT d2.vec_id, d2.cell,
+                            CAST(dot AS DOUBLE) / (nn.nrm * cn2.cn) cos
+                          FROM d2 JOIN nn USING (vec_id) JOIN cn2 USING (cell))
+                       QUALIFY row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, cell) = 1),
+          h AS (SELECT vec_id,
+                  CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+                    % 1000000 AS slot
+                FROM embeddings),
+          r AS (SELECT a.vec_id, a.cell,
+                  row_number() OVER (PARTITION BY a.cell ORDER BY h.slot, a.vec_id) rk
+                FROM assigned a JOIN h USING (vec_id))
+          SELECT vec_id, cell, CAST(rk AS BIGINT) AS sample_rank
+          FROM r WHERE rk <= 5 ORDER BY vec_id""",
+
     "ann_ivf_topk" ->
       s"""WITH $embFlat,
           nn AS (SELECT vec_id, sqrt(CAST(n2 AS DOUBLE)) nrm FROM norms),

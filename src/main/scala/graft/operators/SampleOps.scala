@@ -28,7 +28,7 @@ object SampleOps {
     */
   val Ppm = 1000000L
 
-  private def slot(idCol: Column, salt: String): Column =
+  private[graft] def slot(idCol: Column, salt: String): Column =
     pmod(DedupOps.baseHash(concat(lit(salt), idCol.cast("string"))), lit(Ppm))
 
   /** Uniform deterministic sample: keep rows whose hash slot < rate·1e6.

@@ -80,6 +80,42 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
+  /** CLUSTER-BALANCED (diversity) sampling: assign every embedding to its
+    * semantic k-means cell (the IVF coarse quantizer — deterministic
+    * floored-integer Lloyd, so the assignment itself is cross-engine
+    * exact and oracle-checkable) and keep an equal per-cell quota in
+    * md5-slot order. Uniform sampling over a corpus dominated by one
+    * topic keeps mostly that topic; quota-per-semantic-cluster is the
+    * standard diversity-selection shape (the sampling side of the
+    * SemDeDup/cluster-pruning literature). Re-salting draws an
+    * independent per-cell sample.
+    *
+    * Scale: assignment is one map-side pass against the broadcast
+    * centroids (codegen'd argmax kernel); the quota is one shuffle on the
+    * cell key. A giant cell's candidates funnel through that cell's
+    * window partition — same escape as [[SampleOps.quotaSample]]: when
+    * quotas are tiny next to cells, pre-filter with
+    * [[SampleOps.hashSample]] at a rate comfortably above
+    * quota/E[cell size]; the kept prefix is unchanged as long as the
+    * pre-filter retains every slot the quota admits.
+    */
+  def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
+      perCellQuota: Int, nCells: Int = 16, refineIters: Int = 2,
+      salt: String = ""): DataFrame = {
+    require(perCellQuota > 0, s"perCellQuota must be positive, got $perCellQuota")
+    ensureRegistered(emb)
+    DedupOps.ensureHashRegistered(emb)
+    val cq = prep(emb, idCol, vecCol, "id", "v", "nrm")
+    val cents = refinedCentroids(cq, nCells, refineIters)
+    val assigned = bestCell(cq, cents, "id", "v", "nrm")
+      .select(col("id"), col("cell"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(SampleOps.slot(col("id"), salt), col("id"))
+    assigned.withColumn("sample_rank", row_number().over(w).cast("bigint"))
+      .where(col("sample_rank") <= perCellQuota)
+      .select(col("id").as(idCol), col("cell"), col("sample_rank"))
+  }
+
   /** IVF: assign corpus rows to their nearest of `nCells` coarse centroids
     * (deterministically seeded from the corpus itself: the rows with the
     * smallest ids act as centroids — kmeans iterations can refine this but

@@ -1903,6 +1903,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows(DedupOps.bloomProbeExactDedup(batch, "doc_id", "text", store)) == plain2)
   }
 
+  test("clusterBalancedSample: per-cell quota, contiguous ranks, salt independence") {
+    val got = SimilarityOps.clusterBalancedSample(emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.map(_._1).distinct.length == got.length, "no id sampled twice")
+    got.groupBy(_._2).foreach { case (cell, rows) =>
+      val ranks = rows.map(_._3).sorted
+      assert(ranks.length <= 3 && ranks.sameElements(1L to ranks.length),
+        s"cell $cell ranks must be a contiguous quota prefix, got ${ranks.toList}")
+    }
+    // a different salt keeps the same per-cell counts (assignment is
+    // salt-independent) but draws a different slot order
+    val salted = SimilarityOps.clusterBalancedSample(emb, "vec_id", "embedding", 3,
+      salt = "resample")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(salted.groupBy(_._2).view.mapValues(_.length).toMap ==
+      got.groupBy(_._2).view.mapValues(_.length).toMap)
+    assert(salted.map(_._1).toSet != got.map(_._1).toSet,
+      "re-salting should draw a different sample on this fixture")
+  }
+
   test("sharded bloom probe == plain probe; stale shards refuse; meta pins shard count") {
     val store = s"${Fixtures.tmpRoot}/bloomsh_spec_store"
     DedupOps.buildFingerprintStore(docs.where(col("doc_id") < 250),
