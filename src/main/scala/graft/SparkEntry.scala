@@ -50,6 +50,15 @@ object SparkEntry {
         to = Some(java.sql.Timestamp.valueOf("2024-01-08 00:00:00")),
         freq = Some("2h"))),
 
+    // R1 flavor 2: resample to the same 2h grid with LINEAR interpolation
+    // between the neighboring observations (no extrapolation past the
+    // data's ends)
+    "fs_resample_interp" -> ((s, dir) =>
+      Fixtures.store(s, dir).storage.load("events", "click",
+        from = Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        to = Some(java.sql.Timestamp.valueOf("2024-01-08 00:00:00")),
+        freq = Some("2h"), how = "interp")),
+
     // R2: N-feature outer align + per-column forward fill
     "fs_align_ffill" -> ((s, dir) =>
       Fixtures.store(s, dir).loadFeatures(Seq("events/click", "events/purchase"))),
@@ -1168,6 +1177,30 @@ object SparkEntry {
                  TIMESTAMP '2024-01-08 00:00:00', INTERVAL 2 HOUR)) AS time)
           SELECT g.time, d.value FROM g ASOF LEFT JOIN d ON d.time <= g.time
           ORDER BY g.time""",
+
+    // d is bounded to the requested window: the engine's scan only reads
+    // [from, to] (F1 inclusive bounds), so interpolation anchors only on
+    // observations the query actually loaded
+    "fs_resample_interp" ->
+      s"""WITH d AS (SELECT * FROM (${ev("click")})
+                     WHERE time >= TIMESTAMP '2024-01-01 00:00:00'
+                       AND time <= TIMESTAMP '2024-01-08 00:00:00'),
+          g AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                 TIMESTAMP '2024-01-08 00:00:00', INTERVAL 2 HOUR)) AS time),
+          pr AS (SELECT g.time,
+                   (SELECT max(d.time) FROM d WHERE d.time <= g.time) AS t0,
+                   (SELECT min(d.time) FROM d WHERE d.time >= g.time) AS t1
+                 FROM g),
+          j AS (SELECT pr.time, pr.t0, pr.t1, d0.value AS v0, d1.value AS v1
+                FROM pr LEFT JOIN d d0 ON d0.time = pr.t0
+                        LEFT JOIN d d1 ON d1.time = pr.t1)
+          SELECT time,
+            CASE WHEN t0 IS NULL OR t1 IS NULL THEN NULL
+                 WHEN t1 = t0 THEN v0
+                 ELSE v0 + (v1 - v0) *
+                   (CAST(epoch_us(time) - epoch_us(t0) AS DOUBLE)
+                    / CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE)) END AS value
+          FROM j ORDER BY time""",
 
     "fs_align_ffill" ->
       s"""WITH c AS (${ev("click")}), p AS (${ev("purchase")}),

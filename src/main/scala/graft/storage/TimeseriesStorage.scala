@@ -204,7 +204,10 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
       freq: Option[String] = None, timeTravel: Option[String] = None,
       scheme: PartitionScheme = PartitionScheme.Date,
       serialized: Boolean = false,
-      valueDtype: Option[String] = None): DataFrame = {
+      valueDtype: Option[String] = None,
+      how: String = "ffill"): DataFrame = {
+    require(how == "ffill" || how == "interp",
+      s"load: how must be 'ffill' (as-of) or 'interp' (linear), got '$how'")
     val scanned = scan(namespace, name, from, to, None, None, timeTravel, scheme,
       serialized, valueDtype)
     freq match {
@@ -227,6 +230,12 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
         }
         bounds match {
           case None => deduped.select(TimeCol, ValueCol) // empty feature
+          case Some((a, b)) if how == "interp" =>
+            Align.resampleInterp(deduped.select(TimeCol, ValueCol), TimeCol, Seq(ValueCol),
+              a, b, TimeUtil.parseMicros(fr),
+              memoFwd = Some(cutsMemoFor(s"$namespace/$name|$from|$to|$fr|$timeTravel|if")),
+              memoBwd = Some(cutsMemoFor(s"$namespace/$name|$from|$to|$fr|$timeTravel|ib")))
+              .select(TimeCol, ValueCol)
           case Some((a, b)) =>
             Align.resampleFfill(deduped.select(TimeCol, ValueCol), TimeCol, Seq(ValueCol),
               a, b, TimeUtil.parseMicros(fr),

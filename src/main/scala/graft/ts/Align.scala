@@ -72,6 +72,68 @@ object Align {
     filled.where(col("__spine") === 1).drop("__spine")
   }
 
+  /** Resample onto a regular grid with LINEAR-INTERPOLATION semantics — the
+    * other classic grid fill next to [[resampleFfill]]'s as-of: the value
+    * at grid time g is v0 + (v1−v0)·(g−t0)/(t1−t0) between the last
+    * observation (t0,v0) ≤ g and the first (t1,v1) ≥ g; an observation AT
+    * the grid instant is returned exactly; grid points before the first or
+    * after the last observation are null (no extrapolation — trailing
+    * holds are what the ffill flavor is for). Interpolated columns come
+    * back as DOUBLE.
+    *
+    * Scale shape: two [[ffill]]-style quantile-bucketed prefix scans — one
+    * forward carrying each column's last (t, v) observation struct, one on
+    * a REVERSED time axis carrying the next — then one equi-join of the
+    * two grid projections on the grid instant. No global-sort window at
+    * any size, same as every time-axis operator here.
+    */
+  def resampleInterp(df: DataFrame, timeCol: String, valueCols: Seq[String],
+      from: java.sql.Timestamp, to: java.sql.Timestamp, freqMicros: Long,
+      memoFwd: Option[CutsMemo] = None,
+      memoBwd: Option[CutsMemo] = None): DataFrame = {
+    require(freqMicros > 0, "resample frequency must be positive")
+    val spark = df.sparkSession
+    val us = unix_micros(col(timeCol))
+    val spine = spark.range(0, (micros(to) - micros(from)) / freqMicros + 1)
+      .select(timestamp_micros(lit(micros(from)) + col("id") * lit(freqMicros)).as(timeCol))
+      .withColumn("__spine", lit(1))
+    val data = df.select((col(timeCol) +: valueCols.map(col)): _*)
+      .withColumn("__spine", lit(0))
+    val unioned = spine.select((col(timeCol) +: valueCols.map(c => lit(null).cast(
+        df.schema(c).dataType).as(c)) :+ col("__spine")): _*)
+      .unionByName(data)
+    // per-column observation structs: only DATA rows carry (t, v)
+    def withObs(prefix: String) = unioned.select(
+      (col(timeCol) +: col("__spine") +: valueCols.map(c =>
+        when(col("__spine") === 0 && col(c).isNotNull,
+          struct(us.as("t"), col(c).as("v"))).as(s"$prefix$c"))): _*)
+    val fwd = ffillOrdered(withObs("__p_"), timeCol,
+        Seq(col(timeCol), col("__spine")), valueCols.map(c => s"__p_$c"),
+        memo = memoFwd)
+      .where(col("__spine") === 1)
+      .select((col(timeCol) +: valueCols.map(c => col(s"__p_$c"))): _*)
+    // the backward pass is the forward pass on a reversed axis: the same
+    // (axis, __spine) secondary order makes an observation AT the grid
+    // instant visible from both directions, so t0 == t1 == g there
+    val bwd = ffillOrdered(
+        withObs("__n_").withColumn("__rt", timestamp_micros(-us)),
+        "__rt", Seq(col("__rt"), col("__spine")), valueCols.map(c => s"__n_$c"),
+        memo = memoBwd)
+      .where(col("__spine") === 1)
+      .select((col(timeCol) +: valueCols.map(c => col(s"__n_$c"))): _*)
+    val g = unix_micros(col(timeCol))
+    val outCols = valueCols.map { c =>
+      val p = col(s"__p_$c"); val n = col(s"__n_$c")
+      val t0 = p.getField("t"); val v0 = p.getField("v").cast("double")
+      val t1 = n.getField("t"); val v1 = n.getField("v").cast("double")
+      when(p.isNull || n.isNull, lit(null).cast("double"))
+        .when(t1 === t0, v0)
+        .otherwise(v0 + (v1 - v0) *
+          ((g - t0).cast("double") / (t1 - t0).cast("double"))).as(c)
+    }
+    fwd.join(bwd, Seq(timeCol)).select((col(timeCol) +: outCols): _*)
+  }
+
   /** Point-in-time (as-of) join of N value frames onto an ARBITRARY spine of
     * timestamps: each spine row gets, per frame, the last value with
     * data-time <= spine-time (inclusive). The training-set constructor —

@@ -126,6 +126,29 @@ class AlignSpec extends SparkTestBase {
       Seq((1L, Some(10.0), "a"), (2L, Some(20.0), "b"), (3L, None, "c")))
   }
 
+  test("resampleInterp: linear between neighbors, exact at hits, null past the ends") {
+    import spark.implicits._
+    // observations at day 2 (v=2) and day 6 (v=10); 1-day grid over [1, 7]
+    val data = Seq((ts("2021-01-02"), 2.0), (ts("2021-01-06"), 10.0))
+      .toDF("time", "value")
+    val out = Align.resampleInterp(data, "time", Seq("value"),
+        ts("2021-01-01"), ts("2021-01-07"), 86400L * 1000000)
+      .orderBy("time").collect()
+      .map(r => Option(r.getAs[Any]("value")).map(_.asInstanceOf[Double]))
+    assert(out.toSeq == Seq(
+      None,        // before first observation: no extrapolation
+      Some(2.0),   // exact hit
+      Some(4.0), Some(6.0), Some(8.0), // linear 2 → 10 over 4 days
+      Some(10.0),  // exact hit
+      None))       // past last observation
+    // storage-level dispatch guard
+    val ex = intercept[IllegalArgumentException] {
+      Fixtures.store(spark, "/root/testdata/sf0.001").storage
+        .load("events", "click", freq = Some("2h"), how = "cubic")
+    }
+    assert(ex.getMessage.contains("'cubic'"))
+  }
+
   test("duration parsing") {
     assert(TimeUtil.parseMicros("-15min") == -15L * 60 * 1000000)
     assert(TimeUtil.parseMicros("2d") == 2L * 86400 * 1000000)
