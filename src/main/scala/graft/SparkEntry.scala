@@ -352,6 +352,11 @@ object SparkEntry {
       s.read.parquet(Fixtures.incrementalDedupMbPath(s, dir))
         .select("id_a", "id_b", "intersect_size", "union_size")),
 
+    // pre-dedup text normalization: NFC composition (codegen'd custom
+    // Expression), control-char scrub, whitespace collapse, trim
+    "text_clean" -> ((s, dir) =>
+      operators.TextOps.cleanText(Tables.documents(s, dir), "doc_id", "text")),
+
     // text-analysis signals: token counts, punct/stopword counts, quality
     "text_stats" -> ((s, dir) =>
       operators.TextOps.textStats(Tables.documents(s, dir), "doc_id", "text")),
@@ -1418,6 +1423,16 @@ object SparkEntry {
                FROM pairs)
          SELECT ia AS id_a, ib AS id_b, hamming FROM h
          WHERE hamming <= 3 ORDER BY 1, 2""",
+
+    // RE2's \x escapes and DuckDB's nfc_normalize mirror the engine's
+    // Java-regex + java.text.Normalizer pipeline exactly
+    "text_clean" ->
+      """SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(nfc_normalize(coalesce(text, '')),
+               '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', ' ', 'g'),
+             '[ \t]+', ' ', 'g')) AS text
+         FROM documents ORDER BY doc_id""",
 
     "text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') tks FROM documents)

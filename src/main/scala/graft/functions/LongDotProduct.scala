@@ -114,5 +114,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     PqAdcTable.inject(ext)
     PqAdcScore.inject(ext)
     IvfBestCell.inject(ext)
+    NfcNormalize.inject(ext)
   }
 }

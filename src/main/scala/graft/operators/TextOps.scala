@@ -32,6 +32,34 @@ object TextOps {
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[.,;:!?'\"()\\-]"), lit(0)))
 
+  /** Unicode NFC normalization ([[graft.functions.NfcNormalize]], codegen'd,
+    * ASCII fast-path). Register via [[cleanText]] or GraftExtensions.
+    */
+  def nfc(text: Column): Column =
+    call_function(graft.functions.NfcNormalize.name, text)
+
+  /** Corpus text normalization — the standard pre-dedup cleanup pass:
+    * 1. Unicode NFC composition (composed/decomposed "é" unify, so
+    *    byte-level fingerprints/shingles/line-dedup downstream agree);
+    * 2. control characters other than tab/newline/CR become spaces;
+    * 3. runs of spaces/tabs collapse to one space; 4. trim.
+    * Newlines survive — line-level operators ([[DedupOps.dedupLines]])
+    * depend on them. Null text normalizes to "".
+    *
+    * Scale: pure map-side column expressions (the NFC kernel is a custom
+    * codegen'd Expression — a scala UDF here would break whole-stage
+    * codegen for the entire downstream stage), no shuffle, fully
+    * pushdown-transparent.
+    */
+  def cleanText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.NfcNormalize.register(df.sparkSession)
+    df.select(col(idCol),
+      trim(regexp_replace(
+        regexp_replace(nfc(coalesce(col(textCol), lit(""))),
+          "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", " "),
+        "[ \\t]+", " ")).as(textCol))
+  }
+
   val Stopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "this", "for", "on", "with", "as", "at", "by", "be")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.LongDotProduct
+import graft.functions.{LongDotProduct, NfcNormalize}
 import org.apache.spark.sql.functions._
 
 /** Custom codegen'd expression: graft_dot_long. */
@@ -113,5 +113,31 @@ class FunctionsSpec extends SparkTestBase {
     // duplicated centroid's tie must resolve to the LOWER index (0, not 5)
     assert(got(100L) == 0)
     (1 until nc).foreach(i => assert(got(100L + i) == i))
+  }
+
+  test("graft_nfc composes decomposed forms, codegen'd, ASCII/NFC pass through") {
+    import spark.implicits._
+    NfcNormalize.register(spark)
+    val composed = "café"                 // é as one code point
+    val decomposed = "café"              // e + COMBINING ACUTE
+    val df = Seq(("a", composed), ("b", decomposed), ("c", "plain ascii"),
+      ("d", null: String)).toDF("id", "s")
+      .selectExpr("id", s"${NfcNormalize.name}(s) as n")
+    // local relations constant-fold; prove the codegen path on a range scan
+    val cg = spark.range(3).selectExpr(s"${NfcNormalize.name}(cast(id as string)) as n")
+    val plan = cg.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"expected codegen span:\n$plan")
+    assert(cg.collect().map(_.getString(0)).sorted.sameElements(Array("0", "1", "2")))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("a") == composed)
+    assert(got("b") == composed, "decomposed input must compose to NFC")
+    assert(got("c") == "plain ascii")
+    assert(got("d") == null)
+    // dedup consequence: the two spellings fingerprint identically after nfc
+    val fp = Seq((1L, composed), (2L, decomposed)).toDF("doc_id", "text")
+    val cleaned = graft.operators.TextOps.cleanText(fp, "doc_id", "text")
+    val probed = graft.operators.DedupOps.exactDedupMap(cleaned, "doc_id", "text")
+      .select("canonical_id").distinct().count()
+    assert(probed == 1L, "NFC-cleaned spellings must share one canonical id")
   }
 }
