@@ -554,6 +554,28 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
     }
   }
 
+  /** Retention (TTL) delete: drop every hive partition STRICTLY OLDER than
+    * `cutoff`'s partition — pure directory removal against the partition
+    * listing, no data scan or rewrite at any size (the point of deriving
+    * the partition from the time axis, S2's pruning run in reverse). The
+    * cutoff's own partition survives even when partially expired:
+    * sub-partition retention would mean rewriting files, and a retention
+    * policy that needs sub-day precision should partition sub-day instead.
+    * Returns the dropped partition values. Idempotent; scans after a drop
+    * see the new listing ([[org.apache.spark.sql.catalog.Catalog.refreshByPath]]).
+    */
+  def deleteBefore(namespace: String, name: String, cutoff: Timestamp,
+      scheme: PartitionScheme = PartitionScheme.Date): Seq[String] = {
+    val cutPart = partitionValue(scheme, cutoff)
+    val dropped = listPartitions(namespace, name).filter(_ < cutPart)
+    dropped.foreach { part =>
+      fs.delete(new Path(s"${featurePath(namespace, name)}/$PartCol=$part"), true)
+    }
+    if (dropped.nonEmpty)
+      spark.catalog.refreshByPath(featurePath(namespace, name))
+    dropped
+  }
+
   /** Copy one feature's data to another feature location (clone support,
     * reference src/qafs/backend/pandas.py:274-296 — overwrite semantics).
     */

@@ -307,4 +307,25 @@ class StorageSpec extends SparkTestBase {
     st.save("ns", "r", seriesDf(Seq(("2021-01-02", 2.0))), append = false)
     assert(collectMap(st.load("ns", "r")) == Map(ts("2021-01-02") -> 2.0))
   }
+
+  test("deleteBefore drops only strictly-older partitions, no data rewrite") {
+    val st = freshStore()
+    st.save("ns", "ttl", seriesDf(Seq("2021-01-01" -> 1.0, "2021-01-02" -> 2.0,
+      "2021-01-03" -> 3.0)))
+    // cutoff mid-day: its own (partially expired) partition survives
+    val dropped = st.deleteBefore("ns", "ttl",
+      java.sql.Timestamp.valueOf("2021-01-02 12:00:00"))
+    assert(dropped == Seq("2021-01-01"))
+    assert(st.listPartitions("ns", "ttl") == Seq("2021-01-02", "2021-01-03"))
+    assert(collectMap(st.load("ns", "ttl")) ==
+      Map(ts("2021-01-02") -> 2.0, ts("2021-01-03") -> 3.0))
+    // idempotent
+    assert(st.deleteBefore("ns", "ttl",
+      java.sql.Timestamp.valueOf("2021-01-02 12:00:00")).isEmpty)
+    // everything expired -> feature reads empty but the dir shape survives
+    assert(st.deleteBefore("ns", "ttl",
+      java.sql.Timestamp.valueOf("2022-01-01 00:00:00")) ==
+      Seq("2021-01-02", "2021-01-03"))
+    assert(st.load("ns", "ttl").count() == 0)
+  }
 }

@@ -375,6 +375,37 @@ class StreamingSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("live-tail cluster maintenance: file lands mid-query, labels stay one-shot-exact") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("livecluster")
+    val d = Tables.documents(spark, dir)
+    val src = s"$root/src"
+    d.where(col("doc_id") < 250).repartition(1)
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = graft.streaming.StreamingOps.pacedFileSource(
+      spark, src, schema, maxFilesPerTrigger = 1)
+    val baseline = graft.CacheScope.trackedCount
+    val q = graft.streaming.StreamingOps.clustersProcessingTime(
+      stream, "doc_id", "text", s"$root/store", s"$root/labels", s"$root/ckpt")
+    q.processAllAvailable()
+    // live tail: the rest of the corpus lands while the query runs
+    d.where(col("doc_id") >= 250).repartition(1)
+      .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    assert(graft.CacheScope.trackedCount == baseline,
+      "per-batch scope must release every cache a live tail creates")
+    val got = graft.operators.DedupOps.loadClusterLabels(spark, s"$root/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = graft.operators.DedupOps.connectedComponents(
+        graft.operators.DedupOps.minhashLshPairs(d, "doc_id", "text"),
+        "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oneShot.nonEmpty && got == oneShot)
+    graft.CacheScope.release()
+  }
+
   test("streaming cluster maintenance drains to the one-shot CC labeling") {
     val labels = spark.read.parquet(
       Fixtures.streamClustersPath(spark, "/root/testdata/sf0.001"))
