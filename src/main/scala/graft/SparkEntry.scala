@@ -956,6 +956,12 @@ object SparkEntry {
       Fixtures.store(s, dir).loadKeyedResampled("events/click_by_user",
         "2024-01-01", "2024-01-08", "12h")),
 
+    // the same per-entity grid with LINEAR interpolation between each
+    // user's neighboring observations (null outside each user's data span)
+    "fs_keyed_interp" -> ((s, dir) =>
+      Fixtures.store(s, dir).loadKeyedResampled("events/click_by_user",
+        "2024-01-01", "2024-01-08", "12h", how = "interp")),
+
     // multi-column feature group: full-width load (one scan, no join)
     "fg_load_wide" -> ((s, dir) =>
       Fixtures.store(s, dir).loadGroup("events/metrics")),
@@ -2912,6 +2918,30 @@ object SparkEntry {
          SELECT s.user_id, s.time, c.value
          FROM s ASOF LEFT JOIN c ON s.user_id = c.user_id AND c.t <= s.time
          ORDER BY s.user_id, s.time""",
+
+    "fs_keyed_interp" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, value FROM events
+                    WHERE event_type = 'click'),
+         u AS (SELECT DISTINCT user_id FROM c),
+         g AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                TIMESTAMP '2024-01-08 00:00:00', INTERVAL 12 HOUR)) AS time),
+         s AS (SELECT u.user_id, g.time FROM u, g),
+         pr AS (SELECT s.user_id, s.time,
+                  (SELECT max(c.t) FROM c
+                   WHERE c.user_id = s.user_id AND c.t <= s.time) AS t0,
+                  (SELECT min(c.t) FROM c
+                   WHERE c.user_id = s.user_id AND c.t >= s.time) AS t1
+                FROM s),
+         j AS (SELECT pr.user_id, pr.time, pr.t0, pr.t1, c0.value AS v0, c1.value AS v1
+               FROM pr LEFT JOIN c c0 ON c0.user_id = pr.user_id AND c0.t = pr.t0
+                       LEFT JOIN c c1 ON c1.user_id = pr.user_id AND c1.t = pr.t1)
+         SELECT user_id, time,
+           CASE WHEN t0 IS NULL OR t1 IS NULL THEN NULL
+                WHEN t1 = t0 THEN v0
+                ELSE v0 + (v1 - v0) *
+                  (CAST(epoch_us(time) - epoch_us(t0) AS DOUBLE)
+                   / CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE)) END AS value
+         FROM j ORDER BY user_id, time""",
 
     "fg_load_wide" ->
       """SELECT CAST(ts AS TIMESTAMP) AS time, value,

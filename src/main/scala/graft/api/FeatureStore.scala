@@ -457,7 +457,10 @@ class FeatureStore(
     * machinery parallelizes per entity.
     */
   def loadKeyedResampled(qualified: String, from: String, to: String,
-      freq: String, timeTravel: Option[String] = None): DataFrame = {
+      freq: String, timeTravel: Option[String] = None,
+      how: String = "ffill"): DataFrame = {
+    require(how == "ffill" || how == "interp",
+      s"loadKeyedResampled: how must be 'ffill' or 'interp', got '$how'")
     val (ns, n) = Catalog.splitName(qualified)
     val keys = keyedKeys(ns, n)
     val data = loadKeyed(qualified, timeTravel = timeTravel)
@@ -468,7 +471,8 @@ class FeatureStore(
     val grid = spark.range(0, (us(t) - us(f)) / step + 1)
       .select(timestamp_micros(lit(us(f)) + col("id") * lit(step)).as(TimeCol))
     val spine = data.select(keys.map(col): _*).distinct().crossJoin(grid)
-    Align.asOfJoinKeyed(spine, data, keys, TimeCol, Seq(ValueCol))
+    if (how == "interp") Align.interpJoinKeyed(spine, data, keys, TimeCol, Seq(ValueCol))
+    else Align.asOfJoinKeyed(spine, data, keys, TimeCol, Seq(ValueCol))
   }
 
   // ---- SQL surface ------------------------------------------------------------

@@ -197,6 +197,60 @@ object Align {
       .select((keys.map(col) :+ col(timeCol)) ++ spineCols.map(col) ++ valueCols.map(col): _*)
   }
 
+  /** Entity-keyed LINEAR-INTERPOLATION join — [[asOfJoinKeyed]]'s interp
+    * twin, with [[resampleInterp]]'s semantics per entity: each spine row
+    * gets v0 + (v1−v0)·(g−t0)/(t1−t0) between its key's neighboring
+    * observations; exact at hits, null before the key's first / after its
+    * last observation; interpolated columns come back DOUBLE.
+    *
+    * Parallelism comes free from partitioning both windows by the keys
+    * (as in the as-of flavor); the backward neighbor is the same window
+    * with a following frame and tie order flipped so an observation AT
+    * the spine instant is visible from both sides. A single hot entity
+    * degrades to its row count — salt upstream if one dominates.
+    */
+  def interpJoinKeyed(spine: DataFrame, data: DataFrame, keys: Seq[String],
+      timeCol: String, valueCols: Seq[String]): DataFrame = {
+    val spineCols = spine.columns.filterNot(c => c == timeCol || keys.contains(c)).toSeq
+    val us = unix_micros(col(timeCol))
+    val spineTagged = spine.withColumn("__spine", lit(1))
+    val dataTagged = data
+      .select((keys.map(col) :+ col(timeCol)) ++ valueCols.map(col): _*)
+      .withColumn("__spine", lit(0))
+    val unioned = spineTagged.unionByName(dataTagged, allowMissingColumns = true)
+    val withObs = valueCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"__o_$c",
+        when(col("__spine") === 0 && col(c).isNotNull,
+          struct(us.as("t"), col(c).as("v"))))
+    }
+    // forward: data sorts before spine at equal time (flag asc), frame up
+    // to current; backward: spine before data at equal time (flag desc),
+    // frame from current — both directions see an observation AT the
+    // spine instant, so t0 == t1 == g there
+    val wFwd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol), col("__spine"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBwd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol), col("__spine").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = valueCols.foldLeft(withObs) { (d, c) =>
+      d.withColumn(s"__p_$c", last(col(s"__o_$c"), ignoreNulls = true).over(wFwd))
+        .withColumn(s"__n_$c", first(col(s"__o_$c"), ignoreNulls = true).over(wBwd))
+    }
+    val g = us
+    val outCols = valueCols.map { c =>
+      val p = col(s"__p_$c"); val n = col(s"__n_$c")
+      val t0 = p.getField("t"); val v0 = p.getField("v").cast("double")
+      val t1 = n.getField("t"); val v1 = n.getField("v").cast("double")
+      when(p.isNull || n.isNull, lit(null).cast("double"))
+        .when(t1 === t0, v0)
+        .otherwise(v0 + (v1 - v0) *
+          ((g - t0).cast("double") / (t1 - t0).cast("double"))).as(c)
+    }
+    filled.where(col("__spine") === 1)
+      .select((keys.map(col) :+ col(timeCol)) ++ spineCols.map(col) ++ outCols: _*)
+  }
+
   /** Generalized bucketed forward-fill with a compound ordering (e.g.
     * `(time, is_spine)` so data rows precede spine rows at equal
     * timestamps). The two-pass parallel-prefix shape:

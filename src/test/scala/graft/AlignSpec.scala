@@ -149,6 +149,25 @@ class AlignSpec extends SparkTestBase {
     assert(ex.getMessage.contains("'cubic'"))
   }
 
+  test("interpJoinKeyed: per-entity interpolation never crosses keys") {
+    import spark.implicits._
+    val data = Seq(
+      (1L, ts("2021-01-02"), 2.0), (1L, ts("2021-01-06"), 10.0),
+      (2L, ts("2021-01-04"), 100.0)).toDF("k", "time", "v")
+    val spine = Seq(
+      (1L, ts("2021-01-01")), (1L, ts("2021-01-04")), (1L, ts("2021-01-06")),
+      (2L, ts("2021-01-04")), (2L, ts("2021-01-05"))).toDF("k", "time")
+    val out = Align.interpJoinKeyed(spine, data, Seq("k"), "time", Seq("v"))
+      .orderBy("k", "time").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("v"))))
+    assert(out.toSeq == Seq(
+      (1L, None),        // before key 1's first observation
+      (1L, Some(6.0)),   // halfway 2 -> 10
+      (1L, Some(10.0)),  // exact hit
+      (2L, Some(100.0)), // key 2's exact hit — never sees key 1's points
+      (2L, None)))       // past key 2's last observation
+  }
+
   test("duration parsing") {
     assert(TimeUtil.parseMicros("-15min") == -15L * 60 * 1000000)
     assert(TimeUtil.parseMicros("2d") == 2L * 86400 * 1000000)
