@@ -523,6 +523,20 @@ object SparkEntry {
         "doc_id", "text", "lang", k = 4, minTokens = 20, maxTopTokenFrac = 0.12)
     }),
 
+    // curation composed with the persisted near-dup label store: the dedup
+    // stage is quality-aware keep-best (score = n_chars, ties min id) over
+    // the store's latest-wins component view; non-keepers drop before the
+    // contamination/length/repetition work
+    "curate_keep_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val labels = operators.DedupOps.loadClusterLabels(
+        s, Fixtures.clusterStorePath(s, dir))
+      operators.CurationOps.curateKeepClustered(
+        d.where(col("doc_id") % 17 =!= 0), d.where(col("doc_id") % 17 === 0),
+        "doc_id", "text", "lang", labels, "n_chars",
+        k = 4, minTokens = 20, maxTopTokenFrac = 0.12)
+    }),
+
     // the curation pipeline as TRUE STREAMING: three id-range micro-batches
     // through store-probe dedup + curateKeep, kept docs appended per batch;
     // the drained kept set must equal the batch oracle on the same split
@@ -1930,6 +1944,56 @@ object SparkEntry {
          FROM rep r
          JOIN corpus c2 ON c2.doc_id = r.doc_id
          JOIN canon cn ON cn.doc_id = r.doc_id AND cn.cid = r.doc_id
+         WHERE r.doc_id NOT IN (SELECT doc_id FROM contam)
+           AND r.n_tokens >= 20 AND r.top_token_frac <= 0.12
+         ORDER BY r.doc_id""",
+
+    // curate_keep's CTEs with canon replaced by keep-best over the
+    // dedup_clusters recursive-CTE components: winner per component among
+    // CORPUS members = max n_chars, ties min doc_id; per-doc stats run
+    // over representatives only (identical per-doc either way)
+    "curate_keep_dedup" ->
+      """WITH RECURSIVE
+         e AS (SELECT doc_id AS a, doc_id - doc_id % 7 AS b FROM documents
+               WHERE doc_id % 7 != 0
+               UNION ALL
+               SELECT doc_id, doc_id - 1 FROM documents
+               WHERE doc_id % 21 = 0 AND doc_id > 0),
+         sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+         reach(id, r) AS (
+           SELECT DISTINCT a AS id, a AS r FROM sym
+           UNION
+           SELECT s.a AS id, rc.r FROM sym s JOIN reach rc ON s.b = rc.id),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         corpus AS (SELECT * FROM documents WHERE doc_id % 17 != 0),
+         lab AS (SELECT c0.doc_id, coalesce(cp.component, c0.doc_id) AS component,
+                        c0.n_chars
+                 FROM corpus c0 LEFT JOIN comp cp ON c0.doc_id = cp.id),
+         mx AS (SELECT component, max(n_chars) AS m FROM lab GROUP BY 1),
+         win AS (SELECT l.component, min(l.doc_id) AS keep_id
+                 FROM lab l JOIN mx ON l.component = mx.component AND l.n_chars = mx.m
+                 GROUP BY 1),
+         reps AS (SELECT c0.* FROM corpus c0
+                  JOIN lab l ON c0.doc_id = l.doc_id
+                  JOIN win w ON l.component = w.component AND c0.doc_id = w.keep_id),
+         d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         g AS (SELECT doc_id, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3]
+                 || ' ' || tks[i+4] AS s
+               FROM d, unnest(range(len(tks) - 3)) t(i) WHERE len(tks) >= 4),
+         bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 17 = 0),
+         contam AS (SELECT doc_id FROM g
+                    WHERE doc_id IN (SELECT doc_id FROM reps)
+                    GROUP BY 1
+                    HAVING count(DISTINCT s) FILTER (s IN (SELECT s FROM bench)) > 0),
+         tc AS (SELECT doc_id, tok, count(*) c
+                FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) tok
+                      FROM reps) GROUP BY 1, 2),
+         rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_tokens,
+                   CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) top_token_frac
+                 FROM tc GROUP BY 1)
+         SELECT r.doc_id, c2.lang, r.n_tokens, r.top_token_frac
+         FROM rep r
+         JOIN corpus c2 ON c2.doc_id = r.doc_id
          WHERE r.doc_id NOT IN (SELECT doc_id FROM contam)
            AND r.n_tokens >= 20 AND r.top_token_frac <= 0.12
          ORDER BY r.doc_id""",

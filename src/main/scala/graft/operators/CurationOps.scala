@@ -125,6 +125,56 @@ object CurationOps {
       .select(col(idCol), col(langCol), col("n_tokens"), col("top_token_frac"))
   }
 
+  /** [[curateKeep]] with a NEAR-DUP, quality-aware dedup stage: the
+    * exact-fingerprint min-id canonicalization is replaced by keep-best
+    * selection over precomputed `(id, component)` near-dup cluster labels
+    * ([[DedupOps.clusterKeepBestFromLabels]] — winner = max `scoreCol`,
+    * ties to min id; docs absent from `labels` are their own singletons).
+    * This is the composition a production pipeline runs once an
+    * incrementally-maintained label store
+    * ([[DedupOps.loadClusterLabels]]) tracks the corpus's near-dup
+    * components: the curation pass never re-clusters, and cluster
+    * NON-keepers drop BEFORE the expensive per-doc work, so the
+    * contamination shingle explode and token accounting run over one
+    * representative per near-dup group instead of every copy — on a
+    * boilerplate-heavy crawl that is most of the corpus.
+    *
+    * Keeps a doc iff it survives the optional `blockedSources` list
+    * (applied first — blocked docs never compete for cluster
+    * representative), it is its cluster's keep-best representative, it
+    * shares no word k-gram with `bench`, and it passes the same
+    * length/repetition cuts as [[curateKeep]]. Output:
+    * `(idCol, langCol, n_tokens, top_token_frac)` for kept docs.
+    */
+  def curateKeepClustered(docs0: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, langCol: String, labels: DataFrame, scoreCol: String,
+      k: Int = 4, minTokens: Long = 20, maxTopTokenFrac: Double = 0.12,
+      tokenCounter: Option[Column => Column] = None,
+      sourceCol: String = "source",
+      blockedSources: Option[DataFrame] = None): DataFrame = {
+    val unblocked = docs0.withColumn(textCol, coalesce(col(textCol), lit("")))
+    val docs = blockedSources.fold(unblocked)(b =>
+      unblocked.join(
+        broadcast(b.select(col(b.columns.head).as("__bsrc")).distinct()),
+        col(sourceCol) === col("__bsrc"), "left_anti"))
+    val keepers = DedupOps.clusterKeepBestFromLabels(docs, idCol, scoreCol, labels)
+      .where(col("keep"))
+      .select(col(idCol))
+    // representatives only from here down — the shingle explode and token
+    // accounting never touch a non-keeper's text
+    val reps = docs.join(keepers, Seq(idCol), "left_semi")
+    val rep = repWithCounter(reps, idCol, textCol, tokenCounter)
+    val contaminated = ngramOverlap(reps, bench, idCol, textCol, k)
+      .where(col("contaminated"))
+      .select(col(idCol))
+    reps.select(col(idCol), col(langCol))
+      .join(rep, Seq(idCol))
+      .join(contaminated, Seq(idCol), "left_anti")
+      .where(col("n_tokens") >= minTokens &&
+        col("top_token_frac") <= maxTopTokenFrac)
+      .select(col(idCol), col(langCol), col("n_tokens"), col("top_token_frac"))
+  }
+
   /** Curation accounting — the per-language outcome breakdown every real
     * curation run reports (what fraction of docs/tokens each rule dropped).
     * Outcomes use first-failing-rule precedence `blocked` → `duplicate` →

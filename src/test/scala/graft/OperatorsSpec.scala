@@ -1075,6 +1075,40 @@ class OperatorsSpec extends SparkTestBase {
     assert(rB.values.sum == 5L) // still a partition of the corpus
   }
 
+  test("curateKeepClustered: keep-best per cluster label, then quality rules") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val clean = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, clean, "en", 5.0),  // cluster {1,2}: 2 outscores 1 -> 1 dropped
+      (2L, other, "en", 9.0),  //   despite 1 passing every quality rule
+      (3L, clean + " alpha beta gamma delta", "en", 1.0), // singleton, contaminated
+      (4L, "short one", "en", 1.0)                        // singleton, < 20 tokens
+    ).toDF("doc_id", "text", "lang", "score")
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    val kept = CurationOps.curateKeepClustered(
+        corpus, bench, "doc_id", "text", "lang", labels, "score")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+    // flip the scores: 1 becomes the representative and is kept
+    val corpus2 = corpus.withColumn("score",
+      when(col("doc_id") === 1, 9.0).otherwise(1.0))
+    val kept2 = CurationOps.curateKeepClustered(
+        corpus2, bench, "doc_id", "text", "lang", labels, "score")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(1L))
+    // a blocked representative never competes: blocking 2's source under
+    // the original scores hands the cluster back to 1
+    val sourced = corpus.withColumn("source",
+      when(col("doc_id") === 2, "bad.com").otherwise("ok.org"))
+    val keptB = CurationOps.curateKeepClustered(
+        sourced, bench, "doc_id", "text", "lang", labels, "score",
+        blockedSources = Some(Seq("bad.com").toDF("domain")))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptB == Set(1L))
+  }
+
   test("incremental near-dup == full-corpus pairs touching the new split") {
     val path = tmpDir("mhstore")
     val split = 200L
