@@ -727,6 +727,17 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("lang"), col("split"))),
 
+    // leakage-safe split: the slot hashes the near-dup COMPONENT from the
+    // persisted label store, so whole clusters land in one split and a
+    // near-dup pair can never straddle train/val
+    "sample_split_clustered" -> ((s, dir) => {
+      val labels = operators.DedupOps.loadClusterLabels(
+        s, Fixtures.clusterStorePath(s, dir))
+      operators.SampleOps.splitAssignClustered(Tables.documents(s, dir),
+          "doc_id", labels, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("split"))
+    }),
+
     // eval hygiene end-to-end: the same 80/10/10 split, then every TRAIN
     // doc sharing a word 4-gram with the val∪test holdout is flagged —
     // splitAssign composed with the guarded ngramOverlap
@@ -2384,6 +2395,33 @@ object SparkEntry {
                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
                    % 1000000 AS slot
                FROM documents)
+         ORDER BY doc_id""",
+
+    // sample_split's slot CASE hashed on the dedup_clusters recursive-CTE
+    // component (singleton = own id) instead of the doc id
+    "sample_split_clustered" ->
+      """WITH RECURSIVE
+         e AS (SELECT doc_id AS a, doc_id - doc_id % 7 AS b FROM documents
+               WHERE doc_id % 7 != 0
+               UNION ALL
+               SELECT doc_id, doc_id - 1 FROM documents
+               WHERE doc_id % 21 = 0 AND doc_id > 0),
+         sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+         reach(id, r) AS (
+           SELECT DISTINCT a AS id, a AS r FROM sym
+           UNION
+           SELECT s.a AS id, rc.r FROM sym s JOIN reach rc ON s.b = rc.id),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         keyed AS (SELECT d.doc_id, d.lang,
+                     coalesce(cp.component, d.doc_id) AS ck
+                   FROM documents d LEFT JOIN comp cp ON d.doc_id = cp.id)
+         SELECT doc_id, lang,
+           CASE WHEN slot < 800000 THEN 'train'
+                WHEN slot < 900000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id, lang,
+                 CAST('0x' || substring(md5(CAST(ck AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 1000000 AS slot
+               FROM keyed)
          ORDER BY doc_id""",
 
     // the text_contam shape with the slot-hash split as the benchmark

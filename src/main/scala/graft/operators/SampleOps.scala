@@ -227,4 +227,33 @@ object SampleOps {
       }
     df.withColumn("split", assigned)
   }
+
+  /** [[splitAssign]] at LEAKAGE-SAFE granularity: the slot hashes the
+    * row's near-dup COMPONENT label (`labels` = `(id, component)`, e.g.
+    * [[DedupOps.loadClusterLabels]]'s latest-wins view; ids absent from
+    * `labels` are their own singleton components), so every member of a
+    * near-dup cluster draws the SAME split. A doc-granular split cannot
+    * prevent the worst eval-hygiene leak — a near-duplicate of a val doc
+    * sitting in train — because the two docs hash independently; hashing
+    * the cluster makes straddling impossible by construction, and the
+    * partition stays disjoint + total exactly as in [[splitAssign]].
+    *
+    * Fractions apply to CLUSTERS: each cluster lands whole, so realized
+    * row fractions track cluster mass (exact in expectation; deviation
+    * bounded by the largest cluster's share).
+    *
+    * Scale shape: one left join against the label view — the same size
+    * class as the dedup store the pipeline already maintains, equi-keyed
+    * on the id so AQE broadcasts or shuffles as its size dictates — then
+    * [[splitAssign]]'s map-side CASE; no other corpus exchange.
+    */
+  def splitAssignClustered(df: DataFrame, idCol: String, labels: DataFrame,
+      fractions: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    val cc = labels.select(col("id").as("__sp_id"),
+      col("component").as("__sp_comp"))
+    val keyed = df.join(cc, col(idCol) === col("__sp_id"), "left")
+      .withColumn("__sp_key", coalesce(col("__sp_comp"), col(idCol)))
+      .drop("__sp_id", "__sp_comp")
+    splitAssign(keyed, "__sp_key", fractions, salt).drop("__sp_key")
+  }
 }

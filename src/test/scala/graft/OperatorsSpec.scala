@@ -1467,6 +1467,30 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("splitAssignClustered: clusters land whole, singletons match splitAssign") {
+    import spark.implicits._
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // clusters of 3 over doc ids 0..299: component = id - id % 3
+    val labels = docs.select(col("doc_id").as("id"),
+      (col("doc_id") - col("doc_id") % 3).as("component"))
+    val split = SampleOps.splitAssignClustered(docs, "doc_id", labels, fr)
+    val n = docs.count()
+    // disjoint + total survives the composition
+    assert(split.count() == n && split.where(col("split").isNull).count() == 0)
+    // every cluster is split-pure: one distinct split per component
+    val impure = split.withColumn("c", col("doc_id") - col("doc_id") % 3)
+      .groupBy("c").agg(countDistinct(col("split")).as("k"))
+      .where(col("k") > 1).count()
+    assert(impure == 0L)
+    // a cluster's split == splitAssign of its component id; ids ABSENT from
+    // the labels hash as their own singleton components
+    val own = SampleOps.splitAssign(docs, "doc_id", fr)
+      .select(col("doc_id"), col("split"))
+    val viaEmpty = SampleOps.splitAssignClustered(docs, "doc_id",
+      labels.limit(0), fr)
+    assert(viaEmpty.select("doc_id", "split").except(own).count() == 0)
+  }
+
   test("quantileKeep: exact per-group rank cut, ppm-integer threshold, frac=1 keeps all") {
     import spark.implicits._
     // 10 docs in one group with distinct scores 1..10
