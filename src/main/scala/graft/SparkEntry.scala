@@ -487,6 +487,15 @@ object SparkEntry {
         Fixtures.postingsIndexPath(s, dir),
         Seq("dup", "spark", "query"), k = 20, idCol = "doc_id")),
 
+    // BM25 (k1=1.2, b=0.75) through the same persisted two-batch index:
+    // integer-quantized contributions (×1000, floored; avgdl in tenths
+    // from the additive n_tokens sidecar), dl denormalized on posting rows
+    // so the probe stays bucket-pruned
+    "search_bm25_topk" -> ((s, dir) =>
+      operators.SearchOps.bm25TopKIndexed(s,
+        Fixtures.postingsIndexPath(s, dir),
+        Seq("dup", "spark", "query"), k = 20, idCol = "doc_id")),
+
     // the same search through an index built by STREAMING maintenance
     // (one batch dir per micro-batch) and then COMPACTED — accumulation,
     // additivity and compaction must all preserve the scorer exactly
@@ -1852,6 +1861,28 @@ object SparkEntry {
                       - length(bin(count(*))) idf FROM tf GROUP BY t),
          s AS (SELECT doc_id, sum(tf * idf) score, count(*) n_terms
                FROM tf JOIN dft USING (t) GROUP BY 1)
+         SELECT doc_id, CAST(score AS BIGINT) score, CAST(n_terms AS BIGINT) n_terms
+         FROM s ORDER BY score DESC, doc_id LIMIT 20""",
+
+    // BM25 quantization replayed exactly: a10 = (10·T) // N, per-term
+    // contribution (22000·a10·idf·tf) // (10·a10·tf + 3·a10 + 90·dl);
+    // all operands positive so DuckDB's // and Spark's div agree
+    "search_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') tks
+                    FROM documents),
+         stats AS (SELECT count(*) n, CAST(sum(len(tks)) AS BIGINT) t FROM d),
+         a AS (SELECT n, (10 * t) // n AS a10 FROM stats),
+         tok AS (SELECT doc_id, unnest(tks) tk, len(tks) dl FROM d),
+         q AS (SELECT doc_id, tk, dl FROM tok
+               WHERE tk IN ('dup', 'spark', 'query')),
+         tf AS (SELECT doc_id, tk, count(*) tf, max(dl) dl FROM q GROUP BY 1, 2),
+         dft AS (SELECT tk, length(bin((SELECT n FROM stats)))
+                      - length(bin(count(*))) idf FROM tf GROUP BY tk),
+         c AS (SELECT doc_id,
+                 (22000 * a.a10 * idf * tf)
+                   // (10 * a.a10 * tf + 3 * a.a10 + 90 * dl) AS cc
+               FROM tf JOIN dft USING (tk), a),
+         s AS (SELECT doc_id, sum(cc) score, count(*) n_terms FROM c GROUP BY 1)
          SELECT doc_id, CAST(score AS BIGINT) score, CAST(n_terms AS BIGINT) n_terms
          FROM s ORDER BY score DESC, doc_id LIMIT 20""",
 

@@ -55,9 +55,15 @@ object SearchOps {
     // null text = empty text: the doc must still reach the postings (as its
     // [''] token) so the n_docs sidecar counts it — [[keywordTopKIndexed]]
     // and [[TextOps.keywordTopK]] must agree on N for any corpus
+    // dl (doc length in tokens) rides DENORMALIZED on every posting row:
+    // BM25's length normalization needs it at probe time, and a separate
+    // per-doc sidecar would cost the probe an O(corpus) id-join — carrying
+    // one int per posting keeps the probe fully bucket-pruned
     docs.select(col(idCol).as("id"),
-        explode(TextOps.tokens(coalesce(col(textCol), lit("")))).as("term"))
-      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+        explode(TextOps.tokens(coalesce(col(textCol), lit("")))).as("term"),
+        TextOps.tokenCount(coalesce(col(textCol), lit(""))).as("dl"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .withColumn("bkt", pmod(DedupOps.baseHash(col("term")), lit(TermBuckets.toLong)))
       .repartition(TermBuckets, col("bkt")) // one writer task per bucket — no small files
       .write.partitionBy("bkt").mode("overwrite")
@@ -71,7 +77,10 @@ object SearchOps {
       .repartition(TermBuckets, col("bkt"))
       .write.partitionBy("bkt").mode("overwrite")
       .parquet(s"$path/terms/batch=$batchToken")
-    back.agg(count_distinct(col("id")).as("n_docs"))
+    // n_tokens = Σ tf over the batch = Σ dl over its (disjoint) docs —
+    // additive across batches like n_docs, and the probe's avgdl input
+    back.agg(count_distinct(col("id")).as("n_docs"),
+        sum(col("tf")).cast("long").as("n_tokens"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/counts/batch=$batchToken")
     // an append (or a replayed token's overwrite) mutates files under paths
@@ -99,7 +108,7 @@ object SearchOps {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     spark.read.parquet(s"$srcPath/postings")
-      .select(col("id"), col("term"), col("tf"), col("bkt"))
+      .select(col("id"), col("term"), col("tf"), col("dl"), col("bkt"))
       .repartition(TermBuckets, col("bkt"))
       .write.partitionBy("bkt").mode("overwrite")
       .parquet(s"$dstPath/postings/batch=base")
@@ -109,7 +118,8 @@ object SearchOps {
       .repartition(TermBuckets, col("bkt"))
       .write.partitionBy("bkt").mode("overwrite")
       .parquet(s"$dstPath/terms/batch=base")
-    back.agg(count_distinct(col("id")).as("n_docs"))
+    back.agg(count_distinct(col("id")).as("n_docs"),
+        sum(col("tf")).cast("long").as("n_tokens"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dstPath/counts/batch=base")
     // same staleness hazard as appends: a re-compaction to a dst this
@@ -154,6 +164,64 @@ object SearchOps {
       // so the row count per id is its matched distinct-term count
       .agg(sum(col("tf") * col("__idf")).as("score"),
         count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("score"), col("n_terms"))
+  }
+
+  /** BM25 top-k from a persisted index (Robertson/Spärck Jones; k1 = 1.2,
+    * b = 0.75, the standard defaults) — [[keywordTopKIndexed]]'s ranking
+    * upgraded with term-frequency saturation and document-length
+    * normalization, and [[TextOps.bm25TopK]]'s build-once/probe-many twin
+    * (identical results over the union of batches).
+    *
+    * Engine-exact quantization instead of float scoring: with k1 = 6/5 and
+    * b = 3/4, the per-term BM25 contribution
+    * `idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` becomes — after
+    * quantizing avgdl to tenths of a token, `a10 = (10·T) div N` — the
+    * integer-exact floor division
+    * `(22000·a10·idf·tf) div (10·a10·tf + 3·a10 + 90·dl)`,
+    * i.e. the true value scaled by 1000 and floored, with the same
+    * bit-length idf as [[keywordTopKIndexed]]. All operands positive, so
+    * Spark's `div` and the oracle's `//` agree exactly. Safe while
+    * `a10·idf·tf < 4·10^14` (avgdl·tf ≲ 6·10^11 — beyond any real
+    * corpus/doc pair; exceeding it would need a single document of ~10^6
+    * tokens in a corpus averaging ~10^5).
+    *
+    * Scale shape identical to [[keywordTopKIndexed]]: bucket-pruned
+    * postings/terms scans (dl rides on the posting rows — no per-doc
+    * sidecar join), broadcast df table, TakeOrdered top-k; N and T are the
+    * two driver scalars from the counts sidecar.
+    */
+  def bm25TopKIndexed(spark: SparkSession, path: String,
+      terms0: Seq[String], k: Int, idCol: String = "id"): DataFrame = {
+    require(terms0.nonEmpty, "need at least one query term")
+    require(k > 0, "k must be positive")
+    val terms = terms0.map(_.toLowerCase).distinct
+    val bkts = terms.map(bucketOf).distinct
+    def pruned(sub: String): DataFrame =
+      spark.read.parquet(s"$path/$sub")
+        .where(col("bkt").cast("long").isin(bkts: _*) &&
+          col("term").isin(terms: _*))
+    val cnt = spark.read.parquet(s"$path/counts")
+      .agg(sum(col("n_docs")).cast("long").as("n"),
+        sum(col("n_tokens")).cast("long").as("t")).head()
+    val n = cnt.getLong(0)
+    require(n > 0, "bm25TopKIndexed: empty index")
+    val a10 = 10L * cnt.getLong(1) / n // avgdl in tenths; >= 10 (>= 1 tok/doc)
+    def bitlen(x: org.apache.spark.sql.Column) = length(bin(x))
+    val dfT = pruned("terms")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .select(col("term"),
+        (bitlen(lit(n)) - bitlen(col("df"))).cast("long").as("__idf"))
+    pruned("postings")
+      .join(broadcast(dfT), Seq("term"))
+      .withColumn("__num", lit(22000L * a10) * col("__idf") * col("tf"))
+      .withColumn("__den",
+        lit(10L * a10) * col("tf") + lit(3L * a10) + lit(90L) * col("dl"))
+      .withColumn("__c", expr("__num div __den"))
+      .groupBy(col("id"))
+      .agg(sum(col("__c")).as("score"), count(lit(1)).as("n_terms"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
       .select(col("id").as(idCol), col("score"), col("n_terms"))

@@ -413,6 +413,52 @@ object TextOps {
       .select(col(idCol), col("score"), col("n_terms"))
   }
 
+  /** BM25 top-k by corpus re-scan — [[keywordTopK]]'s ranking with
+    * term-frequency saturation and doc-length normalization, result-
+    * identical to [[SearchOps.bm25TopKIndexed]] over the same corpus
+    * (that scaladoc derives the shared integer quantization: k1 = 1.2,
+    * b = 0.75, contribution = `(22000·a10·idf·tf) div
+    * (10·a10·tf + 3·a10 + 90·dl)` with `a10 = (10·T) div N`).
+    *
+    * Scale shape mirrors [[keywordTopK]] — one corpus tokenize (dl is
+    * computed pre-explode, free), term-filtered map-side, persisted tf
+    * feeding both the df aggregate and the scoring join, TakeOrdered
+    * top-k; N and T come from one extra corpus aggregate. Prefer the
+    * indexed probe for repeated queries.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms0: Seq[String], k: Int): DataFrame = {
+    require(terms0.nonEmpty, "need at least one query term")
+    require(k > 0, "k must be positive")
+    val terms = terms0.map(_.toLowerCase).distinct
+    val txt = coalesce(col(textCol), lit(""))
+    val cnt = docs.agg(count(lit(1)).as("n"),
+      sum(tokenCount(txt)).cast("long").as("t")).head()
+    val n = cnt.getLong(0)
+    require(n > 0, "bm25TopK: empty corpus")
+    val a10 = 10L * cnt.getLong(1) / n
+    def bitlen(x: Column): Column = length(bin(x))
+    val tf = graft.CacheScope.persist(
+      docs.select(col(idCol), explode(tokens(txt)).as("__t"),
+          tokenCount(txt).as("__dl"))
+        .where(col("__t").isin(terms: _*))
+        .groupBy(col(idCol), col("__t"))
+        .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl")))
+    val dfT = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+      .select(col("__t"),
+        (bitlen(lit(n)) - bitlen(col("__df"))).cast("long").as("__idf"))
+    tf.join(broadcast(dfT), Seq("__t"))
+      .withColumn("__num", lit(22000L * a10) * col("__idf") * col("__tf"))
+      .withColumn("__den",
+        lit(10L * a10) * col("__tf") + lit(3L * a10) + lit(90L) * col("__dl"))
+      .withColumn("__c", expr("__num div __den"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"), col("n_terms"))
+  }
+
   /** Observed-metrics name for [[tfidfCosinePairs]]' stop-term accounting:
     * (stop_terms, zero_idf_terms).
     */

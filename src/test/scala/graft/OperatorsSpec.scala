@@ -754,6 +754,46 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("bm25: saturation + length normalization, index probe == corpus scan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "rare pad pad pad pad pad pad pad"),            // tf=1, dl=8
+      (2L, "rare rare rare rare rare rare rare rare"),     // tf=8, dl=8
+      (3L, "rare pad"),                                    // tf=1, dl=2
+      (4L, "pad pad pad pad pad pad pad pad"),
+      (5L, null.asInstanceOf[String])                      // counts in N and T
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(docs, "doc_id", "text", Seq("rare"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    // ranked: 2 (highest tf) above 3 (same tf as 1, shorter doc) above 1
+    assert(got.map(_._1) == List(2L, 3L, 1L), s"got $got")
+    val s = got.map(x => x._1 -> x._2).toMap
+    // tf SATURATES: 8x the term count buys well under 8x the score
+    assert(s(2L) < 4 * s(1L), s"saturation violated: $s")
+    // shorter doc with equal tf outranks strictly
+    assert(s(3L) > s(1L))
+    // the persisted index probe reproduces the scan bit-for-bit, across
+    // an append (additive N/T) and for multi-term queries
+    val path = s"${Fixtures.tmpRoot}/bm25_spec"
+    SearchOps.buildPostingsIndex(docs.where(col("doc_id") <= 3), "doc_id", "text", path)
+    SearchOps.appendPostingsIndex(docs.where(col("doc_id") > 3), "doc_id", "text", path, "b2")
+    for (terms <- Seq(Seq("rare"), Seq("rare", "pad"))) {
+      val direct = TextOps.bm25TopK(docs, "doc_id", "text", terms, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      val probe = SearchOps.bm25TopKIndexed(spark, path, terms, 5, idCol = "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      assert(probe == direct, s"index/scan divergence for $terms")
+    }
+    // compaction preserves dl and the n_tokens sidecar
+    SearchOps.compactPostingsIndex(spark, path, s"${path}_c")
+    val compacted = SearchOps.bm25TopKIndexed(spark, s"${path}_c",
+        Seq("rare", "pad"), 5, idCol = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val direct2 = TextOps.bm25TopK(docs, "doc_id", "text", Seq("rare", "pad"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(compacted == direct2)
+  }
+
   test("hashedLinearScore: mean of bucket weights, missing buckets 0, empty doc = intercept") {
     import spark.implicits._
     val docs = Seq((1L, "aa bb aa"), (2L, "zz"), (3L, "")).toDF("doc_id", "text")
