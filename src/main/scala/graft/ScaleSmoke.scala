@@ -480,6 +480,29 @@ object ScaleSmoke {
       require(got.take(1000).forall(_._2 > 0), "needle docs must outrank")
       println(f"[scale]   direct re-scan for parity         ${(System.nanoTime() - t1) / 1e9}%8.2f s")
     }
+    time("bm25: 2M-doc pruned probe vs direct scan") {
+      // same index + corpus as the postings entry; the BM25 probe must
+      // stay bucket-pruned (dl rides the posting rows — no corpus-sized
+      // doc-length join) and equal the direct scan bit-for-bit
+      val docs = syntheticDocs(spark, 2000000).unionByName(
+        spark.range(1000).select((col("id") + 50000000L).as("doc_id"),
+          concat(lit("needle0 needle1 w0 w1 filler"),
+            pmod(col("id"), lit(7)).cast("string")).as("text")))
+      val terms = Seq("needle0", "needle1", "w0")
+      val probe = operators.SearchOps.bm25TopKIndexed(spark, s"$root/pix",
+        terms, 100, idCol = "doc_id")
+      val got = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toList
+      val pf = probe.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("PartitionFilters")).toList
+      require(pf.nonEmpty && pf.forall(l => l.contains("bkt")),
+        "bm25 probe must partition-prune on the term buckets")
+      CacheScope.release()
+      val t1 = System.nanoTime()
+      val direct = operators.TextOps.bm25TopK(docs, "doc_id", "text", terms, 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+      require(got == direct, "bm25 index probe must equal the direct scan")
+      println(f"[scale]   direct re-scan for parity         ${(System.nanoTime() - t1) / 1e9}%8.2f s")
+    }
     // 1M disjoint 11-node stars (components known exactly by
     // construction) + one 65536-node path at a disjoint id range — the
     // diameter stress star contraction exists for: min-label propagation
@@ -544,6 +567,28 @@ object ScaleSmoke {
       val total = labels.count()
       require(mislabeled == 0L, s"$mislabeled nodes got a wrong merged label")
       require(total == 11000000L, s"expected 11M labeled nodes, got $total")
+    }
+    time("cluster split: 11M docs, leakage-safe 80/10/10") {
+      // split hashed on the MERGED label view (post-bridge): every
+      // component must land split-pure, the partition must stay total, and
+      // realized shares must track cluster mass within a loose band
+      val labels = operators.DedupOps.loadClusterLabels(spark, s"$root/ccstore")
+      val docs = spark.range(11000000L).select(col("id").as("doc_id"))
+      val split = CacheScope.persist(operators.SampleOps.splitAssignClustered(
+        docs, "doc_id", labels,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      val impure = split.join(labels, split("doc_id") === labels("id"), "left")
+        .withColumn("c", coalesce(col("component"), col("doc_id")))
+        .groupBy(col("c")).agg(count_distinct(col("split")).as("k"))
+        .where(col("k") > 1L).count()
+      require(impure == 0L, s"$impure components straddle splits")
+      val counts = split.groupBy(col("split")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = counts.values.sum
+      require(total == 11000000L, s"partition must stay total, got $total")
+      val trainShare = counts("train").toDouble / total
+      require(math.abs(trainShare - 0.8) < 0.05,
+        s"train share $trainShare drifted past the binomial band")
     }
     time("salted aggregation over skewed key") {
       // 90% of rows share one key — the shape AQE can't fix for groupBy
