@@ -63,6 +63,12 @@ object SparkEntry {
     "fs_align_ffill" -> ((s, dir) =>
       Fixtures.store(s, dir).loadFeatures(Seq("events/click", "events/purchase"))),
 
+    // R2's interp twin: outer align, then each feature interpolates its
+    // holes between its OWN neighboring observations (null outside span)
+    "fs_align_interp" -> ((s, dir) =>
+      Fixtures.store(s, dir).loadFeatures(Seq("events/click", "events/purchase"),
+        how = "interp")),
+
     // T1/T2: stored-transform DAG (click_comb = click + click^2), time filter
     // pushed through every DAG level
     "fs_transform_dag" -> ((s, dir) =>
@@ -1255,6 +1261,41 @@ object SparkEntry {
             last_value(cv IGNORE NULLS) OVER (ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "events/click",
             last_value(pv IGNORE NULLS) OVER (ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "events/purchase"
           FROM j ORDER BY time""",
+
+    "fs_align_interp" ->
+      s"""WITH c AS (${ev("click")}), p AS (${ev("purchase")}),
+          j AS (SELECT coalesce(c.time, p.time) AS time, c.value AS cv, p.value AS pv
+                FROM c FULL OUTER JOIN p ON c.time = p.time),
+          f AS (SELECT time,
+            last_value(CASE WHEN cv IS NOT NULL THEN time END IGNORE NULLS)
+              OVER wf AS ct0,
+            last_value(cv IGNORE NULLS) OVER wf AS cv0,
+            first_value(CASE WHEN cv IS NOT NULL THEN time END IGNORE NULLS)
+              OVER wb AS ct1,
+            first_value(cv IGNORE NULLS) OVER wb AS cv1,
+            last_value(CASE WHEN pv IS NOT NULL THEN time END IGNORE NULLS)
+              OVER wf AS pt0,
+            last_value(pv IGNORE NULLS) OVER wf AS pv0,
+            first_value(CASE WHEN pv IS NOT NULL THEN time END IGNORE NULLS)
+              OVER wb AS pt1,
+            first_value(pv IGNORE NULLS) OVER wb AS pv1
+            FROM j
+            WINDOW wf AS (ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wb AS (ORDER BY time ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+          SELECT time,
+            CASE WHEN ct0 IS NULL OR ct1 IS NULL THEN NULL
+                 WHEN ct1 = ct0 THEN cv0
+                 ELSE cv0 + (cv1 - cv0) *
+                   (CAST(epoch_us(time) - epoch_us(ct0) AS DOUBLE)
+                    / CAST(epoch_us(ct1) - epoch_us(ct0) AS DOUBLE)) END
+              AS "events/click",
+            CASE WHEN pt0 IS NULL OR pt1 IS NULL THEN NULL
+                 WHEN pt1 = pt0 THEN pv0
+                 ELSE pv0 + (pv1 - pv0) *
+                   (CAST(epoch_us(time) - epoch_us(pt0) AS DOUBLE)
+                    / CAST(epoch_us(pt1) - epoch_us(pt0) AS DOUBLE)) END
+              AS "events/purchase"
+          FROM f ORDER BY time""",
 
     "fs_transform_dag" ->
       s"""SELECT time, value + value * value AS "events/click_comb"

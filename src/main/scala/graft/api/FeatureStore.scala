@@ -222,8 +222,11 @@ class FeatureStore(
   def loadFeatures(names: Seq[String], from: Option[String] = None,
       to: Option[String] = None, freq: Option[String] = None,
       timeTravel: Option[String] = None,
-      defaultNamespace: Option[String] = None): DataFrame = {
+      defaultNamespace: Option[String] = None,
+      how: String = "ffill"): DataFrame = {
     require(names.nonEmpty, "no features requested")
+    require(how == "ffill" || how == "interp",
+      s"loadFeatures: how must be 'ffill' or 'interp', got '$how'")
     val fromTs = from.map(TimeUtil.parseTimestamp)
     val toTs = to.map(TimeUtil.parseTimestamp)
     // memoize per-feature plans within this call: a DAG that references the
@@ -240,8 +243,13 @@ class FeatureStore(
     // per-read-shape cuts memo: the second identical read skips the ffill
     // bucket-cuts job (cuts are load-balancing hints — stale ones cost
     // balance, never answers)
-    Align.alignOuter(TimeCol, frames, memo = Some(cutsMemoFor(
-      s"align|${frames.map(_._1).mkString(",")}|$from|$to|$freq|$timeTravel")))
+    val memoKey = s"align|$how|${frames.map(_._1).mkString(",")}|$from|$to|$freq|$timeTravel"
+    if (how == "interp")
+      Align.alignInterp(TimeCol, frames,
+        memoFwd = Some(cutsMemoFor(s"$memoKey|fwd")),
+        memoBwd = Some(cutsMemoFor(s"$memoKey|bwd")))
+    else
+      Align.alignOuter(TimeCol, frames, memo = Some(cutsMemoFor(memoKey)))
   }
 
   private val cutsMemos =

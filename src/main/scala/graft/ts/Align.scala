@@ -405,6 +405,52 @@ object Align {
     else joined
   }
 
+  /** N-feature outer align with LINEAR INTERPOLATION — [[alignOuter]]'s
+    * interp twin: frames outer-align on the union time axis, then each
+    * feature's holes fill as v0 + (v1−v0)·(t−t0)/(t1−t0) between that
+    * feature's OWN neighboring observations; exact at its observation
+    * instants, null before its first / after its last (no extrapolation —
+    * that is what the ffill flavor holds for). All feature columns come
+    * back DOUBLE.
+    *
+    * Scale shape: the [[alignOuter]] join (or wide stack-pivot), then TWO
+    * sequential quantile-bucketed prefix scans over the aligned frame —
+    * forward carrying each column's last (t, v) observation struct,
+    * backward (reversed axis) carrying the next. No per-column branch, no
+    * grid join ([[resampleInterp]] joins because each pass filters to
+    * spine rows; here every union row is output, so the passes chain), no
+    * global-sort window at any size.
+    */
+  def alignInterp(timeCol: String, frames: Seq[(String, DataFrame)],
+      memoFwd: Option[CutsMemo] = None,
+      memoBwd: Option[CutsMemo] = None): DataFrame = {
+    require(frames.nonEmpty, "alignInterp needs at least one frame")
+    val names = frames.map(_._1)
+    val wide = alignOuter(timeCol, frames, doFfill = false)
+    val us = unix_micros(col(timeCol))
+    val seeded = names.foldLeft(wide) { (d, c) =>
+      val obs = when(col(c).isNotNull, struct(us.as("t"), col(c).as("v")))
+      d.withColumn(s"__p_$c", obs).withColumn(s"__n_$c", obs)
+    }
+    // union times are unique (the outer join / pivot keys on the instant),
+    // so the axis alone is a total order — no tie-break column needed
+    val fwd = ffillOrdered(seeded, timeCol, Seq(col(timeCol)),
+      names.map(c => s"__p_$c"), memo = memoFwd)
+    val both = ffillOrdered(fwd.withColumn("__rt", timestamp_micros(-us)),
+      "__rt", Seq(col("__rt")), names.map(c => s"__n_$c"), memo = memoBwd)
+    val g = unix_micros(col(timeCol))
+    val outCols = names.map { c =>
+      val p = col(s"__p_$c"); val n = col(s"__n_$c")
+      val t0 = p.getField("t"); val v0 = p.getField("v").cast("double")
+      val t1 = n.getField("t"); val v1 = n.getField("v").cast("double")
+      when(p.isNull || n.isNull, lit(null).cast("double"))
+        .when(t1 === t0, v0)
+        .otherwise(v0 + (v1 - v0) *
+          ((g - t0).cast("double") / (t1 - t0).cast("double"))).as(c)
+    }
+    both.select((col(timeCol) +: outCols): _*)
+  }
+
   private def micros(t: java.sql.Timestamp): Long = {
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
   }

@@ -168,6 +168,23 @@ class AlignSpec extends SparkTestBase {
       (2L, None)))       // past key 2's last observation
   }
 
+  test("alignInterp: per-feature interpolation on the union axis") {
+    import spark.implicits._
+    val a = Seq((ts("2021-01-01"), 10.0), (ts("2021-01-05"), 50.0))
+      .toDF("time", "value")
+    val b = Seq((ts("2021-01-03"), 7.0), (ts("2021-01-07"), 3.0))
+      .toDF("time", "value")
+    val out = Align.alignInterp("time", Seq("a" -> a, "b" -> b))
+      .orderBy("time").collect()
+      .map(r => (r.getTimestamp(0), Option(r.getAs[Any]("a")),
+        Option(r.getAs[Any]("b"))))
+    assert(out.toSeq == Seq(
+      (ts("2021-01-01"), Some(10.0), None),        // before b's first obs
+      (ts("2021-01-03"), Some(30.0), Some(7.0)),   // a halfway 10 -> 50
+      (ts("2021-01-05"), Some(50.0), Some(5.0)),   // b halfway 7 -> 3
+      (ts("2021-01-07"), None, Some(3.0))))        // past a's last obs
+  }
+
   test("duration parsing") {
     assert(TimeUtil.parseMicros("-15min") == -15L * 60 * 1000000)
     assert(TimeUtil.parseMicros("2d") == 2L * 86400 * 1000000)
