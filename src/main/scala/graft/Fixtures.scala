@@ -314,6 +314,21 @@ object Fixtures {
       path
     })
 
+  private val lmModels = TrieMap[String, String]()
+
+  /** Persisted bigram-LM model trained once per (JVM, sf) on the lang='en'
+    * slice — the store side of the `quality_lm_stored` gate, which must
+    * equal the inline [[graft.operators.TextOps.bigramSurprise]] exactly.
+    */
+  def lmModelPath(spark: SparkSession, sfDir: String): String =
+    lmModels.getOrElseUpdate(sfDir, {
+      val path = s"${tmpRoot}/lm_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      graft.operators.TextOps.buildLmModel(
+        Tables.documents(spark, sfDir).where(col("lang") === "en"),
+        "text", path)
+      path
+    })
+
   private val postingsIdx = TrieMap[String, String]()
 
   /** Persisted postings index built once per (JVM, sf) in TWO batches —

@@ -468,6 +468,13 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // the same scoring through a PERSISTED LM model (train once on the
+    // trusted slice, score any batch without touching the reference
+    // corpus) — must equal the inline scorer cell-for-cell
+    "quality_lm_stored" -> ((s, dir) =>
+      operators.TextOps.bigramSurpriseStored(Tables.documents(s, dir),
+        "doc_id", "text", Fixtures.lmModelPath(s, dir))),
+
     // DSIR-style importance weights (Xie 2023): hashed unigram+bigram
     // features, target = the lang='en' slice, raw = the whole corpus;
     // per-feature quantized log ratio bitlen(ct+1) - bitlen(cr+1)
@@ -1814,6 +1821,37 @@ object SparkEntry {
     // position = bitlen(c1+V) - bitlen(c12+1), bin() renders unpadded in
     // both engines; V = distinct ref unigrams
     "quality_lm_surprise" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') tks
+                    FROM documents),
+         rb AS (SELECT tks[i+1] w1, tks[i+2] w2 FROM d, unnest(range(len(tks) - 1)) t(i)
+                WHERE lang = 'en' AND len(tks) >= 2),
+         c12 AS (SELECT w1, w2, count(*) c FROM rb GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) c FROM rb GROUP BY 1),
+         v AS (SELECT count(DISTINCT t) vv FROM
+                 (SELECT unnest(tks) t FROM d WHERE lang = 'en')),
+         pos AS (SELECT doc_id, tks[i+1] w1, tks[i+2] w2
+                 FROM d, unnest(range(len(tks) - 1)) t(i) WHERE len(tks) >= 2),
+         j AS (SELECT doc_id,
+                 length(bin(coalesce(c1.c + v.vv, v.vv)))
+                   - length(bin(coalesce(c12.c, 0) + 1)) AS s,
+                 CASE WHEN c12.c IS NULL THEN 0 ELSE 1 END hb,
+                 CASE WHEN c1.c IS NULL THEN 0 ELSE 1 END hc
+               FROM pos CROSS JOIN v
+                 LEFT JOIN c12 ON c12.w1 = pos.w1 AND c12.w2 = pos.w2
+                 LEFT JOIN c1 ON c1.w1 = pos.w1),
+         a AS (SELECT doc_id, count(*) nb, sum(hb) hb, sum(hc) hc, sum(s) sb
+               FROM j GROUP BY 1)
+         SELECT doc.doc_id, CAST(coalesce(a.nb, 0) AS BIGINT) n_bigrams,
+           CAST(coalesce(a.hb, 0) AS BIGINT) hit_bigrams,
+           CAST(coalesce(a.hc, 0) AS BIGINT) hit_contexts,
+           CAST(coalesce(a.sb, 0) AS BIGINT) surprise_bits,
+           CASE WHEN a.nb > 0 THEN CAST(a.sb AS DOUBLE) / a.nb END avg_surprise_bits
+         FROM documents doc LEFT JOIN a ON a.doc_id = doc.doc_id
+         ORDER BY doc.doc_id""",
+
+    // identical semantics to quality_lm_surprise — the persisted-model
+    // probe must reproduce the inline scorer exactly
+    "quality_lm_stored" ->
       """WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') tks
                     FROM documents),
          rb AS (SELECT tks[i+1] w1, tks[i+2] w2 FROM d, unnest(range(len(tks) - 1)) t(i)

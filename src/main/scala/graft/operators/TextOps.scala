@@ -248,16 +248,7 @@ object TextOps {
     */
   def bigramSurprise(docs: DataFrame, ref: DataFrame, idCol: String,
       textCol: String, broadcastRefChars: Long = 64000000L): DataFrame = {
-    def bigramRows(df: DataFrame, extra: Seq[Column]): DataFrame = {
-      val tks = tokens(coalesce(col(textCol), lit("")))
-      df.select(extra :+ explode(zip_with(
-          slice(tks, lit(1), greatest(size(tks) - 1, lit(0))),
-          slice(tks, lit(2), greatest(size(tks) - 1, lit(0))),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"): _*)
-        .select("*").withColumn("w1", col("__bg.w1"))
-        .withColumn("w2", col("__bg.w2")).drop("__bg")
-    }
-    val refBg = bigramRows(ref, Seq.empty)
+    val refBg = bigramRows(ref, textCol, Seq.empty)
     val c12 = refBg.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("__c12"))
     val c1 = refBg.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
@@ -267,11 +258,34 @@ object TextOps {
     val refChars = ref
       .agg(coalesce(sum(length(coalesce(col(textCol), lit("")))), lit(0L)))
       .head().getLong(0)
+    scoreBigramModel(docs, idCol, textCol, c12, c1, vocabV, refChars,
+      broadcastRefChars)
+  }
+
+  private def bigramRows(df: DataFrame, textCol: String,
+      extra: Seq[Column]): DataFrame = {
+    val tks = tokens(coalesce(col(textCol), lit("")))
+    df.select(extra :+ explode(zip_with(
+        slice(tks, lit(1), greatest(size(tks) - 1, lit(0))),
+        slice(tks, lit(2), greatest(size(tks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"): _*)
+      .select("*").withColumn("w1", col("__bg.w1"))
+      .withColumn("w2", col("__bg.w2")).drop("__bg")
+  }
+
+  /** Shared scoring tail of [[bigramSurprise]] / [[bigramSurpriseStored]]:
+    * `c12` = (w1, w2, __c12), `c1` = (w1, __c1), plus the two driver
+    * scalars (V, the broadcast-guard char bound of the reference corpus).
+    */
+  private def scoreBigramModel(docs: DataFrame, idCol: String,
+      textCol: String, c12: DataFrame, c1: DataFrame, vocabV: Long,
+      refChars: Long, broadcastRefChars: Long): DataFrame = {
     def joinModel(pos: DataFrame, model: DataFrame, keys: Seq[String]) =
       if (refChars <= broadcastRefChars) pos.join(broadcast(model), keys, "left")
       else pos.join(model.hint("shuffle_hash"), keys, "left")
     def bitlen(x: Column): Column = length(bin(x))
-    val pos = bigramRows(docs.select(col(idCol), col(textCol)), Seq(col(idCol)))
+    val pos = bigramRows(docs.select(col(idCol), col(textCol)), textCol,
+      Seq(col(idCol)))
     val scored = joinModel(joinModel(pos, c12, Seq("w1", "w2")), c1, Seq("w1"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -289,6 +303,58 @@ object TextOps {
         when(col("n_bigrams") > 0,
           col("surprise_bits").cast("double") / col("n_bigrams"))
           .as("avg_surprise_bits"))
+  }
+
+  /** Persist [[bigramSurprise]]'s reference model — the quality tier's
+    * build-once/probe-many member of the store family (minhash /
+    * fingerprint / window / postings / labels / LM): a production pipeline
+    * trains the LM ONCE on the trusted corpus and scores every crawl batch
+    * against it; re-counting wiki per scoring call is the per-query
+    * corpus re-scan this family exists to kill.
+    *
+    * Layout at `path`: `c12/` (w1, w2, c), `c1/` (w1, c), `meta/` one row
+    * (v = vocabulary size, ref_chars = the broadcast-guard bound). Counts
+    * are additive across ref batches but V (distinct words) is not — the
+    * model REBUILDS per reference snapshot by design (trusted corpora are
+    * curated releases, not streams); [[buildLmModel]] overwrites.
+    */
+  def buildLmModel(ref: DataFrame, textCol: String, path: String): Unit = {
+    val spark = ref.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val refBg = graft.CacheScope.persist(bigramRows(ref, textCol, Seq.empty))
+    refBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$path/c12")
+    refBg.groupBy(col("w1")).agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$path/c1")
+    val vocabV = ref
+      .select(explode(tokens(coalesce(col(textCol), lit("")))).as("__w"))
+      .distinct().count()
+    val refChars = ref
+      .agg(coalesce(sum(length(coalesce(col(textCol), lit("")))), lit(0L)))
+      .head().getLong(0)
+    spark.range(1).select(lit(vocabV).as("v"), lit(refChars).as("ref_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    Seq("c12", "c1", "meta").foreach(sub =>
+      spark.catalog.refreshByPath(s"$path/$sub"))
+  }
+
+  /** [[bigramSurprise]] against a model persisted by [[buildLmModel]] —
+    * result-identical to the inline form over the same reference, but the
+    * reference corpus is never touched: the probe reads the two count
+    * tables (broadcast under the persisted ref_chars bound, shuffle_hash
+    * past it) and the one-row meta. */
+  def bigramSurpriseStored(docs: DataFrame, idCol: String, textCol: String,
+      path: String, broadcastRefChars: Long = 64000000L): DataFrame = {
+    val spark = docs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val c12 = spark.read.parquet(s"$path/c12")
+      .select(col("w1"), col("w2"), col("c").as("__c12"))
+    val c1 = spark.read.parquet(s"$path/c1")
+      .select(col("w1"), col("c").as("__c1"))
+    scoreBigramModel(docs, idCol, textCol, c12, c1,
+      meta.getAs[Long]("v"), meta.getAs[Long]("ref_chars"), broadcastRefChars)
   }
 
   /** DSIR-style hashed-n-gram importance log-ratio (Xie et al. 2023,

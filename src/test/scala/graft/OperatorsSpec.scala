@@ -960,6 +960,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(s("en") < s("zh"), s"expected en < zh surprise, got $s")
   }
 
+  test("bigramSurpriseStored: persisted model reproduces the inline scorer") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b a b"), (101L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val score = Seq((1L, "a b c"), (2L, "z"), (3L, "x y")).toDF("doc_id", "text")
+    val path = tmpDir("lmstore")
+    TextOps.buildLmModel(ref, "text", path)
+    val inline = TextOps.bigramSurprise(score, ref, "doc_id", "text")
+      .orderBy("doc_id").collect().toList
+    val stored = TextOps.bigramSurpriseStored(score, "doc_id", "text", path)
+      .orderBy("doc_id").collect().toList
+    assert(stored == inline)
+    // rebuild overwrites (a model is a snapshot, not a stream): a model
+    // from a different reference must fully replace the old counts
+    TextOps.buildLmModel(score, "text", path)
+    val rebuilt = TextOps.bigramSurpriseStored(score, "doc_id", "text", path)
+      .orderBy("doc_id").collect().toList
+    val inline2 = TextOps.bigramSurprise(score, score, "doc_id", "text")
+      .orderBy("doc_id").collect().toList
+    assert(rebuilt == inline2 && rebuilt != inline)
+  }
+
   test("packStats: hand-computed fragmentation accounting, empty-corpus safe") {
     import spark.implicits._
     // token counts 3,4,2 at chunkTokens=4 -> global spans [0,3)[3,7)[7,9):
