@@ -251,6 +251,24 @@ object Fixtures {
       path
     })
 
+  private val wnStores = TrieMap[String, String]()
+
+  /** Winnowing-fingerprint store over docs < 250, built in TWO batches
+    * (< 125 base, 125-249 append — the sizes sidecar's additivity is on
+    * the gate path), once per (JVM, sf).
+    */
+  def winnowStorePath(spark: SparkSession, sfDir: String): String =
+    wnStores.getOrElseUpdate(sfDir, {
+      val path = s"${tmpRoot}/wns_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val d = Tables.documents(spark, sfDir)
+      graft.operators.DedupOps.buildWinnowStore(
+        d.where(col("doc_id") < 125), "doc_id", "text", path)
+      graft.operators.DedupOps.appendWinnowStore(
+        d.where(col("doc_id") >= 125 && col("doc_id") < 250),
+        "doc_id", "text", path, batchToken = "b2")
+      path
+    })
+
   private val fpStores = TrieMap[String, String]()
 
   /** Exact-dedup fingerprint store over docs < 250, built once per

@@ -391,6 +391,14 @@ object SparkEntry {
       operators.DedupOps.winnowingPairs(Tables.documents(s, dir),
         "doc_id", "text", maxDocFreq = 20)),
 
+    // incremental winnowing: probe docs >= 250 against a persisted
+    // two-batch fingerprint store of docs < 250 — must equal the one-shot
+    // whole-corpus pairs restricted to pairs touching the batch
+    "dedup_winnow_incremental" -> ((s, dir) =>
+      operators.DedupOps.incrementalWinnowingPairs(
+        Tables.documents(s, dir).where(col("doc_id") >= 250), "doc_id", "text",
+        Fixtures.winnowStorePath(s, dir), maxDocFreq = 20)),
+
     // corpus vocabulary: top-100 tokens by frequency (+ doc frequency)
     "text_token_topk" -> ((s, dir) =>
       operators.TextOps.tokenHistogram(Tables.documents(s, dir), "doc_id", "text", 100)),
@@ -1631,6 +1639,37 @@ object SparkEntry {
          FROM pairs JOIN sz sa ON pairs.ia = sa.doc_id
                     JOIN sz sb ON pairs.ib = sb.doc_id
          WHERE shared >= 2 ORDER BY id_a, id_b""",
+
+    // dedup_winnow_pairs restricted to pairs touching the probed batch
+    // (docs >= 250): the store-probe result must equal the one-shot
+    // whole-corpus computation on that slice
+    "dedup_winnow_incremental" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         g AS (SELECT doc_id, i, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3]
+                 || ' ' || tks[i+4] AS s
+               FROM d, unnest(range(len(tks) - 3)) t(i) WHERE len(tks) >= 4),
+         h AS (SELECT doc_id, i, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) hh FROM g),
+         sel AS (SELECT doc_id,
+                   min(struct_pack(hh := hh, np := -i))
+                     OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) win,
+                   count(*) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) cnt
+                 FROM h),
+         fp AS (SELECT DISTINCT doc_id, win.hh AS f FROM sel WHERE cnt = 5),
+         dfq AS (SELECT f, count(*) c FROM fp GROUP BY f),
+         live AS (SELECT fp.doc_id, fp.f FROM fp JOIN dfq ON fp.f = dfq.f
+                  WHERE dfq.c <= 20),
+         pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) shared
+                   FROM live a JOIN live b ON a.f = b.f AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         sz AS (SELECT doc_id, count(*) n FROM fp GROUP BY doc_id)
+         SELECT ia AS id_a, ib AS id_b, CAST(shared AS BIGINT) shared_fps,
+           CAST(sa.n AS BIGINT) n_a, CAST(sb.n AS BIGINT) n_b
+         FROM pairs JOIN sz sa ON pairs.ia = sa.doc_id
+                    JOIN sz sb ON pairs.ib = sb.doc_id
+         WHERE shared >= 2 AND (ia >= 250 OR ib >= 250)
+         ORDER BY id_a, id_b""",
 
     "text_token_topk" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token

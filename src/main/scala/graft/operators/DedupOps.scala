@@ -1081,6 +1081,126 @@ object DedupOps {
         col("n_a").cast("bigint").as("n_a"), col("n_b").cast("bigint").as("n_b"))
   }
 
+  /** Build (overwrite) a persisted winnowing-fingerprint store at `path` —
+    * the MOSS-pair family's member of the build-once/probe-many store
+    * tier: the corpus-wide shingle+winnow pass runs once at ingest, and
+    * every new batch probes for containment pairs without re-fingerprinting
+    * the corpus. Layout: `fps/batch=<tok>/` distinct `(id, f)` rows,
+    * `sizes/batch=<tok>/` per-doc distinct-fingerprint counts `(id, n)`
+    * (additive across disjoint-id batches — the containment denominator
+    * without touching stored rows), `meta/` one `(k, w)` row: a probe at
+    * different winnowing parameters would select DIFFERENT fingerprints
+    * and silently match nothing, so mismatches throw.
+    */
+  def buildWinnowStore(df: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 4, w: Int = 5): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    appendWinnowStore(df, idCol, textCol, path, k, w, "base")
+  }
+
+  /** Append one batch of NEW docs (ids disjoint from every prior batch).
+    * Same-token re-runs overwrite rather than duplicate. */
+  def appendWinnowStore(df: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 4, w: Int = 5,
+      batchToken: String = java.util.UUID.randomUUID.toString): Unit = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(p)) {
+      val m = spark.read.parquet(s"$path/meta").head()
+      require(m.getAs[Int]("k") == k && m.getAs[Int]("w") == w,
+        s"store at $path was built with (k=${m.getAs[Int]("k")}, " +
+          s"w=${m.getAs[Int]("w")}); appending at (k=$k, w=$w) would mix " +
+          "incompatible fingerprints")
+    } else {
+      spark.range(1).select(lit(k).as("k"), lit(w).as("w"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+    val fps = graft.CacheScope.persist(
+      TextOps.winnowingFingerprints(df, idCol, textCol, k, w)
+        .select(col("id"), col("fingerprint").as("f")).distinct())
+    fps.write.mode("overwrite").parquet(s"$path/fps/batch=$batchToken")
+    fps.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$path/sizes/batch=$batchToken")
+    Seq("fps", "sizes", "meta").foreach(sub =>
+      spark.catalog.refreshByPath(s"$path/$sub"))
+  }
+
+  /** Containment pairs of a NEW batch against a persisted winnow store
+    * (plus new-new pairs) — [[winnowingPairs]] over store ∪ batch
+    * restricted to pairs touching >= 1 new id, without re-fingerprinting
+    * any stored doc. New ids must be disjoint from stored ids.
+    *
+    * Exactness of the prune: a batch/store pair shares only fingerprints
+    * the batch doc carries, so cutting store rows to the batch's
+    * fingerprint set loses no pair; and for every fingerprint IN that set
+    * all its store rows survive the cut, so the stop-cut's doc frequency
+    * computed over the pruned union is the true global df. Store-only
+    * fingerprints can only pair store docs with each other — found when
+    * those batches were probed. Sizes come from the additive sidecar
+    * (pruned to candidate ids), never from stored fingerprint rows.
+    *
+    * Scale: store scanned (id, f)-only and pruned map-side by the
+    * broadcast probe-fingerprint set ([[probePrune]]'s guarded cut);
+    * everything downstream is proportional to the batch and its matches.
+    */
+  def incrementalWinnowingPairs(newDocs: DataFrame, idCol: String,
+      textCol: String, path: String, k: Int = 4, w: Int = 5,
+      minShared: Int = 2, maxDocFreq: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minShared >= 1, "minShared must be >= 1")
+    require(maxDocFreq >= 2, "maxDocFreq must be >= 2 (pairs need two docs)")
+    val spark = newDocs.sparkSession
+    val m = spark.read.parquet(s"$path/meta").head()
+    require(m.getAs[Int]("k") == k && m.getAs[Int]("w") == w,
+      s"store at $path was built with (k=${m.getAs[Int]("k")}, " +
+        s"w=${m.getAs[Int]("w")}); probe with the store's parameters")
+    val fresh = graft.CacheScope.persist(
+      TextOps.winnowingFingerprints(newDocs, idCol, textCol, k, w)
+        .select(col("id"), col("fingerprint").as("f")).distinct())
+    val freshRows = fresh.count()
+    val oldPruned = probePrune(
+      spark.read.parquet(s"$path/fps").select(col("id"), col("f")),
+      fresh.select(col("f")).distinct(), Seq("f"), freshRows)
+    val unioned = fresh.unionByName(oldPruned)
+    val counted = unioned
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("f"))))
+      .observe(WinnowStopMetrics,
+        sum(when(col("__df") > maxDocFreq, 1L).otherwise(0L)).as("stop_rows"),
+        coalesce(max(col("__df")), lit(0L)).cast("long").as("max_doc_freq"))
+    val pairs = counted.where(col("__df") > 1 && col("__df") <= maxDocFreq)
+      .groupBy(col("f"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(explode(pairCombinations(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+    val nids = fresh.select(col("id")).distinct()
+    val tag = (d: DataFrame) =>
+      if (freshRows <= BroadcastProbeRows) broadcast(d)
+      else d.hint("shuffle_hash")
+    val touching = graft.CacheScope.persist(pairs
+      .join(tag(nids.select(col("id").as("id_a"), lit(1).as("__na"))),
+        Seq("id_a"), "left")
+      .join(tag(nids.select(col("id").as("id_b"), lit(1).as("__nb"))),
+        Seq("id_b"), "left")
+      .where(col("__na").isNotNull || col("__nb").isNotNull)
+      .select(col("id_a"), col("id_b"), col("shared_fps")))
+    val candIds = touching.select(col("id_a").as("id"))
+      .union(touching.select(col("id_b").as("id"))).distinct()
+    val sizes = fresh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .unionByName(spark.read.parquet(s"$path/sizes")
+        .select(col("id"), col("n"))
+        .join(broadcast(candIds), Seq("id"), "left_semi"))
+    touching
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared_fps"),
+        col("n_a").cast("bigint").as("n_a"), col("n_b").cast("bigint").as("n_b"))
+  }
+
   /** Observation name for [[exactJaccardPairs]]'s stop-shingle cut:
     * `stop_shingles` = distinct shingles with df > maxDocFreq (removed from
     * every doc's set), `stop_rows` = (doc, shingle) postings rows they

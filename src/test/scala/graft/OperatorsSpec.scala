@@ -659,6 +659,41 @@ class OperatorsSpec extends SparkTestBase {
     assert(loose.count() == 3L) // boilerplate pairs all three without the cap
   }
 
+  test("incrementalWinnowingPairs == one-shot pairs touching the batch; param guard") {
+    import spark.implicits._
+    val passage = (0 until 30).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, passage),                                              // store, base
+      (2L, (0 until 40).map(i => s"q$i").mkString(" ") + " " + passage), // store, b2
+      (3L, (0 until 60).map(i => s"z$i").mkString(" ")),          // store, b2
+      (10L, "header " + passage + " footer"),                     // batch: quotes 1 and 2
+      (11L, (0 until 50).map(i => s"m$i").mkString(" "))          // batch: unrelated
+    ).toDF("doc_id", "text")
+    val store = tmpDir("wnstore")
+    DedupOps.buildWinnowStore(docs.where(col("doc_id") === 1), "doc_id", "text", store)
+    DedupOps.appendWinnowStore(docs.where(col("doc_id") === 2 || col("doc_id") === 3),
+      "doc_id", "text", store, batchToken = "b2")
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val inc = canon(DedupOps.incrementalWinnowingPairs(
+      docs.where(col("doc_id") >= 10), "doc_id", "text", store))
+    val oneShot = canon(DedupOps.winnowingPairs(docs, "doc_id", "text")
+      .where(col("id_a") >= 10 || col("id_b") >= 10))
+    assert(inc == oneShot && inc.nonEmpty, s"inc=$inc oneShot=$oneShot")
+    // store-store pairs (1, 2 share the passage) are NOT re-emitted
+    assert(!inc.exists(p => p._1 < 10 && p._2 < 10))
+    // winnowing-parameter drift fails loudly on append AND probe
+    intercept[IllegalArgumentException] {
+      DedupOps.appendWinnowStore(docs.where(col("doc_id") === 3),
+        "doc_id", "text", store, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.incrementalWinnowingPairs(docs.where(col("doc_id") >= 10),
+        "doc_id", "text", store, w = 7)
+    }
+  }
+
   test("shinglePosRows == shingleRows; substring dedup at ExactSubstr k=50") {
     import spark.implicits._
     def norm(x: org.apache.spark.sql.DataFrame) =
