@@ -59,6 +59,11 @@ object SparkEntry {
         to = Some(java.sql.Timestamp.valueOf("2024-01-08 00:00:00")),
         freq = Some("2h"), how = "interp")),
 
+    // per-bucket monitoring profile of the latest view: daily row counts +
+    // exact-decimal value sums + envelopes, one partial hash aggregate
+    "fs_daily_profile" -> ((s, dir) =>
+      Fixtures.store(s, dir).profileFeature("events/click", "1d")),
+
     // R2: N-feature outer align + per-column forward fill
     "fs_align_ffill" -> ((s, dir) =>
       Fixtures.store(s, dir).loadFeatures(Seq("events/click", "events/purchase"))),
@@ -1276,6 +1281,16 @@ object SparkEntry {
             last_value(cv IGNORE NULLS) OVER (ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "events/click",
             last_value(pv IGNORE NULLS) OVER (ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "events/purchase"
           FROM j ORDER BY time""",
+
+    "fs_daily_profile" ->
+      s"""WITH d AS (${ev("click")})
+          SELECT make_timestamp(epoch_us(time) - epoch_us(time) % 86400000000)
+              AS time_bucket,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+            min(value) AS min_value,
+            max(value) AS max_value
+          FROM d GROUP BY 1 ORDER BY 1""",
 
     "fs_align_interp" ->
       s"""WITH c AS (${ev("click")}), p AS (${ev("purchase")}),

@@ -444,6 +444,39 @@ class FeatureStore(
       emptySchema = f.meta.get(FeatureStore.KeyedSchemaMeta).map(StructType.fromDDL))
   }
 
+  /** Per-bucket profiling report of a feature's latest-version view — the
+    * monitoring surface production feature stores ship next to ingestion
+    * (row counts and value envelopes per period; the data-quality
+    * complement of the write-side [[graft.checks.Checks]]): one row per
+    * `freq` bucket (UTC-floored epoch buckets, so "1d"/"6h"/"15min" all
+    * work) with `(time_bucket, n, sum_value, min_value, max_value)`.
+    *
+    * The sum accumulates in DECIMAL(28,6): IEEE double summation depends
+    * on partial-aggregation order (different partitioning → different
+    * low bits → an irreproducible monitoring report), decimal addition is
+    * exact and associative; the result surfaces as double.
+    *
+    * Scale: one partial (map-side combinable) hash aggregate over the
+    * pruned scan — time bounds still push into partition pruning; no
+    * window, no join.
+    */
+  def profileFeature(qualified: String, freq: String = "1d",
+      from: Option[String] = None, to: Option[String] = None,
+      timeTravel: Option[String] = None): DataFrame = {
+    val (ns, n) = Catalog.splitName(qualified)
+    val step = TimeUtil.parseMicros(freq)
+    require(step > 0, s"profileFeature: freq must be positive, got '$freq'")
+    val data = storage.load(ns, n, from.map(TimeUtil.parseTimestamp),
+      to.map(TimeUtil.parseTimestamp), timeTravel = timeTravel)
+    val us = unix_micros(col(TimeCol))
+    data.groupBy(
+        timestamp_micros(us - pmod(us, lit(step))).as("time_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(ValueCol).cast("decimal(28,6)")).cast("double").as("sum_value"),
+        min(col(ValueCol)).as("min_value"),
+        max(col(ValueCol)).as("max_value"))
+  }
+
   /** Point-in-time per-entity join: each spine row (keys..., time, payload)
     * gets the feature's last value for the SAME entity at-or-before its
     * time — the per-entity training-set constructor

@@ -225,6 +225,30 @@ class FeatureStoreSpec extends SparkTestBase {
       Seq(None, Some(100.0), Some(100.0), Some(200.0)))
   }
 
+  test("profileFeature: per-bucket counts + exact-decimal sums + envelopes") {
+    val fs = freshStore()
+    fs.createNamespace("m", "monitoring")
+    fs.createFeature("m/f")
+    fs.saveDf(seriesDf(Seq(
+      ("2021-01-01 01:00:00", 1.5), ("2021-01-01 13:00:00", 2.25),
+      ("2021-01-02 00:00:00", -4.0), ("2021-01-03 23:59:59", 10.0))),
+      name = Some("m/f"))
+    val got = fs.profileFeature("m/f", "1d").orderBy("time_bucket").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("2021-01-01 00:00:00.0", 2L, 3.75, 1.5, 2.25),
+      ("2021-01-02 00:00:00.0", 1L, -4.0, -4.0, -4.0),
+      ("2021-01-03 00:00:00.0", 1L, 10.0, 10.0, 10.0)))
+    // sub-day buckets and time bounds compose; bounds prune to one bucket
+    val h12 = fs.profileFeature("m/f", "12h", from = Some("2021-01-01 12:00:00"),
+        to = Some("2021-01-02 12:00:00")).orderBy("time_bucket").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+    assert(h12.toSeq == Seq(
+      ("2021-01-01 12:00:00.0", 1L), ("2021-01-02 00:00:00.0", 1L)))
+    intercept[IllegalArgumentException] { fs.profileFeature("m/f", "-1d") }
+  }
+
   test("SQL over features via createFeatureView") {
     val fs = freshStore()
     fs.createNamespace("v")
