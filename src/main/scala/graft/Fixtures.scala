@@ -504,6 +504,49 @@ object Fixtures {
       labels
     })
 
+  private val streamWinnow = TrieMap[String, String]()
+
+  /** Streaming winnow-store maintenance drained over the whole corpus from
+    * a COLD START in 3 micro-batches (doc_id % 3 files) — the union of the
+    * per-batch pair dirs must equal the one-shot whole-corpus
+    * [[graft.operators.DedupOps.winnowingPairs]] (each pair lands exactly
+    * once: with the batch that holds both endpoints, or with the later
+    * endpoint's probe of the store).
+    */
+  def streamWinnowPath(spark: SparkSession, sfDir: String): String =
+    streamWinnow.getOrElseUpdate(sfDir, {
+      val base = s"${tmpRoot}/swn_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val (src, out, cp, store, stage) =
+        (s"$base/src", s"$base/out", s"$base/cp", s"$base/store", s"$base/stage")
+      val hfs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (hfs.exists(new org.apache.hadoop.fs.Path(base)))
+        hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+      hfs.mkdirs(new org.apache.hadoop.fs.Path(src))
+      val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      val files = Seq(
+        d.where(col("doc_id") % 3 === 0),
+        d.where(col("doc_id") % 3 === 1),
+        d.where(col("doc_id") % 3 === 2))
+      files.zipWithIndex.foreach { case (df, i) =>
+        val st = s"$stage/$i"
+        df.coalesce(1).write.mode("overwrite").parquet(st)
+        val part = hfs.listStatus(new org.apache.hadoop.fs.Path(st))
+          .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+        val dst = new org.apache.hadoop.fs.Path(s"$src/batch_$i.parquet")
+        hfs.rename(part, dst)
+        hfs.setTimes(dst, 1000000L * (i + 1), -1)
+      }
+      hfs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      graft.streaming.StreamingOps.winnowAvailableNow(
+        stream, "doc_id", "text", store, out, cp).awaitTermination()
+      out
+    })
+
   def incrementalDedupMbPath(spark: SparkSession, sfDir: String): String =
     incDedupMb.getOrElseUpdate(sfDir, {
       import org.apache.spark.sql.streaming.Trigger

@@ -363,6 +363,13 @@ object SparkEntry {
       s.read.parquet(Fixtures.incrementalDedupMbPath(s, dir))
         .select("id_a", "id_b", "intersect_size", "union_size")),
 
+    // streaming winnow maintenance drained cold-start over the corpus in
+    // 3 micro-batches: the per-batch pair dirs must union to the one-shot
+    // whole-corpus containment pairs (uncapped: 500 docs < the df cap)
+    "stream_winnow" -> ((s, dir) =>
+      s.read.parquet(Fixtures.streamWinnowPath(s, dir))
+        .select("id_a", "id_b", "shared_fps", "n_a", "n_b")),
+
     // pre-dedup text normalization: NFC composition (codegen'd custom
     // Expression), control-char scrub, whitespace collapse, trim
     "text_clean" -> ((s, dir) =>
@@ -1685,6 +1692,32 @@ object SparkEntry {
                     JOIN sz sb ON pairs.ib = sb.doc_id
          WHERE shared >= 2 AND (ia >= 250 OR ib >= 250)
          ORDER BY id_a, id_b""",
+
+    // dedup_winnow_pairs without the df cut (500 docs can never cross the
+    // default 1000-doc cap): the streamed drain must union to exactly this
+    "stream_winnow" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         g AS (SELECT doc_id, i, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3]
+                 || ' ' || tks[i+4] AS s
+               FROM d, unnest(range(len(tks) - 3)) t(i) WHERE len(tks) >= 4),
+         h AS (SELECT doc_id, i, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) hh FROM g),
+         sel AS (SELECT doc_id,
+                   min(struct_pack(hh := hh, np := -i))
+                     OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) win,
+                   count(*) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) cnt
+                 FROM h),
+         fp AS (SELECT DISTINCT doc_id, win.hh AS f FROM sel WHERE cnt = 5),
+         pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) shared
+                   FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         sz AS (SELECT doc_id, count(*) n FROM fp GROUP BY doc_id)
+         SELECT ia AS id_a, ib AS id_b, CAST(shared AS BIGINT) shared_fps,
+           CAST(sa.n AS BIGINT) n_a, CAST(sb.n AS BIGINT) n_b
+         FROM pairs JOIN sz sa ON pairs.ia = sa.doc_id
+                    JOIN sz sb ON pairs.ib = sb.doc_id
+         WHERE shared >= 2 ORDER BY id_a, id_b""",
 
     "text_token_topk" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token

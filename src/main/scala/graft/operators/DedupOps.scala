@@ -1148,7 +1148,8 @@ object DedupOps {
     */
   def incrementalWinnowingPairs(newDocs: DataFrame, idCol: String,
       textCol: String, path: String, k: Int = 4, w: Int = 5,
-      minShared: Int = 2, maxDocFreq: Int = 1000): DataFrame = {
+      minShared: Int = 2, maxDocFreq: Int = 1000,
+      excludeBatch: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minShared >= 1, "minShared must be >= 1")
     require(maxDocFreq >= 2, "maxDocFreq must be >= 2 (pairs need two docs)")
@@ -1161,8 +1162,19 @@ object DedupOps {
       TextOps.winnowingFingerprints(newDocs, idCol, textCol, k, w)
         .select(col("id"), col("fingerprint").as("f")).distinct())
     val freshRows = fresh.count()
+    // excludeBatch drops a replayed micro-batch's own (possibly partial)
+    // prior attempt; a sub-dir missing entirely (crash between the meta
+    // and fps/sizes writes of the very first append) reads as empty —
+    // both make the replayed probe equal the crash-free first attempt
+    def storeDir(sub: String, shape: DataFrame): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+        val d = spark.read.parquet(s"$path/$sub")
+        excludeBatch.fold(d)(t => d.where(col("batch") =!= t))
+      } else shape.limit(0)
+    }
     val oldPruned = probePrune(
-      spark.read.parquet(s"$path/fps").select(col("id"), col("f")),
+      storeDir("fps", fresh).select(col("id"), col("f")),
       fresh.select(col("f")).distinct(), Seq("f"), freshRows)
     val unioned = fresh.unionByName(oldPruned)
     val counted = unioned
@@ -1190,8 +1202,9 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("shared_fps")))
     val candIds = touching.select(col("id_a").as("id"))
       .union(touching.select(col("id_b").as("id"))).distinct()
-    val sizes = fresh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-      .unionByName(spark.read.parquet(s"$path/sizes")
+    val freshSizes = fresh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val sizes = freshSizes
+      .unionByName(storeDir("sizes", freshSizes)
         .select(col("id"), col("n"))
         .join(broadcast(candIds), Seq("id"), "left_semi"))
     touching

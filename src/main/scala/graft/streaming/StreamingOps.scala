@@ -181,6 +181,66 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming winnow-store maintenance — the MOSS/containment member of
+    * the streaming dedup family: each micro-batch probes the persisted
+    * winnowing-fingerprint store for containment pairs touching the batch
+    * ([[graft.operators.DedupOps.incrementalWinnowingPairs]], with the
+    * batch's own replayed dirs excluded so foreachBatch retries are
+    * exactly-once), writes them under `pairsOut/batch=b<id>`, then appends
+    * the batch's fingerprints ([[graft.operators.DedupOps.appendWinnowStore]]).
+    * Cold start seeds the store from the first batch (its internal pairs
+    * come from the one-shot pair path at the same parameters). NOTE the
+    * stop-fingerprint cut is evaluated against the doc frequency KNOWN AT
+    * PROBE TIME — a fingerprint that later crosses `maxDocFreq` keeps the
+    * pairs it emitted before crossing (drain == one-shot only while no
+    * fingerprint crosses the cap mid-stream; at the default cap that needs
+    * a 1000-doc boilerplate run, which the batch path would cut too).
+    */
+  def winnowAvailableNow(stream: DataFrame, idCol: String, textCol: String,
+      storePath: String, pairsOut: String, checkpoint: String,
+      k: Int = 4, w: Int = 5, minShared: Int = 2,
+      maxDocFreq: Int = 1000): StreamingQuery =
+    winnowStream(stream, idCol, textCol, storePath, pairsOut, checkpoint,
+      Trigger.AvailableNow(), k, w, minShared, maxDocFreq)
+
+  /** [[winnowAvailableNow]] as a LIVE TAIL (ProcessingTime trigger); the
+    * per-batch scoped cache release keeps an indefinite tail safe. */
+  def winnowProcessingTime(stream: DataFrame, idCol: String, textCol: String,
+      storePath: String, pairsOut: String, checkpoint: String,
+      interval: String = "1 second", k: Int = 4, w: Int = 5,
+      minShared: Int = 2, maxDocFreq: Int = 1000): StreamingQuery =
+    winnowStream(stream, idCol, textCol, storePath, pairsOut, checkpoint,
+      Trigger.ProcessingTime(interval), k, w, minShared, maxDocFreq)
+
+  private def winnowStream(stream: DataFrame, idCol: String, textCol: String,
+      storePath: String, pairsOut: String, checkpoint: String,
+      trigger: Trigger, k: Int, w: Int, minShared: Int,
+      maxDocFreq: Int): StreamingQuery =
+    stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val scope = graft.CacheScope.snapshot()
+          val mp = new org.apache.hadoop.fs.Path(s"$storePath/meta")
+          val pairs =
+            if (mp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mp))
+              graft.operators.DedupOps.incrementalWinnowingPairs(
+                batch, idCol, textCol, storePath, k, w, minShared, maxDocFreq,
+                excludeBatch = Some(s"b$bid"))
+            else
+              graft.operators.DedupOps.winnowingPairs(
+                batch, idCol, textCol, k, w, minShared, maxDocFreq)
+          pairs.write.mode("overwrite").parquet(s"$pairsOut/batch=b$bid")
+          graft.operators.DedupOps.appendWinnowStore(
+            batch, idCol, textCol, storePath, k, w, s"b$bid")
+          graft.CacheScope.releaseNewSince(scope)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming CLUSTER maintenance — the label-store capstone of the
     * incremental dedup family: every micro-batch probes the minhash store
     * for its near-dup pairs ([[graft.operators.DedupOps.incrementalPairsFromSigs]]),

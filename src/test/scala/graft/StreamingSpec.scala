@@ -248,6 +248,23 @@ class StreamingSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("streamed winnow store drains to the one-shot containment pairs") {
+    import org.apache.spark.sql.functions._
+    val drained = spark.read.parquet(Fixtures.streamWinnowPath(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val oneShot = graft.operators.DedupOps.winnowingPairs(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(drained == oneShot && drained.nonEmpty)
+    // cross-batch discovery: some pair's endpoints landed in different
+    // mod-3 micro-batches, found only via the store probe
+    assert(drained.exists { case (a, b, _, _, _) => a % 3 != b % 3 },
+      "fixture must exercise cross-batch discovery")
+    graft.CacheScope.release()
+  }
+
   test("streamed postings index == one-shot build; probe additive across micro-batches") {
     import org.apache.spark.sql.functions._
     val root = tmpDir("stream_pix")
