@@ -455,6 +455,39 @@ object ScaleSmoke {
         s"expected exactly $q planted containment pairs, " +
           s"got ${r.getLong(1)} planted of ${r.getLong(0)} total")
     }
+    time("winnow store: 1M-doc build + 2k-quoter probe") {
+      // the incremental twin of the entry above: the corpus fingerprints
+      // persist ONCE, then the 2k quoters arrive as a batch probe — must
+      // find exactly the 2k planted (victim, quoter) pairs without
+      // re-fingerprinting the million stored docs
+      val nd = 1000000L; val q = 2000L
+      val base = spark.range(nd).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(59)),
+          i => concat(lit("t"), col("id").cast("string"),
+            lit("_"), i.cast("string")))).as("text"))
+      val quoters = spark.range(q).select((col("id") + 10000000L).as("doc_id"),
+        concat(
+          concat_ws(" ", transform(sequence(lit(0), lit(19)),
+            i => concat(lit("q"), col("id").cast("string"),
+              lit("_"), i.cast("string")))),
+          lit(" "),
+          concat_ws(" ", transform(sequence(lit(0), lit(29)),
+            i => concat(lit("t"), col("id").cast("string"),
+              lit("_"), i.cast("string"))))).as("text"))
+      operators.DedupOps.buildWinnowStore(base, "doc_id", "text",
+        s"$root/wnstore")
+      CacheScope.release()
+      val t1 = System.nanoTime()
+      val pairs = operators.DedupOps.incrementalWinnowingPairs(
+        quoters, "doc_id", "text", s"$root/wnstore")
+      val r = pairs.agg(count(lit(1)),
+        sum(when(col("id_b") === col("id_a") + 10000000L &&
+          col("id_a") < q, 1L).otherwise(0L))).head()
+      require(r.getLong(0) == q && r.getLong(1) == q,
+        s"expected exactly $q planted pairs from the store probe, " +
+          s"got ${r.getLong(1)} planted of ${r.getLong(0)} total")
+      println(f"[scale]   probe alone (store built above)   ${(System.nanoTime() - t1) / 1e9}%8.2f s")
+    }
     time("postings index: 2M-doc build + pruned probe") {
       // 2M common-vocab docs + 1k planted docs holding rare needle terms;
       // the probe must (a) equal the direct whole-corpus scorer EXACTLY,

@@ -1128,6 +1128,31 @@ object DedupOps {
       spark.catalog.refreshByPath(s"$path/$sub"))
   }
 
+  /** Compact a many-batch winnow store (a long-running [[graft.streaming
+    * .StreamingOps.winnowAvailableNow]] tail appends one batch dir per
+    * micro-batch) into a fresh single-batch store at `dstPath` without
+    * re-fingerprinting any text: fps and sizes are disjoint-id unions
+    * (rewritten under one `batch=base`), meta copies verbatim. Same
+    * crash-safe rebuild-dst-then-swap contract as the other compactors.
+    */
+  def compactWinnowStore(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    require(srcPath != dstPath, "compact to a NEW path, then swap")
+    val p = new org.apache.hadoop.fs.Path(dstPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val m = spark.read.parquet(s"$srcPath/meta").head()
+    spark.range(1)
+      .select(lit(m.getAs[Int]("k")).as("k"), lit(m.getAs[Int]("w")).as("w"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dstPath/meta")
+    spark.read.parquet(s"$srcPath/fps").select(col("id"), col("f"))
+      .write.mode("overwrite").parquet(s"$dstPath/fps/batch=base")
+    spark.read.parquet(s"$srcPath/sizes").select(col("id"), col("n"))
+      .write.mode("overwrite").parquet(s"$dstPath/sizes/batch=base")
+    Seq("fps", "sizes", "meta").foreach(sub =>
+      spark.catalog.refreshByPath(s"$dstPath/$sub"))
+  }
+
   /** Containment pairs of a NEW batch against a persisted winnow store
     * (plus new-new pairs) — [[winnowingPairs]] over store ∪ batch
     * restricted to pairs touching >= 1 new id, without re-fingerprinting

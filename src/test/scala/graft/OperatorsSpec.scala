@@ -683,6 +683,11 @@ class OperatorsSpec extends SparkTestBase {
     assert(inc == oneShot && inc.nonEmpty, s"inc=$inc oneShot=$oneShot")
     // store-store pairs (1, 2 share the passage) are NOT re-emitted
     assert(!inc.exists(p => p._1 < 10 && p._2 < 10))
+    // compaction to one batch=base preserves the probe exactly
+    DedupOps.compactWinnowStore(spark, store, s"${store}_c")
+    val compacted = canon(DedupOps.incrementalWinnowingPairs(
+      docs.where(col("doc_id") >= 10), "doc_id", "text", s"${store}_c"))
+    assert(compacted == inc)
     // winnowing-parameter drift fails loudly on append AND probe
     intercept[IllegalArgumentException] {
       DedupOps.appendWinnowStore(docs.where(col("doc_id") === 3),
