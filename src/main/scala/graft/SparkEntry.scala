@@ -1006,6 +1006,17 @@ object SparkEntry {
         .loadKeyedAsOf(spine, "events/click_by_user", as = Some("last_click"))
     }),
 
+    // keyed as-of with a 2-day STALENESS BOUND (pandas merge_asof
+    // tolerance / serving-freshness contract): a user's last click older
+    // than 2d at the purchase instant comes back null, never stale
+    "fs_keyed_asof_tol" -> ((s, dir) => {
+      val spine = Tables.events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("time"), col("event_id"))
+      Fixtures.store(s, dir)
+        .loadKeyedAsOf(spine, "events/click_by_user", as = Some("last_click"),
+          tolerance = Some("2d"))
+    }),
+
     // keyed as-of WITH time travel: "-30s" excludes the v=0 version of
     // every stored click (created_time == time), so the per-user as-of
     // sees v=1 → value*2 — the leakage-audited keyed training set:
@@ -3193,6 +3204,19 @@ object SparkEntry {
           p AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, event_id FROM events
                 WHERE event_type = 'purchase')
           SELECT p.user_id, p.t AS time, p.event_id, c.value AS last_click
+          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.t <= p.t
+          ORDER BY p.user_id, p.t""",
+
+    // the ASOF join with the match voided when the carried observation is
+    // more than 2 days old at the spine instant
+    "fs_keyed_asof_tol" ->
+      s"""WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, value FROM events
+                     WHERE event_type = 'click'),
+          p AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, event_id FROM events
+                WHERE event_type = 'purchase')
+          SELECT p.user_id, p.t AS time, p.event_id,
+            CASE WHEN epoch_us(p.t) - epoch_us(c.t) <= 172800000000
+                 THEN c.value END AS last_click
           FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.t <= p.t
           ORDER BY p.user_id, p.t""",
 

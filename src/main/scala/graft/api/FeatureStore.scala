@@ -483,12 +483,22 @@ class FeatureStore(
     * ([[graft.ts.Align.asOfJoinKeyed]] over the stored feature).
     */
   def loadKeyedAsOf(spine: DataFrame, qualified: String,
-      as: Option[String] = None, timeTravel: Option[String] = None): DataFrame = {
+      as: Option[String] = None, timeTravel: Option[String] = None,
+      tolerance: Option[String] = None): DataFrame = {
     val (ns, n) = Catalog.splitName(qualified)
     val keys = keyedKeys(ns, n)
     val data = loadKeyed(qualified, timeTravel = timeTravel)
       .withColumnRenamed(ValueCol, as.getOrElse(s"$ns/$n"))
-    Align.asOfJoinKeyed(spine, data, keys, TimeCol, Seq(as.getOrElse(s"$ns/$n")))
+    val vc = Seq(as.getOrElse(s"$ns/$n"))
+    tolerance match {
+      // staleness-bounded serving: observations older than the bound at
+      // the spine instant come back null, never a silently stale carry
+      case Some(t) =>
+        val tol = TimeUtil.parseMicros(t)
+        require(tol >= 0, s"loadKeyedAsOf: tolerance must be >= 0, got '$t'")
+        Align.asOfJoinKeyedTolerance(spine, data, keys, TimeCol, vc, tol)
+      case None => Align.asOfJoinKeyed(spine, data, keys, TimeCol, vc)
+    }
   }
 
   /** Per-entity resample: every observed entity × a regular [from, to] grid,

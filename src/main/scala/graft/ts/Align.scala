@@ -197,6 +197,48 @@ object Align {
       .select((keys.map(col) :+ col(timeCol)) ++ spineCols.map(col) ++ valueCols.map(col): _*)
   }
 
+  /** [[asOfJoinKeyed]] with a STALENESS BOUND (pandas merge_asof's
+    * `tolerance`, and the online-serving freshness contract every feature
+    * platform enforces): a spine row only receives its entity's last
+    * observation if that observation is at most `toleranceMicros` old —
+    * older carries come back null instead of silently serving stale state
+    * (an entity that stopped emitting keeps its last value FOREVER under
+    * plain as-of; a model served that value months later is being fed a
+    * ghost). Same window shape — the carry is the (t, v) observation
+    * struct and the age check is a map-side projection on extraction, so
+    * the cost over the unbounded form is one struct per value column.
+    */
+  def asOfJoinKeyedTolerance(spine: DataFrame, data: DataFrame,
+      keys: Seq[String], timeCol: String, valueCols: Seq[String],
+      toleranceMicros: Long): DataFrame = {
+    require(toleranceMicros >= 0, "tolerance must be >= 0")
+    val spineCols = spine.columns.filterNot(c => c == timeCol || keys.contains(c)).toSeq
+    val us = unix_micros(col(timeCol))
+    val spineTagged = spine.withColumn("__spine", lit(1))
+    val dataTagged = data
+      .select((keys.map(col) :+ col(timeCol)) ++ valueCols.map(col): _*)
+      .withColumn("__spine", lit(0))
+    val unioned = spineTagged.unionByName(dataTagged, allowMissingColumns = true)
+    val withObs = valueCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"__o_$c",
+        when(col("__spine") === 0 && col(c).isNotNull,
+          struct(us.as("t"), col(c).as("v"))))
+    }
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol), col("__spine"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(withObs) { (d, c) =>
+      d.withColumn(s"__p_$c", last(col(s"__o_$c"), ignoreNulls = true).over(w))
+    }
+    val outCols = valueCols.map { c =>
+      val p = col(s"__p_$c")
+      when(p.isNotNull && us - p.getField("t") <= toleranceMicros,
+        p.getField("v")).as(c)
+    }
+    filled.where(col("__spine") === 1)
+      .select((keys.map(col) :+ col(timeCol)) ++ spineCols.map(col) ++ outCols: _*)
+  }
+
   /** Entity-keyed LINEAR-INTERPOLATION join — [[asOfJoinKeyed]]'s interp
     * twin, with [[resampleInterp]]'s semantics per entity: each spine row
     * gets v0 + (v1−v0)·(g−t0)/(t1−t0) between its key's neighboring

@@ -168,6 +168,31 @@ class AlignSpec extends SparkTestBase {
       (2L, None)))       // past key 2's last observation
   }
 
+  test("asOfJoinKeyedTolerance: stale carries null out, fresh ones serve") {
+    import spark.implicits._
+    val data = Seq(
+      (1L, ts("2021-01-01"), 5.0), (1L, ts("2021-01-10"), 9.0),
+      (2L, ts("2021-01-04"), 7.0)).toDF("k", "time", "v")
+    val spine = Seq(
+      (1L, ts("2021-01-02")),  // 1d after obs -> fresh
+      (1L, ts("2021-01-08")),  // 7d after obs -> stale
+      (1L, ts("2021-01-10")),  // exact hit, age 0
+      (2L, ts("2021-01-09"))   // 5d after obs -> stale
+    ).toDF("k", "time")
+    val tol = 2L * 86400 * 1000000
+    val out = Align.asOfJoinKeyedTolerance(spine, data, Seq("k"), "time",
+        Seq("v"), tol)
+      .orderBy("k", "time").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("v"))))
+    assert(out.toSeq == Seq(
+      (1L, Some(5.0)), (1L, None), (1L, Some(9.0)), (2L, None)))
+    // tolerance 0 still serves an observation AT the spine instant
+    val exact = Align.asOfJoinKeyedTolerance(spine, data, Seq("k"), "time",
+        Seq("v"), 0L)
+      .orderBy("k", "time").collect().map(r => Option(r.getAs[Any]("v")))
+    assert(exact.toSeq == Seq(None, None, Some(9.0), None))
+  }
+
   test("alignInterp: per-feature interpolation on the union axis") {
     import spark.implicits._
     val a = Seq((ts("2021-01-01"), 10.0), (ts("2021-01-05"), 50.0))
