@@ -843,6 +843,16 @@ object SparkEntry {
         emb.where(col("vec_id") < 10), "vec_id", "embedding", 10)
     }),
 
+    // filtered vector search: exact top-10 among vectors satisfying a
+    // metadata predicate (vec_id % 3 = 0) — pre-filter semantics, the
+    // predicate pushed into the corpus scan
+    "ann_filtered_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.SimilarityOps.filteredTopK(emb,
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", 10,
+        col("vec_id") % 3 === 0)
+    }),
+
     // IVF-bucketed ANN (approximate; validated vs brute force in tests)
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -2726,6 +2736,22 @@ object SparkEntry {
           q AS (SELECT * FROM flat WHERE vec_id < 10),
           dots AS (SELECT q.vec_id qid, c.vec_id nid, sum(q.x * c.x) dot
                    FROM q JOIN flat c ON q.i = c.i AND q.vec_id != c.vec_id GROUP BY 1, 2),
+          scored AS (SELECT qid query_id, nid neighbor_id,
+              CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) cosine
+            FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = nid)
+          SELECT query_id, neighbor_id, rank, cosine FROM
+            (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) rank FROM scored)
+          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // ann_cosine_topk with the neighbor side pre-filtered to the
+    // qualifying vectors (vec_id % 3 = 0); queries stay unfiltered
+    "ann_filtered_topk" ->
+      s"""WITH $embFlat,
+          q AS (SELECT * FROM flat WHERE vec_id < 10),
+          c0 AS (SELECT * FROM flat WHERE vec_id % 3 = 0),
+          dots AS (SELECT q.vec_id qid, c.vec_id nid, sum(q.x * c.x) dot
+                   FROM q JOIN c0 c ON q.i = c.i AND q.vec_id != c.vec_id GROUP BY 1, 2),
           scored AS (SELECT qid query_id, nid neighbor_id,
               CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) cosine
             FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = nid)

@@ -80,6 +80,27 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
+  /** Exact top-k under a metadata PREDICATE — filtered vector search, the
+    * vector-store table stake ("nearest qualifying neighbors": lang,
+    * date, source filters next to the similarity). PRE-filtering is the
+    * exact semantics: the predicate cuts the corpus BEFORE scoring, so
+    * every query receives k true neighbors among qualifying vectors —
+    * post-filtering an index's unfiltered top-k underfills whenever
+    * fewer than k of them qualify, and silently biases the rest.
+    *
+    * Scale: Catalyst pushes the predicate into the corpus scan (parquet
+    * filter pushdown; partition pruning when it hits a partition column),
+    * and the brute pass streams the survivors once against the broadcast
+    * queries — for a selective predicate this BEATS unfiltered ANN
+    * probing, because the scan already did the pruning. For broad
+    * predicates over a huge corpus, compose the predicate with the
+    * IVF/SQ8/PQ candidate frames and raise candFactor instead
+    * (approximate, recall traded explicitly).
+    */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, predicate: Column): DataFrame =
+    bruteForceTopK(corpus.where(predicate), queries, idCol, vecCol, k)
+
   /** CLUSTER-BALANCED (diversity) sampling: assign every embedding to its
     * semantic k-means cell (the IVF coarse quantizer — deterministic
     * floored-integer Lloyd, so the assignment itself is cross-engine

@@ -264,6 +264,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(ranks.toSeq == (1L to 10L))
   }
 
+  test("filteredTopK: only qualifying neighbors, exact among them, scan-pushed") {
+    val pred = col("vec_id") % 3 === 0
+    val got = SimilarityOps.filteredTopK(emb, emb.where(col("vec_id") < 5),
+      "vec_id", "embedding", 10, pred)
+    val rows = got.collect()
+    // every served neighbor satisfies the predicate
+    assert(rows.forall(_.getAs[Long]("neighbor_id") % 3 == 0))
+    // identical to brute force over the pre-filtered corpus (exact
+    // semantics — not post-filtered unfiltered top-k)
+    val exact = SimilarityOps.bruteForceTopK(emb.where(pred),
+      emb.where(col("vec_id") < 5), "vec_id", "embedding", 10).collect()
+    assert(rows.map(_.toSeq).toSeq == exact.map(_.toSeq).toSeq)
+    // the predicate reaches the corpus scan (pushed filter, not a
+    // post-scan filter only)
+    val scan = got.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(scan.contains("vec_id"), s"predicate must push into the scan:\n$scan")
+  }
+
   test("IVF topk achieves high recall vs brute force with generous probes") {
     val queries = emb.where(col("vec_id") < 5)
     def pairs(df: org.apache.spark.sql.DataFrame) =
