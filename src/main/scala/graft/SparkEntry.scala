@@ -993,6 +993,17 @@ object SparkEntry {
         Seq("events/click", "events/purchase"))
     }),
 
+    // the same spine under a 12h staleness bound: a carry older than 12h
+    // at the spine instant serves null, never stale state
+    "fs_asof_spine_tol" -> ((s, dir) => {
+      val spine = s.range(0, 100).select(
+        expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,cast(id*7 as int),0,0)")
+          .as("time"),
+        col("id").as("spine_id"))
+      Fixtures.store(s, dir).loadFeaturesAsOf(spine,
+        Seq("events/click", "events/purchase"), tolerance = Some("12h"))
+    }),
+
     // entity-keyed as-of join: per-user last click value at each purchase
     "asof_keyed" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -3216,6 +3227,19 @@ object SparkEntry {
                  i AS spine_id FROM range(100) t(i)),
           c AS (${ev("click")}), p AS (${ev("purchase")})
           SELECT g.time, g.spine_id, c.value AS "events/click", p.value AS "events/purchase"
+          FROM g ASOF LEFT JOIN c ON c.time <= g.time
+                 ASOF LEFT JOIN p ON p.time <= g.time
+          ORDER BY g.time""",
+
+    "fs_asof_spine_tol" ->
+      s"""WITH g AS (SELECT TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 7 HOUR AS time,
+                 i AS spine_id FROM range(100) t(i)),
+          c AS (${ev("click")}), p AS (${ev("purchase")})
+          SELECT g.time, g.spine_id,
+            CASE WHEN epoch_us(g.time) - epoch_us(c.time) <= 43200000000
+                 THEN c.value END AS "events/click",
+            CASE WHEN epoch_us(g.time) - epoch_us(p.time) <= 43200000000
+                 THEN p.value END AS "events/purchase"
           FROM g ASOF LEFT JOIN c ON c.time <= g.time
                  ASOF LEFT JOIN p ON p.time <= g.time
           ORDER BY g.time""",

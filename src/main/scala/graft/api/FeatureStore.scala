@@ -267,7 +267,8 @@ class FeatureStore(
     */
   def loadFeaturesAsOf(spine: DataFrame, names: Seq[String],
       timeTravel: Option[String] = None,
-      defaultNamespace: Option[String] = None): DataFrame = {
+      defaultNamespace: Option[String] = None,
+      tolerance: Option[String] = None): DataFrame = {
     require(names.nonEmpty, "no features requested")
     val memo = scala.collection.mutable.Map[String, DataFrame]()
     val frames = names.map { q =>
@@ -280,8 +281,15 @@ class FeatureStore(
     // reuses cuts quantiled over the previous spine — safe (cuts are
     // balance hints; a radically different spine just rebalances worse
     // until the memo is refreshed by a new store instance)
-    Align.asOfJoin(spine, TimeCol, frames, memo = Some(cutsMemoFor(
-      s"asof|${frames.map(_._1).mkString(",")}|$timeTravel")))
+    val cuts = Some(cutsMemoFor(
+      s"asof|${tolerance.getOrElse("")}|${frames.map(_._1).mkString(",")}|$timeTravel"))
+    tolerance match {
+      case Some(t) =>
+        val tol = TimeUtil.parseMicros(t)
+        require(tol >= 0, s"loadFeaturesAsOf: tolerance must be >= 0, got '$t'")
+        Align.asOfJoinTolerance(spine, TimeCol, frames, tol, memo = cuts)
+      case None => Align.asOfJoin(spine, TimeCol, frames, memo = cuts)
+    }
   }
 
   /** Recursive, cycle-checked feature load (T2 — reference

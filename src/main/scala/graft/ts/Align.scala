@@ -171,6 +171,46 @@ object Align {
     filled.where(col("__spine") === 1).drop("__spine")
   }
 
+  /** [[asOfJoin]] with a STALENESS BOUND — the unkeyed twin of
+    * [[asOfJoinKeyedTolerance]] (pandas merge_asof `tolerance`): each
+    * spine row receives a frame's last value only while that observation
+    * is at most `toleranceMicros` old at the spine instant; older carries
+    * come back null instead of serving arbitrarily stale state. Same
+    * bucketed prefix-scan shape — the carried cell is the (t, v)
+    * observation struct and the age check is a map-side projection.
+    */
+  def asOfJoinTolerance(spine: DataFrame, timeCol: String,
+      frames: Seq[(String, DataFrame)], toleranceMicros: Long,
+      memo: Option[CutsMemo] = None): DataFrame = {
+    require(frames.nonEmpty, "asOfJoinTolerance needs at least one frame")
+    require(toleranceMicros >= 0, "tolerance must be >= 0")
+    val wide = alignOuter(timeCol, frames, doFfill = false)
+    val names = frames.map(_._1)
+    val spineCols = spine.columns.filterNot(_ == timeCol).toSeq
+    val us = unix_micros(col(timeCol))
+    val spineTagged = spine
+      .select((col(timeCol) +: spineCols.map(col)): _*)
+      .withColumn("__spine", lit(1))
+    val dataTagged = wide
+      .select((col(timeCol) +: names.map(col)): _*)
+      .withColumn("__spine", lit(0))
+    val unioned = spineTagged.unionByName(dataTagged, allowMissingColumns = true)
+    val seeded = names.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"__p_$c",
+        when(col("__spine") === 0 && col(c).isNotNull,
+          struct(us.as("t"), col(c).as("v"))))
+    }
+    val filled = ffillOrdered(seeded, timeCol,
+      Seq(col(timeCol), col("__spine")), names.map(c => s"__p_$c"), memo = memo)
+    val outCols = names.map { c =>
+      val p = col(s"__p_$c")
+      when(p.isNotNull && us - p.getField("t") <= toleranceMicros,
+        p.getField("v")).as(c)
+    }
+    filled.where(col("__spine") === 1)
+      .select((col(timeCol) +: spineCols.map(col)) ++ outCols: _*)
+  }
+
   /** Entity-keyed as-of join: for each spine row (keys..., time, payload),
     * attach the last `valueCols` values from `data` with the SAME keys and
     * data-time <= spine-time. The per-entity flavor of [[asOfJoin]] —

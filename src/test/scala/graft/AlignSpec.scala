@@ -193,6 +193,23 @@ class AlignSpec extends SparkTestBase {
     assert(exact.toSeq == Seq(None, None, Some(9.0), None))
   }
 
+  test("asOfJoinTolerance: unkeyed staleness bound, per-frame ages independent") {
+    import spark.implicits._
+    val a = Seq((ts("2021-01-01"), 1.0)).toDF("time", "value")
+    val b = Seq((ts("2021-01-05"), 2.0)).toDF("time", "value")
+    val spine = Seq(
+      Tuple1(ts("2021-01-02")),  // a fresh (1d), b future
+      Tuple1(ts("2021-01-06")),  // a stale (5d), b fresh (1d)
+      Tuple1(ts("2021-01-09"))   // both stale
+    ).toDF("time")
+    val tol = 2L * 86400 * 1000000
+    val out = Align.asOfJoinTolerance(spine, "time", Seq("a" -> a, "b" -> b), tol)
+      .orderBy("time").collect()
+      .map(r => (Option(r.getAs[Any]("a")), Option(r.getAs[Any]("b"))))
+    assert(out.toSeq == Seq(
+      (Some(1.0), None), (None, Some(2.0)), (None, None)))
+  }
+
   test("alignInterp: per-feature interpolation on the union axis") {
     import spark.implicits._
     val a = Seq((ts("2021-01-01"), 10.0), (ts("2021-01-05"), 50.0))
