@@ -321,6 +321,35 @@ class StreamingSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("live-tail winnow store: file lands mid-query, drain == one-shot pairs") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("livetail_wn")
+    val d = Tables.documents(spark, dir)
+    val src = s"$root/src"
+    d.where(col("doc_id") < 200).repartition(1).write.mode("append").parquet(src)
+    d.where(col("doc_id") >= 200 && col("doc_id") < 400)
+      .repartition(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = graft.streaming.StreamingOps.pacedFileSource(
+      spark, src, schema, maxFilesPerTrigger = 1)
+    val baseline = graft.CacheScope.trackedCount
+    val q = graft.streaming.StreamingOps.winnowProcessingTime(
+      stream, "doc_id", "text", s"$root/store", s"$root/out", s"$root/ckpt")
+    q.processAllAvailable()
+    // a new crawl file lands while the query keeps running
+    d.where(col("doc_id") >= 400).repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    assert(graft.CacheScope.trackedCount == baseline)
+    val drained = spark.read.parquet(s"$root/out")
+      .select("id_a", "id_b", "shared_fps", "n_a", "n_b")
+      .collect().map(_.toSeq).toSet
+    val oneShot = graft.operators.DedupOps.winnowingPairs(d, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(drained == oneShot && drained.nonEmpty)
+    graft.CacheScope.release()
+  }
+
   test("streamed PQ index == one-shot append under the same frozen codebooks") {
     import org.apache.spark.sql.functions._
     val root = tmpDir("stream_pq")
