@@ -1038,6 +1038,26 @@ object SparkEntry {
           tolerance = Some("2d"))
     }),
 
+    // merge_asof direction='forward': the FIRST click at-or-after each
+    // purchase (label-lookahead join)
+    "fs_keyed_asof_fwd" -> ((s, dir) => {
+      val spine = Tables.events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("time"), col("event_id"))
+      Fixtures.store(s, dir)
+        .loadKeyedAsOf(spine, "events/click_by_user", as = Some("next_click"),
+          direction = "forward")
+    }),
+
+    // merge_asof direction='nearest': the closer of the user's last and
+    // next click, ties to the backward side (deterministic)
+    "fs_keyed_asof_nearest" -> ((s, dir) => {
+      val spine = Tables.events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("time"), col("event_id"))
+      Fixtures.store(s, dir)
+        .loadKeyedAsOf(spine, "events/click_by_user", as = Some("near_click"),
+          direction = "nearest")
+    }),
+
     // keyed as-of WITH time travel: "-30s" excludes the v=0 version of
     // every stored click (created_time == time), so the per-user as-of
     // sees v=1 → value*2 — the leakage-audited keyed training set:
@@ -3269,6 +3289,46 @@ object SparkEntry {
                  THEN c.value END AS last_click
           FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.t <= p.t
           ORDER BY p.user_id, p.t""",
+
+    // first click at-or-after the purchase, via the min-t1 subquery shape
+    // (the fs_keyed_interp oracle's proven construction)
+    "fs_keyed_asof_fwd" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, value FROM events
+                    WHERE event_type = 'click'),
+         p AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, event_id FROM events
+               WHERE event_type = 'purchase'),
+         pr AS (SELECT p.user_id, p.t, p.event_id,
+                  (SELECT min(c.t) FROM c
+                   WHERE c.user_id = p.user_id AND c.t >= p.t) AS t1
+                FROM p)
+         SELECT pr.user_id, pr.t AS time, pr.event_id, c1.value AS next_click
+         FROM pr LEFT JOIN c c1 ON c1.user_id = pr.user_id AND c1.t = pr.t1
+         ORDER BY pr.user_id, pr.t""",
+
+    // closer of last/next click; equal distances go to the backward side
+    "fs_keyed_asof_nearest" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, value FROM events
+                    WHERE event_type = 'click'),
+         p AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, event_id FROM events
+               WHERE event_type = 'purchase'),
+         pr AS (SELECT p.user_id, p.t, p.event_id,
+                  (SELECT max(c.t) FROM c
+                   WHERE c.user_id = p.user_id AND c.t <= p.t) AS t0,
+                  (SELECT min(c.t) FROM c
+                   WHERE c.user_id = p.user_id AND c.t >= p.t) AS t1
+                FROM p),
+         j AS (SELECT pr.user_id, pr.t, pr.event_id, pr.t0, pr.t1,
+                 c0.value v0, c1.value v1
+               FROM pr LEFT JOIN c c0 ON c0.user_id = pr.user_id AND c0.t = pr.t0
+                       LEFT JOIN c c1 ON c1.user_id = pr.user_id AND c1.t = pr.t1)
+         SELECT user_id, t AS time, event_id,
+           CASE WHEN t0 IS NULL AND t1 IS NULL THEN NULL
+                WHEN t0 IS NULL THEN v1
+                WHEN t1 IS NULL THEN v0
+                WHEN epoch_us(t1) - epoch_us(t) < epoch_us(t) - epoch_us(t0)
+                  THEN v1
+                ELSE v0 END AS near_click
+         FROM j ORDER BY user_id, t""",
 
     // time travel drops the v=0 version (created_time == event time), so
     // the surviving latest version is v=1 → value*2

@@ -492,21 +492,21 @@ class FeatureStore(
     */
   def loadKeyedAsOf(spine: DataFrame, qualified: String,
       as: Option[String] = None, timeTravel: Option[String] = None,
-      tolerance: Option[String] = None): DataFrame = {
+      tolerance: Option[String] = None,
+      direction: String = "backward"): DataFrame = {
     val (ns, n) = Catalog.splitName(qualified)
     val keys = keyedKeys(ns, n)
     val data = loadKeyed(qualified, timeTravel = timeTravel)
       .withColumnRenamed(ValueCol, as.getOrElse(s"$ns/$n"))
     val vc = Seq(as.getOrElse(s"$ns/$n"))
-    tolerance match {
-      // staleness-bounded serving: observations older than the bound at
-      // the spine instant come back null, never a silently stale carry
-      case Some(t) =>
-        val tol = TimeUtil.parseMicros(t)
-        require(tol >= 0, s"loadKeyedAsOf: tolerance must be >= 0, got '$t'")
-        Align.asOfJoinKeyedTolerance(spine, data, keys, TimeCol, vc, tol)
-      case None => Align.asOfJoinKeyed(spine, data, keys, TimeCol, vc)
+    // tolerance = staleness (backward) / lookahead (forward) bound:
+    // matches farther than the bound serve null, never silently stale
+    val tol = tolerance.map { t =>
+      val v = TimeUtil.parseMicros(t)
+      require(v >= 0, s"loadKeyedAsOf: tolerance must be >= 0, got '$t'")
+      v
     }
+    Align.asOfJoinKeyedDirection(spine, data, keys, TimeCol, vc, direction, tol)
   }
 
   /** Per-entity resample: every observed entity × a regular [from, to] grid,

@@ -279,6 +279,81 @@ object Align {
       .select((keys.map(col) :+ col(timeCol)) ++ spineCols.map(col) ++ outCols: _*)
   }
 
+  /** [[asOfJoinKeyed]] generalized to pandas merge_asof's three
+    * DIRECTIONS, with an optional staleness/lookahead bound:
+    * `backward` = last observation at-or-before the spine instant (the
+    * as-of default), `forward` = FIRST observation at-or-after it (label
+    * lookahead joins: "the next reading after the event"), `nearest` =
+    * whichever of the two is closer in time, ties to the backward side
+    * (deterministic; pandas leaves the tie unspecified). With
+    * `toleranceMicros`, a match farther than the bound (in the chosen
+    * direction's distance) serves null.
+    *
+    * Same one-window-per-direction shape as [[interpJoinKeyed]]: the
+    * carry is the (t, v) observation struct, both windows partition by
+    * the keys (parallelism per entity), and an observation AT the spine
+    * instant is visible from both sides — so `nearest` returns it
+    * exactly and `forward`'s distance there is 0.
+    */
+  def asOfJoinKeyedDirection(spine: DataFrame, data: DataFrame,
+      keys: Seq[String], timeCol: String, valueCols: Seq[String],
+      direction: String = "backward",
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward/forward/nearest, got '$direction'")
+    require(toleranceMicros.forall(_ >= 0), "tolerance must be >= 0")
+    (direction, toleranceMicros) match {
+      // the plain windows are cheaper than struct carries — keep them
+      case ("backward", None) =>
+        asOfJoinKeyed(spine, data, keys, timeCol, valueCols)
+      case ("backward", Some(t)) =>
+        asOfJoinKeyedTolerance(spine, data, keys, timeCol, valueCols, t)
+      case _ =>
+        val spineCols = spine.columns
+          .filterNot(c => c == timeCol || keys.contains(c)).toSeq
+        val us = unix_micros(col(timeCol))
+        val spineTagged = spine.withColumn("__spine", lit(1))
+        val dataTagged = data
+          .select((keys.map(col) :+ col(timeCol)) ++ valueCols.map(col): _*)
+          .withColumn("__spine", lit(0))
+        val unioned = spineTagged.unionByName(dataTagged, allowMissingColumns = true)
+        val withObs = valueCols.foldLeft(unioned) { (d, c) =>
+          d.withColumn(s"__o_$c",
+            when(col("__spine") === 0 && col(c).isNotNull,
+              struct(us.as("t"), col(c).as("v"))))
+        }
+        val wFwd = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(timeCol), col("__spine"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wBwd = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(timeCol), col("__spine").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val filled = valueCols.foldLeft(withObs) { (d, c) =>
+          d.withColumn(s"__p_$c", last(col(s"__o_$c"), ignoreNulls = true).over(wFwd))
+            .withColumn(s"__n_$c", first(col(s"__o_$c"), ignoreNulls = true).over(wBwd))
+        }
+        val tol = toleranceMicros.map(lit(_)).getOrElse(lit(Long.MaxValue))
+        val outCols = valueCols.map { c =>
+          val p = col(s"__p_$c"); val n = col(s"__n_$c")
+          val db = us - p.getField("t") // backward distance (>= 0)
+          val df = n.getField("t") - us // forward distance (>= 0)
+          val chosen = direction match {
+            case "forward" => when(n.isNotNull && df <= tol, n.getField("v"))
+            case "nearest" =>
+              when(p.isNull && n.isNull, lit(null))
+                .when(p.isNull, when(df <= tol, n.getField("v")))
+                .when(n.isNull, when(db <= tol, p.getField("v")))
+                // tie (df == db) goes backward — the when's strict <
+                .when(df < db, when(df <= tol, n.getField("v")))
+                .otherwise(when(db <= tol, p.getField("v")))
+          }
+          chosen.as(c)
+        }
+        filled.where(col("__spine") === 1)
+          .select((keys.map(col) :+ col(timeCol)) ++ spineCols.map(col) ++ outCols: _*)
+    }
+  }
+
   /** Entity-keyed LINEAR-INTERPOLATION join — [[asOfJoinKeyed]]'s interp
     * twin, with [[resampleInterp]]'s semantics per entity: each spine row
     * gets v0 + (v1−v0)·(g−t0)/(t1−t0) between its key's neighboring

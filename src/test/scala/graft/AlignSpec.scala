@@ -210,6 +210,38 @@ class AlignSpec extends SparkTestBase {
       (Some(1.0), None), (None, Some(2.0)), (None, None)))
   }
 
+  test("asOfJoinKeyedDirection: forward/nearest semantics, ties backward, tolerance") {
+    import spark.implicits._
+    val data = Seq(
+      (1L, ts("2021-01-02"), 2.0), (1L, ts("2021-01-06"), 6.0)
+    ).toDF("k", "time", "v")
+    val spine = Seq(
+      (1L, ts("2021-01-01")),  // before both: fwd=2, nearest=2 (1d vs none)
+      (1L, ts("2021-01-03")),  // between: back 1d, fwd 3d -> nearest=2
+      (1L, ts("2021-01-05")),  // between: back 3d, fwd 1d -> nearest=6
+      (1L, ts("2021-01-04")),  // TIE (2d both ways) -> backward wins: 2
+      (1L, ts("2021-01-06")),  // exact hit -> both directions serve 6
+      (1L, ts("2021-01-08"))   // after both: fwd=null, nearest=6
+    ).toDF("k", "time")
+    def run(dir: String, tol: Option[Long] = None) =
+      Align.asOfJoinKeyedDirection(spine, data, Seq("k"), "time", Seq("v"),
+          dir, tol)
+        .orderBy("time").collect().map(r => Option(r.getAs[Any]("v"))).toSeq
+    assert(run("forward") == Seq(Some(2.0), Some(6.0), Some(6.0), Some(6.0),
+      Some(6.0), None))
+    // time order: 01, 03, 04 (the tie), 05, 06, 08
+    assert(run("nearest") == Seq(Some(2.0), Some(2.0), Some(2.0), Some(6.0),
+      Some(6.0), Some(6.0)))
+    // backward delegates to the plain window form
+    assert(run("backward") == Seq(None, Some(2.0), Some(2.0), Some(2.0),
+      Some(6.0), Some(6.0)))
+    // a 1-day lookahead bound voids forward matches farther than 1d
+    val day = 86400L * 1000000
+    assert(run("forward", Some(day)) == Seq(Some(2.0), None, None,
+      Some(6.0), Some(6.0), None))
+    intercept[IllegalArgumentException] { run("sideways") }
+  }
+
   test("alignInterp: per-feature interpolation on the union axis") {
     import spark.implicits._
     val a = Seq((ts("2021-01-01"), 10.0), (ts("2021-01-05"), 50.0))
