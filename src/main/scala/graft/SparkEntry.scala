@@ -615,6 +615,12 @@ object SparkEntry {
       operators.CurationOps.packChunks(Tables.documents(s, dir),
         "doc_id", "text", chunkTokens = 512)),
 
+    // per-language packing: chunks never mix languages; chunk ids are
+    // group-local, prefix sums restart per group (grouped two-pass scan)
+    "corpus_pack_grouped" -> ((s, dir) =>
+      operators.CurationOps.packChunksGrouped(Tables.documents(s, dir),
+        "doc_id", "text", "lang", chunkTokens = 512)),
+
     // the same packing re-denominated in BPE-ish subword tokens via the
     // pluggable counter — chunk budgets in real pipelines are tokenizer
     // tokens, not whitespace words; identical distributed shape
@@ -2376,6 +2382,22 @@ object SparkEntry {
            CAST(least(n, (b + 1) * 512 - strt) AS BIGINT) AS tok_to
          FROM s, unnest(range(strt // 512, ((cum - 1) // 512) + 1)) u(b)
          ORDER BY chunk_id, doc_id""",
+
+    // corpus_pack with the running sum PARTITIONed by lang — chunk ids
+    // restart per group and no span crosses a language boundary
+    "corpus_pack_grouped" ->
+      """WITH t AS (SELECT lang, doc_id,
+                      len(string_split(lower(text), ' ')) AS n
+                    FROM documents),
+         c AS (SELECT lang, doc_id, n,
+                 CAST(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) cum FROM t),
+         s AS (SELECT lang, doc_id, n, cum - n AS strt, cum FROM c WHERE n > 0)
+         SELECT lang, CAST(b AS BIGINT) AS chunk_id, doc_id,
+           CAST(greatest(0, b * 512 - strt) AS BIGINT) AS tok_from,
+           CAST(least(n, (b + 1) * 512 - strt) AS BIGINT) AS tok_to
+         FROM s, unnest(range(strt // 512, ((cum - 1) // 512) + 1)) u(b)
+         ORDER BY lang, chunk_id, doc_id""",
 
     // aggregate of the corpus_pack span set; last_chunk_tokens falls out
     // of totals (all non-tail chunks hold exactly 512 by construction)

@@ -360,6 +360,71 @@ object CurationOps {
       .drop("__b", "__ps", "__carry")
   }
 
+  /** Per-group distributed prefix sum — [[prefixSum]] with the running
+    * total RESTARTING at every `groupCol` value, in the same two-pass
+    * parallel-scan shape generalized by one dimension: rows quantile-
+    * bucket on the order key exactly as before, per-(bucket, group)
+    * partials run in bucket-local windows, and the carry table is one row
+    * per (bucket, group) — driver-prefix-scanned per group and broadcast
+    * back. A hot group therefore costs its per-bucket row share, never
+    * one window partition holding the whole group (the naive
+    * `PARTITION BY group ORDER BY key` sort dies exactly there when one
+    * language is most of a 100 TB corpus).
+    *
+    * The carry table is (buckets × |groups|) rows on the driver — tiny
+    * for source/language-shaped groups; a cardinality explosion (grouping
+    * by doc id by mistake) raises loudly at `maxCarryRows` instead of
+    * OOMing the driver. Order keys must be unique WITHIN their group.
+    */
+  def prefixSumGrouped(df: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String, cumCol: String = "cum", buckets: Int = 0,
+      maxCarryRows: Long = 1000000L): DataFrame = {
+    val spark = df.sparkSession
+    val nb = if (buckets > 0) buckets else spark.sparkContext.defaultParallelism
+    val cached = graft.CacheScope.persist(df)
+    val oc = col(orderCol).cast("long")
+    val probs = (1 until nb).map(_.toDouble / nb)
+    val r = cached.agg(count(lit(1)).as("n"),
+      count_distinct(col(groupCol), oc).as("nd"),
+      (if (probs.nonEmpty) percentile_approx(oc, array(probs.map(lit): _*), lit(1000))
+       else array()).as("cuts")).head()
+    if (r.getLong(0) == 0L) return df.withColumn(cumCol, lit(0L))
+    require(r.getLong(1) == r.getLong(0),
+      s"prefixSumGrouped: ($groupCol, $orderCol) must be non-null and unique " +
+        s"per row (${r.getLong(0)} rows, ${r.getLong(1)} distinct keys)")
+    val cuts: Seq[Long] =
+      if (probs.isEmpty) Nil else r.getSeq[Long](2).distinct.sorted
+    val bucketOf = cuts.zipWithIndex.reverse.foldLeft(lit(cuts.length.toLong): Column) {
+      case (acc, (c, i)) => when(oc < lit(c), lit(i.toLong)).otherwise(acc)
+    }
+    val withB = cached.withColumn("__b", bucketOf)
+    val totalsDf = withB.groupBy(col("__b"), col(groupCol).as("__g"))
+      .agg(sum(col(valueCol).cast("long")).as("__s"))
+    val nCarry = totalsDf.count()
+    require(nCarry <= maxCarryRows,
+      s"prefixSumGrouped: carry table has $nCarry (bucket, group) rows " +
+        s"(> $maxCarryRows) — '$groupCol' is too fine-grained for the " +
+        "driver-side carry scan; group by a coarser key")
+    val totals = totalsDf.collect()
+      .map(row => (row.getAs[Any]("__g"), row.getLong(0), row.getLong(2)))
+    val carryIn = totals.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, b, s) => val in = Row(g, b, acc); acc += s; in }
+    }
+    val gField = df.schema(groupCol)
+    val carryDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(carryIn, 1),
+      StructType(Seq(StructField("__cg", gField.dataType),
+        StructField("__cb", LongType), StructField("__carry", LongType))))
+    val w = Window.partitionBy(col(groupCol), col("__b")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.withColumn("__ps", sum(col(valueCol).cast("long")).over(w))
+      .join(broadcast(carryDf),
+        col(groupCol) === col("__cg") && col("__b") === col("__cb"), "left")
+      .withColumn(cumCol, col("__ps") + coalesce(col("__carry"), lit(0L)))
+      .drop("__b", "__cg", "__cb", "__ps", "__carry")
+  }
+
   /** Sequence packing — the concat-and-chunk construction every pretraining
     * pipeline runs between the curated corpus and the trainer: documents are
     * concatenated in `idCol` order and cut into fixed `chunkTokens`-token
@@ -396,6 +461,40 @@ object CurationOps {
         explode(sequence(expr(s"__start div ${chunkTokens}L"),
           expr(s"(__cum - 1L) div ${chunkTokens}L"))))
       .select(col("chunk_id").cast("bigint").as("chunk_id"), col(idCol),
+        greatest(lit(0L), col("chunk_id") * chunkTokens - col("__start"))
+          .cast("bigint").as("tok_from"),
+        least(col("__n"), (col("chunk_id") + 1) * chunkTokens - col("__start"))
+          .cast("bigint").as("tok_to"))
+  }
+
+  /** [[packChunks]] PER GROUP — sequence packing that never mixes groups
+    * inside a training chunk (the per-language / per-source packing every
+    * multilingual or multi-domain pretraining mix runs: a 512-token
+    * sequence must not splice Chinese into an English doc's tail, or web
+    * text into code). Each group packs independently in `idCol` order;
+    * `chunk_id` is group-LOCAL (0-based per group), so the output key is
+    * `(groupCol, chunk_id)` and every chunk except each group's last
+    * covers exactly `chunkTokens` tokens of that group.
+    *
+    * Scale: [[prefixSumGrouped]]'s one shuffle + (buckets × groups)
+    * driver carry — a corpus-dominating group costs its per-bucket share,
+    * not one window partition. The span explosion is unchanged map-side
+    * long arithmetic.
+    */
+  def packChunksGrouped(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, chunkTokens: Long,
+      tokenCounter: Column => Column = TextOps.tokenCount): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val counts = df.select(col(groupCol), col(idCol),
+      tokenCounter(col(textCol)).cast("long").as("__n"))
+    prefixSumGrouped(counts, groupCol, idCol, "__n", "__cum")
+      .where(col("__n") > 0)
+      .withColumn("__start", col("__cum") - col("__n"))
+      .withColumn("chunk_id",
+        explode(sequence(expr(s"__start div ${chunkTokens}L"),
+          expr(s"(__cum - 1L) div ${chunkTokens}L"))))
+      .select(col(groupCol), col("chunk_id").cast("bigint").as("chunk_id"),
+        col(idCol),
         greatest(lit(0L), col("chunk_id") * chunkTokens - col("__start"))
           .cast("bigint").as("tok_from"),
         least(col("__n"), (col("chunk_id") + 1) * chunkTokens - col("__start"))

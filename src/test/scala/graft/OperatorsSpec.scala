@@ -1429,6 +1429,47 @@ class OperatorsSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("packChunksGrouped == per-group packChunks; carry explosion guarded") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b c", "en"), (2L, "d e f g", "en"), (3L, "h i", "en"),
+      (4L, "x y z w v", "de"), (5L, "u t", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = CurationOps.packChunksGrouped(fixture, "doc_id", "text", "lang", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // each group must equal packChunks run on that group alone
+    val expected = Seq("en", "de").flatMap { g =>
+      CurationOps.packChunks(fixture.where(col("lang") === g),
+          "doc_id", "text", 5)
+        .collect().map(r => (g, r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+    }.toSet
+    assert(got == expected && got.nonEmpty)
+    // no chunk mixes groups (chunk ids are group-local, key = (lang, chunk))
+    val mixed = CurationOps.packChunksGrouped(fixture, "doc_id", "text", "lang", 5)
+      .join(fixture.select(col("doc_id"), col("lang").as("doc_lang")), Seq("doc_id"))
+      .where(col("lang") =!= col("doc_lang")).count()
+    assert(mixed == 0L)
+    // on the larger fixture: per-group token conservation
+    val K = 128L
+    val spans = CurationOps.packChunksGrouped(docs, "doc_id", "text", "lang", K)
+    val perGroup = spans.groupBy(col("lang"))
+      .agg(sum(col("tok_to") - col("tok_from")).as("covered")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = docs.groupBy(col("lang"))
+      .agg(sum(size(split(lower(col("text")), " "))).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGroup == truth, s"coverage $perGroup != totals $truth")
+    // a group key as fine as the row id must refuse the driver carry
+    intercept[IllegalArgumentException] {
+      CurationOps.prefixSumGrouped(
+        docs.select(col("doc_id"), col("doc_id").as("g"), lit(1L).as("v")),
+        "g", "doc_id", "v", maxCarryRows = 10)
+    }
+    graft.CacheScope.release()
+  }
+
   test("packChunks: exact spans, every chunk full except the last") {
     import spark.implicits._
     // 3+4+2 tokens, chunk budget 5 -> chunk0 = doc1[0,3)+doc2[0,2),
