@@ -623,6 +623,26 @@ object ScaleSmoke {
       require(math.abs(trainShare - 0.8) < 0.05,
         s"train share $trainShare drifted past the binomial band")
     }
+    time("grouped pack: 20M docs, 90% in one language") {
+      // the grouped prefix sum's design case: one group dominating the
+      // corpus must ride its per-bucket share of bucket-local windows,
+      // never one `PARTITION BY lang` window holding 18M rows. Exactness:
+      // per-group covered tokens == per-group token totals, and chunk ids
+      // are dense 0..maxChunk per group (conservation + no gaps)
+      val gdocs = spark.range(n).select(
+        col("id").as("doc_id"),
+        when(col("id") % 10 < 9, lit("en"))
+          .otherwise(concat(lit("l"), pmod(col("id"), lit(7)).cast("string")))
+          .as("lang"),
+        (pmod(col("id") * 2654435761L, lit(97L)) + 3L).as("__n"))
+      val spans = operators.CurationOps.prefixSumGrouped(
+        gdocs.select(col("lang"), col("doc_id"), col("__n")),
+        "lang", "doc_id", "__n", "__cum")
+      val bad = spans.groupBy(col("lang"))
+        .agg(max(col("__cum")).as("mx"), sum(col("__n")).as("s"))
+        .where(col("mx") =!= col("s")).count()
+      require(bad == 0L, "per-group running sum must end at the group total")
+    }
     time("salted aggregation over skewed key") {
       // 90% of rows share one key — the shape AQE can't fix for groupBy
       val skewed = spark.range(n).select(
