@@ -79,6 +79,13 @@ object Fixtures {
         expr("time - make_interval(0, 0, 0, 0, 0, v, 0)").as("created_time"))
     store.createKeyedFeature("events/click_by_user", Seq("user_id"))
     store.saveKeyed("events/click_by_user", keyedTripled)
+    // a second keyed feature on the same entity for the multi-feature
+    // keyed serving query (single version: created_time = time)
+    store.createKeyedFeature("events/view_by_user", Seq("user_id"))
+    store.saveKeyed("events/view_by_user", Tables.events(spark, sfDir)
+      .where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("time"), col("value"),
+        col("ts").as("created_time")))
 
     // multi-column feature group over ALL events (ts unique across table):
     // one table, columns loadable independently via parquet pruning

@@ -1044,6 +1044,15 @@ object SparkEntry {
           tolerance = Some("2d"))
     }),
 
+    // the multi-feature keyed serving query: per-user last click AND last
+    // view as of each purchase, one per-entity window stage per feature
+    "fs_keyed_multi_asof" -> ((s, dir) => {
+      val spine = Tables.events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("time"), col("event_id"))
+      Fixtures.store(s, dir).loadKeyedFeaturesAsOf(spine,
+        Seq("events/click_by_user", "events/view_by_user"))
+    }),
+
     // merge_asof direction='forward': the FIRST click at-or-after each
     // purchase (label-lookahead join)
     "fs_keyed_asof_fwd" -> ((s, dir) => {
@@ -3311,6 +3320,21 @@ object SparkEntry {
                  THEN c.value END AS last_click
           FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.t <= p.t
           ORDER BY p.user_id, p.t""",
+
+    // two chained per-user ASOF joins onto the purchase spine
+    "fs_keyed_multi_asof" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, value FROM events
+                    WHERE event_type = 'click'),
+         v AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, value FROM events
+               WHERE event_type = 'view'),
+         p AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, event_id FROM events
+               WHERE event_type = 'purchase')
+         SELECT p.user_id, p.t AS time, p.event_id,
+           c.value AS "events/click_by_user",
+           v.value AS "events/view_by_user"
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.t <= p.t
+                ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.t <= p.t
+         ORDER BY p.user_id, p.t""",
 
     // first click at-or-after the purchase, via the min-t1 subquery shape
     // (the fs_keyed_interp oracle's proven construction)

@@ -509,6 +509,41 @@ class FeatureStore(
     Align.asOfJoinKeyedDirection(spine, data, keys, TimeCol, vc, direction, tol)
   }
 
+  /** Multi-feature ENTITY-KEYED point-in-time retrieval — THE online/
+    * offline serving query of a feature platform: for every spine row
+    * (keys..., time, payload), attach EACH requested keyed feature's
+    * value per the shared `direction`/`tolerance` contract (default:
+    * last value at-or-before the spine instant). All features must be
+    * keyed on the same entity columns (checked loudly — silently joining
+    * on different entities is a wrong-training-set generator).
+    *
+    * Plan shape: one [[graft.ts.Align.asOfJoinKeyedDirection]] stage per
+    * feature folded over the spine — every stage partitions its window
+    * by the SAME entity keys, so parallelism stays per-entity throughout
+    * and no stage widens beyond spine + that feature's rows. N is
+    * feature-retrieval-sized (a handful to dozens); for hundreds of
+    * features on one entity, store them as a feature GROUP
+    * ([[createGroup]]) and as-of the group's one table instead.
+    */
+  def loadKeyedFeaturesAsOf(spine: DataFrame, names: Seq[String],
+      timeTravel: Option[String] = None,
+      tolerance: Option[String] = None,
+      direction: String = "backward"): DataFrame = {
+    require(names.nonEmpty, "no features requested")
+    val resolved = names.map { q =>
+      val (ns, n) = Catalog.splitName(q)
+      (s"$ns/$n", keyedKeys(ns, n))
+    }
+    val keySets = resolved.map(_._2).distinct
+    require(keySets.size == 1,
+      s"loadKeyedFeaturesAsOf: all features must share one entity key set, " +
+        s"got ${resolved.map { case (q, k) => s"$q->${k.mkString(",")}" }.mkString("; ")}")
+    resolved.foldLeft(spine) { case (acc, (qualified, _)) =>
+      loadKeyedAsOf(acc, qualified, as = Some(qualified),
+        timeTravel = timeTravel, tolerance = tolerance, direction = direction)
+    }
+  }
+
   /** Per-entity resample: every observed entity × a regular [from, to] grid,
     * each cell holding the entity's last value at-or-before the grid
     * instant (as-of/LOCF semantics) — the periodic-training-snapshot

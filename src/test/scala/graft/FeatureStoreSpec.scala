@@ -225,6 +225,30 @@ class FeatureStoreSpec extends SparkTestBase {
       Seq(None, Some(100.0), Some(100.0), Some(200.0)))
   }
 
+  test("loadKeyedFeaturesAsOf: per-entity multi-feature serving, key-set guard") {
+    import spark.implicits._
+    val fs = freshStore()
+    fs.createNamespace("k", "keyed")
+    fs.createKeyedFeature("k/a", Seq("uid"))
+    fs.createKeyedFeature("k/b", Seq("uid"))
+    fs.createKeyedFeature("k/other", Seq("device"))
+    def keyedDf(rows: Seq[(Long, String, Double)]) =
+      rows.map { case (u, t, v) => (u, ts(t), v, ts(t)) }
+        .toDF("uid", "time", "value", "created_time")
+    fs.saveKeyed("k/a", keyedDf(Seq((1L, "2021-01-01", 1.0), (1L, "2021-01-05", 5.0))))
+    fs.saveKeyed("k/b", keyedDf(Seq((1L, "2021-01-03", 30.0))))
+    val spine = Seq((1L, ts("2021-01-04"))).toDF("uid", "time")
+    val out = fs.loadKeyedFeaturesAsOf(spine, Seq("k/a", "k/b")).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("k/a") == 1.0)   // last a at-or-before Jan 4
+    assert(out.head.getAs[Double]("k/b") == 30.0)
+    // mismatched entity keys refuse loudly — never a wrong-entity join
+    val ex = intercept[IllegalArgumentException] {
+      fs.loadKeyedFeaturesAsOf(spine, Seq("k/a", "k/other"))
+    }
+    assert(ex.getMessage.contains("entity key set"))
+  }
+
   test("profileFeature: per-bucket counts + exact-decimal sums + envelopes") {
     val fs = freshStore()
     fs.createNamespace("m", "monitoring")
