@@ -621,6 +621,11 @@ object SparkEntry {
       operators.CurationOps.packChunksGrouped(Tables.documents(s, dir),
         "doc_id", "text", "lang", chunkTokens = 512)),
 
+    // the grouped spans materialized: (lang, chunk_id, text) train shards
+    "corpus_pack_grouped_text" -> ((s, dir) =>
+      operators.CurationOps.packChunkTextGrouped(Tables.documents(s, dir),
+        "doc_id", "text", "lang", chunkTokens = 512)),
+
     // the same packing re-denominated in BPE-ish subword tokens via the
     // pluggable counter — chunk budgets in real pipelines are tokenizer
     // tokens, not whitespace words; identical distributed shape
@@ -2559,6 +2564,25 @@ object SparkEntry {
            string_agg(array_to_string(tks[a+1:e], ' '), ' ' ORDER BY doc_id)
              AS text
          FROM sp GROUP BY 1 ORDER BY 1""",
+
+    // corpus_pack_text with the running sum and chunk key partitioned by
+    // lang — materialized chunks never splice languages
+    "corpus_pack_grouped_text" ->
+      """WITH t AS (SELECT lang, doc_id, string_split(lower(text), ' ') AS tks
+                    FROM documents),
+         c AS (SELECT lang, doc_id, tks, len(tks) n,
+                 CAST(sum(len(tks)) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) cum FROM t),
+         s AS (SELECT lang, doc_id, tks, n, cum - n AS strt, cum
+               FROM c WHERE n > 0),
+         sp AS (SELECT lang, CAST(b AS BIGINT) chunk_id, doc_id, tks,
+                  CAST(greatest(0, b * 512 - strt) AS BIGINT) a,
+                  CAST(least(n, (b + 1) * 512 - strt) AS BIGINT) e
+                FROM s, unnest(range(strt // 512, ((cum - 1) // 512) + 1)) u(b))
+         SELECT lang, chunk_id,
+           string_agg(array_to_string(tks[a+1:e], ' '), ' ' ORDER BY doc_id)
+             AS text
+         FROM sp GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // piece-space packing: replay the top-200 vocab (count DESC, word),
     // the single-piece vocab hit / 2-char OOV fallback split, then the

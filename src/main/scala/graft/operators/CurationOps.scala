@@ -542,6 +542,38 @@ object CurationOps {
         s => s.getField("f")), " ").as("text"))
   }
 
+  /** [[packChunkText]] PER GROUP — materialized training sequences that
+    * never mix groups ([[packChunksGrouped]]'s spans joined back to the
+    * token arrays): output `(groupCol, chunk_id, text)` keyed by the
+    * group-local chunk id, every chunk except each group's last holding
+    * exactly `chunkTokens` tokens of that group. This is the frame a
+    * writer shards into per-language / per-source training files.
+    *
+    * Cost over the grouped spans: the same one id-keyed join + one
+    * (group, chunk) shuffle as the ungrouped materialization; fragment
+    * order inside a chunk is doc-id-sorted (partitioning-independent).
+    */
+  def packChunkTextGrouped(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, chunkTokens: Long,
+      tokenizer: Column => Column = TextOps.tokens): DataFrame = {
+    val spans = packChunksGrouped(df, idCol, textCol, groupCol, chunkTokens,
+      c => size(tokenizer(c)))
+    val toks = df.select(col(idCol), tokenizer(col(textCol)).as("__t"))
+    val from32 = when(col("tok_to") <= lit(Int.MaxValue.toLong),
+        (col("tok_from") + 1).cast("int"))
+      .otherwise(raise_error(concat(
+        lit("packChunkTextGrouped: per-doc token count exceeds Int.MaxValue for doc "),
+        col(idCol).cast("string"))).cast("int"))
+    spans.join(toks, Seq(idCol))
+      .select(col(groupCol), col("chunk_id"), col(idCol),
+        concat_ws(" ", slice(col("__t"), from32,
+          (col("tok_to") - col("tok_from")).cast("int"))).as("__frag"))
+      .groupBy(col(groupCol), col("chunk_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(idCol).as("i"), col("__frag").as("f")))),
+        s => s.getField("f")), " ").as("text"))
+  }
+
   /** [[packChunkText]] in REAL-tokenizer PIECE space — the train-ready
     * chunk materialization in actual tokenizer pieces, not whitespace
     * words: every word maps through the broadcast `(word, pieces)` vocab

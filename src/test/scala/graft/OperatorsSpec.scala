@@ -1451,6 +1451,17 @@ class OperatorsSpec extends SparkTestBase {
       .join(fixture.select(col("doc_id"), col("lang").as("doc_lang")), Seq("doc_id"))
       .where(col("lang") =!= col("doc_lang")).count()
     assert(mixed == 0L)
+    // materialized grouped chunks: each group's text equals the ungrouped
+    // materialization of that group alone
+    val gtexts = CurationOps.packChunkTextGrouped(
+        fixture, "doc_id", "text", "lang", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    val etexts = Seq("en", "de").flatMap { g =>
+      CurationOps.packChunkText(fixture.where(col("lang") === g),
+          "doc_id", "text", 5)
+        .collect().map(r => (g, r.getLong(0)) -> r.getString(1))
+    }.toMap
+    assert(gtexts == etexts && gtexts.nonEmpty)
     // on the larger fixture: per-group token conservation
     val K = 128L
     val spans = CurationOps.packChunksGrouped(docs, "doc_id", "text", "lang", K)
