@@ -579,6 +579,19 @@ object SparkEntry {
         k = 4, minTokens = 20, maxTopTokenFrac = 0.12)
     }),
 
+    // accounting twin of curate_keep_dedup: blocked -> non_keeper ->
+    // contaminated -> short -> repetitive -> kept precedence; kept rows ==
+    // curate_keep_dedup's result set, counts partition the corpus
+    "curation_report_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val labels = operators.DedupOps.loadClusterLabels(
+        s, Fixtures.clusterStorePath(s, dir))
+      operators.CurationOps.curationReportClustered(
+        d.where(col("doc_id") % 17 =!= 0), d.where(col("doc_id") % 17 === 0),
+        "doc_id", "text", "lang", labels, "n_chars",
+        k = 4, minTokens = 20, maxTopTokenFrac = 0.12)
+    }),
+
     // the curation pipeline as TRUE STREAMING: three id-range micro-batches
     // through store-probe dedup + curateKeep, kept docs appended per batch;
     // the drained kept set must equal the batch oracle on the same split
@@ -2277,6 +2290,64 @@ object SparkEntry {
          WHERE r.doc_id NOT IN (SELECT doc_id FROM contam)
            AND r.n_tokens >= 20 AND r.top_token_frac <= 0.12
          ORDER BY r.doc_id""",
+
+    // curate_keep_dedup's CTEs with the outcome CASE; per-doc stats exist
+    // only for representatives, non-keepers account via the raw token len
+    "curation_report_dedup" ->
+      """WITH RECURSIVE
+         e AS (SELECT doc_id AS a, doc_id - doc_id % 7 AS b FROM documents
+               WHERE doc_id % 7 != 0
+               UNION ALL
+               SELECT doc_id, doc_id - 1 FROM documents
+               WHERE doc_id % 21 = 0 AND doc_id > 0),
+         sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+         reach(id, r) AS (
+           SELECT DISTINCT a AS id, a AS r FROM sym
+           UNION
+           SELECT s.a AS id, rc.r FROM sym s JOIN reach rc ON s.b = rc.id),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         corpus AS (SELECT * FROM documents WHERE doc_id % 17 != 0),
+         lab AS (SELECT c0.doc_id, coalesce(cp.component, c0.doc_id) AS component,
+                        c0.n_chars
+                 FROM corpus c0 LEFT JOIN comp cp ON c0.doc_id = cp.id),
+         mx AS (SELECT component, max(n_chars) AS m FROM lab GROUP BY 1),
+         win AS (SELECT l.component, min(l.doc_id) AS keep_id
+                 FROM lab l JOIN mx ON l.component = mx.component AND l.n_chars = mx.m
+                 GROUP BY 1),
+         reps AS (SELECT c0.* FROM corpus c0
+                  JOIN lab l ON c0.doc_id = l.doc_id
+                  JOIN win w ON l.component = w.component AND c0.doc_id = w.keep_id),
+         d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         g AS (SELECT doc_id, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3]
+                 || ' ' || tks[i+4] AS s
+               FROM d, unnest(range(len(tks) - 3)) t(i) WHERE len(tks) >= 4),
+         bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 17 = 0),
+         contam AS (SELECT doc_id FROM g
+                    WHERE doc_id IN (SELECT doc_id FROM reps)
+                    GROUP BY 1
+                    HAVING count(DISTINCT s) FILTER (s IN (SELECT s FROM bench)) > 0),
+         tc AS (SELECT doc_id, tok, count(*) c
+                FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) tok
+                      FROM reps) GROUP BY 1, 2),
+         rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_tokens,
+                   CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) top_token_frac
+                 FROM tc GROUP BY 1),
+         oc AS (SELECT a.doc_id, a.lang,
+                  CASE WHEN r.doc_id IS NULL THEN 'non_keeper'
+                       WHEN a.doc_id IN (SELECT doc_id FROM contam)
+                         THEN 'contaminated'
+                       WHEN rep.n_tokens < 20 THEN 'short'
+                       WHEN rep.top_token_frac > 0.12 THEN 'repetitive'
+                       ELSE 'kept' END AS outcome,
+                  coalesce(rep.n_tokens,
+                    CAST(len(string_split(lower(a.text), ' ')) AS BIGINT)) AS nt
+                FROM corpus a
+                LEFT JOIN (SELECT DISTINCT doc_id FROM reps) r
+                  ON a.doc_id = r.doc_id
+                LEFT JOIN rep ON a.doc_id = rep.doc_id)
+         SELECT lang, outcome, CAST(count(*) AS BIGINT) n_docs,
+           CAST(sum(nt) AS BIGINT) n_tokens
+         FROM oc GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // curate_keep's CTEs restricted to the streamed split (doc_id >= 250):
     // the canonical window spans ALL % 17 != 0 docs, so a store hit

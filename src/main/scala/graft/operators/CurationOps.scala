@@ -175,6 +175,59 @@ object CurationOps {
       .select(col(idCol), col(langCol), col("n_tokens"), col("top_token_frac"))
   }
 
+  /** [[curationReport]] for the CLUSTERED pipeline — the accounting twin
+    * of [[curateKeepClustered]]: outcome precedence `blocked` →
+    * `non_keeper` (lost its near-dup cluster's keep-best election) →
+    * `contaminated` → `short` → `repetitive` → `kept`, so the `kept` rows
+    * are EXACTLY [[curateKeepClustered]]'s result set and the outcome
+    * counts partition the corpus. Per-doc stats are computed over
+    * representatives only and joined back — non-keepers are accounted by
+    * their outcome, not re-scored (their text never reaches the shingle
+    * explode, mirroring the keep path's cost shape; their token counts
+    * in the report come from one cheap map-side [[TextOps.tokenCount]]
+    * pass, not the full repetition scan).
+    */
+  def curationReportClustered(docs0: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, langCol: String, labels: DataFrame,
+      scoreCol: String, k: Int = 4, minTokens: Long = 20,
+      maxTopTokenFrac: Double = 0.12,
+      tokenCounter: Option[Column => Column] = None,
+      sourceCol: String = "source",
+      blockedSources: Option[DataFrame] = None): DataFrame = {
+    val docs = docs0.withColumn(textCol, coalesce(col(textCol), lit("")))
+    val flagged = blockedSources.fold(docs.withColumn("__blk", lit(null).cast("int")))(b =>
+      docs.join(
+        broadcast(b.select(col(b.columns.head).as(sourceCol)).distinct()
+          .withColumn("__blk", lit(1))), Seq(sourceCol), "left"))
+    val live = flagged.where(col("__blk").isNull)
+    val keepers = DedupOps.clusterKeepBestFromLabels(live, idCol, scoreCol, labels)
+      .where(col("keep"))
+      .select(col(idCol), lit(1).as("__kb"))
+    val reps = live.join(keepers.select(col(idCol)), Seq(idCol), "left_semi")
+    val rep = repWithCounter(reps, idCol, textCol, tokenCounter)
+    val contaminated = ngramOverlap(reps, bench, idCol, textCol, k)
+      .where(col("contaminated"))
+      .select(col(idCol), lit(1).as("__contam"))
+    val counterCol: Column => Column =
+      tokenCounter.getOrElse(TextOps.tokenCount(_).cast("long"))
+    flagged.select(col(idCol), col(langCol), col("__blk"),
+        counterCol(col(textCol)).cast("long").as("__all_n"))
+      .join(keepers, Seq(idCol), "left")
+      .join(rep, Seq(idCol), "left")
+      .join(contaminated, Seq(idCol), "left")
+      .withColumn("outcome",
+        when(col("__blk") === 1, "blocked")
+          .when(col("__kb").isNull, "non_keeper")
+          .when(col("__contam") === 1, "contaminated")
+          .when(col("n_tokens") < minTokens, "short")
+          .when(col("top_token_frac") > maxTopTokenFrac, "repetitive")
+          .otherwise("kept"))
+      .groupBy(col(langCol), col("outcome"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_tokens"), col("__all_n"))).cast("bigint")
+          .as("n_tokens"))
+  }
+
   /** Curation accounting — the per-language outcome breakdown every real
     * curation run reports (what fraction of docs/tokens each rule dropped).
     * Outcomes use first-failing-rule precedence `blocked` → `duplicate` →

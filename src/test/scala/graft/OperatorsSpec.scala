@@ -1230,6 +1230,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(keptB == Set(1L))
   }
 
+  test("curationReportClustered: partition of the corpus, kept == keep path") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val clean = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, clean, "en", 5.0),                             // loses cluster to 2
+      (2L, other, "en", 9.0),                             // kept
+      (3L, clean + " alpha beta gamma delta", "en", 1.0), // contaminated
+      (4L, "short one", "en", 1.0),                       // short
+      (5L, (1 to 30).map(_ => "x").mkString(" "), "de", 2.0) // repetitive
+    ).toDF("doc_id", "text", "lang", "score")
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    val report = CurationOps.curationReportClustered(
+        corpus, bench, "doc_id", "text", "lang", labels, "score")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(report == Map(
+      ("en", "kept") -> 1L, ("en", "non_keeper") -> 1L,
+      ("en", "contaminated") -> 1L, ("en", "short") -> 1L,
+      ("de", "repetitive") -> 1L))
+    assert(report.values.sum == corpus.count()) // partition of the corpus
+    // kept count equals the keep path's result set size
+    val kept = CurationOps.curateKeepClustered(
+      corpus, bench, "doc_id", "text", "lang", labels, "score").count()
+    assert(kept == 1L)
+  }
+
   test("incremental near-dup == full-corpus pairs touching the new split") {
     val path = tmpDir("mhstore")
     val split = 200L
