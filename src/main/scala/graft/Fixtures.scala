@@ -276,6 +276,23 @@ object Fixtures {
       path
     })
 
+  private val shStores = TrieMap[String, String]()
+
+  /** SimHash signature store over docs < 250, built in TWO batches
+    * (< 125 base, 125-249 append), once per (JVM, sf).
+    */
+  def simhashStorePath(spark: SparkSession, sfDir: String): String =
+    shStores.getOrElseUpdate(sfDir, {
+      val path = s"${tmpRoot}/shs_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val d = Tables.documents(spark, sfDir)
+      graft.operators.DedupOps.buildSimhashStore(
+        d.where(col("doc_id") < 125), "doc_id", "text", path)
+      graft.operators.DedupOps.appendSimhashStore(
+        d.where(col("doc_id") >= 125 && col("doc_id") < 250),
+        "doc_id", "text", path, batchToken = "b2")
+      path
+    })
+
   private val fpStores = TrieMap[String, String]()
 
   /** Exact-dedup fingerprint store over docs < 250, built once per

@@ -320,6 +320,15 @@ object SparkEntry {
       operators.DedupOps.simhashNearDupPairs(Tables.documents(s, dir),
         "doc_id", "text", maxHamming = 3)),
 
+    // incremental SimHash: probe docs >= 250 against a persisted two-batch
+    // signature store of docs < 250 — must equal the one-shot whole-corpus
+    // pairs restricted to pairs touching the batch (pigeonhole survives
+    // the store prune: touched buckets keep ALL their store rows)
+    "dedup_simhash_incremental" -> ((s, dir) =>
+      operators.DedupOps.incrementalSimhashPairs(
+        Tables.documents(s, dir).where(col("doc_id") >= 250), "doc_id", "text",
+        Fixtures.simhashStorePath(s, dir), maxHamming = 3)),
+
     // incremental dedup: build a signature store from docs < 250, probe
     // docs >= 250 against it (old-new + new-new pairs only; the corpus-side
     // minhash pass runs once, probes prune store rows by the probe's
@@ -1626,6 +1635,25 @@ object SparkEntry {
                FROM pairs)
          SELECT ia AS id_a, ib AS id_b, hamming FROM h
          WHERE hamming <= 3 ORDER BY 1, 2""",
+
+    // dedup_simhash_pairs restricted to pairs touching the probed batch
+    "dedup_simhash_incremental" ->
+      """WITH tok AS (SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) h FROM documents),
+         bits AS (SELECT doc_id, b,
+             sum(CASE WHEN ((strpos('0123456789abcdef', substring(h, b // 4 + 1, 1)) - 1)
+                            >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END) s
+           FROM tok, unnest(generate_series(0, 63)) t(b) GROUP BY 1, 2),
+         sh AS (SELECT doc_id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS sig
+                FROM bits GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id ia, b.doc_id ib, a.sig sa, b.sig sb
+                   FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         h AS (SELECT ia, ib,
+                 CAST(len(list_filter(range(64),
+                   i -> substring(sa, CAST(i + 1 AS INT), 1)
+                        != substring(sb, CAST(i + 1 AS INT), 1))) AS BIGINT) hamming
+               FROM pairs)
+         SELECT ia AS id_a, ib AS id_b, hamming FROM h
+         WHERE hamming <= 3 AND (ia >= 250 OR ib >= 250) ORDER BY 1, 2""",
 
     // RE2's \x escapes and DuckDB's nfc_normalize mirror the engine's
     // Java-regex + java.text.Normalizer pipeline exactly

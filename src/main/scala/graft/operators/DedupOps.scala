@@ -1396,36 +1396,122 @@ object DedupOps {
     // signature pass (explode + 64 sums) evaluates once
     val sigs = graft.CacheScope.persist(
       simhashDf(df, idCol, textCol).select(col(idCol).as("id"), col("simhash")))
+    simhashVerify(
+      bandedCandidatePairs(simhashBanded(sigs, maxHamming), maxBucket),
+      simhashHalves(sigs), maxHamming)
+  }
+
+  /** Block-band rows for a `(id, simhash)` frame — near-even split with
+    * boundaries at i·64/nBlocks: every block is non-empty for
+    * nBlocks <= 64. (ceil(64/n)-sized blocks would make the LAST block
+    * empty whenever ceil(64/n)·(n-1) >= 64 — e.g. maxHamming = 8 or 31 —
+    * putting every row in one "" bucket and silently voiding the
+    * pigeonhole guarantee over the remaining blocks.)
+    */
+  private def simhashBanded(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val nBlocks = maxHamming + 1
-    // near-even split with boundaries at i*64/nBlocks: every block is
-    // non-empty for nBlocks <= 64. (ceil(64/n)-sized blocks would make the
-    // LAST block empty whenever ceil(64/n)*(n-1) >= 64 — e.g. maxHamming=8
-    // or 31 — putting every row in one "" bucket and silently voiding the
-    // pigeonhole guarantee over the remaining blocks.)
     val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
     val blocks = (0 until nBlocks).map(i =>
       substring(col("simhash"), bounds(i) + 1, bounds(i + 1) - bounds(i)))
-    val banded = sigs.select(col("id"), posexplode(array(blocks: _*)))
+    sigs.select(col("id"), posexplode(array(blocks: _*)))
       .select(col("id"), col("pos").as("band"), col("col").as("key"))
-    // Verify on PACKED halves, not the bit-string: correlated real-text
-    // bits make the block buckets hot, so candidates outnumber true pairs
-    // ~600:1 here and per-candidate verify cost dominates the query.
-    // [[hammingDistance]] over strings allocates two 64-element arrays per
-    // candidate (split + zip_with + fold); packing each half into a long
-    // once per DOC and XOR+bit_count-ing per CANDIDATE keeps the hot loop
-    // in codegen'd integer ops — the sf0.1 gate dropped 4.0 → 2.7 s. 32-bit
-    // halves because conv(_, 2, 10) returns an unsigned decimal string: a
-    // full 64-bit value with the top bit set would not fit a signed long.
-    val halves = sigs.select(col("id"),
+  }
+
+  /** Verify on PACKED halves, not the bit-string: correlated real-text
+    * bits make the block buckets hot, so candidates outnumber true pairs
+    * ~600:1 and per-candidate verify cost dominates. [[hammingDistance]]
+    * over strings allocates two 64-element arrays per candidate (split +
+    * zip_with + fold); packing each half into a long once per DOC and
+    * XOR+bit_count-ing per CANDIDATE keeps the hot loop in codegen'd
+    * integer ops — the sf0.1 gate dropped 4.0 → 2.7 s. 32-bit halves
+    * because conv(_, 2, 10) returns an unsigned decimal string: a full
+    * 64-bit value with the top bit set would not fit a signed long.
+    */
+  private def simhashHalves(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"),
       conv(substring(col("simhash"), 1, 32), 2, 10).cast("long").as("h1"),
       conv(substring(col("simhash"), 33, 32), 2, 10).cast("long").as("h2"))
-    bandedCandidatePairs(banded, maxBucket)
+
+  private def simhashVerify(cands: DataFrame, halves: DataFrame,
+      maxHamming: Int): DataFrame =
+    cands
       .join(halves.select(col("id").as("id_a"), col("h1").as("a1"), col("h2").as("a2")), Seq("id_a"))
       .join(halves.select(col("id").as("id_b"), col("h1").as("b1"), col("h2").as("b2")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (expr("bit_count(a1 ^ b1)") + expr("bit_count(a2 ^ b2)"))
           .cast("bigint").as("hamming"))
       .where(col("hamming") <= maxHamming)
+
+  /** Build (overwrite) a persisted SIMHASH signature store at `path` —
+    * `(id, simhash)` rows under `batch=<tok>` dirs, the near-dup family's
+    * cheapest store (64 bits per doc): the corpus-side signature pass
+    * (tokenize + 64 bit sums) runs once at ingest; probes re-derive bands
+    * and packed halves from the stored 64-bit strings with map-side
+    * substring arithmetic, never touching stored text.
+    */
+  def buildSimhashStore(df: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    appendSimhashStore(df, idCol, textCol, path, "base")
+  }
+
+  /** Append one batch of NEW docs (ids disjoint from prior batches);
+    * same-token re-runs overwrite rather than duplicate. */
+  def appendSimhashStore(df: DataFrame, idCol: String, textCol: String,
+      path: String,
+      batchToken: String = java.util.UUID.randomUUID.toString): Unit =
+    writeStoreBatch(
+      simhashDf(df, idCol, textCol).select(col(idCol).as("id"), col("simhash")),
+      path, batchToken)
+
+  /** SimHash near-dup pairs of a NEW batch against a persisted signature
+    * store (plus new-new pairs) — [[simhashNearDupPairs]] over
+    * store ∪ batch restricted to pairs touching >= 1 new id, without
+    * re-signing any stored doc. The pigeonhole exactness survives the
+    * prune: for every (band, key) bucket the batch touches, ALL store
+    * rows with that key survive the semi-join cut, so bucket contents —
+    * and therefore candidates, truncation behavior, and verified pairs —
+    * equal the one-shot computation's; buckets the batch never touches
+    * can only pair store docs with each other (excluded by contract).
+    *
+    * Scale: the store is scanned `(id, simhash)`-only; its banded rows
+    * prune map-side against the batch's broadcast (band, key) set
+    * ([[probePrune]]'s guarded cut), and the packed-half verify touches
+    * only ids appearing in surviving candidates.
+    */
+  def incrementalSimhashPairs(newDocs: DataFrame, idCol: String,
+      textCol: String, path: String, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val spark = newDocs.sparkSession
+    val fresh = graft.CacheScope.persist(
+      simhashDf(newDocs, idCol, textCol).select(col(idCol).as("id"), col("simhash")))
+    val freshRows = fresh.count()
+    val nBlocks = maxHamming + 1
+    val old = spark.read.parquet(path).select(col("id"), col("simhash"))
+    val newBanded = simhashBanded(fresh, maxHamming)
+    val oldPruned = probePrune(simhashBanded(old, maxHamming),
+      newBanded.select(col("band"), col("key")).distinct(),
+      Seq("band", "key"), freshRows * nBlocks)
+    val cands = bandedCandidatePairs(newBanded.unionByName(oldPruned), maxBucket)
+    val nids = fresh.select(col("id")).distinct()
+    val tag = (d: DataFrame) =>
+      if (freshRows <= BroadcastProbeRows) broadcast(d)
+      else d.hint("shuffle_hash")
+    val touching = graft.CacheScope.persist(cands
+      .join(tag(nids.select(col("id").as("id_a"), lit(1).as("__na"))),
+        Seq("id_a"), "left")
+      .join(tag(nids.select(col("id").as("id_b"), lit(1).as("__nb"))),
+        Seq("id_b"), "left")
+      .where(col("__na").isNotNull || col("__nb").isNotNull)
+      .select(col("id_a"), col("id_b")))
+    val candIds = touching.select(col("id_a").as("id"))
+      .union(touching.select(col("id_b").as("id"))).distinct()
+    val halves = simhashHalves(
+      old.join(broadcast(candIds), Seq("id"), "left_semi").unionByName(fresh))
+    simhashVerify(touching, halves, maxHamming)
   }
 
   /** Connected components over an undirected pair list — the last step of

@@ -1257,6 +1257,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(kept == 1L)
   }
 
+  test("incrementalSimhashPairs == one-shot pairs touching the batch") {
+    val split = 250L
+    val store = tmpDir("shstore")
+    DedupOps.buildSimhashStore(docs.where(col("doc_id") < split),
+      "doc_id", "text", store)
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = canon(DedupOps.incrementalSimhashPairs(
+      docs.where(col("doc_id") >= split), "doc_id", "text", store))
+    val oneShot = canon(DedupOps.simhashNearDupPairs(docs, "doc_id", "text")
+      .where(col("id_a") >= split || col("id_b") >= split))
+    assert(inc == oneShot && inc.nonEmpty, s"inc=${inc.size} one=${oneShot.size}")
+    // no store-store pair re-emitted
+    assert(!inc.exists(p => p._1 < split && p._2 < split))
+    graft.CacheScope.release()
+  }
+
   test("incremental near-dup == full-corpus pairs touching the new split") {
     val path = tmpDir("mhstore")
     val split = 200L
