@@ -293,6 +293,24 @@ object Fixtures {
       path
     })
 
+  private val lnStores = TrieMap[String, String]()
+
+  /** Line-frequency census over the WHOLE corpus (word granularity,
+    * delim = " "), built in TWO batches — the census side of the stored
+    * boilerplate-removal gate, which must equal the one-shot form.
+    */
+  def lineStorePath(spark: SparkSession, sfDir: String): String =
+    lnStores.getOrElseUpdate(sfDir, {
+      val path = s"${tmpRoot}/lns_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val d = Tables.documents(spark, sfDir)
+      graft.operators.DedupOps.buildLineStore(
+        d.where(col("doc_id") < 250), "doc_id", "text", path, delim = " ")
+      graft.operators.DedupOps.appendLineStore(
+        d.where(col("doc_id") >= 250), "doc_id", "text", path,
+        delim = " ", batchToken = "b2")
+      path
+    })
+
   private val fpStores = TrieMap[String, String]()
 
   /** Exact-dedup fingerprint store over docs < 250, built once per

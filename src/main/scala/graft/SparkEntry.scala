@@ -443,6 +443,19 @@ object SparkEntry {
       operators.DedupOps.dedupLines(Tables.documents(s, dir), "doc_id", "text",
         delim = " ")),
 
+    // C4/RefinedWeb boilerplate rule: lines (words here — the fixture is
+    // single-line) repeated >= 50 times corpus-wide vanish from EVERY doc
+    "text_boilerplate" -> ((s, dir) =>
+      operators.DedupOps.removeFrequentLines(Tables.documents(s, dir),
+        "doc_id", "text", minCount = 50, delim = " ")),
+
+    // the same removal against the persisted two-batch line census —
+    // census counts sum across batches, result equals the one-shot form
+    "text_boilerplate_stored" -> ((s, dir) =>
+      operators.DedupOps.removeFrequentLinesStored(Tables.documents(s, dir),
+        "doc_id", "text", Fixtures.lineStorePath(s, dir),
+        minCount = 50, delim = " ")),
+
     // exact substring dedup (Lee et al. 2021 ExactSubstr re-expressed at
     // k-window granularity): maximal spans of 4-token windows whose content
     // repeats anywhere in the corpus, merged per doc
@@ -1876,6 +1889,42 @@ object SparkEntry {
                FROM k GROUP BY doc_id)
          SELECT d0.doc_id, coalesce(r.txt, '') AS text
          FROM documents d0 LEFT JOIN r ON d0.doc_id = r.doc_id""",
+
+    // words with corpus-wide occurrence count >= 50 stripped from every
+    // doc; n_cut_lines = original token count minus survivors
+    "text_boilerplate" ->
+      """WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') tks
+                    FROM documents),
+         l AS (SELECT doc_id, i AS idx, tks[i+1] AS line
+               FROM d, unnest(range(len(tks))) t(i)),
+         c AS (SELECT line, count(*) cc FROM l GROUP BY line),
+         k AS (SELECT l.doc_id, l.idx, l.line FROM l JOIN c ON l.line = c.line
+               WHERE c.cc < 50),
+         r AS (SELECT doc_id, string_agg(line, ' ' ORDER BY idx) txt,
+                 count(*) kc FROM k GROUP BY doc_id)
+         SELECT d0.doc_id, coalesce(r.txt, '') AS text,
+           CAST(len(string_split(coalesce(d0.text, ''), ' '))
+             - coalesce(r.kc, 0) AS BIGINT) AS n_cut_lines
+         FROM documents d0 LEFT JOIN r ON d0.doc_id = r.doc_id
+         ORDER BY d0.doc_id""",
+
+    // identical semantics — the persisted census must reproduce the
+    // one-shot removal exactly (counts additive across the two batches)
+    "text_boilerplate_stored" ->
+      """WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') tks
+                    FROM documents),
+         l AS (SELECT doc_id, i AS idx, tks[i+1] AS line
+               FROM d, unnest(range(len(tks))) t(i)),
+         c AS (SELECT line, count(*) cc FROM l GROUP BY line),
+         k AS (SELECT l.doc_id, l.idx, l.line FROM l JOIN c ON l.line = c.line
+               WHERE c.cc < 50),
+         r AS (SELECT doc_id, string_agg(line, ' ' ORDER BY idx) txt,
+                 count(*) kc FROM k GROUP BY doc_id)
+         SELECT d0.doc_id, coalesce(r.txt, '') AS text,
+           CAST(len(string_split(coalesce(d0.text, ''), ' '))
+             - coalesce(r.kc, 0) AS BIGINT) AS n_cut_lines
+         FROM documents d0 LEFT JOIN r ON d0.doc_id = r.doc_id
+         ORDER BY d0.doc_id""",
 
     // duplicated 4-windows via the same md5-prefix60 content hash; islands
     // merge while the position gap <= 4 (lag default -5 = -k-1 makes the

@@ -413,6 +413,109 @@ object DedupOps {
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
 
+  /** Corpus-frequency BOILERPLATE line removal — the C4/RefinedWeb "drop
+    * lines repeated too often anywhere in the corpus" rule (nav menus,
+    * cookie banners, licence headers). Distinct from [[dedupLines]],
+    * which KEEPS the canonical first copy: right for duplicated content,
+    * wrong for boilerplate, which should vanish from every document.
+    * Every line whose corpus-wide occurrence count >= `minCount` is
+    * stripped from ALL docs. Output: `(idCol, textCol, n_cut_lines)` for
+    * every input doc (unchanged docs come back with 0).
+    *
+    * Scale: one shuffle of (line, id, pos) rows on line content with the
+    * count aggregate map-side combinable (hot boilerplate lines — the
+    * point — collapse before the exchange), then one id-keyed shuffle to
+    * reassemble. For build-once/probe-many, persist the census with
+    * [[buildLineStore]] and strip batches via
+    * [[removeFrequentLinesStored]].
+    */
+  def removeFrequentLines(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 2, delim: String = "\n"): DataFrame = {
+    require(minCount >= 2, "minCount must be >= 2 (1 would strip every line)")
+    val lines = lineRows(df, idCol, textCol, delim)
+    val counts = lines.groupBy(col("__line")).agg(count(lit(1)).as("__c"))
+    rebuildKept(df, idCol, textCol, delim,
+      lines.join(counts, Seq("__line")).where(col("__c") < minCount))
+  }
+
+  private def lineRows(df: DataFrame, idCol: String, textCol: String,
+      delim: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(delim))))
+      .select(col(idCol), col("pos").as("__idx"), col("col").as("__line"))
+
+  private def rebuildKept(df: DataFrame, idCol: String, textCol: String,
+      delim: String, kept: DataFrame): DataFrame = {
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__idx"), col("__line")))),
+        s => s.getField("__line")), delim).as(textCol),
+        count(lit(1)).as("__kept"))
+    df.select(col(idCol),
+        size(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(delim))).cast("long").as("__all"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol),
+        (col("__all") - coalesce(col("__kept"), lit(0L)))
+          .cast("bigint").as("n_cut_lines"))
+  }
+
+  /** Build (overwrite) a persisted LINE-FREQUENCY census at `path` —
+    * `(h, c)` rows per batch (h = the engine-reproducible 60-bit line
+    * hash, c = that batch's occurrence count), additive across
+    * disjoint-doc batches. The census side of
+    * [[removeFrequentLinesStored]]: the corpus-wide line count pass runs
+    * at ingest, and every new batch is stripped against it without
+    * re-scanning any stored text.
+    */
+  def buildLineStore(df: DataFrame, idCol: String, textCol: String,
+      path: String, delim: String = "\n"): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    appendLineStore(df, idCol, textCol, path, delim, "base")
+  }
+
+  /** Append one batch of NEW docs' line counts (docs disjoint from prior
+    * batches); same-token re-runs overwrite rather than double-count. */
+  def appendLineStore(df: DataFrame, idCol: String, textCol: String,
+      path: String, delim: String = "\n",
+      batchToken: String = java.util.UUID.randomUUID.toString): Unit = {
+    ensureHashRegistered(df)
+    writeStoreBatch(
+      lineRows(df, idCol, textCol, delim)
+        .groupBy(baseHash(col("__line")).as("h"))
+        .agg(count(lit(1)).as("c")),
+      path, batchToken)
+  }
+
+  /** [[removeFrequentLines]] against a persisted census: batch lines are
+    * stripped when the STORE's summed occurrence count for their hash
+    * reaches `minCount` — census-based filtering, so the decision depends
+    * only on the corpus the store has seen (append the batch itself first
+    * if it should count). Store rows prune map-side by the batch's
+    * broadcast line-hash set before the per-hash sum; cost ∝ batch +
+    * matched census rows, never the corpus.
+    */
+  def removeFrequentLinesStored(df: DataFrame, idCol: String, textCol: String,
+      path: String, minCount: Long = 2, delim: String = "\n"): DataFrame = {
+    require(minCount >= 2, "minCount must be >= 2 (1 would strip every line)")
+    ensureHashRegistered(df)
+    val spark = df.sparkSession
+    val lines = graft.CacheScope.persist(
+      lineRows(df, idCol, textCol, delim)
+        .withColumn("__h", baseHash(col("__line"))))
+    val probeRows = lines.count()
+    val counts = probePrune(
+        spark.read.parquet(path).select(col("h").as("__h"), col("c")),
+        lines.select(col("__h")).distinct(), Seq("__h"), probeRows)
+      .groupBy(col("__h")).agg(sum(col("c")).as("__c"))
+    rebuildKept(df, idCol, textCol, delim,
+      lines.join(counts, Seq("__h"), "left")
+        .where(coalesce(col("__c"), lit(0L)) < minCount))
+  }
+
   // ---- exact substring (duplicated-window) dedup --------------------------
 
   /** Duplicated k-token-window positions with canonicality — the shared

@@ -1257,6 +1257,41 @@ class OperatorsSpec extends SparkTestBase {
     assert(kept == 1L)
   }
 
+  test("removeFrequentLines: boilerplate vanishes everywhere; census == one-shot") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "banner\nalpha\nbanner"),  // banner x2 here...
+      (2L, "banner\nbeta"),           // ...x1 here -> corpus count 3
+      (3L, "gamma\ndelta"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = DedupOps.removeFrequentLines(fixture, "doc_id", "text",
+        minCount = 3, delim = "\n")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // boilerplate removed from EVERY doc — no canonical survivor
+    assert(got(1L) == (("alpha", 2L)))
+    assert(got(2L) == (("beta", 1L)))
+    assert(got(3L) == (("gamma\ndelta", 0L)))
+    assert(got(4L) == (("", 0L))) // null text = one empty line, kept
+    // the persisted census (two batches, additive counts: banner 2 + 1)
+    // reproduces the one-shot removal exactly
+    val path = tmpDir("linestore")
+    DedupOps.buildLineStore(fixture.where(col("doc_id") === 1), "doc_id", "text", path)
+    DedupOps.appendLineStore(fixture.where(col("doc_id") > 1), "doc_id", "text",
+      path, batchToken = "b2")
+    val stored = DedupOps.removeFrequentLinesStored(fixture, "doc_id", "text",
+        path, minCount = 3, delim = "\n")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(stored == got)
+    // census-based contract: a line the store has never seen is kept no
+    // matter how often the probe batch repeats it
+    val fresh = Seq((9L, "new\nnew\nnew\nnew")).toDF("doc_id", "text")
+    val keptFresh = DedupOps.removeFrequentLinesStored(fresh, "doc_id", "text",
+      path, minCount = 3, delim = "\n").head()
+    assert(keptFresh.getString(1) == "new\nnew\nnew\nnew" && keptFresh.getLong(2) == 0L)
+    graft.CacheScope.release()
+  }
+
   test("incrementalSimhashPairs == one-shot pairs touching the batch") {
     val split = 250L
     val store = tmpDir("shstore")
