@@ -293,6 +293,24 @@ object Fixtures {
       path
     })
 
+  private val embStores = TrieMap[String, String]()
+
+  /** Prepped embedding store over vec_id < 350, built in TWO batches,
+    * once per (JVM, sf) — the store side of the incremental exact
+    * embedding near-dup gate.
+    */
+  def embStorePath(spark: SparkSession, sfDir: String): String =
+    embStores.getOrElseUpdate(sfDir, {
+      val path = s"${tmpRoot}/emb_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val e = Tables.embeddings(spark, sfDir)
+      graft.operators.SimilarityOps.buildEmbStore(
+        e.where(col("vec_id") < 200), "vec_id", "embedding", path)
+      graft.operators.SimilarityOps.appendEmbStore(
+        e.where(col("vec_id") >= 200 && col("vec_id") < 350),
+        "vec_id", "embedding", path, batchToken = "b2")
+      path
+    })
+
   private val lnStores = TrieMap[String, String]()
 
   /** Line-frequency census over the WHOLE corpus (word granularity,

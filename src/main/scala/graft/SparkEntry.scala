@@ -1021,6 +1021,17 @@ object SparkEntry {
       operators.SimilarityOps.nearDupPairs(emb, "vec_id", "embedding", 0.4)
     }),
 
+    // incremental exact embedding near-dup: probe vecs 350-499 against a
+    // persisted two-batch store of vecs < 350 — batch broadcasts over one
+    // store pass (no store-store quadratic), new-new pairs via the
+    // blocked cartesian; equals the one-shot pairs touching the batch
+    "emb_neardup_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .where(col("vec_id") >= 350 && col("vec_id") < 500)
+      operators.SimilarityOps.incrementalCosinePairs(emb, "vec_id",
+        "embedding", Fixtures.embStorePath(s, dir), 0.4)
+    }),
+
     // SemDeDup: near-dup pairs -> transitive clusters -> keep one
     // representative per cluster (exact pair path at this threshold)
     "semdedup_keep" -> ((s, dir) =>
@@ -3400,6 +3411,20 @@ object SparkEntry {
             CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
           FROM dots JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
           WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.4
+          ORDER BY 1, 2""",
+
+    // emb_neardup's exact pair set restricted to pairs touching the
+    // probed batch (vec_id >= 350)
+    "emb_neardup_incremental" ->
+      s"""WITH $embFlat,
+          f5 AS (SELECT * FROM flat WHERE vec_id < 500),
+          dots AS (SELECT a.vec_id ia, b.vec_id ib, sum(a.x * b.x) dot
+                   FROM f5 a JOIN f5 b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+          SELECT ia AS id_a, ib AS id_b,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+          FROM dots JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
+          WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.4
+            AND (ia >= 350 OR ib >= 350)
           ORDER BY 1, 2""",
 
     // transitive closure over the emb_neardup pair set; kept = singletons

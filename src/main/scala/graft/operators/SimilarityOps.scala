@@ -344,6 +344,67 @@ object SimilarityOps {
       .where(col("cosine") >= minCosine)
   }
 
+  /** Build (overwrite) a persisted EMBEDDING store at `path` — prepped
+    * `(id, v, nrm)` rows (fixed-point ints + norm, [[cosineNearDupPairs]]'
+    * verify currency) under `batch=<tok>` dirs: the vector prep runs once
+    * at ingest and incremental near-dup probes
+    * ([[incrementalCosinePairs]]) read it back without touching raw
+    * embeddings.
+    */
+  def buildEmbStore(df: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    appendEmbStore(df, idCol, vecCol, path, "base")
+  }
+
+  /** Append one batch of NEW vectors (ids disjoint from prior batches);
+    * same-token re-runs overwrite rather than duplicate. */
+  def appendEmbStore(df: DataFrame, idCol: String, vecCol: String,
+      path: String,
+      batchToken: String = java.util.UUID.randomUUID.toString): Unit = {
+    ensureRegistered(df)
+    prep(df, idCol, vecCol, "id", "v", "nrm")
+      .write.mode("overwrite").parquet(s"$path/batch=$batchToken")
+  }
+
+  /** EXACT embedding near-dup pairs of a NEW batch against a persisted
+    * store (plus new-new pairs) — [[cosineNearDupPairs]] over
+    * store ∪ batch restricted to pairs touching >= 1 new id, WITHOUT the
+    * store-store quadratic: the batch broadcasts against one streaming
+    * pass of the store (|store|·|batch| dot products, distributed over
+    * the store's partitions — the honest incremental cost of exactness
+    * at low thresholds), and batch-internal pairs ride the blocked
+    * cartesian. Batches above `maxBroadcastRows` refuse loudly — a
+    * backfill that size should rebuild via the one-shot path instead of
+    * silently broadcasting a giant frame.
+    */
+  def incrementalCosinePairs(newVecs: DataFrame, idCol: String,
+      vecCol: String, path: String, minCosine: Double,
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
+    ensureRegistered(newVecs)
+    val spark = newVecs.sparkSession
+    val fresh = graft.CacheScope.persist(
+      prep(newVecs, idCol, vecCol, "id", "v", "nrm"))
+    val n = fresh.count()
+    require(n <= maxBroadcastRows,
+      s"incrementalCosinePairs: probe batch has $n rows (> $maxBroadcastRows)" +
+        " — a backfill this size should go through the one-shot" +
+        " cosineNearDupPairs over store ∪ batch instead")
+    val store = spark.read.parquet(path)
+      .select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val oldNew = store
+      .join(broadcast(fresh.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb"))))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        cosPre(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+    val newNew = cosineNearDupPairs(newVecs, idCol, vecCol, minCosine)
+    oldNew.unionByName(newNew)
+  }
+
   /** APPROXIMATE near-duplicate pairs at scale via random-hyperplane LSH:
     * band keys from the codegen'd [[graft.functions.RademacherBands]]
     * signature, candidates from the shared band-bucket machinery

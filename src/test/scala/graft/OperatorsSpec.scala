@@ -1292,6 +1292,31 @@ class OperatorsSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("incrementalCosinePairs == one-shot exact pairs touching the batch") {
+    val split = 350L
+    val sub = emb.where(col("vec_id") < 500)
+    val store = tmpDir("embstore")
+    SimilarityOps.buildEmbStore(sub.where(col("vec_id") < split),
+      "vec_id", "embedding", store)
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val inc = canon(SimilarityOps.incrementalCosinePairs(
+      sub.where(col("vec_id") >= split), "vec_id", "embedding", store, 0.4))
+    val oneShot = canon(SimilarityOps.cosineNearDupPairs(sub,
+        "vec_id", "embedding", 0.4)
+      .where(col("id_a") >= split || col("id_b") >= split))
+    assert(inc == oneShot && inc.nonEmpty)
+    assert(!inc.exists(p => p._1 < split && p._2 < split))
+    // a backfill-sized batch refuses the broadcast loudly
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityOps.incrementalCosinePairs(sub, "vec_id", "embedding",
+        store, 0.4, maxBroadcastRows = 10)
+    }
+    assert(ex.getMessage.contains("one-shot"))
+    graft.CacheScope.release()
+  }
+
   test("incrementalSimhashPairs == one-shot pairs touching the batch") {
     val split = 250L
     val store = tmpDir("shstore")
