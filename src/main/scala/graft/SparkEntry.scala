@@ -1050,6 +1050,18 @@ object SparkEntry {
         Seq("events/click", "events/purchase"))
     }),
 
+    // the same spine with INTERPOLATED features: each feature linear
+    // between its own neighbors around the spine instant, null outside
+    // its span — continuous-signal training sets without stale carries
+    "fs_asof_spine_interp" -> ((s, dir) => {
+      val spine = s.range(0, 100).select(
+        expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,cast(id*7 as int),0,0)")
+          .as("time"),
+        col("id").as("spine_id"))
+      Fixtures.store(s, dir).loadFeaturesAsOfInterp(spine,
+        Seq("events/click", "events/purchase"))
+    }),
+
     // the same spine under a 12h staleness bound: a carry older than 12h
     // at the spine instant serves null, never stale state
     "fs_asof_spine_tol" -> ((s, dir) => {
@@ -3478,6 +3490,36 @@ object SparkEntry {
           FROM g ASOF LEFT JOIN c ON c.time <= g.time
                  ASOF LEFT JOIN p ON p.time <= g.time
           ORDER BY g.time""",
+
+    "fs_asof_spine_interp" ->
+      s"""WITH g AS (SELECT TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 7 HOUR AS time,
+                 i AS spine_id FROM range(100) t(i)),
+          c AS (${ev("click")}), p AS (${ev("purchase")}),
+          pr AS (SELECT g.time, g.spine_id,
+                   (SELECT max(c.time) FROM c WHERE c.time <= g.time) ct0,
+                   (SELECT min(c.time) FROM c WHERE c.time >= g.time) ct1,
+                   (SELECT max(p.time) FROM p WHERE p.time <= g.time) pt0,
+                   (SELECT min(p.time) FROM p WHERE p.time >= g.time) pt1
+                 FROM g),
+          j AS (SELECT pr.*, c0.value cv0, c1.value cv1, p0.value pv0, p1.value pv1
+                FROM pr LEFT JOIN c c0 ON c0.time = pr.ct0
+                        LEFT JOIN c c1 ON c1.time = pr.ct1
+                        LEFT JOIN p p0 ON p0.time = pr.pt0
+                        LEFT JOIN p p1 ON p1.time = pr.pt1)
+          SELECT time, spine_id,
+            CASE WHEN ct0 IS NULL OR ct1 IS NULL THEN NULL
+                 WHEN ct1 = ct0 THEN cv0
+                 ELSE cv0 + (cv1 - cv0) *
+                   (CAST(epoch_us(time) - epoch_us(ct0) AS DOUBLE)
+                    / CAST(epoch_us(ct1) - epoch_us(ct0) AS DOUBLE)) END
+              AS "events/click",
+            CASE WHEN pt0 IS NULL OR pt1 IS NULL THEN NULL
+                 WHEN pt1 = pt0 THEN pv0
+                 ELSE pv0 + (pv1 - pv0) *
+                   (CAST(epoch_us(time) - epoch_us(pt0) AS DOUBLE)
+                    / CAST(epoch_us(pt1) - epoch_us(pt0) AS DOUBLE)) END
+              AS "events/purchase"
+          FROM j ORDER BY time""",
 
     "fs_asof_spine_tol" ->
       s"""WITH g AS (SELECT TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 7 HOUR AS time,

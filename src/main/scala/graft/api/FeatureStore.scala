@@ -292,6 +292,31 @@ class FeatureStore(
     }
   }
 
+  /** [[loadFeaturesAsOf]]'s INTERPOLATION twin: each spine row gets every
+    * requested feature linearly interpolated between that feature's
+    * neighboring observations around the spine instant
+    * ([[graft.ts.Align.asOfJoinInterp]]) — the training-set constructor
+    * for continuous signals where an as-of carry would serve stale state
+    * as fact. Exact at observation instants, null outside a feature's
+    * span; feature columns come back DOUBLE.
+    */
+  def loadFeaturesAsOfInterp(spine: DataFrame, names: Seq[String],
+      timeTravel: Option[String] = None,
+      defaultNamespace: Option[String] = None): DataFrame = {
+    require(names.nonEmpty, "no features requested")
+    val memo = scala.collection.mutable.Map[String, DataFrame]()
+    val frames = names.map { q =>
+      val (ns, n) = Catalog.splitName(q, defaultNamespace)
+      val f = catalog.getFeature(ns, n)
+        .getOrElse(throw new MissingFeatureException(s"no feature: $ns/$n"))
+      s"$ns/$n" -> loadOne(f, None, None, None, timeTravel, Set.empty, memo)
+    }
+    val key = s"asofinterp|${frames.map(_._1).mkString(",")}|$timeTravel"
+    Align.asOfJoinInterp(spine, TimeCol, frames,
+      memoFwd = Some(cutsMemoFor(s"$key|fwd")),
+      memoBwd = Some(cutsMemoFor(s"$key|bwd")))
+  }
+
   /** Recursive, cycle-checked feature load (T2 — reference
     * src/qafs/model.py:183-218). Returns df(time, value).
     */

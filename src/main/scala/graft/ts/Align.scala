@@ -279,6 +279,69 @@ object Align {
       .select((keys.map(col) :+ col(timeCol)) ++ spineCols.map(col) ++ outCols: _*)
   }
 
+  /** LINEAR-INTERPOLATION join onto an ARBITRARY spine — the interp twin
+    * of [[asOfJoin]] ([[resampleInterp]] generalizes the regular grid the
+    * same way): each spine row gets, per frame, the linear interpolation
+    * between that frame's neighboring observations around the spine
+    * instant — exact at observation instants, null outside the frame's
+    * span, DOUBLE out. The "features at label times" constructor when the
+    * signal is continuous (sensor readings, prices) and a stale LOCF
+    * carry would bias the training set.
+    *
+    * Scale shape: the [[alignOuter]] stack + the spine union ride TWO
+    * sequential quantile-bucketed prefix scans (forward last-obs struct,
+    * reversed-axis next-obs) exactly like [[alignInterp]] — spine rows
+    * carry a tag through both passes and filter out at the end; no grid
+    * join, no global-sort window.
+    */
+  def asOfJoinInterp(spine: DataFrame, timeCol: String,
+      frames: Seq[(String, DataFrame)],
+      memoFwd: Option[CutsMemo] = None,
+      memoBwd: Option[CutsMemo] = None): DataFrame = {
+    require(frames.nonEmpty, "asOfJoinInterp needs at least one frame")
+    val names = frames.map(_._1)
+    val wide = alignOuter(timeCol, frames, doFfill = false)
+    val spineCols = spine.columns.filterNot(_ == timeCol).toSeq
+    val us = unix_micros(col(timeCol))
+    val spineTagged = spine
+      .select((col(timeCol) +: spineCols.map(col)): _*)
+      .withColumn("__spine", lit(1))
+    val dataTagged = wide
+      .select((col(timeCol) +: names.map(col)): _*)
+      .withColumn("__spine", lit(0))
+    val unioned = spineTagged.unionByName(dataTagged, allowMissingColumns = true)
+    val seeded = names.foldLeft(unioned) { (d, c) =>
+      val obs = when(col("__spine") === 0 && col(c).isNotNull,
+        struct(us.as("t"), col(c).as("v")))
+      d.withColumn(s"__p_$c", obs).withColumn(s"__n_$c", obs)
+    }
+    // data rows order before spine at equal instants on the forward axis
+    // (and after on the reversed axis via the same ordering column), so
+    // an observation AT a spine instant is seen from both directions
+    val fwd = ffillOrdered(seeded, timeCol,
+      Seq(col(timeCol), col("__spine")), names.map(c => s"__p_$c"),
+      memo = memoFwd)
+    // same (axis, __spine) secondary order on the reversed axis: data rows
+    // still precede spine rows at equal instants, so the spine sees an
+    // observation AT its own instant from this direction too
+    val both = ffillOrdered(
+      fwd.withColumn("__rt", timestamp_micros(-us)),
+      "__rt", Seq(col("__rt"), col("__spine")), names.map(c => s"__n_$c"),
+      memo = memoBwd)
+    val g = unix_micros(col(timeCol))
+    val outCols = names.map { c =>
+      val p = col(s"__p_$c"); val n = col(s"__n_$c")
+      val t0 = p.getField("t"); val v0 = p.getField("v").cast("double")
+      val t1 = n.getField("t"); val v1 = n.getField("v").cast("double")
+      when(p.isNull || n.isNull, lit(null).cast("double"))
+        .when(t1 === t0, v0)
+        .otherwise(v0 + (v1 - v0) *
+          ((g - t0).cast("double") / (t1 - t0).cast("double"))).as(c)
+    }
+    both.where(col("__spine") === 1)
+      .select((col(timeCol) +: spineCols.map(col)) ++ outCols: _*)
+  }
+
   /** [[asOfJoinKeyed]] generalized to pandas merge_asof's three
     * DIRECTIONS, with an optional staleness/lookahead bound:
     * `backward` = last observation at-or-before the spine instant (the

@@ -242,6 +242,26 @@ class AlignSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { run("sideways") }
   }
 
+  test("asOfJoinInterp: spine rows interpolate per frame, payload rides along") {
+    import spark.implicits._
+    val a = Seq((ts("2021-01-01"), 10.0), (ts("2021-01-05"), 50.0))
+      .toDF("time", "value")
+    val b = Seq((ts("2021-01-02"), 4.0), (ts("2021-01-04"), 8.0))
+      .toDF("time", "value")
+    val spine = Seq(
+      (ts("2021-01-02"), 100L),  // a: quarter 10->50 = 20; b: exact hit 4
+      (ts("2021-01-03"), 200L),  // a: halfway = 30; b: halfway 4->8 = 6
+      (ts("2021-01-06"), 300L)   // past both ends -> nulls
+    ).toDF("time", "spine_id")
+    val out = Align.asOfJoinInterp(spine, "time", Seq("a" -> a, "b" -> b))
+      .orderBy("time").collect()
+      .map(r => (r.getLong(1), Option(r.getAs[Any]("a")), Option(r.getAs[Any]("b"))))
+    assert(out.toSeq == Seq(
+      (100L, Some(20.0), Some(4.0)),
+      (200L, Some(30.0), Some(6.0)),
+      (300L, None, None)))
+  }
+
   test("alignInterp: per-feature interpolation on the union axis") {
     import spark.implicits._
     val a = Seq((ts("2021-01-01"), 10.0), (ts("2021-01-05"), 50.0))
