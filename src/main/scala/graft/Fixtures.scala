@@ -607,6 +607,50 @@ object Fixtures {
       out
     })
 
+  private val streamBp = TrieMap[String, String]()
+
+  /** Streaming boilerplate-census maintenance drained cold-start in 3
+    * micro-batches (doc_id % 3 files, word granularity, minCount 50):
+    * each batch strips against the census of the batches BEFORE it and
+    * then appends its own counts — the drained output is deterministic
+    * given the file order and replayed exactly by the oracle's
+    * per-batch cumulative-census SQL.
+    */
+  def streamBoilerplatePath(spark: SparkSession, sfDir: String): String =
+    streamBp.getOrElseUpdate(sfDir, {
+      val base = s"${tmpRoot}/sbp_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val (src, out, cp, census, stage) =
+        (s"$base/src", s"$base/out", s"$base/cp", s"$base/census", s"$base/stage")
+      val hfs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (hfs.exists(new org.apache.hadoop.fs.Path(base)))
+        hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+      hfs.mkdirs(new org.apache.hadoop.fs.Path(src))
+      val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      val files = Seq(
+        d.where(col("doc_id") % 3 === 0),
+        d.where(col("doc_id") % 3 === 1),
+        d.where(col("doc_id") % 3 === 2))
+      files.zipWithIndex.foreach { case (df, i) =>
+        val st = s"$stage/$i"
+        df.coalesce(1).write.mode("overwrite").parquet(st)
+        val part = hfs.listStatus(new org.apache.hadoop.fs.Path(st))
+          .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+        val dst = new org.apache.hadoop.fs.Path(s"$src/batch_$i.parquet")
+        hfs.rename(part, dst)
+        hfs.setTimes(dst, 1000000L * (i + 1), -1)
+      }
+      hfs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      graft.streaming.StreamingOps.boilerplateAvailableNow(
+        stream, "doc_id", "text", census, out, cp,
+        minCount = 50, delim = " ").awaitTermination()
+      out
+    })
+
   def incrementalDedupMbPath(spark: SparkSession, sfDir: String): String =
     incDedupMb.getOrElseUpdate(sfDir, {
       import org.apache.spark.sql.streaming.Trigger

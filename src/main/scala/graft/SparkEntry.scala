@@ -456,6 +456,14 @@ object SparkEntry {
         "doc_id", "text", Fixtures.lineStorePath(s, dir),
         minCount = 50, delim = " ")),
 
+    // streaming census maintenance: each micro-batch strips against the
+    // census of the batches BEFORE it (strip-then-count), deterministic
+    // given the mod-3 file order — the oracle replays the cumulative
+    // census per batch
+    "stream_boilerplate" -> ((s, dir) =>
+      s.read.parquet(Fixtures.streamBoilerplatePath(s, dir))
+        .select("doc_id", "text", "n_cut_lines")),
+
     // exact substring dedup (Lee et al. 2021 ExactSubstr re-expressed at
     // k-window granularity): maximal spans of 4-token windows whose content
     // repeats anywhere in the corpus, merged per doc
@@ -1941,6 +1949,28 @@ object SparkEntry {
          c AS (SELECT line, count(*) cc FROM l GROUP BY line),
          k AS (SELECT l.doc_id, l.idx, l.line FROM l JOIN c ON l.line = c.line
                WHERE c.cc < 50),
+         r AS (SELECT doc_id, string_agg(line, ' ' ORDER BY idx) txt,
+                 count(*) kc FROM k GROUP BY doc_id)
+         SELECT d0.doc_id, coalesce(r.txt, '') AS text,
+           CAST(len(string_split(coalesce(d0.text, ''), ' '))
+             - coalesce(r.kc, 0) AS BIGINT) AS n_cut_lines
+         FROM documents d0 LEFT JOIN r ON d0.doc_id = r.doc_id
+         ORDER BY d0.doc_id""",
+
+    // per-batch cumulative census: batch m strips words counted >= 50
+    // among the batches BEFORE it (doc_id % 3 < m)
+    "stream_boilerplate" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS m,
+                      string_split(coalesce(text, ''), ' ') tks
+                    FROM documents),
+         l AS (SELECT doc_id, m, i AS idx, tks[i+1] AS line
+               FROM d, unnest(range(len(tks))) t(i)),
+         cen AS (SELECT m2.m, l.line, count(*) cc
+                 FROM l JOIN (VALUES (0), (1), (2)) m2(m) ON l.m < m2.m
+                 GROUP BY 1, 2),
+         k AS (SELECT l.doc_id, l.idx, l.line
+               FROM l LEFT JOIN cen ON cen.m = l.m AND cen.line = l.line
+               WHERE coalesce(cen.cc, 0) < 50),
          r AS (SELECT doc_id, string_agg(line, ' ' ORDER BY idx) txt,
                  count(*) kc FROM k GROUP BY doc_id)
          SELECT d0.doc_id, coalesce(r.txt, '') AS text,

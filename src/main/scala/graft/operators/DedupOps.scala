@@ -499,7 +499,17 @@ object DedupOps {
     * matched census rows, never the corpus.
     */
   def removeFrequentLinesStored(df: DataFrame, idCol: String, textCol: String,
-      path: String, minCount: Long = 2, delim: String = "\n"): DataFrame = {
+      path: String, minCount: Long = 2, delim: String = "\n"): DataFrame =
+    removeFrequentLinesStoredExcluding(df, idCol, textCol, path, minCount,
+      delim, None)
+
+  /** [[removeFrequentLinesStored]] with a replayed micro-batch's own prior
+    * census dir excluded — the streaming wrapper's exactly-once hook: a
+    * crash between the census append and the checkpoint commit must not
+    * let the batch's own counts strip it on replay. */
+  def removeFrequentLinesStoredExcluding(df: DataFrame, idCol: String,
+      textCol: String, path: String, minCount: Long, delim: String,
+      excludeBatch: Option[String]): DataFrame = {
     require(minCount >= 2, "minCount must be >= 2 (1 would strip every line)")
     ensureHashRegistered(df)
     val spark = df.sparkSession
@@ -507,8 +517,16 @@ object DedupOps {
       lineRows(df, idCol, textCol, delim)
         .withColumn("__h", baseHash(col("__line"))))
     val probeRows = lines.count()
-    val counts = probePrune(
-        spark.read.parquet(path).select(col("h").as("__h"), col("c")),
+    // a census that does not exist yet reads as empty (cold-start contract
+    // for the streaming wrapper: the first batch strips nothing)
+    val cp = new org.apache.hadoop.fs.Path(path)
+    val census =
+      if (cp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cp)) {
+        val c = spark.read.parquet(path)
+        excludeBatch.fold(c)(t => c.where(col("batch") =!= t))
+          .select(col("h").as("__h"), col("c"))
+      } else lines.limit(0).select(col("__h"), lit(0L).as("c"))
+    val counts = probePrune(census,
         lines.select(col("__h")).distinct(), Seq("__h"), probeRows)
       .groupBy(col("__h")).agg(sum(col("c")).as("__c"))
     rebuildKept(df, idCol, textCol, delim,

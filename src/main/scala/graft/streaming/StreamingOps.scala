@@ -241,6 +241,57 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming BOILERPLATE-census maintenance: each micro-batch is
+    * stripped of lines the persisted census
+    * ([[graft.operators.DedupOps.buildLineStore]]) has already seen
+    * `minCount`+ times, written to `cleanOut/batch=b<id>`, and THEN the
+    * batch's own line counts append — strip-then-count, so the decision
+    * for a batch depends only on the corpus seen before it (deterministic
+    * given the batch order; the cold-start batch strips nothing and seeds
+    * the census). Replayed batches overwrite their own census dir (the
+    * additive sum never double-counts) and their output dir.
+    */
+  def boilerplateAvailableNow(stream: DataFrame, idCol: String,
+      textCol: String, censusPath: String, cleanOut: String,
+      checkpoint: String, minCount: Long = 2,
+      delim: String = "\n"): StreamingQuery =
+    boilerplateStream(stream, idCol, textCol, censusPath, cleanOut,
+      checkpoint, Trigger.AvailableNow(), minCount, delim)
+
+  /** [[boilerplateAvailableNow]] as a LIVE TAIL (ProcessingTime trigger);
+    * per-batch scoped cache release keeps an indefinite tail safe. */
+  def boilerplateProcessingTime(stream: DataFrame, idCol: String,
+      textCol: String, censusPath: String, cleanOut: String,
+      checkpoint: String, interval: String = "1 second", minCount: Long = 2,
+      delim: String = "\n"): StreamingQuery =
+    boilerplateStream(stream, idCol, textCol, censusPath, cleanOut,
+      checkpoint, Trigger.ProcessingTime(interval), minCount, delim)
+
+  private def boilerplateStream(stream: DataFrame, idCol: String,
+      textCol: String, censusPath: String, cleanOut: String,
+      checkpoint: String, trigger: Trigger, minCount: Long,
+      delim: String): StreamingQuery =
+    stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val scope = graft.CacheScope.snapshot()
+          // excludeBatch drops the batch's OWN census dir from the strip:
+          // a crash between the append below and the checkpoint commit
+          // would otherwise let a replayed batch's own counts strip it
+          graft.operators.DedupOps.removeFrequentLinesStoredExcluding(
+              batch, idCol, textCol, censusPath, minCount, delim,
+              excludeBatch = Some(s"b$bid"))
+            .write.mode("overwrite").parquet(s"$cleanOut/batch=b$bid")
+          graft.operators.DedupOps.appendLineStore(
+            batch, idCol, textCol, censusPath, delim, s"b$bid")
+          graft.CacheScope.releaseNewSince(scope)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming CLUSTER maintenance — the label-store capstone of the
     * incremental dedup family: every micro-batch probes the minhash store
     * for its near-dup pairs ([[graft.operators.DedupOps.incrementalPairsFromSigs]]),

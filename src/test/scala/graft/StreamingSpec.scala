@@ -248,6 +248,20 @@ class StreamingSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("streaming census: strip-then-count, first batch unstripped") {
+    import org.apache.spark.sql.functions._
+    val drained = spark.read.parquet(Fixtures.streamBoilerplatePath(spark, dir))
+    // batch 1 (doc_id % 3 == 0) saw an empty census — nothing stripped
+    assert(drained.where(col("doc_id") % 3 === 0 && col("n_cut_lines") > 0)
+      .count() == 0L)
+    // later batches ARE stripped (common words cross 50 in batch 1 alone)
+    assert(drained.where(col("doc_id") % 3 =!= 0 && col("n_cut_lines") > 0)
+      .count() > 0L)
+    // outcome partition: every corpus doc appears exactly once
+    assert(drained.count() == Tables.documents(spark, dir).count())
+    graft.CacheScope.release()
+  }
+
   test("streamed winnow store drains to the one-shot containment pairs") {
     import org.apache.spark.sql.functions._
     val drained = spark.read.parquet(Fixtures.streamWinnowPath(spark, dir))
