@@ -607,6 +607,49 @@ object Fixtures {
       out
     })
 
+  private val streamEmb = TrieMap[String, String]()
+
+  /** Streaming embedding near-dup drained cold-start in 3 micro-batches
+    * (vec_id % 3 over vec_id < 500): the per-batch pair dirs union to the
+    * one-shot exact cosine pairs (each pair lands exactly once — with the
+    * batch holding both endpoints or with the later endpoint's probe).
+    */
+  def streamEmbNearDupPath(spark: SparkSession, sfDir: String): String =
+    streamEmb.getOrElseUpdate(sfDir, {
+      val base = s"${tmpRoot}/sem_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val (src, out, cp, store, stage) =
+        (s"$base/src", s"$base/out", s"$base/cp", s"$base/store", s"$base/stage")
+      val hfs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (hfs.exists(new org.apache.hadoop.fs.Path(base)))
+        hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+      hfs.mkdirs(new org.apache.hadoop.fs.Path(src))
+      val e = Tables.embeddings(spark, sfDir).where(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+      val files = Seq(
+        e.where(col("vec_id") % 3 === 0),
+        e.where(col("vec_id") % 3 === 1),
+        e.where(col("vec_id") % 3 === 2))
+      files.zipWithIndex.foreach { case (df, i) =>
+        val st = s"$stage/$i"
+        df.coalesce(1).write.mode("overwrite").parquet(st)
+        val part = hfs.listStatus(new org.apache.hadoop.fs.Path(st))
+          .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+        val dst = new org.apache.hadoop.fs.Path(s"$src/batch_$i.parquet")
+        hfs.rename(part, dst)
+        hfs.setTimes(dst, 1000000L * (i + 1), -1)
+      }
+      hfs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      val stream = spark.readStream
+        .schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      graft.streaming.StreamingOps.embNearDupAvailableNow(
+        stream, "vec_id", "embedding", store, out, cp,
+        minCosine = 0.4).awaitTermination()
+      out
+    })
+
   private val streamBp = TrieMap[String, String]()
 
   /** Streaming boilerplate-census maintenance drained cold-start in 3

@@ -1040,6 +1040,12 @@ object SparkEntry {
         "embedding", Fixtures.embStorePath(s, dir), 0.4)
     }),
 
+    // streaming embedding near-dup drained cold-start over vec_id < 500 in
+    // 3 micro-batches: batch pair dirs union to the one-shot exact pairs
+    "stream_emb_neardup" -> ((s, dir) =>
+      s.read.parquet(Fixtures.streamEmbNearDupPath(s, dir))
+        .select("id_a", "id_b", "cosine")),
+
     // SemDeDup: near-dup pairs -> transitive clusters -> keep one
     // representative per cluster (exact pair path at this threshold)
     "semdedup_keep" -> ((s, dir) =>
@@ -3445,6 +3451,19 @@ object SparkEntry {
           WHERE rank <= 10 ORDER BY query_id, rank""",
 
     "emb_neardup" ->
+      s"""WITH $embFlat,
+          f5 AS (SELECT * FROM flat WHERE vec_id < 500),
+          dots AS (SELECT a.vec_id ia, b.vec_id ib, sum(a.x * b.x) dot
+                   FROM f5 a JOIN f5 b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+          SELECT ia AS id_a, ib AS id_b,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+          FROM dots JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
+          WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.4
+          ORDER BY 1, 2""",
+
+    // identical semantics to emb_neardup — the streamed drain must union
+    // to exactly the one-shot exact pair set
+    "stream_emb_neardup" ->
       s"""WITH $embFlat,
           f5 AS (SELECT * FROM flat WHERE vec_id < 500),
           dots AS (SELECT a.vec_id ia, b.vec_id ib, sum(a.x * b.x) dot

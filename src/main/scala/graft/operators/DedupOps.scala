@@ -490,6 +490,25 @@ object DedupOps {
       path, batchToken)
   }
 
+  /** Compact a many-batch line census into one `batch=base` dir at
+    * `dstPath`. NOT [[compactIdStore]] — census batches intentionally
+    * overlap on the line hash (counts are additive), so compaction must
+    * SUM per hash first, mirroring [[compactClusterStore]]'s
+    * resolve-before-rewrite rule. Same crash-safe
+    * rebuild-dst-then-swap contract as the other compactors.
+    */
+  def compactLineStore(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    require(srcPath != dstPath, "compact to a NEW path, then swap")
+    val p = new org.apache.hadoop.fs.Path(dstPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    spark.read.parquet(srcPath)
+      .groupBy(col("h")).agg(sum(col("c")).as("c"))
+      .write.mode("overwrite").parquet(s"$dstPath/batch=base")
+    spark.catalog.refreshByPath(dstPath)
+  }
+
   /** [[removeFrequentLines]] against a persisted census: batch lines are
     * stripped when the STORE's summed occurrence count for their hash
     * reaches `minCount` — census-based filtering, so the decision depends

@@ -181,6 +181,64 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming EMBEDDING near-dup maintenance: each micro-batch finds its
+    * exact cosine pairs against the persisted vector store
+    * ([[graft.operators.SimilarityOps.incrementalCosinePairs]] — batch
+    * broadcast over one store pass, batch-internal pairs via the blocked
+    * cartesian), writes them under `pairsOut/batch=b<id>`, then appends
+    * its prepped vectors. Replay-safe: a replayed batch overwrites its
+    * own store dir before any read, so its prior vectors never pair
+    * against itself. Cold start seeds the store from batch one.
+    */
+  def embNearDupAvailableNow(stream: DataFrame, idCol: String,
+      vecCol: String, storePath: String, pairsOut: String,
+      checkpoint: String, minCosine: Double): StreamingQuery =
+    embNearDupStream(stream, idCol, vecCol, storePath, pairsOut, checkpoint,
+      Trigger.AvailableNow(), minCosine)
+
+  /** [[embNearDupAvailableNow]] as a LIVE TAIL (ProcessingTime trigger). */
+  def embNearDupProcessingTime(stream: DataFrame, idCol: String,
+      vecCol: String, storePath: String, pairsOut: String,
+      checkpoint: String, interval: String = "1 second",
+      minCosine: Double = 0.8): StreamingQuery =
+    embNearDupStream(stream, idCol, vecCol, storePath, pairsOut, checkpoint,
+      Trigger.ProcessingTime(interval), minCosine)
+
+  private def embNearDupStream(stream: DataFrame, idCol: String,
+      vecCol: String, storePath: String, pairsOut: String,
+      checkpoint: String, trigger: Trigger, minCosine: Double): StreamingQuery =
+    stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val scope = graft.CacheScope.snapshot()
+          // drop a replayed batch's own half-committed store dir BEFORE
+          // the probe reads the store
+          val own = new org.apache.hadoop.fs.Path(s"$storePath/batch=b$bid")
+          val hfs = own.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (hfs.exists(own)) {
+            hfs.delete(own, true)
+            spark.catalog.refreshByPath(storePath)
+          }
+          val sp = new org.apache.hadoop.fs.Path(storePath)
+          val pairs =
+            if (hfs.exists(sp))
+              graft.operators.SimilarityOps.incrementalCosinePairs(
+                batch, idCol, vecCol, storePath, minCosine)
+            else
+              graft.operators.SimilarityOps.cosineNearDupPairs(
+                batch, idCol, vecCol, minCosine)
+          pairs.write.mode("overwrite").parquet(s"$pairsOut/batch=b$bid")
+          graft.operators.SimilarityOps.appendEmbStore(
+            batch, idCol, vecCol, storePath, s"b$bid")
+          graft.CacheScope.releaseNewSince(scope)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming winnow-store maintenance — the MOSS/containment member of
     * the streaming dedup family: each micro-batch probes the persisted
     * winnowing-fingerprint store for containment pairs touching the batch

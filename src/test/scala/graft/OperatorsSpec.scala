@@ -1283,6 +1283,13 @@ class OperatorsSpec extends SparkTestBase {
         path, minCount = 3, delim = "\n")
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(stored == got)
+    // compaction SUMS overlapping per-hash counts (not a disjoint union):
+    // the compacted census strips identically
+    DedupOps.compactLineStore(spark, path, s"${path}_c")
+    val compacted = DedupOps.removeFrequentLinesStored(fixture, "doc_id", "text",
+        s"${path}_c", minCount = 3, delim = "\n")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(compacted == got)
     // census-based contract: a line the store has never seen is kept no
     // matter how often the probe batch repeats it
     val fresh = Seq((9L, "new\nnew\nnew\nnew")).toDF("doc_id", "text")
