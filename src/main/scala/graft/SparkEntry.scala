@@ -1121,6 +1121,12 @@ object SparkEntry {
           tolerance = Some("2d"))
     }),
 
+    // online-serving bulk read: each user's most recent click value
+    // at-or-before the bound — one partial max_by aggregate, no window
+    "fs_keyed_latest" -> ((s, dir) =>
+      Fixtures.store(s, dir).loadKeyedLatest("events/click_by_user",
+        asOf = Some("2024-01-15"))),
+
     // the multi-feature keyed serving query: per-user last click AND last
     // view as of each purchase, one per-entity window stage per feature
     "fs_keyed_multi_asof" -> ((s, dir) => {
@@ -3608,6 +3614,14 @@ object SparkEntry {
                  THEN c.value END AS last_click
           FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.t <= p.t
           ORDER BY p.user_id, p.t""",
+
+    // per-user arg_max at-or-before the inclusive bound
+    "fs_keyed_latest" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, value FROM events
+                    WHERE event_type = 'click')
+         SELECT user_id, max(t) AS time, arg_max(value, t) AS value
+         FROM c WHERE t <= TIMESTAMP '2024-01-15 00:00:00'
+         GROUP BY user_id ORDER BY user_id""",
 
     // two chained per-user ASOF joins onto the purchase spine
     "fs_keyed_multi_asof" ->

@@ -477,6 +477,28 @@ class FeatureStore(
       emptySchema = f.meta.get(FeatureStore.KeyedSchemaMeta).map(StructType.fromDDL))
   }
 
+  /** ONLINE-SERVING read: each entity's most recent value (at-or-before
+    * `asOf` when given) — one row per observed entity,
+    * `(keys..., time, value)` with `time` the served observation's
+    * instant. The lookup behind a feature-serving endpoint's bulk
+    * refresh, and the materialization an online K/V store ingests.
+    *
+    * Scale: ONE partial (map-side combinable) `max_by`-shaped aggregate
+    * over the pruned keyed scan — no window sort; an upper time bound
+    * still prunes partitions. `timeTravel` composes ("what the serving
+    * layer knew as of arrival time + Δ").
+    */
+  def loadKeyedLatest(qualified: String, asOf: Option[String] = None,
+      timeTravel: Option[String] = None): DataFrame = {
+    val (ns, n) = Catalog.splitName(qualified)
+    val keys = keyedKeys(ns, n)
+    val data = loadKeyed(qualified, to = asOf, timeTravel = timeTravel)
+    data.groupBy(keys.map(col): _*)
+      .agg(max(struct(col(TimeCol), col(ValueCol))).as("__last"))
+      .select((keys.map(col) :+ col("__last").getField(TimeCol).as(TimeCol) :+
+        col("__last").getField(ValueCol).as(ValueCol)): _*)
+  }
+
   /** Per-bucket profiling report of a feature's latest-version view — the
     * monitoring surface production feature stores ship next to ingestion
     * (row counts and value envelopes per period; the data-quality

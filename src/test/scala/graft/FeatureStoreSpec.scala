@@ -249,6 +249,28 @@ class FeatureStoreSpec extends SparkTestBase {
     assert(ex.getMessage.contains("entity key set"))
   }
 
+  test("loadKeyedLatest: one row per entity, asOf bound inclusive") {
+    import spark.implicits._
+    val fs = freshStore()
+    fs.createNamespace("o", "online")
+    fs.createKeyedFeature("o/f", Seq("uid"))
+    fs.saveKeyed("o/f", Seq(
+      (1L, ts("2021-01-01"), 1.0, ts("2021-01-01")),
+      (1L, ts("2021-01-05"), 5.0, ts("2021-01-05")),
+      (2L, ts("2021-01-03"), 3.0, ts("2021-01-03"))
+    ).toDF("uid", "time", "value", "created_time"))
+    val latest = fs.loadKeyedLatest("o/f")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(latest == Map(1L -> 5.0, 2L -> 3.0))
+    // asOf bound is inclusive and entities with no data before it drop out
+    val asOf = fs.loadKeyedLatest("o/f", asOf = Some("2021-01-01"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(asOf == Map(1L -> 1.0))
+    // one partial hash aggregate, never a window sort
+    val plan = fs.loadKeyedLatest("o/f").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"latest must not window-sort:\n$plan")
+  }
+
   test("profileFeature: per-bucket counts + exact-decimal sums + envelopes") {
     val fs = freshStore()
     fs.createNamespace("m", "monitoring")
