@@ -87,6 +87,20 @@ object Fixtures {
       .select(col("user_id"), col("ts").as("time"), col("value"),
         col("ts").as("created_time")))
 
+    // entity-keyed feature GROUP: per-user wide table, tripled versions so
+    // the latest-ROW dedup per (user, time) is observable (v=0 wins)
+    store.createKeyedGroup("events/metrics_by_user", Seq("user_id"),
+      Seq("value", "user_val"))
+    store.saveKeyedGroup("events/metrics_by_user",
+      Tables.events(spark, sfDir).where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("time"), col("value"),
+          (col("user_id") * 1000 + col("event_id") % 1000).cast("double")
+            .as("user_val"))
+        .crossJoin(spark.range(3).select(col("id").as("v")))
+        .select(col("user_id"), col("time"),
+          (col("value") * (col("v") + 1)).as("value"), col("user_val"),
+          expr("time - make_interval(0, 0, 0, 0, 0, v, 0)").as("created_time")))
+
     // multi-column feature group over ALL events (ts unique across table):
     // one table, columns loadable independently via parquet pruning
     store.createGroup("events/metrics", Seq("value", "user_val"))

@@ -1183,6 +1183,11 @@ object SparkEntry {
     "fg_load_wide" -> ((s, dir) =>
       Fixtures.store(s, dir).loadGroup("events/metrics")),
 
+    // ENTITY-KEYED group: per-user wide serving table, latest-row dedup
+    // per (user, time) — one scan, tripled versions resolve to v=0
+    "fg_keyed_load" -> ((s, dir) =>
+      Fixtures.store(s, dir).loadKeyedGroup("events/metrics_by_user")),
+
     // group column-subset load in a time range: parquet reads ONLY `value`
     "fg_load_pruned" -> ((s, dir) =>
       Fixtures.store(s, dir).loadGroup("events/metrics", Seq("value"),
@@ -3728,6 +3733,12 @@ object SparkEntry {
       """SELECT CAST(ts AS TIMESTAMP) AS time, value,
            CAST(user_id * 1000 + event_id % 1000 AS DOUBLE) AS user_val
          FROM events ORDER BY time""",
+
+    // the fixture's v=0 version (created_time == time) wins the whole row
+    "fg_keyed_load" ->
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS time, value,
+           CAST(user_id * 1000 + event_id % 1000 AS DOUBLE) AS user_val
+         FROM events WHERE event_type = 'click' ORDER BY user_id, time""",
 
     "fg_load_pruned" ->
       """SELECT CAST(ts AS TIMESTAMP) AS time, value FROM events

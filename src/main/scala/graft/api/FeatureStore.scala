@@ -416,6 +416,51 @@ class FeatureStore(
       to.map(TimeUtil.parseTimestamp), timeTravel, g.partitionScheme)
   }
 
+  /** Create an ENTITY-KEYED feature group: N signals per entity in one
+    * table (keys ride in group meta, like keyed features). The wide
+    * serving layout — [[loadKeyedGroup]] is one column-pruned scan with
+    * latest-row dedup per (keys, time), never an N-way per-entity join.
+    */
+  def createKeyedGroup(qualified: String, keys: Seq[String],
+      columns: Seq[String], description: String = "",
+      partition: String = "date"): Unit = {
+    require(keys.nonEmpty, "keyed group needs at least one key column")
+    val (ns, n) = Catalog.splitName(qualified)
+    catalog.createGroup(GroupDef(ns, n, columns, description, partition,
+      meta = Map(FeatureStore.EntityKeysMeta -> keys.mkString(","))))
+  }
+
+  def saveKeyedGroup(qualified: String, df: DataFrame): Unit = {
+    val (ns, n) = Catalog.splitName(qualified)
+    val g = catalog.getGroup(ns, n)
+      .getOrElse(throw new MissingFeatureException(s"no group: $qualified"))
+    storage.saveKeyedGroup(ns, n, df, keyedGroupKeys(g, qualified),
+      g.columns, g.partitionScheme)
+  }
+
+  def loadKeyedGroup(qualified: String, columns: Seq[String] = Nil,
+      from: Option[String] = None, to: Option[String] = None,
+      timeTravel: Option[String] = None): DataFrame = {
+    val (ns, n) = Catalog.splitName(qualified)
+    val g = catalog.getGroup(ns, n)
+      .getOrElse(throw new MissingFeatureException(s"no group: $qualified"))
+    val cols = if (columns.isEmpty) g.columns else columns
+    val unknown = cols.filterNot(g.columns.contains)
+    if (unknown.nonEmpty)
+      throw new FeatureStoreException(
+        s"group $qualified has no columns: ${unknown.mkString(",")}")
+    storage.loadKeyedGroup(ns, n, keyedGroupKeys(g, qualified), cols,
+      from.map(TimeUtil.parseTimestamp), to.map(TimeUtil.parseTimestamp),
+      timeTravel, g.partitionScheme)
+  }
+
+  private def keyedGroupKeys(g: GroupDef, qualified: String): Seq[String] =
+    g.meta.get(FeatureStore.EntityKeysMeta)
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+      .getOrElse(throw new FeatureStoreException(
+        s"group $qualified is not entity-keyed (use saveGroup/loadGroup)"))
+
   // ---- entity-keyed features (extension) --------------------------------------
 
   /** Create a per-entity feature: values are keyed by (entity keys, time)

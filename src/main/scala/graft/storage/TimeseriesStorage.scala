@@ -460,6 +460,74 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
       .select(col(TimeCol) +: columns.map(c => col(s"s.$c").as(c)): _*)
   }
 
+  /** ENTITY-KEYED feature group — [[saveGroup]] with entity key columns:
+    * N signals per entity in ONE hive-partitioned table, the wide
+    * serving-table layout (loads are one column-pruned scan instead of an
+    * N-way per-entity join). The logical upsert key is (keys, time).
+    */
+  def saveKeyedGroup(namespace: String, name: String, df: DataFrame,
+      keys: Seq[String], columns: Seq[String],
+      scheme: PartitionScheme = PartitionScheme.Date): Unit = {
+    val extra = df.columns.toSet -- (Set(TimeCol, CreatedCol) ++ keys ++ columns)
+    if (extra.nonEmpty)
+      throw new FeatureStoreException(
+        s"unexpected columns ${extra.mkString(",")} saving keyed group $namespace/$name")
+    require(df.columns.contains(TimeCol), s"missing '$TimeCol' column")
+    val missing = (keys ++ columns).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"keyed group columns missing: ${missing.mkString(",")}")
+    val coerced = df
+      .withColumn(TimeCol, col(TimeCol).cast(TimestampType))
+      .withColumn(CreatedCol,
+        if (df.columns.contains(CreatedCol))
+          coalesce(col(CreatedCol).cast(TimestampType), current_timestamp())
+        else current_timestamp())
+      .withColumn(PartCol, partitionExpr(scheme, col(TimeCol)))
+    coerced
+      .select((keys ++ Seq(TimeCol, CreatedCol) ++ columns :+ PartCol).map(col): _*)
+      .repartition(col(PartCol))
+      .write.format("parquet").option("compression", "snappy")
+      .partitionBy(PartCol).mode("append")
+      .save(groupPath(namespace, name))
+  }
+
+  /** Read a column subset of a keyed group: one pruned scan, then
+    * latest-ROW dedup per (keys, time) — max created_time wins the whole
+    * row, so the signals stay mutually consistent (the [[loadGroup]]
+    * contract with the entity in the upsert key). Partial-aggregable —
+    * no window sort at any size.
+    */
+  def loadKeyedGroup(namespace: String, name: String, keys: Seq[String],
+      columns: Seq[String], from: Option[Timestamp] = None,
+      to: Option[Timestamp] = None, timeTravel: Option[String] = None,
+      scheme: PartitionScheme = PartitionScheme.Date): DataFrame = {
+    val path = groupPath(namespace, name)
+    require(columns.nonEmpty, "no columns requested")
+    if (!fs.exists(new Path(path))) {
+      val schema = StructType(
+        keys.map(StructField(_, LongType)) ++
+          (StructField(TimeCol, TimestampType) +: columns.map(StructField(_, DoubleType))))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    var df = spark.read.parquet(path)
+    val (f, t) = (from, to) match {
+      case (Some(a), Some(b)) if b.before(a) => (Some(a), Some(a))
+      case other => other
+    }
+    f.foreach(a => df = df.where(col(TimeCol) >= lit(a) &&
+      col(PartCol) >= lit(partitionValue(scheme, a))))
+    t.foreach(b => df = df.where(col(TimeCol) <= lit(b) &&
+      col(PartCol) <= lit(partitionValue(scheme, b))))
+    timeTravel.foreach { tt =>
+      val delta = TimeUtil.parseMicros(tt)
+      df = df.where(unix_micros(col(CreatedCol)) <= unix_micros(col(TimeCol)) + lit(delta))
+    }
+    df.select((keys ++ Seq(TimeCol, CreatedCol) ++ columns).map(col): _*)
+      .groupBy((keys :+ TimeCol).map(col): _*)
+      .agg(max(struct((CreatedCol +: columns).map(col): _*)).as("s"))
+      .select((keys :+ TimeCol).map(col) ++ columns.map(c => col(s"s.$c").as(c)): _*)
+  }
+
   // ---- entity-keyed features (extension) -----------------------------------
 
   def keyedPath(namespace: String, name: String): String =

@@ -249,6 +249,28 @@ class FeatureStoreSpec extends SparkTestBase {
     assert(ex.getMessage.contains("entity key set"))
   }
 
+  test("keyed group: per-(entity, time) latest-row dedup, pruning, misuse guards") {
+    import spark.implicits._
+    val fs = freshStore()
+    fs.createNamespace("g", "groups")
+    fs.createKeyedGroup("g/wide", Seq("uid"), Seq("a", "b"))
+    fs.saveKeyedGroup("g/wide", Seq(
+      (1L, ts("2021-01-01"), 1.0, 10.0, ts("2021-01-01")),
+      // newer version of the same (uid, time): whole row wins together
+      (1L, ts("2021-01-01"), 2.0, 20.0, ts("2021-01-02")),
+      (2L, ts("2021-01-01"), 3.0, 30.0, ts("2021-01-01"))
+    ).toDF("uid", "time", "a", "b", "created_time"))
+    val got = fs.loadKeyedGroup("g/wide").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got == Set((1L, 2.0, 20.0), (2L, 3.0, 30.0)))
+    // column subset prunes; unknown column and unkeyed access fail loudly
+    assert(fs.loadKeyedGroup("g/wide", Seq("b")).columns.toSeq ==
+      Seq("uid", "time", "b"))
+    intercept[FeatureStoreException] { fs.loadKeyedGroup("g/wide", Seq("zz")) }
+    fs.createGroup("g/plain", Seq("a"))
+    intercept[FeatureStoreException] { fs.loadKeyedGroup("g/plain") }
+  }
+
   test("loadKeyedLatest: one row per entity, asOf bound inclusive") {
     import spark.implicits._
     val fs = freshStore()
