@@ -1188,6 +1188,20 @@ object SparkEntry {
     "fg_keyed_load" -> ((s, dir) =>
       Fixtures.store(s, dir).loadKeyedGroup("events/metrics_by_user")),
 
+    // each user's most recent wide row at-or-before the bound — the bulk
+    // online-store refresh, all signals from ONE winning row
+    "fg_keyed_latest" -> ((s, dir) =>
+      Fixtures.store(s, dir).loadKeyedGroupLatest("events/metrics_by_user",
+        asOf = Some("2024-01-15"))),
+
+    // the group's columns as-of each purchase, ONE window stage for all
+    // signals (they live in one table)
+    "fg_keyed_asof" -> ((s, dir) => {
+      val spine = Tables.events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("time"), col("event_id"))
+      Fixtures.store(s, dir).loadKeyedGroupAsOf(spine, "events/metrics_by_user")
+    }),
+
     // group column-subset load in a time range: parquet reads ONLY `value`
     "fg_load_pruned" -> ((s, dir) =>
       Fixtures.store(s, dir).loadGroup("events/metrics", Seq("value"),
@@ -3739,6 +3753,27 @@ object SparkEntry {
       """SELECT user_id, CAST(ts AS TIMESTAMP) AS time, value,
            CAST(user_id * 1000 + event_id % 1000 AS DOUBLE) AS user_val
          FROM events WHERE event_type = 'click' ORDER BY user_id, time""",
+
+    // per-user arg_max of the whole row at-or-before the inclusive bound
+    "fg_keyed_latest" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, value,
+               CAST(user_id * 1000 + event_id % 1000 AS DOUBLE) AS user_val
+             FROM events WHERE event_type = 'click')
+         SELECT user_id, max(t) AS time, arg_max(value, t) AS value,
+           arg_max(user_val, t) AS user_val
+         FROM c WHERE t <= TIMESTAMP '2024-01-15 00:00:00'
+         GROUP BY user_id ORDER BY user_id""",
+
+    // one ASOF join serving both group columns per purchase
+    "fg_keyed_asof" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, value,
+               CAST(user_id * 1000 + event_id % 1000 AS DOUBLE) AS user_val
+             FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, event_id FROM events
+               WHERE event_type = 'purchase')
+         SELECT p.user_id, p.t AS time, p.event_id, c.value, c.user_val
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.t <= p.t
+         ORDER BY p.user_id, p.t""",
 
     "fg_load_pruned" ->
       """SELECT CAST(ts AS TIMESTAMP) AS time, value FROM events

@@ -454,6 +454,45 @@ class FeatureStore(
       timeTravel, g.partitionScheme)
   }
 
+  /** [[loadKeyedLatest]] for a keyed GROUP: each entity's most recent wide
+    * row (at-or-before `asOf` when given) — the bulk refresh an online
+    * store ingests, all signals mutually consistent because the whole row
+    * wins together. One partial max_by-shaped aggregate, no window.
+    */
+  def loadKeyedGroupLatest(qualified: String, columns: Seq[String] = Nil,
+      asOf: Option[String] = None,
+      timeTravel: Option[String] = None): DataFrame = {
+    val (ns, n) = Catalog.splitName(qualified)
+    val g = catalog.getGroup(ns, n)
+      .getOrElse(throw new MissingFeatureException(s"no group: $qualified"))
+    val keys = keyedGroupKeys(g, qualified)
+    val cols = if (columns.isEmpty) g.columns else columns
+    val data = loadKeyedGroup(qualified, cols, to = asOf, timeTravel = timeTravel)
+    data.groupBy(keys.map(col): _*)
+      .agg(max(struct((TimeCol +: cols).map(col): _*)).as("__last"))
+      .select(keys.map(col) ++
+        (TimeCol +: cols).map(c => col("__last").getField(c).as(c)): _*)
+  }
+
+  /** Point-in-time per-entity join of a keyed GROUP onto a spine: each
+    * spine row (keys..., time, payload) gets the group's columns from the
+    * entity's last row at-or-before the spine instant — the multi-signal
+    * serving query in ONE window stage (vs one stage per feature in
+    * [[loadKeyedFeaturesAsOf]]), because the signals already live in one
+    * table.
+    */
+  def loadKeyedGroupAsOf(spine: DataFrame, qualified: String,
+      columns: Seq[String] = Nil,
+      timeTravel: Option[String] = None): DataFrame = {
+    val (ns, n) = Catalog.splitName(qualified)
+    val g = catalog.getGroup(ns, n)
+      .getOrElse(throw new MissingFeatureException(s"no group: $qualified"))
+    val keys = keyedGroupKeys(g, qualified)
+    val cols = if (columns.isEmpty) g.columns else columns
+    val data = loadKeyedGroup(qualified, cols, timeTravel = timeTravel)
+    Align.asOfJoinKeyed(spine, data, keys, TimeCol, cols)
+  }
+
   private def keyedGroupKeys(g: GroupDef, qualified: String): Seq[String] =
     g.meta.get(FeatureStore.EntityKeysMeta)
       .map(_.split(",").toSeq.filter(_.nonEmpty))
