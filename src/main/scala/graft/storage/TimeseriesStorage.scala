@@ -644,6 +644,28 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
     dropped
   }
 
+  /** [[deleteBefore]] for the entity-KEYED layout — retention (TTL) as
+    * pure partition-directory removal off the listing, cutoff's own
+    * partition survives, idempotent.
+    */
+  def deleteKeyedBefore(namespace: String, name: String, cutoff: Timestamp,
+      scheme: PartitionScheme = PartitionScheme.Date): Seq[String] = {
+    val cutPart = partitionValue(scheme, cutoff)
+    val base = new Path(keyedPath(namespace, name))
+    val dropped =
+      if (!fs.exists(base)) Nil
+      else fs.listStatus(base).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$PartCol="))
+        .map(_.getPath.getName.stripPrefix(s"$PartCol="))
+        .filter(_ < cutPart).sorted
+    dropped.foreach { part =>
+      fs.delete(new Path(s"${keyedPath(namespace, name)}/$PartCol=$part"), true)
+    }
+    if (dropped.nonEmpty)
+      spark.catalog.refreshByPath(keyedPath(namespace, name))
+    dropped
+  }
+
   /** Copy one feature's data to another feature location (clone support,
     * reference src/qafs/backend/pandas.py:274-296 — overwrite semantics).
     */

@@ -328,4 +328,23 @@ class StorageSpec extends SparkTestBase {
       Seq("2021-01-02", "2021-01-03"))
     assert(st.load("ns", "ttl").count() == 0)
   }
+
+  test("deleteKeyedBefore: keyed-layout TTL, cutoff partition survives, idempotent") {
+    import spark.implicits._
+    val st = freshStore()
+    st.saveKeyed("ns", "kt", Seq(
+      (1L, ts("2021-01-01"), 1.0), (1L, ts("2021-01-02"), 2.0),
+      (2L, ts("2021-01-03"), 3.0)).toDF("uid", "time", "value"), Seq("uid"))
+    val dropped = st.deleteKeyedBefore("ns", "kt",
+      java.sql.Timestamp.valueOf("2021-01-02 12:00:00"))
+    assert(dropped == Seq("2021-01-01"))
+    val left = st.loadKeyed("ns", "kt", Seq("uid"))
+      .collect().map(r => r.getTimestamp(1)).toSet
+    assert(left == Set(ts("2021-01-02"), ts("2021-01-03")))
+    assert(st.deleteKeyedBefore("ns", "kt",
+      java.sql.Timestamp.valueOf("2021-01-02 12:00:00")).isEmpty)
+    // a never-written keyed feature deletes to nothing, loudly not at all
+    assert(st.deleteKeyedBefore("ns", "nope",
+      java.sql.Timestamp.valueOf("2022-01-01 00:00:00")).isEmpty)
+  }
 }
