@@ -622,6 +622,23 @@ object SparkEntry {
         k = 4, minTokens = 20, maxTopTokenFrac = 0.12)
     }),
 
+    // CAPSTONE composition — the whole engine end to end: near-dup label
+    // store -> quality-aware keep-best curation -> the survivors packed
+    // into group-local (per-language) 256-token training chunks. One
+    // lazy Catalyst plan from store probe to span arithmetic.
+    "pipeline_curate_pack" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val labels = operators.DedupOps.loadClusterLabels(
+        s, Fixtures.clusterStorePath(s, dir))
+      val kept = operators.CurationOps.curateKeepClustered(
+        d.where(col("doc_id") % 17 =!= 0), d.where(col("doc_id") % 17 === 0),
+        "doc_id", "text", "lang", labels, "n_chars",
+        k = 4, minTokens = 20, maxTopTokenFrac = 0.12)
+      operators.CurationOps.packChunksGrouped(
+        d.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+        "doc_id", "text", "lang", chunkTokens = 256)
+    }),
+
     // the curation pipeline as TRUE STREAMING: three id-range micro-batches
     // through store-probe dedup + curateKeep, kept docs appended per batch;
     // the drained kept set must equal the batch oracle on the same split
@@ -2509,6 +2526,64 @@ object SparkEntry {
          SELECT lang, outcome, CAST(count(*) AS BIGINT) n_docs,
            CAST(sum(nt) AS BIGINT) n_tokens
          FROM oc GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // curate_keep_dedup's kept set fed through corpus_pack_grouped's
+    // per-language running sum at 256 tokens
+    "pipeline_curate_pack" ->
+      """WITH RECURSIVE
+         e AS (SELECT doc_id AS a, doc_id - doc_id % 7 AS b FROM documents
+               WHERE doc_id % 7 != 0
+               UNION ALL
+               SELECT doc_id, doc_id - 1 FROM documents
+               WHERE doc_id % 21 = 0 AND doc_id > 0),
+         sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+         reach(id, r) AS (
+           SELECT DISTINCT a AS id, a AS r FROM sym
+           UNION
+           SELECT s.a AS id, rc.r FROM sym s JOIN reach rc ON s.b = rc.id),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         corpus AS (SELECT * FROM documents WHERE doc_id % 17 != 0),
+         lab AS (SELECT c0.doc_id, coalesce(cp.component, c0.doc_id) AS component,
+                        c0.n_chars
+                 FROM corpus c0 LEFT JOIN comp cp ON c0.doc_id = cp.id),
+         mx AS (SELECT component, max(n_chars) AS m FROM lab GROUP BY 1),
+         win AS (SELECT l.component, min(l.doc_id) AS keep_id
+                 FROM lab l JOIN mx ON l.component = mx.component AND l.n_chars = mx.m
+                 GROUP BY 1),
+         reps AS (SELECT c0.* FROM corpus c0
+                  JOIN lab l ON c0.doc_id = l.doc_id
+                  JOIN win w ON l.component = w.component AND c0.doc_id = w.keep_id),
+         d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         g AS (SELECT doc_id, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3]
+                 || ' ' || tks[i+4] AS s
+               FROM d, unnest(range(len(tks) - 3)) t(i) WHERE len(tks) >= 4),
+         bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 17 = 0),
+         contam AS (SELECT doc_id FROM g
+                    WHERE doc_id IN (SELECT doc_id FROM reps)
+                    GROUP BY 1
+                    HAVING count(DISTINCT s) FILTER (s IN (SELECT s FROM bench)) > 0),
+         tc AS (SELECT doc_id, tok, count(*) c
+                FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) tok
+                      FROM reps) GROUP BY 1, 2),
+         rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_tokens,
+                   CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) top_token_frac
+                 FROM tc GROUP BY 1),
+         kept AS (SELECT r.doc_id FROM rep r
+                  WHERE r.doc_id NOT IN (SELECT doc_id FROM contam)
+                    AND r.n_tokens >= 20 AND r.top_token_frac <= 0.12),
+         kd AS (SELECT c.lang, c.doc_id,
+                  len(string_split(lower(c.text), ' ')) AS n
+                FROM corpus c JOIN kept k ON c.doc_id = k.doc_id),
+         cum AS (SELECT lang, doc_id, n,
+                   CAST(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) cum FROM kd),
+         sp AS (SELECT lang, doc_id, n, cum - n AS strt, cum
+                FROM cum WHERE n > 0)
+         SELECT lang, CAST(b AS BIGINT) AS chunk_id, doc_id,
+           CAST(greatest(0, b * 256 - strt) AS BIGINT) AS tok_from,
+           CAST(least(n, (b + 1) * 256 - strt) AS BIGINT) AS tok_to
+         FROM sp, unnest(range(strt // 256, ((cum - 1) // 256) + 1)) u(b)
+         ORDER BY lang, chunk_id, doc_id""",
 
     // curate_keep's CTEs restricted to the streamed split (doc_id >= 250):
     // the canonical window spans ALL % 17 != 0 docs, so a store hit
