@@ -406,6 +406,25 @@ object Fixtures {
       path
     })
 
+  private val zLayouts = TrieMap[String, String]()
+
+  /** Z-ordered events layout (x = user bucket, y = value band) with its
+    * file-skipping manifest, written once per (JVM, sf) — the table side
+    * of the `layout_zorder` pruned-read gate. 32 files so the 2-D box
+    * probe has real files to skip; bits=9 covers both columns' ranges.
+    */
+  def zLayoutPath(spark: SparkSession, sfDir: String): String =
+    zLayouts.getOrElseUpdate(sfDir, {
+      val path = s"${tmpRoot}/zlay_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val ev = Tables.events(spark, sfDir).select(
+        col("event_id"),
+        (col("user_id") % 256).as("x"),
+        floor(col("value")).cast("bigint").as("y"))
+      graft.operators.LayoutOps.writeZOrdered(ev, Seq("x", "y"), path,
+        nFiles = 32, bits = 9)
+      path
+    })
+
   private val lmModels = TrieMap[String, String]()
 
   /** Persisted bigram-LM model trained once per (JVM, sf) on the lang='en'

@@ -221,6 +221,52 @@ object SparkEntry {
           operators.SkewOps.Agg("cents", "max")),
         buckets = 8).orderBy(col("event_type"))),
 
+    // skew-safe salted equi-join (salt-replicate): the fact side's hot key
+    // spreads across 8 tasks instead of one reducer; dim rows replicated
+    // once per salt bucket. Result identical to the plain inner join.
+    "skew_salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_rows"),
+          countDistinct(col("user_id")).as("type_users"))
+      operators.SkewOps.saltedJoin(
+        ev.select(col("event_id"), col("event_type"),
+          floor(col("value")).cast("bigint").as("vfloor")),
+        dim, Seq("event_type"), buckets = 8)
+        .orderBy(col("event_id"))
+    }),
+
+    // Z-order layout + file-skipping manifest: 2-D range box over a
+    // Morton-clustered 32-file table opens only the files whose per-file
+    // min/max stats intersect the box; the residual filter restores the
+    // exact inclusive predicate. Result identical to a full-scan filter.
+    "layout_zorder" -> ((s, dir) =>
+      operators.LayoutOps.readPruned(s, Fixtures.zLayoutPath(s, dir),
+        Seq(("x", 32L, 63L), ("y", 100L, 199L)))
+        .orderBy(col("event_id"))),
+
+    // SCD2 change capture: per-user event_type history collapsed into
+    // validity intervals [valid_from, valid_to) — consecutive repeats
+    // merge, the open interval's valid_to is null. Both window passes
+    // partition by the entity (no global sort anywhere).
+    "fs_scd2" -> ((s, dir) =>
+      ts.Scd.scdIntervals(
+        Tables.events(s, dir).select(col("user_id"), col("ts"),
+          col("event_type"), col("event_id")),
+        "user_id", "ts", Seq("event_type"), tieCols = Seq("event_id"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"),
+          col("valid_to").asc_nulls_last)),
+
+    // distribution-drift report: first-9-days window vs rest-of-month
+    // window of the latest click view, 20 fixed bins over [0, 500),
+    // integer-ppm shares + delta (sum(abs(delta_ppm))/2 = exact TV
+    // distance). Each window's scan partition-pruned by its own bounds.
+    "fs_drift_hist" -> ((s, dir) =>
+      Fixtures.store(s, dir).profileDrift("events/click",
+        "2024-01-01 00:00:00", "2024-01-09 23:59:59",
+        "2024-01-10 00:00:00", "2024-01-31 00:00:00",
+        lo = 0.0, hi = 500.0, bins = 20).orderBy(col("bin"))),
+
     // approximate aggregates. Estimates are engine-specific, so the oracle
     // checks BOUNDS instead of values: the query itself computes the exact
     // answers alongside the sketches and emits pass/fail booleans —
@@ -1623,6 +1669,65 @@ object SparkEntry {
            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
            max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "layout_zorder" ->
+      """SELECT event_id, user_id % 256 AS x, CAST(floor(value) AS BIGINT) AS y
+         FROM events
+         WHERE user_id % 256 BETWEEN 32 AND 63
+           AND CAST(floor(value) AS BIGINT) BETWEEN 100 AND 199
+         ORDER BY event_id""",
+
+    "skew_salted_join" ->
+      """SELECT e.event_id, e.event_type, CAST(floor(e.value) AS BIGINT) AS vfloor,
+           t.type_rows, t.type_users
+         FROM events e
+         JOIN (SELECT event_type, count(*) AS type_rows,
+                 count(DISTINCT user_id) AS type_users
+               FROM events GROUP BY 1) t
+           ON e.event_type = t.event_type
+         ORDER BY e.event_id""",
+
+    "fs_scd2" ->
+      """WITH o AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id,
+             CASE WHEN row_number() OVER w = 1
+                    OR lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ),
+         c AS (SELECT user_id, event_type, ts AS valid_from, event_id
+               FROM o WHERE chg = 1)
+         SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to
+         FROM c
+         ORDER BY user_id, valid_from, event_type, valid_to NULLS LAST""",
+
+    "fs_drift_hist" ->
+      s"""WITH v AS (${ev("click")}),
+         u AS (
+           SELECT value, 0 AS w FROM v
+             WHERE time >= TIMESTAMP '2024-01-01 00:00:00'
+               AND time <= TIMESTAMP '2024-01-09 23:59:59'
+           UNION ALL
+           SELECT value, 1 AS w FROM v
+             WHERE time >= TIMESTAMP '2024-01-10 00:00:00'
+               AND time <= TIMESTAMP '2024-01-31 00:00:00'
+         ),
+         h AS (
+           SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 25.0) AS BIGINT), 0), 19) AS bin,
+             CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+           FROM u GROUP BY 1
+         ),
+         t AS (SELECT h.*, sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc FROM h)
+         SELECT bin, n_ref, n_cur,
+           CASE WHEN tr > 0 THEN CAST(n_ref * 1000000 // tr AS BIGINT) END AS ref_ppm,
+           CASE WHEN tc > 0 THEN CAST(n_cur * 1000000 // tc AS BIGINT) END AS cur_ppm,
+           (CASE WHEN tc > 0 THEN CAST(n_cur * 1000000 // tc AS BIGINT) END)
+             - (CASE WHEN tr > 0 THEN CAST(n_ref * 1000000 // tr AS BIGINT) END) AS delta_ppm
+         FROM t ORDER BY bin""",
 
     "dedup_exact_map" ->
       """WITH f AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) fp

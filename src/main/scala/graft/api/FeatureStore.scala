@@ -616,6 +616,53 @@ class FeatureStore(
         max(col(ValueCol)).as("max_value"))
   }
 
+  /** Distribution-drift report for one feature between two time windows
+    * (reference window vs current window): fixed equal-width bins over
+    * [lo, hi), out-of-range values clamped into the edge bins (standard
+    * PSI practice — mass outside the reference range is exactly what
+    * drift monitoring must not drop). Emits, per observed bin:
+    * `n_ref`/`n_cur` counts and `ref_ppm`/`cur_ppm` integer floor-ppm
+    * shares of each window plus `delta_ppm` — all integer-exact, so the
+    * report is bit-reproducible across engines (a float `p*log(p/q)` PSI
+    * is partial-agg-order-dependent; total-variation distance
+    * `sum(abs(delta_ppm))/2` is the exact drift scalar this report
+    * supports). Bins empty in BOTH windows are absent.
+    *
+    * Scale shape: each window's scan is partition-pruned by its own time
+    * bounds (two bounded loads, not one covering scan spanning the gap
+    * between the windows), one hash aggregate over `bins` keys, and the
+    * share window runs over at most `bins` rows (driver-bounded by the
+    * caller's bin count, never by data volume). Empty-window shares are
+    * null, never a division error.
+    */
+  def profileDrift(qualified: String, refFrom: String, refTo: String,
+      curFrom: String, curTo: String, lo: Double, hi: Double, bins: Int,
+      timeTravel: Option[String] = None): DataFrame = {
+    val (ns, n) = Catalog.splitName(qualified)
+    require(bins > 0, s"profileDrift: bins must be positive, got $bins")
+    require(hi > lo, s"profileDrift: need hi > lo, got [$lo, $hi)")
+    val width = (hi - lo) / bins
+    def slice(f: String, t: String, tag: Int) =
+      storage.load(ns, n, Some(TimeUtil.parseTimestamp(f)),
+          Some(TimeUtil.parseTimestamp(t)), timeTravel = timeTravel)
+        .select(col(ValueCol), lit(tag).as("__w"))
+    val u = slice(refFrom, refTo, 0).unionAll(slice(curFrom, curTo, 1))
+    val bin = least(greatest(
+      floor((col(ValueCol) - lit(lo)) / lit(width)).cast("bigint"),
+      lit(0L)), lit((bins - 1).toLong))
+    val h = u.select(bin.as("bin"), col("__w"))
+      .groupBy("bin")
+      .agg(sum(when(col("__w") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__w") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    h.withColumn("__tr", sum(col("n_ref")).over(all))
+      .withColumn("__tc", sum(col("n_cur")).over(all))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        when(col("__tr") > 0, expr("n_ref * 1000000 div __tr")).as("ref_ppm"),
+        when(col("__tc") > 0, expr("n_cur * 1000000 div __tc")).as("cur_ppm"))
+      .withColumn("delta_ppm", col("cur_ppm") - col("ref_ppm"))
+  }
+
   /** Point-in-time per-entity join: each spine row (keys..., time, payload)
     * gets the feature's last value for the SAME entity at-or-before its
     * time — the per-entity training-set constructor

@@ -1,0 +1,162 @@
+package graft
+
+import graft.operators.{LayoutOps, SkewOps}
+import graft.ts.Scd
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Z-order layout + manifest pruning, salted join, and SCD2 intervals. */
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("zValue interleaves bits: axis neighbors are z-close, distant points are not") {
+    // closed-form check of the Morton code for small coordinates
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 2L), (3L, 5L))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), LayoutOps.zValue(Seq(col("x"), col("y")), bits = 4).as("z"))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // interleave x at even positions, y at odd: z(1,0)=1, z(0,1)=2, z(1,1)=3,
+    // z(2,2)=12, z(3,5)= (11b interleaved with 101b) = 1 00 11 1 b? compute:
+    // x=3=0b011 -> bits at pos 0,2 ; y=5=0b101 -> bits at pos 1,5 => 0b100111 = 39
+    assert(got((0L, 0L)) == 0L && got((1L, 0L)) == 1L && got((0L, 1L)) == 2L)
+    assert(got((1L, 1L)) == 3L && got((2L, 2L)) == 12L && got((3L, 5L)) == 39L)
+  }
+
+  test("zValue clamps out-of-range inputs instead of corrupting the code") {
+    val df = Seq((-5L, 9999L)).toDF("x", "y")
+      .select(LayoutOps.zValue(Seq(col("x"), col("y")), bits = 4).as("z"))
+    // x -> 0, y -> 15 (0b1111 at odd positions = 0b10101010 = 170)
+    assert(df.head().getLong(0) == 170L)
+  }
+
+  test("z-ordered write + manifest-pruned read == full-scan filter, and files are skipped") {
+    val dir = tmpDir("zorder")
+    val n = 20000
+    val df = spark.range(n).select(
+      col("id"),
+      (col("id") * 7919 % 512).as("x"),
+      (col("id") * 104729 % 512).as("y"))
+    LayoutOps.writeZOrdered(df, Seq("x", "y"), dir, nFiles = 32, bits = 9)
+
+    val box = Seq(("x", 64L, 127L), ("y", 256L, 319L))
+    val (sel, total) = LayoutOps.selectFiles(spark, dir, box)
+    assert(total == 32L, s"expected 32 files, manifest saw $total")
+    // a (1/8 x 1/8) box over a z-ordered layout must skip most files
+    assert(sel.length < total / 2,
+      s"z-order pruning too weak: ${sel.length} of $total files selected")
+
+    val pruned = LayoutOps.readPruned(spark, dir, box)
+    val brute = spark.read.parquet(dir)
+      .where(col("x").between(64, 127) && col("y").between(256, 319))
+    assert(pruned.exceptAll(brute).isEmpty && brute.exceptAll(pruned).isEmpty,
+      "pruned read must equal the full-scan filter")
+    assert(pruned.count() > 0, "box must be non-empty for the test to mean anything")
+  }
+
+  test("manifest pruning is exact on a NON-z-ordered layout too (just weaker)") {
+    val dir = tmpDir("nozorder")
+    val df = spark.range(5000).select(col("id"), (col("id") % 100).as("x"))
+    df.repartition(8).write.mode("overwrite").parquet(dir)
+    LayoutOps.buildManifest(spark, dir, Seq("x"))
+    val pruned = LayoutOps.readPruned(spark, dir, Seq(("x", 10L, 19L)))
+    val brute = spark.read.parquet(dir).where(col("x").between(10, 19))
+    assert(pruned.exceptAll(brute).isEmpty && brute.exceptAll(pruned).isEmpty)
+  }
+
+  test("readPruned on a box outside the data returns empty with the table schema") {
+    val dir = tmpDir("zempty")
+    LayoutOps.writeZOrdered(
+      spark.range(100).select(col("id"), (col("id") % 10).as("x")),
+      Seq("x"), dir, nFiles = 4, bits = 4)
+    val out = LayoutOps.readPruned(spark, dir, Seq(("x", 500L, 900L)))
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("id", "x"))
+  }
+
+  test("saltedJoin == plain inner join, with the salt in the physical join keys") {
+    val fact = spark.range(10000).select(
+      col("id"), (col("id") % 3).as("k"), (col("id") * 31 % 97).as("payload"))
+    val dim = Seq((0L, "a"), (1L, "b"), (2L, "c"), (99L, "never")).toDF("k", "tag")
+    val salted = SkewOps.saltedJoin(fact, dim, Seq("k"), buckets = 8)
+    val plain = fact.join(dim, Seq("k"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salted join must be row-identical to the plain inner join")
+    // the executed join must key on the salt (that IS the skew spread)
+    val phys = salted.queryExecution.executedPlan.toString
+    assert(phys.contains("__salt"), s"salt column missing from physical plan:\n$phys")
+  }
+
+  test("saltedJoin refuses colliding dim payload columns loudly") {
+    val fact = Seq((1L, 2L)).toDF("k", "v")
+    val dim = Seq((1L, 3L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException](SkewOps.saltedJoin(fact, dim, Seq("k")))
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("scdIntervals collapses runs, opens at first obs, closes at next change") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", "a", 1L),
+      (1L, "2024-01-02 00:00:00", "a", 2L), // repeat -> collapsed
+      (1L, "2024-01-03 00:00:00", "b", 3L), // change
+      (1L, "2024-01-04 00:00:00", "a", 4L), // back to a = NEW interval
+      (2L, "2024-01-01 00:00:00", "x", 5L)
+    ).toDF("ent", "t", "attr", "seq")
+      .select(col("ent"), col("t").cast("timestamp").as("t"), col("attr"), col("seq"))
+    val out = Scd.scdIntervals(df, "ent", "t", Seq("attr"), tieCols = Seq("seq"))
+      .orderBy(col("ent"), col("valid_from"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).toString.substring(0, 10),
+        Option(r.getTimestamp(3)).map(_.toString.substring(0, 10)).orNull))
+    assert(out.toSeq == Seq(
+      (1L, "a", "2024-01-01", "2024-01-03"),
+      (1L, "b", "2024-01-03", "2024-01-04"),
+      (1L, "a", "2024-01-04", null),
+      (2L, "x", "2024-01-01", null)))
+  }
+
+  test("scdIntervals: equal-timestamp observations order by the tiebreak; nulls are values") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", null.asInstanceOf[String], 1L),
+      (1L, "2024-01-01 00:00:00", "b", 2L), // same instant, tiebreak seq
+      (1L, "2024-01-02 00:00:00", "b", 3L) // repeat of b -> collapsed
+    ).toDF("ent", "t", "attr", "seq")
+      .select(col("ent"), col("t").cast("timestamp").as("t"), col("attr"), col("seq"))
+    val out = Scd.scdIntervals(df, "ent", "t", Seq("attr"), tieCols = Seq("seq"))
+      .orderBy(col("valid_from"), col("seq"))
+    // row 1: null attr interval closed at the same instant by seq=2's change
+    val rows = out.select(col("attr"), col("valid_from"), col("valid_to")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(0) && rows(0).getTimestamp(1) == rows(0).getTimestamp(2),
+      "null-attr run must close at the same-instant change (empty interval)")
+    assert(rows(1).getString(0) == "b" && rows(1).isNullAt(2))
+  }
+
+  test("scdIntervals physical plan windows partition by the entity (no global sort)") {
+    val df = spark.range(1000).select(
+      (col("id") % 50).as("ent"),
+      timestamp_seconds(col("id") * 60).as("t"),
+      (col("id") % 3).cast("string").as("attr"),
+      col("id").as("seq"))
+    val out = Scd.scdIntervals(df, "ent", "t", Seq("attr"), tieCols = Seq("seq"))
+    val phys = out.queryExecution.executedPlan.toString
+    assert(!phys.contains("SinglePartition"),
+      s"SCD2 must never plan a single-partition window:\n$phys")
+    assert(out.count() > 0)
+  }
+
+  test("profileDrift-style share math: drift report ppm is exact integer floor") {
+    // direct unit of the binning + ppm arithmetic used by profileDrift
+    val u = Seq((10.0, 0), (30.0, 0), (30.0, 0), (60.0, 1)).toDF("value", "__w")
+    val bin = least(greatest(floor((col("value") - lit(0.0)) / lit(25.0)).cast("bigint"),
+      lit(0L)), lit(19L))
+    val h = u.select(bin.as("bin"), col("__w")).groupBy("bin")
+      .agg(sum(when(col("__w") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__w") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val out = h.withColumn("__tr", sum(col("n_ref")).over(all))
+      .select(col("bin"), expr("n_ref * 1000000 div __tr").as("ref_ppm"))
+      .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 333333L), (1L, 666666L), (2L, 0L)))
+  }
+}
