@@ -651,6 +651,30 @@ object ScaleSmoke {
       operators.SkewOps.saltedAgg(skewed, Seq("k"),
         Seq(operators.SkewOps.Agg("x", "sum"), operators.SkewOps.Agg("*", "count")), 32).count()
     }
+    time("zorder layout: 20M rows, 256 files, 2-D box prune vs brute") {
+      // two independent uniform dims; a (1/16 x 1/16) box covers 1/256 of
+      // the key space. Z-clustering must confine it to a small fraction
+      // of the 256 files (boundary fragmentation allows a few extra); the
+      // pruned read must equal the full-scan filter row-for-row.
+      val zdir = s"$root/zorder"
+      val zdf = spark.range(n).select(
+        col("id"),
+        pmod(xxhash64(col("id")), lit(4096L)).as("x"),
+        pmod(xxhash64(col("id"), lit(13)), lit(4096L)).as("y"))
+      operators.LayoutOps.writeZOrdered(zdf, Seq("x", "y"), zdir,
+        nFiles = 256, bits = 12)
+      val box = Seq(("x", 1024L, 1279L), ("y", 2048L, 2303L))
+      val (sel, total) = operators.LayoutOps.selectFiles(spark, zdir, box)
+      require(total == 256, s"expected 256 files, manifest saw $total")
+      require(sel.length <= 32,
+        s"z-order pruning too weak at scale: ${sel.length}/256 files for a 1/256 box")
+      val got = operators.LayoutOps.readPruned(spark, zdir, box).count()
+      val brute = spark.read.parquet(zdir)
+        .where(col("x").between(1024, 1279) && col("y").between(2048, 2303))
+        .count()
+      require(got == brute, s"pruned read $got != brute $brute")
+      println(s"[scale]   ${sel.length}/256 files opened, $got rows (== brute)")
+    }
     time("range join: 10M points vs 200k windows, keyed, vs brute") {
       // 20k users, 1h windows, 30-min bins → each window explodes to ≤3
       // cells and the 600k-row exploded side broadcasts: the 10M-point
