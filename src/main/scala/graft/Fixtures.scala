@@ -425,6 +425,29 @@ object Fixtures {
       path
     })
 
+  private val zAppLayouts = TrieMap[String, String]()
+
+  /** [[zLayoutPath]]'s incremental twin: base batch = even event_ids,
+    * appended batch (token b1) = odd event_ids — the table side of the
+    * `layout_zorder_append` gate, which must serve the SAME rows as a
+    * full-scan filter over all events.
+    */
+  def zLayoutAppendPath(spark: SparkSession, sfDir: String): String =
+    zAppLayouts.getOrElseUpdate(sfDir, {
+      val path = s"${tmpRoot}/zlayapp_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val ev = Tables.events(spark, sfDir).select(
+        col("event_id"),
+        (col("user_id") % 256).as("x"),
+        floor(col("value")).cast("bigint").as("y"))
+      graft.operators.LayoutOps.writeZOrdered(
+        ev.where(col("event_id") % 2 === 0), Seq("x", "y"), path,
+        nFiles = 16, bits = 9)
+      graft.operators.LayoutOps.appendZOrdered(
+        ev.where(col("event_id") % 2 === 1), Seq("x", "y"), path,
+        batchToken = "b1", nFiles = 16)
+      path
+    })
+
   private val lmModels = TrieMap[String, String]()
 
   /** Persisted bigram-LM model trained once per (JVM, sf) on the lang='en'

@@ -245,6 +245,14 @@ object SparkEntry {
         Seq(("x", 32L, 63L), ("y", 100L, 199L)))
         .orderBy(col("event_id"))),
 
+    // incremental z-layout: base batch (even ids) + appended batch (odd
+    // ids, batch-locally clustered); the manifest is the commit log, so
+    // the pruned read serves base ∪ append exactly like one table.
+    "layout_zorder_append" -> ((s, dir) =>
+      operators.LayoutOps.readPruned(s, Fixtures.zLayoutAppendPath(s, dir),
+        Seq(("x", 32L, 63L), ("y", 100L, 199L)))
+        .orderBy(col("event_id"))),
+
     // SCD2 change capture: per-user event_type history collapsed into
     // validity intervals [valid_from, valid_to) — consecutive repeats
     // merge, the open interval's valid_to is null. Both window passes
@@ -256,6 +264,21 @@ object SparkEntry {
         "user_id", "ts", Seq("event_type"), tieCols = Seq("event_id"))
         .orderBy(col("user_id"), col("valid_from"), col("event_type"),
           col("valid_to").asc_nulls_last)),
+
+    // SCD2 point-in-time lookup: each (user, purchase time + 37 min)
+    // spine instant serves the event_type valid THEN — a backward as-of
+    // on valid_from (intervals abut), per-entity windows only.
+    "fs_scd2_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val scd = ts.Scd.scdIntervals(
+        ev.select(col("user_id"), col("ts"), col("event_type"), col("event_id")),
+        "user_id", "ts", Seq("event_type"), tieCols = Seq("event_id"))
+      val spine = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (col("ts") + expr("INTERVAL 37 MINUTES")).as("ts"), col("event_id"))
+      ts.Scd.scdAsOf(spine, scd, "user_id", "ts", Seq("event_type"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
 
     // distribution-drift report: first-9-days window vs rest-of-month
     // window of the latest click view, 20 fixed bins over [0, 500),
@@ -1676,6 +1699,40 @@ object SparkEntry {
          WHERE user_id % 256 BETWEEN 32 AND 63
            AND CAST(floor(value) AS BIGINT) BETWEEN 100 AND 199
          ORDER BY event_id""",
+
+    // base ∪ appended batches cover all events, so the oracle is the same
+    // full-scan filter as layout_zorder's
+    "layout_zorder_append" ->
+      """SELECT event_id, user_id % 256 AS x, CAST(floor(value) AS BIGINT) AS y
+         FROM events
+         WHERE user_id % 256 BETWEEN 32 AND 63
+           AND CAST(floor(value) AS BIGINT) BETWEEN 100 AND 199
+         ORDER BY event_id""",
+
+    "fs_scd2_asof" ->
+      """WITH o AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id,
+             CASE WHEN row_number() OVER w = 1
+                    OR lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ),
+         c AS (SELECT user_id, event_type, ts AS valid_from, event_id
+               FROM o WHERE chg = 1),
+         iv AS (SELECT user_id, event_type, valid_from,
+                  lead(valid_from) OVER (PARTITION BY user_id
+                                         ORDER BY valid_from, event_id) AS valid_to
+                FROM c),
+         live AS (SELECT * FROM iv
+                  WHERE valid_to IS NULL OR valid_to > valid_from),
+         sp AS (SELECT user_id,
+                  CAST(ts AS TIMESTAMP) + INTERVAL 37 MINUTE AS ts, event_id
+                FROM events WHERE event_type = 'purchase')
+         SELECT sp.user_id, sp.ts, sp.event_id, live.event_type
+         FROM sp ASOF LEFT JOIN live
+           ON sp.user_id = live.user_id AND sp.ts >= live.valid_from
+         ORDER BY sp.user_id, sp.ts, sp.event_id""",
 
     "skew_salted_join" ->
       """SELECT e.event_id, e.event_type, CAST(floor(e.value) AS BIGINT) AS vfloor,

@@ -18,11 +18,25 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * one row per file (metadata-sized), the box intersection runs as a
   * Spark filter over it, and only matching paths reach the real scan.
   *
+  * The manifest is the COMMIT LOG (the Delta-log contract): a data batch
+  * becomes visible only when its manifest rows land, and every reader —
+  * [[readPruned]] and [[readTable]] — resolves files through the
+  * manifest, never by listing the data dir. That makes appends replay
+  * safe: a crashed append leaves orphan data files that no reader sees,
+  * and re-running the same `batchToken` deletes and rewrites both the
+  * batch's data dir and its manifest dir before anything is read.
+  *
   * Correctness never depends on the layout: the manifest records the TRUE
   * per-file min/max of each stat column, so pruning is exact for any file
-  * arrangement (a non-z-ordered table prunes correctly too — it just
-  * skips fewer files), and the residual filter re-applies the full
-  * predicate to the surviving rows.
+  * arrangement (an appended, not-yet-recompacted batch prunes correctly
+  * too — it just skips fewer files), and the residual filter re-applies
+  * the full predicate to the surviving rows.
+  *
+  * Layout: `path/batch=<token>/part-*.parquet` data files,
+  * `path/_manifest/batch=<token>/part-*.parquet` manifest rows
+  * (file, min/max per stat col, n_rows), `path/_layout_meta` pinning
+  * (zCols, bits) so an append with mismatched layout params fails loudly
+  * instead of silently interleaving a different key space.
   */
 object LayoutOps {
 
@@ -48,44 +62,102 @@ object LayoutOps {
     terms.reduce(_ bitwiseOR _)
   }
 
-  /** Write `df` as `nFiles` parquet files range-partitioned and sorted by
-    * the Morton code of `zCols`, then build the file-skipping manifest.
+  /** Build the z-ordered table at `path` (replacing anything there):
+    * `nFiles` parquet files range-partitioned and sorted by the Morton
+    * code of `zCols`, the batch's manifest, and the layout meta.
     *
     * `repartitionByRange` samples the z distribution so files carry
     * balanced ROW counts even when the key distribution is skewed (a hot
     * key region just spans more files — no single writer task absorbs
-    * it). The manifest pass re-reads only `zCols` (column-pruned) to
-    * record true per-file min/max.
+    * it).
     */
   def writeZOrdered(df: DataFrame, zCols: Seq[String], path: String,
-      nFiles: Int = 64, bits: Int = 21): Unit = {
+      nFiles: Int = 64, bits: Int = 21, batchToken: String = "base"): Unit = {
     require(zCols.nonEmpty, "writeZOrdered needs at least one layout column")
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    import spark.implicits._
+    Seq((zCols.mkString(","), bits)).toDF("z_cols", "bits")
+      .coalesce(1).write.parquet(s"$path/_layout_meta")
+    writeBatch(df, zCols, path, nFiles, bits, batchToken)
+  }
+
+  /** Append one batch as new z-ordered files + its manifest rows. The
+    * batch z-sorts WITHIN ITSELF (build-local clustering): pruning stays
+    * exact via the manifest, a box just intersects up to one batch's
+    * worth of extra files until [[compactZOrdered]] re-clusters
+    * globally. Re-running a token replays cleanly: both the batch's data
+    * and manifest dirs are deleted before the rewrite, and readers never
+    * see a batch whose manifest has not landed.
+    */
+  def appendZOrdered(df: DataFrame, zCols: Seq[String], path: String,
+      batchToken: String, nFiles: Int = 64): Unit = {
+    val spark = df.sparkSession
+    val meta = spark.read.parquet(s"$path/_layout_meta").head()
+    val storedCols = meta.getString(0).split(",").toSeq
+    val bits = meta.getInt(1)
+    require(storedCols == zCols,
+      s"layout mismatch: table is z-ordered by ${storedCols.mkString(",")}, " +
+        s"append asked for ${zCols.mkString(",")}")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // replay safety: a crashed earlier attempt's partial dirs go first
+    Seq(s"$path/batch=$batchToken", s"$path/_manifest/batch=$batchToken")
+      .foreach { d =>
+        val dp = new org.apache.hadoop.fs.Path(d)
+        if (fs.exists(dp)) fs.delete(dp, true)
+      }
+    writeBatch(df, zCols, path, nFiles, bits, batchToken)
+  }
+
+  private def writeBatch(df: DataFrame, zCols: Seq[String], path: String,
+      nFiles: Int, bits: Int, batchToken: String): Unit = {
+    val dataDir = s"$path/batch=$batchToken"
     df.withColumn("__z", zValue(zCols.map(col), bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
-    buildManifest(df.sparkSession, path, zCols)
+      .write.mode("overwrite").parquet(dataDir)
+    // manifest pass re-reads only zCols of the batch just written
+    // (column-pruned) to record TRUE per-file min/max — stats derive
+    // from the bytes on disk, not from the pre-write frame
+    val spark = df.sparkSession
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    spark.read.parquet(dataDir)
+      .select(zCols.map(col): _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_manifest/batch=$batchToken")
   }
 
-  /** (Re)build the per-file stats manifest for `path`: one row per file
-    * with row count and min/max of each stat column, stored under
-    * `path/_manifest` (the underscore prefix keeps it invisible to plain
-    * `spark.read.parquet(path)` readers). Safe to call on any parquet
-    * dir, z-ordered or not.
+  /** (Re)build a manifest for an EXISTING plain parquet dir that was not
+    * written by [[writeZOrdered]] (retrofit data skipping onto any
+    * table, z-ordered or not — pruning is exact either way, just weaker
+    * without clustering). Writes the whole manifest as one `full` batch.
     */
   def buildManifest(spark: SparkSession, path: String,
       statCols: Seq[String]): Unit = {
     val aggs = statCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
       count(lit(1)).as("n_rows")
-    spark.read.parquet(path)
+    val m = spark.read.parquet(path)
       .select(statCols.map(col): _*)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_manifest")
+    m.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/_manifest/batch=full")
   }
+
+  private def manifest(spark: SparkSession, path: String): DataFrame =
+    // recursive: manifests live one batch dir down; no partition-column
+    // inference (the batch token is bookkeeping, not data)
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$path/_manifest")
 
   /** File paths surviving the manifest intersection for an inclusive
     * range box, plus the table's total file count. The manifest filter
@@ -97,8 +169,9 @@ object LayoutOps {
   def selectFiles(spark: SparkSession, path: String,
       box: Seq[(String, Long, Long)]): (Array[String], Long) = {
     require(box.nonEmpty, "selectFiles needs at least one range")
-    val m = spark.read.parquet(s"$path/_manifest")
+    val m = manifest(spark, path)
     val total = m.count()
+    require(total > 0, s"empty or missing manifest under $path/_manifest")
     val sel = box.foldLeft(m) { case (d, (c, lo, hi)) =>
       d.where(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
     }.select(col("file")).collect().map(_.getString(0))
@@ -108,8 +181,8 @@ object LayoutOps {
   /** Manifest-pruned range read: open only the files whose stats
     * intersect the box, then re-apply the exact inclusive predicate as
     * the residual filter (pushed into the parquet scan for row-group
-    * skipping within the surviving files). Result is identical to
-    * `spark.read.parquet(path).where(box)` for any layout.
+    * skipping within the surviving files). Result is identical to a
+    * full-table filter for any layout.
     */
   def readPruned(spark: SparkSession, path: String,
       box: Seq[(String, Long, Long)]): DataFrame = {
@@ -117,7 +190,35 @@ object LayoutOps {
     val residual = box.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
-    if (sel.isEmpty) spark.read.parquet(path).where(lit(false))
+    if (sel.isEmpty) readTable(spark, path).where(lit(false))
     else spark.read.parquet(sel.toIndexedSeq: _*).where(residual)
+  }
+
+  /** Full-table read through the commit log: exactly the files the
+    * manifest lists (orphans from crashed appends are invisible, matching
+    * [[readPruned]]'s view of the table).
+    */
+  def readTable(spark: SparkSession, path: String): DataFrame = {
+    val files = manifest(spark, path).select(col("file"))
+      .collect().map(_.getString(0))
+    require(files.nonEmpty, s"empty or missing manifest under $path/_manifest")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** Re-cluster the whole table into `dstPath` as one globally z-ordered
+    * batch (the maintenance step after a run of appends, each of which
+    * is only batch-locally clustered). Crash-safe by construction: the
+    * compacted table materializes at a NEW path and `srcPath` stays
+    * untouched and readable throughout — the caller swaps paths once the
+    * write completes (same contract as the postings-index compaction).
+    */
+  def compactZOrdered(spark: SparkSession, srcPath: String, dstPath: String,
+      nFiles: Int = 64): Unit = {
+    require(srcPath != dstPath, "compaction must target a NEW path")
+    val meta = spark.read.parquet(s"$srcPath/_layout_meta").head()
+    val zCols = meta.getString(0).split(",").toSeq
+    val bits = meta.getInt(1)
+    writeZOrdered(readTable(spark, srcPath), zCols, dstPath,
+      nFiles, bits, batchToken = "base")
   }
 }

@@ -68,4 +68,26 @@ object Scd {
       .withColumn("valid_to", lead(col(timeCol), 1).over(w2))
       .select((entityCol +: attrCols).map(col) :+ col("valid_from") :+ col("valid_to"): _*)
   }
+
+  /** Point-in-time lookup against an SCD2 table: each spine row
+    * (entity, t, payload...) receives the attribute tuple valid at its
+    * instant — the interval with the latest `valid_from <= t`. Because
+    * intervals of one entity abut (each closes where the next opens),
+    * this IS a per-entity backward as-of join on `valid_from`, so it
+    * rides [[Align.asOfJoinKeyed]]'s union+window shape: one hash
+    * shuffle on the entity key, no interval explode, no range join.
+    *
+    * Empty intervals (`valid_to == valid_from`, produced by two changes
+    * at the same instant) never serve — they are closed before they
+    * open — so they are dropped first, which also makes the lookup
+    * deterministic at tied instants: the tie's LAST change (by the SCD2
+    * build's tiebreak) owns the instant. Spine rows before an entity's
+    * first interval get nulls.
+    */
+  def scdAsOf(spine: DataFrame, scd: DataFrame, entityCol: String,
+      timeCol: String, attrCols: Seq[String]): DataFrame = {
+    val live = scd.where(col("valid_to").isNull || col("valid_to") > col("valid_from"))
+    Align.asOfJoinKeyed(spine, live.withColumnRenamed("valid_from", timeCol),
+      Seq(entityCol), timeCol, attrCols)
+  }
 }

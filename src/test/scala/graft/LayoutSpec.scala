@@ -46,11 +46,57 @@ class LayoutSpec extends SparkTestBase {
       s"z-order pruning too weak: ${sel.length} of $total files selected")
 
     val pruned = LayoutOps.readPruned(spark, dir, box)
-    val brute = spark.read.parquet(dir)
+    val brute = LayoutOps.readTable(spark, dir)
       .where(col("x").between(64, 127) && col("y").between(256, 319))
     assert(pruned.exceptAll(brute).isEmpty && brute.exceptAll(pruned).isEmpty,
       "pruned read must equal the full-scan filter")
     assert(pruned.count() > 0, "box must be non-empty for the test to mean anything")
+  }
+
+  test("appendZOrdered: appended batch serves exactly; token replay does not duplicate") {
+    val dir = tmpDir("zappend")
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id"), (col("id") % 512).as("x"), (col("id") * 31 % 512).as("y"))
+    LayoutOps.writeZOrdered(mk(0L, 4000L), Seq("x", "y"), dir, nFiles = 8, bits = 9)
+    LayoutOps.appendZOrdered(mk(4000L, 6000L), Seq("x", "y"), dir, "b1", nFiles = 4)
+    assert(LayoutOps.readTable(spark, dir).count() == 6000L)
+    // replaying the same token rewrites, never duplicates
+    LayoutOps.appendZOrdered(mk(4000L, 6000L), Seq("x", "y"), dir, "b1", nFiles = 4)
+    assert(LayoutOps.readTable(spark, dir).count() == 6000L)
+    val box = Seq(("x", 100L, 199L))
+    val pruned = LayoutOps.readPruned(spark, dir, box)
+    val brute = LayoutOps.readTable(spark, dir).where(col("x").between(100, 199))
+    assert(pruned.exceptAll(brute).isEmpty && brute.exceptAll(pruned).isEmpty,
+      "pruned read over base+append must equal the full filter")
+  }
+
+  test("appendZOrdered refuses a mismatched layout loudly") {
+    val dir = tmpDir("zmeta")
+    val df = spark.range(100).select(col("id"), (col("id") % 10).as("x"), (col("id") % 7).as("y"))
+    LayoutOps.writeZOrdered(df, Seq("x", "y"), dir, nFiles = 2, bits = 4)
+    val e = intercept[IllegalArgumentException](
+      LayoutOps.appendZOrdered(df, Seq("y", "x"), dir, "b1"))
+    assert(e.getMessage.contains("layout mismatch"))
+  }
+
+  test("compactZOrdered re-clusters appends into a new path with identical rows") {
+    val dir = tmpDir("zcompact"); val dst = tmpDir("zcompacted")
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id"), (col("id") * 7 % 256).as("x"), (col("id") * 13 % 256).as("y"))
+    LayoutOps.writeZOrdered(mk(0L, 3000L), Seq("x", "y"), dir, nFiles = 8, bits = 8)
+    LayoutOps.appendZOrdered(mk(3000L, 5000L), Seq("x", "y"), dir, "b1", nFiles = 8)
+    LayoutOps.compactZOrdered(spark, dir, dst, nFiles = 8)
+    val a = LayoutOps.readTable(spark, dir)
+    val b = LayoutOps.readTable(spark, dst)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "compaction must preserve the table's rows exactly")
+    // global re-cluster = one batch, so a box touches no more files than
+    // before compaction (usually fewer)
+    val box = Seq(("x", 0L, 63L), ("y", 0L, 63L))
+    val (selSrc, _) = LayoutOps.selectFiles(spark, dir, box)
+    val (selDst, _) = LayoutOps.selectFiles(spark, dst, box)
+    assert(selDst.length <= selSrc.length,
+      s"compaction worsened pruning: ${selDst.length} > ${selSrc.length}")
   }
 
   test("manifest pruning is exact on a NON-z-ordered layout too (just weaker)") {
@@ -130,6 +176,26 @@ class LayoutSpec extends SparkTestBase {
     assert(rows(0).isNullAt(0) && rows(0).getTimestamp(1) == rows(0).getTimestamp(2),
       "null-attr run must close at the same-instant change (empty interval)")
     assert(rows(1).getString(0) == "b" && rows(1).isNullAt(2))
+  }
+
+  test("scdAsOf serves the interval valid at each instant; pre-history is null") {
+    val obs = Seq(
+      (1L, "2024-01-01 00:00:00", "a", 1L),
+      (1L, "2024-01-03 00:00:00", "b", 2L),
+      (2L, "2024-01-05 00:00:00", "x", 3L)
+    ).toDF("ent", "t", "attr", "seq")
+      .select(col("ent"), col("t").cast("timestamp").as("t"), col("attr"), col("seq"))
+    val scd = Scd.scdIntervals(obs, "ent", "t", Seq("attr"), tieCols = Seq("seq"))
+    val spine = Seq(
+      (1L, "2024-01-02 00:00:00"), // inside [a, b) -> a
+      (1L, "2024-01-03 00:00:00"), // exactly at the change -> b (inclusive)
+      (1L, "2023-12-01 00:00:00"), // before history -> null
+      (2L, "2024-06-01 00:00:00") // open interval -> x
+    ).toDF("ent", "t").select(col("ent"), col("t").cast("timestamp").as("t"))
+    val out = Scd.scdAsOf(spine, scd, "ent", "t", Seq("attr"))
+      .orderBy(col("ent"), col("t"))
+      .collect().map(r => Option(r.getString(2)).orNull)
+    assert(out.toSeq == Seq(null, "a", "b", "x"))
   }
 
   test("scdIntervals physical plan windows partition by the entity (no global sort)") {
