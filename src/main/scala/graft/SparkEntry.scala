@@ -1061,6 +1061,16 @@ object SparkEntry {
         m = 4, ksub = 8, refineIters = 1)
     }),
 
+    // OPQ-lite: variance-balancing dimension permutation (energy-ranked,
+    // round-robin dealt) before the same PQ construction — sub-spaces get
+    // equal energy, the exact-rescore tail is permutation-invariant
+    "ann_pq_balanced" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.SimilarityOps.pqTopKBalanced(emb,
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", 10,
+        m = 4, ksub = 8, refineIters = 1)
+    }),
+
     // same PQ search through a PERSISTED code index (codebooks + codes on
     // disk; rescore point-looks-up the source corpus) — results, and the
     // oracle, are identical to ann_pq_topk
@@ -3355,6 +3365,58 @@ object SparkEntry {
     // per-(query, sub-space) exact dot with the ASSIGNED sub-centroid
     // summed over sub-spaces, top 40 candidates (score DESC, id), exact
     // cosine rerank to top 10
+    // the ann_pq_topk chain verbatim, except `sub`'s (j, p) mapping comes
+    // from the energy-ranked round-robin permutation instead of position:
+    // rank r (energy desc, ties dim asc) → sub-space r % 4, slot r // 4
+    "ann_pq_balanced" ->
+      s"""WITH $embFlat,
+          nn AS (SELECT vec_id, sqrt(CAST(n2 AS DOUBLE)) nrm FROM norms),
+          en AS (SELECT i, sum(x * x) e FROM flat GROUP BY i),
+          pr AS (SELECT i, row_number() OVER (ORDER BY e DESC, i) - 1 AS r FROM en),
+          pm AS (SELECT i, r % 4 AS j, r // 4 AS p FROM pr),
+          sub AS (SELECT f.vec_id, pm.j, pm.p, f.x FROM flat f JOIN pm ON pm.i = f.i),
+          c0 AS (SELECT s.j, s.vec_id AS cell, s.p, s.x AS cx FROM sub s
+                 WHERE s.vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
+          d0 AS (SELECT s.vec_id, s.j, c.cell,
+                   CAST(2*sum(s.x*c.cx) - sum(c.cx*c.cx) AS BIGINT) sc
+                 FROM sub s JOIN c0 c ON c.j = s.j AND c.p = s.p
+                 GROUP BY 1, 2, 3),
+          a0 AS (SELECT vec_id, j, cell FROM d0
+                 QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                   ORDER BY sc DESC, cell) = 1),
+          m1 AS (SELECT a0.j, a0.cell, s.p,
+                   CAST(floor(avg(CAST(s.x AS DOUBLE))) AS BIGINT) cx
+                 FROM a0 JOIN sub s ON s.vec_id = a0.vec_id AND s.j = a0.j
+                 GROUP BY 1, 2, 3),
+          d1 AS (SELECT s.vec_id, s.j, c.cell,
+                   CAST(2*sum(s.x*c.cx) - sum(c.cx*c.cx) AS BIGINT) sc
+                 FROM sub s JOIN m1 c ON c.j = s.j AND c.p = s.p
+                 GROUP BY 1, 2, 3),
+          a1 AS (SELECT vec_id, j, cell FROM d1
+                 QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                   ORDER BY sc DESC, cell) = 1),
+          qd AS (SELECT s.vec_id qid, c.j, c.cell, CAST(sum(s.x*c.cx) AS BIGINT) dot
+                 FROM sub s JOIN m1 c ON c.j = s.j AND c.p = s.p
+                 WHERE s.vec_id < 10 GROUP BY 1, 2, 3),
+          sc AS (SELECT q.qid, a.vec_id nid, CAST(sum(q.dot) AS BIGINT) s8
+                 FROM a1 a JOIN qd q ON q.j = a.j AND q.cell = a.cell
+                 WHERE q.qid != a.vec_id GROUP BY 1, 2),
+          cand AS (SELECT qid, nid FROM sc
+                   QUALIFY row_number() OVER (PARTITION BY qid
+                     ORDER BY s8 DESC, nid) <= 40),
+          dots AS (SELECT c.qid, c.nid, sum(q.x * n.x) dot
+                   FROM cand c JOIN flat q ON q.vec_id = c.qid
+                     JOIN flat n ON n.vec_id = c.nid AND n.i = q.i
+                   GROUP BY 1, 2),
+          scored AS (SELECT qid query_id, nid neighbor_id,
+                       CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) cosine
+                     FROM dots JOIN nn nq ON nq.vec_id = qid
+                       JOIN nn nc ON nc.vec_id = nid)
+          SELECT query_id, neighbor_id, rank, cosine FROM
+            (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) rank FROM scored)
+          WHERE rank <= 10 ORDER BY query_id, rank""",
+
     "ann_pq_topk" ->
       s"""WITH $embFlat,
           nn AS (SELECT vec_id, sqrt(CAST(n2 AS DOUBLE)) nrm FROM norms),

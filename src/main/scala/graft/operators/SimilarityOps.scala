@@ -755,6 +755,64 @@ object SimilarityOps {
     sq8Rescore(pqCandidates(codes, tables, k * candFactor), c, q, k)
   }
 
+  /** OPQ-lite: deterministic variance-balancing dimension PERMUTATION
+    * before PQ (cf. Ge et al., "Optimized Product Quantization", CVPR
+    * 2013 — the learned-rotation idea restricted to a permutation, which
+    * keeps the construction integer-exact and cross-engine
+    * reproducible). Plain PQ splits dims by POSITION; when energy
+    * concentrates in a few leading dims, one sub-space carries most of
+    * the distortion budget while others quantize noise. Dealing dims
+    * round-robin in decreasing corpus-energy order equalizes each
+    * sub-space's energy at equal code budget. A permutation applied to
+    * corpus AND queries preserves dot products and norms exactly, so the
+    * exact-rescore tail (and the meaning of the final cosine) is
+    * untouched — only the stage-1 candidate quality improves.
+    *
+    * Per-dim energy Σx² is summed in DECIMAL(38,0) over the quantized
+    * corpus (long products; the decimal sum cannot saturate at any
+    * corpus size, unlike a long accumulator at ~10⁶-scale components).
+    * Ranks tie-break on dim index; sub-space j takes ranked dims with
+    * rank ≡ j (mod m), in rank order — exactly the construction the
+    * `ann_pq_balanced` gate oracle replays in SQL.
+    *
+    * Scale shape: one dim-bounded aggregation (dim rows to the driver —
+    * the same k-means-small codebook channel PQ already uses), then the
+    * permutation is a fixed projection folded into codegen; everything
+    * downstream is [[pqTopK]] unchanged.
+    */
+  def pqTopKBalanced(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 4, ksub: Int = 8, refineIters: Int = 1,
+      candFactor: Int = 4): DataFrame = {
+    ensureRegistered(corpus)
+    val perm = balancedPerm(corpus.select(quantize(col(vecCol)).as("v")), m)
+    def permute(df: DataFrame) = df.withColumn(vecCol,
+      array(perm.map(i => col(vecCol).getItem(i)).toIndexedSeq: _*))
+    pqTopK(permute(corpus), permute(queries), idCol, vecCol, k,
+      m, ksub, refineIters, candFactor)
+  }
+
+  /** The balanced permutation itself: output slot `j*(dim/m) + r/m` holds
+    * the dim with energy rank r (desc, ties by dim index), for r ≡ j
+    * (mod m).
+    */
+  private[operators] def balancedPerm(q: DataFrame, m: Int): Array[Int] = {
+    val en = q.select(posexplode(col("v")))
+      .select(col("pos"),
+        (col("col").cast("bigint") * col("col").cast("bigint"))
+          .cast("decimal(38,0)").as("xx"))
+      .groupBy("pos").agg(sum(col("xx")).as("e"))
+      .collect().map(r => (r.getInt(0), r.getDecimal(1)))
+    require(en.nonEmpty, "balancedPerm: empty corpus")
+    val dim = en.length
+    require(dim % m == 0, s"balancedPerm: dimension $dim not divisible by m=$m")
+    val ranked = en.sortWith { case ((ia, ea), (ib, eb)) =>
+      val c = ea.compareTo(eb)
+      if (c != 0) c > 0 else ia < ib
+    }.map(_._1)
+    (0 until m).flatMap(j => (0 until dim).filter(_ % m == j).map(ranked)).toArray
+  }
+
   /** Driver-side PQ codebook: flat centroid components in (sub-space,
     * cell rank, component) order + per-sub-space rank offsets (jagged —
     * a refinement round may empty a cell; see

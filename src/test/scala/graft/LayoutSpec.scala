@@ -211,6 +211,41 @@ class LayoutSpec extends SparkTestBase {
     assert(out.count() > 0)
   }
 
+  test("balancedPerm deals energy-ranked dims round-robin; balanced PQ finds planted dups") {
+    import graft.operators.SimilarityOps
+    // 8 dims; energy rank order by construction: dim 3 > 1 > 6 > 0 > rest
+    // equal (ties by index: 2, 4, 5, 7)
+    val vecs = (0 until 50).map { r =>
+      (r.toLong, Array(2f, 4f, 1f, 8f, 1f, 1f, 3f, 1f).map(_ * (1f + r % 3)))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val perm = {
+      val m = classOf[SimilarityOps.type].getDeclaredMethods
+        .find(_.getName == "balancedPerm").get
+      m.setAccessible(true)
+      m.invoke(SimilarityOps,
+        df.select(SimilarityOps.quantize(col("embedding")).as("v")), Int.box(4))
+        .asInstanceOf[Array[Int]]
+    }
+    // ranked = [3,1,6,0,2,4,5,7]; m=4: j0 gets ranks 0,4 -> dims 3,2;
+    // j1 ranks 1,5 -> 1,4; j2 ranks 2,6 -> 6,5; j3 ranks 3,7 -> 0,7
+    assert(perm.toSeq == Seq(3, 2, 1, 4, 6, 5, 0, 7), s"got ${perm.toSeq}")
+
+    // end-to-end: planted near-identical pair must surface as rank-1
+    def pseudo(i: Int, d: Int): Float =
+      (((i * 7919 + d * 104729 + i * d * 53) % 1009) % 13 - 6).toFloat
+    val base = (0 until 64).map(d => pseudo(0, d)).toArray
+    val corpus = ((0 until 200).map { i =>
+      (i.toLong, (0 until 64).map(d => pseudo(i, d)).toArray)
+    } :+ (999L, base.map(_ + 0.01f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.pqTopKBalanced(corpus,
+      corpus.where(col("vec_id") === 0L), "vec_id", "embedding", 5,
+      m = 4, ksub = 8, refineIters = 1)
+    val top = out.orderBy(col("rank")).head()
+    assert(top.getLong(1) == 999L,
+      s"planted near-dup of query 0 must be rank 1, got ${top.getLong(1)}")
+  }
+
   test("profileDrift-style share math: drift report ppm is exact integer floor") {
     // direct unit of the binning + ppm arithmetic used by profileDrift
     val u = Seq((10.0, 0), (30.0, 0), (30.0, 0), (60.0, 1)).toDF("value", "__w")
