@@ -448,6 +448,49 @@ object Fixtures {
       path
     })
 
+  private val streamZLay = TrieMap[String, String]()
+
+  /** Z-layout table maintained by the STREAMING path: the events-derived
+    * (event_id, x, y) rows drain in 3 cold-start micro-batches through
+    * [[graft.streaming.StreamingOps.zLayoutAvailableNow]] — the
+    * `stream_zorder` gate's pruned read over the result must equal the
+    * one-shot full-scan filter.
+    */
+  def streamZLayoutPath(spark: SparkSession, sfDir: String): String =
+    streamZLay.getOrElseUpdate(sfDir, {
+      val base = s"${tmpRoot}/szl_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val (src, table, cp, stage) =
+        (s"$base/src", s"$base/table", s"$base/cp", s"$base/stage")
+      val hfs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (hfs.exists(new org.apache.hadoop.fs.Path(base)))
+        hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+      hfs.mkdirs(new org.apache.hadoop.fs.Path(src))
+      val ev = Tables.events(spark, sfDir).select(
+        col("event_id"),
+        (col("user_id") % 256).as("x"),
+        floor(col("value")).cast("bigint").as("y"))
+      (0 until 3).foreach { i =>
+        val st = s"$stage/$i"
+        ev.where(col("event_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(st)
+        val part = hfs.listStatus(new org.apache.hadoop.fs.Path(st))
+          .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+        val dst = new org.apache.hadoop.fs.Path(s"$src/batch_$i.parquet")
+        hfs.rename(part, dst)
+        hfs.setTimes(dst, 1000000L * (i + 1), -1)
+      }
+      hfs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      val stream = spark.readStream
+        .schema("event_id LONG, x LONG, y LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      graft.streaming.StreamingOps.zLayoutAvailableNow(
+        stream, Seq("x", "y"), table, cp, nFiles = 8, bits = 9)
+        .awaitTermination()
+      table
+    })
+
   private val lmModels = TrieMap[String, String]()
 
   /** Persisted bigram-LM model trained once per (JVM, sf) on the lang='en'

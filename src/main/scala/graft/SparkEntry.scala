@@ -265,6 +265,14 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from"), col("event_type"),
           col("valid_to").asc_nulls_last)),
 
+    // streaming z-layout maintenance: 3 cold-start micro-batches each land
+    // as a manifested batch; the pruned read over the streamed table must
+    // equal the one-shot full-scan filter (same oracle as layout_zorder)
+    "stream_zorder" -> ((s, dir) =>
+      operators.LayoutOps.readPruned(s, Fixtures.streamZLayoutPath(s, dir),
+        Seq(("x", 32L, 63L), ("y", 100L, 199L)))
+        .orderBy(col("event_id"))),
+
     // SCD2 point-in-time lookup: each (user, purchase time + 37 min)
     // spine instant serves the event_type valid THEN — a backward as-of
     // on valid_from (intervals abut), per-entity windows only.
@@ -1704,6 +1712,15 @@ object SparkEntry {
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "layout_zorder" ->
+      """SELECT event_id, user_id % 256 AS x, CAST(floor(value) AS BIGINT) AS y
+         FROM events
+         WHERE user_id % 256 BETWEEN 32 AND 63
+           AND CAST(floor(value) AS BIGINT) BETWEEN 100 AND 199
+         ORDER BY event_id""",
+
+    // the 3 streamed micro-batches cover all events, so the oracle is the
+    // same full-scan filter as layout_zorder's
+    "stream_zorder" ->
       """SELECT event_id, user_id % 256 AS x, CAST(floor(value) AS BIGINT) AS y
          FROM events
          WHERE user_id % 256 BETWEEN 32 AND 63

@@ -690,6 +690,56 @@ object StreamingOps {
       }
   }
 
+  /** Streaming z-layout maintenance: each micro-batch lands as its own
+    * batch-locally-clustered, manifested batch of the
+    * [[graft.operators.LayoutOps]] table (token `b<id>`). The manifest
+    * commit-log contract makes the tail replay-safe: a replayed batch
+    * overwrites its own data and manifest dirs, a crashed append's
+    * orphan files are invisible until the manifest lands, and readers
+    * ([[graft.operators.LayoutOps.readPruned]]) see exactly the batches
+    * whose manifests committed. Cold start builds the table (meta + base
+    * batch) from the first non-empty micro-batch. Periodic global
+    * re-clustering stays a maintenance call
+    * ([[graft.operators.LayoutOps.compactZOrdered]]) — pruning is exact
+    * regardless, append-heavy tables just skip fewer files.
+    */
+  def zLayoutAvailableNow(stream: DataFrame, zCols: Seq[String],
+      tablePath: String, checkpoint: String, nFiles: Int = 16,
+      bits: Int = 21): StreamingQuery =
+    zLayoutStream(stream, zCols, tablePath, checkpoint,
+      Trigger.AvailableNow(), nFiles, bits)
+
+  /** [[zLayoutAvailableNow]] as a LIVE TAIL (ProcessingTime trigger);
+    * per-batch scoped cache release keeps an indefinite tail safe. */
+  def zLayoutProcessingTime(stream: DataFrame, zCols: Seq[String],
+      tablePath: String, checkpoint: String, interval: String = "1 second",
+      nFiles: Int = 16, bits: Int = 21): StreamingQuery =
+    zLayoutStream(stream, zCols, tablePath, checkpoint,
+      Trigger.ProcessingTime(interval), nFiles, bits)
+
+  private def zLayoutStream(stream: DataFrame, zCols: Seq[String],
+      tablePath: String, checkpoint: String, trigger: Trigger,
+      nFiles: Int, bits: Int): StreamingQuery =
+    stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val scope = graft.CacheScope.snapshot()
+          val mp = new org.apache.hadoop.fs.Path(s"$tablePath/_layout_meta")
+          if (mp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mp))
+            graft.operators.LayoutOps.appendZOrdered(
+              batch, zCols, tablePath, s"b$bid", nFiles)
+          else
+            graft.operators.LayoutOps.writeZOrdered(
+              batch, zCols, tablePath, nFiles, bits, batchToken = s"b$bid")
+          graft.CacheScope.releaseNewSince(scope)
+          ()
+        }
+      }
+      .start()
+
   /** Batch gaps-and-islands sessionization — the SQL-expressible oracle
     * twin of [[sessionizeStateful]].
     */

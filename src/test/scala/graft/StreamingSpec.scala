@@ -466,6 +466,33 @@ class StreamingSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("live-tail z-layout: file lands mid-query, pruned read == full filter") {
+    val root = tmpDir("livezlay")
+    val src = s"$root/src"
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id"), (col("id") * 7 % 256).as("x"), (col("id") * 13 % 256).as("y"))
+    mk(0L, 3000L).repartition(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = StreamingOps.pacedFileSource(spark, src, schema,
+      maxFilesPerTrigger = 1)
+    val baseline = graft.CacheScope.trackedCount
+    val q = StreamingOps.zLayoutProcessingTime(stream, Seq("x", "y"),
+      s"$root/table", s"$root/ckpt", nFiles = 4, bits = 8)
+    q.processAllAvailable()
+    // live tail: more data lands while the query runs
+    mk(3000L, 5000L).repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    assert(graft.CacheScope.trackedCount == baseline,
+      "per-batch scope must release every cache a live tail creates")
+    val box = Seq(("x", 0L, 63L))
+    val pruned = graft.operators.LayoutOps.readPruned(spark, s"$root/table", box)
+    val brute = graft.operators.LayoutOps.readTable(spark, s"$root/table")
+      .where(col("x").between(0, 63))
+    assert(graft.operators.LayoutOps.readTable(spark, s"$root/table").count() == 5000L)
+    assert(pruned.exceptAll(brute).isEmpty && brute.exceptAll(pruned).isEmpty)
+  }
+
   test("streaming cluster maintenance drains to the one-shot CC labeling") {
     val labels = spark.read.parquet(
       Fixtures.streamClustersPath(spark, "/root/testdata/sf0.001"))
