@@ -265,6 +265,29 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from"), col("event_type"),
           col("valid_to").asc_nulls_last)),
 
+    // HTML → text extraction: documents wrapped in a fixed page skeleton
+    // (script/style/comment noise + entities) in BOTH engines, stripped
+    // back to clean text + a surviving-tag count
+    "text_html_strip" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;" +
+          "</script><style>p { color: red }</style></head><body>" +
+          "<h1>Title</h1><p>"),
+        col("text"),
+        lit("</p><!-- hidden --><div>Tail &amp; more &lt;tags&gt;</div>" +
+          "</body></html>"))
+      operators.TextOps.stripHtml(
+        Tables.documents(s, dir).select(col("doc_id"), html.as("html")),
+        "doc_id", "html").orderBy(col("doc_id"))
+    }),
+
+    // strided token windows (LM-eval prep): window 32, stride 16, last
+    // partial window kept — pure per-doc explode, no shuffle
+    "corpus_windows" -> ((s, dir) =>
+      operators.TextOps.tokenWindows(
+        Tables.documents(s, dir), "doc_id", "text", window = 32, stride = 16)
+        .orderBy(col("doc_id"), col("win"))),
+
     // streaming z-layout maintenance: 3 cold-start micro-batches each land
     // as a manifested batch; the pruned read over the streamed table must
     // equal the one-shot full-scan filter (same oracle as layout_zorder)
@@ -1717,6 +1740,34 @@ object SparkEntry {
          WHERE user_id % 256 BETWEEN 32 AND 63
            AND CAST(floor(value) AS BIGINT) BETWEEN 100 AND 199
          ORDER BY event_id""",
+
+    "text_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><head><script type="text/javascript">var x = 1 < 2;</script><style>p { color: red }</style></head><body><h1>Title</h1><p>'
+           || text ||
+           '</p><!-- hidden --><div>Tail &amp; more &lt;tags&gt;</div></body></html>' AS html
+         FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') x FROM h),
+         s2 AS (SELECT doc_id, regexp_replace(x, '(?is)<style[^>]*>.*?</style>', ' ', 'g') x FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') x FROM s2),
+         s4 AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(x, '<[^>]+>')) AS BIGINT) AS n_tags,
+             regexp_replace(x, '<[^>]+>', ' ', 'g') x FROM s3),
+         s5 AS (SELECT doc_id, n_tags,
+             replace(replace(replace(replace(replace(replace(x,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+               '&nbsp;', ' '), '&amp;', '&') x
+           FROM s4)
+         SELECT doc_id, n_tags, trim(regexp_replace(x, '\s+', ' ', 'g')) AS text
+         FROM s5 ORDER BY doc_id""",
+
+    "corpus_windows" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
+         g AS (SELECT doc_id, t, unnest(generate_series(0, (len(t)-1)//16)) AS i FROM d)
+         SELECT doc_id, i AS win, i*16 AS tok_from,
+           LEAST(i*16+32, len(t)) AS tok_to,
+           array_to_string(t[(i*16+1):LEAST(i*16+32, len(t))], ' ') AS win_text
+         FROM g ORDER BY doc_id, win""",
 
     // the 3 streamed micro-batches cover all events, so the oracle is the
     // same full-scan filter as layout_zorder's

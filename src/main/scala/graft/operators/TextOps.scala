@@ -715,6 +715,60 @@ object TextOps {
     * no global sort. doc_freq's distinct pass expands to (token, doc)
     * pairs which partial-aggregate the same way.
     */
+  /** HTML → text extraction (the CommonCrawl-pipeline stage upstream of
+    * every quality/dedup operator; C4 consumed pre-extracted WET text,
+    * RefinedWeb re-extracts from HTML — Penedo et al. 2023 §3.1). A
+    * deterministic regex pipeline in the shared Java-regex/RE2 subset
+    * (non-greedy dotall blocks, character classes — no backreferences,
+    * no lookaround), so the DuckDB oracle replays it byte-identically:
+    * script blocks, then style blocks, then comments are removed; the
+    * surviving tags are COUNTED (`n_tags` — a markup-density quality
+    * signal) and replaced with spaces; a fixed entity set decodes with
+    * `&amp;` last (anything else double-decodes `&amp;lt;`); whitespace
+    * collapses. Pure column expressions — shuffle-free, whole-stage
+    * codegen, embarrassingly parallel at any corpus size.
+    *
+    * Not a browser: unclosed script/style blocks survive to the tag
+    * strip (their text content then leaks), CDATA and exotic entities
+    * pass through. Those are the documented limits of the regex tier —
+    * the standard practical trade every regex extractor makes.
+    */
+  def stripHtml(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val noScript = regexp_replace(col(htmlCol),
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val tagPat = "<[^>]+>"
+    val nTags = size(regexp_extract_all(noComment, lit(tagPat), lit(0)))
+      .cast("bigint")
+    val noTags = regexp_replace(noComment, tagPat, " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, rep)) => regexp_replace(c, ent, rep) }
+    df.select(col(idCol), nTags.as("n_tags"),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("text"))
+  }
+
+  /** Strided token windows (the LM-eval / context-window prep shape:
+    * window `window`, stride `stride`, last partial window kept): one row
+    * per (doc, start multiple of stride < n_tokens) with the token span
+    * and its text. Pure explode over a per-doc sequence — embarrassingly
+    * parallel, output ∝ n_tokens/stride per doc, no shuffle at all.
+    */
+  def tokenWindows(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"),
+        posexplode(sequence(lit(0L), expr(s"(size(__t) - 1) div $stride"))))
+      .select(col(idCol), col("col").as("win"),
+        (col("col") * stride).as("tok_from"),
+        least(col("col") * stride + window, size(col("__t")).cast("bigint"))
+          .as("tok_to"),
+        concat_ws(" ", slice(col("__t"),
+          (col("col") * stride + 1).cast("int"), lit(window))).as("win_text"))
+  }
+
   /** Redaction patterns: the common Java-regex/RE2 subset (no
     * backreferences, no lookaround) so Spark and any RE2-based engine
     * (the DuckDB oracle) match identically; both use leftmost greedy

@@ -344,6 +344,37 @@ class OperatorsSpec extends SparkTestBase {
       SimilarityOps.appendIvfIndex(badDim, "vec_id", "embedding", path))
   }
 
+  test("stripHtml: scripts/styles/comments vanish, tags counted, entities decode once") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "<html><body><script>var a = '<p>not text</p>';</script>" +
+        "<p>Hello &amp;amp; <b>world</b></p><!-- note --></body></html>"),
+      (2L, "plain, no markup"),
+      (3L, "<style>a{}</style><ul><li>x</li><li>y</li></ul>&lt;escaped&gt;")
+    ).toDF("id", "html")
+    val out = TextOps.stripHtml(df, "id", "html").orderBy("id").collect()
+    // doc 1: script block (and the tags inside it) removed wholesale;
+    // &amp;amp; decodes exactly once to "&amp;"
+    // surviving tags: html, body, p, b, /b, /p, /body, /html = 8
+    assert(out(0).getLong(1) == 8L, s"doc1 tags: ${out(0).getLong(1)}")
+    assert(out(0).getString(2) == "Hello &amp; world")
+    assert(out(1).getLong(1) == 0L && out(1).getString(2) == "plain, no markup")
+    assert(out(2).getString(2) == "x y <escaped>")
+  }
+
+  test("tokenWindows: strided spans tile each doc; tail window is partial") {
+    import spark.implicits._
+    val df = Seq((7L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val out = TextOps.tokenWindows(df, "id", "text", window = 4, stride = 3)
+      .orderBy("win").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 3L, 7L, "t4 t5 t6 t7"),
+      (2L, 6L, 10L, "t7 t8 t9 t10"),
+      (3L, 9L, 10L, "t10")))
+  }
+
   test("text stats: counts consistent and quality bounded") {
     val st = TextOps.textStats(docs, "doc_id", "text").collect()
     assert(st.length == docs.count())
