@@ -281,6 +281,13 @@ object SparkEntry {
         "doc_id", "html").orderBy(col("doc_id"))
     }),
 
+    // exact heavy hitters with bounded memory: per-partition Misra-Gries
+    // candidates (superset guarantee) + exact confirm of candidates only
+    // — no full-vocabulary shuffle, output partitioning-independent
+    "text_heavy_hitters" -> ((s, dir) =>
+      operators.TextOps.heavyHitters(Tables.documents(s, dir), "text", 200)
+        .orderBy(col("token"))),
+
     // strided token windows (LM-eval prep): window 32, stride 16, last
     // partial window kept — pure per-doc explode, no shuffle
     "corpus_windows" -> ((s, dir) =>
@@ -295,6 +302,18 @@ object SparkEntry {
       operators.LayoutOps.readPruned(s, Fixtures.streamZLayoutPath(s, dir),
         Seq(("x", 32L, 63L), ("y", 100L, 199L)))
         .orderBy(col("event_id"))),
+
+    // trailing-window per-entity aggregates: 7-day count + cents sum +
+    // max at each event time, RANGE-framed (time distance, not rows)
+    "fs_rolling_agg" -> ((s, dir) =>
+      ts.Rolling.trailingAgg(
+        Tables.events(s, dir).select(col("user_id"),
+          col("ts").as("time"),
+          floor(col("value") * 100 + 0.5).cast("bigint").as("cents")),
+        "user_id", "time", "7d",
+        Seq(ts.Rolling.Agg("*", "count"), ts.Rolling.Agg("cents", "sum"),
+          ts.Rolling.Agg("cents", "max")))
+        .orderBy(col("user_id"), col("time"))),
 
     // SCD2 point-in-time lookup: each (user, purchase time + 37 min)
     // spine instant serves the event_type valid THEN — a backward as-of
@@ -1761,6 +1780,13 @@ object SparkEntry {
          SELECT doc_id, n_tags, trim(regexp_replace(x, '\s+', ' ', 'g')) AS text
          FROM s5 ORDER BY doc_id""",
 
+    "text_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) tok FROM documents),
+         n AS (SELECT CAST(count(*) AS BIGINT) total FROM t)
+         SELECT tok AS token, CAST(count(*) AS BIGINT) AS freq
+         FROM t, n GROUP BY tok, total HAVING count(*) * 200 >= total
+         ORDER BY token""",
+
     "corpus_windows" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
          g AS (SELECT doc_id, t, unnest(generate_series(0, (len(t)-1)//16)) AS i FROM d)
@@ -1786,6 +1812,18 @@ object SparkEntry {
          WHERE user_id % 256 BETWEEN 32 AND 63
            AND CAST(floor(value) AS BIGINT) BETWEEN 100 AND 199
          ORDER BY event_id""",
+
+    "fs_rolling_agg" ->
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS time,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(count(*) OVER w AS BIGINT) AS count_rows_w,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+             AS sum_cents_w,
+           max(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS max_cents_w
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                      RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, time""",
 
     "fs_scd2_asof" ->
       """WITH o AS (

@@ -769,6 +769,57 @@ object TextOps {
           (col("col") * stride + 1).cast("int"), lit(window))).as("win_text"))
   }
 
+  /** EXACT corpus heavy hitters — every token with global frequency
+    * ≥ total/k — with BOUNDED memory and no full-vocabulary shuffle.
+    *
+    * Two passes. (1) Candidates: each partition runs a Misra–Gries
+    * summary with k counters (Misra & Gries 1982; the classic streaming
+    * frequent-items algorithm) over its own tokens. MG's guarantee —
+    * any item with partition count > n_i/(k+1) keeps a counter — plus an
+    * averaging argument (a token with global count ≥ N/k must have
+    * count_i ≥ n_i/k > n_i/(k+1) in SOME partition) makes the union of
+    * partition summaries a SUPERSET of the true heavy hitters, at most
+    * k·partitions candidates total. (2) Confirm: exact counts of the
+    * candidates only (broadcast semi-join), integer threshold
+    * `freq · k ≥ N`. The candidate set depends on partitioning; the
+    * OUTPUT does not — the confirm pass makes the result exact and
+    * partitioning-independent.
+    *
+    * At 100 TB this is the difference between shuffling the full
+    * (token → count) vocabulary — fine for Zipfian text, ruinous for
+    * high-cardinality token spaces (urls, ids) — and shuffling
+    * ≤ k·partitions candidate rows. mapPartitions is warranted here:
+    * MG's decrement-all step is genuinely imperative per-partition
+    * state.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int = 200): DataFrame = {
+    require(k > 1, s"heavyHitters: k must be > 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(tokens(col(textCol)).as("__t"))
+    val cands = toks.as[Seq[String]].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach(_.foreach { tok =>
+        counters.get(tok) match {
+          case Some(c) => counters(tok) = c + 1
+          case None if counters.size < k => counters(tok) = 1L
+          case None =>
+            counters.keys.toList.foreach { t =>
+              val c = counters(t) - 1
+              if (c == 0) counters -= t else counters(t) = c
+            }
+        }
+      })
+      counters.keysIterator
+    }.distinct().collect()
+    val totalN = toks.select(sum(size(col("__t")))).head().getLong(0)
+    val cdf = broadcast(cands.toSeq.toDF("token"))
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .join(cdf, "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .where(col("freq") * k >= lit(totalN))
+  }
+
   /** Redaction patterns: the common Java-regex/RE2 subset (no
     * backreferences, no lookaround) so Spark and any RE2-based engine
     * (the DuckDB oracle) match identically; both use leftmost greedy

@@ -1,0 +1,70 @@
+package graft.ts
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Trailing-window per-entity aggregates at observation times — the
+  * sliding-window feature-engineering staple ("orders in the last 7
+  * days", "spend in the last hour") every feature platform materializes.
+  *
+  * Each input row gains the aggregate of its OWN entity's rows with
+  * `time ∈ [t - window, t]` (inclusive both ends — the pandas
+  * `rolling("7d")` convention). Implemented as RANGE-framed window
+  * functions over `unix_micros(time)`, so the frame is defined by TIME
+  * DISTANCE, not row counts: entities with bursty histories get exactly
+  * the events inside the horizon.
+  *
+  * Reproducibility: `sum` is restricted to integral columns (a
+  * double-sum's value depends on the frame evaluation order, which
+  * differs between engines and between runs; integerize first — cents,
+  * micros, counts). `min`/`max`/`count` are order-free and unrestricted.
+  *
+  * Scale shape: one hash shuffle on the entity key, per-entity sort
+  * inside the window — a hot entity costs its own history length, the
+  * natural unit. There is no cross-entity state and no global sort.
+  * Serving these at arbitrary spine instants is NOT a plain as-of join
+  * (events age OUT of the horizon between observations — the value at a
+  * spine instant t can be smaller than at the last observation before
+  * t); materialize on a grid via `resample` first if spine-time serving
+  * is needed.
+  */
+object Rolling {
+
+  case class Agg(col: String, fn: String) // fn: sum | count | min | max
+
+  /** Output columns: all of `df`, then `{fn}_{col}_w` per agg
+    * (`count_rows_w` for count over "*").
+    */
+  def trailingAgg(df: DataFrame, entityCol: String, timeCol: String,
+      window: String, aggs: Seq[Agg]): DataFrame = {
+    require(aggs.nonEmpty, "need at least one aggregate")
+    val micros = TimeUtil.parseMicros(window)
+    require(micros > 0, s"trailingAgg: window must be positive, got '$window'")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(unix_micros(col(timeCol)))
+      .rangeBetween(-micros, 0)
+    val intTypes = Set("ByteType", "ShortType", "IntegerType", "LongType")
+    val outs = aggs.map { a =>
+      val c = a.fn match {
+        case "count" => count(if (a.col == "*") lit(1) else col(a.col))
+        case "sum" =>
+          val dt = df.schema(a.col).dataType.toString
+          require(intTypes.contains(dt) || dt.startsWith("DecimalType"),
+            s"trailingAgg: sum over $dt is evaluation-order-dependent; " +
+              "integerize first (cents/micros/counts)")
+          sum(col(a.col))
+        case "min" => min(col(a.col))
+        case "max" => max(col(a.col))
+        case other => throw new IllegalArgumentException(
+          s"non-windowable fn: $other")
+      }
+      c.over(w).as(outName(a))
+    }
+    df.select(df.columns.map(col) ++ outs: _*)
+  }
+
+  private def outName(a: Agg) =
+    if (a.col == "*") s"${a.fn}_rows_w"
+    else s"${a.fn}_${a.col.replaceAll("[^a-zA-Z0-9_]", "_")}_w"
+}

@@ -344,6 +344,50 @@ class OperatorsSpec extends SparkTestBase {
       SimilarityOps.appendIvfIndex(badDim, "vec_id", "embedding", path))
   }
 
+  test("heavyHitters == brute-force threshold count, independent of partitioning") {
+    import spark.implicits._
+    // skewed synthetic stream: token 'hot' ~ 30%, 'warm' ~ 10%, the rest
+    // a long unique tail — tiny k forces MG decrements in every partition
+    val docs2 = spark.range(1000).select(
+      concat_ws(" ", lit("hot"),
+        when(col("id") % 3 === 0, lit("warm")).otherwise(concat(lit("u"), col("id"))),
+        concat(lit("v"), col("id"))).as("text"))
+    for (parts <- Seq(1, 7)) {
+      val got = TextOps.heavyHitters(docs2.repartition(parts), "text", k = 8)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // 3000 tokens total: hot=1000 (1/3), warm=334 (>1/8=375? no: 334*8
+      // = 2672 < 3000 -> warm NOT a heavy hitter at k=8)
+      assert(got == Set(("hot", 1000L)), s"parts=$parts got $got")
+    }
+    // looser threshold admits warm too
+    val got2 = TextOps.heavyHitters(docs2.repartition(5), "text", k = 12)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got2 == Set(("hot", 1000L), ("warm", 334L)), s"got $got2")
+  }
+
+  test("trailingAgg: RANGE frame by time distance; doubles refused for sum") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 10L),
+      (1L, "2024-01-05 00:00:00", 20L),
+      (1L, "2024-01-09 00:00:00", 40L), // 01-01 aged out of the 7d horizon
+      (2L, "2024-01-05 00:00:00", 7L)
+    ).toDF("ent", "t", "v")
+      .select(col("ent"), col("t").cast("timestamp").as("t"), col("v"))
+    val out = graft.ts.Rolling.trailingAgg(df, "ent", "t", "7d",
+      Seq(graft.ts.Rolling.Agg("*", "count"), graft.ts.Rolling.Agg("v", "sum")))
+      .orderBy(col("ent"), col("t"))
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 10L), (2L, 30L), (2L, 60L), (1L, 7L)))
+    val e = intercept[IllegalArgumentException] {
+      graft.ts.Rolling.trailingAgg(
+        Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.5))
+          .toDF("ent", "t", "v"),
+        "ent", "t", "1d", Seq(graft.ts.Rolling.Agg("v", "sum")))
+    }
+    assert(e.getMessage.contains("order-dependent"))
+  }
+
   test("stripHtml: scripts/styles/comments vanish, tags counted, entities decode once") {
     import spark.implicits._
     val df = Seq(
