@@ -281,6 +281,19 @@ object SparkEntry {
         "doc_id", "html").orderBy(col("doc_id"))
     }),
 
+    // c-TF-IDF distinctive keywords per source group: integer bit-length
+    // idf over group document frequency, top-10 by (score desc, token)
+    "text_group_keywords" -> ((s, dir) =>
+      operators.TextOps.groupKeywords(Tables.documents(s, dir), "source", "text", 10)
+        .orderBy(col("source"), col("rank"))),
+
+    // per-user last-8 action sequence, oldest first — sequence-model
+    // training input assembled in one entity aggregation
+    "fs_user_sequences" -> ((s, dir) =>
+      ts.Rolling.lastNSequence(Tables.events(s, dir), "user_id", "ts",
+        "event_type", n = 8, tieCols = Seq("event_id"))
+        .orderBy(col("user_id"))),
+
     // exact heavy hitters with bounded memory: per-partition Misra-Gries
     // candidates (superset guarantee) + exact confirm of candidates only
     // — no full-vocabulary shuffle, output partitioning-independent
@@ -1779,6 +1792,28 @@ object SparkEntry {
            FROM s4)
          SELECT doc_id, n_tags, trim(regexp_replace(x, '\s+', ' ', 'g')) AS text
          FROM s5 ORDER BY doc_id""",
+
+    "text_group_keywords" ->
+      """WITH tok AS (SELECT source AS grp, unnest(string_split(lower(text), ' ')) t
+                      FROM documents),
+         tf AS (SELECT grp, t, CAST(count(*) AS BIGINT) tf FROM tok GROUP BY 1, 2),
+         gf AS (SELECT t, CAST(sum(tf) AS BIGINT) gf FROM tf GROUP BY t),
+         n AS (SELECT CAST(sum(gf) AS BIGINT) total FROM gf),
+         sc AS (SELECT tf.grp, tf.t,
+                  tf.tf * (length(bin((SELECT total FROM n))) - length(bin(gf.gf))) AS score
+                FROM tf JOIN gf ON tf.t = gf.t
+                WHERE length(bin((SELECT total FROM n))) - length(bin(gf.gf)) > 0)
+         SELECT grp AS source, t AS token, CAST(score AS BIGINT) AS score, rank FROM
+           (SELECT *, CAST(row_number() OVER (PARTITION BY grp
+              ORDER BY score DESC, t) AS BIGINT) AS rank FROM sc)
+         WHERE rank <= 10 ORDER BY source, rank""",
+
+    "fs_user_sequences" ->
+      """WITH h AS (SELECT user_id, list(event_type ORDER BY ts, event_id) l
+                    FROM events GROUP BY user_id)
+         SELECT user_id, CAST(len(l) AS BIGINT) AS n_events,
+           array_to_string(l[-8:], '>') AS seq
+         FROM h ORDER BY user_id""",
 
     "text_heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) tok FROM documents),

@@ -769,6 +769,44 @@ object TextOps {
           (col("col") * stride + 1).cast("int"), lit(window))).as("win_text"))
   }
 
+  /** Per-group distinctive keywords (c-TF-IDF in the topic-labeling
+    * spirit — Grootendorst 2022's BERTopic formulation, here with the
+    * repo's engine-exact integer idf over OCCURRENCE counts, the same
+    * `bitlen` quantization as the search tier): score(token, group) =
+    * tf_in_group × (bitlen(totalTokens) − bitlen(globalFreq)); corpus-
+    * saturating tokens (freq within a power of two of the total) score 0
+    * and drop. Output: top `k` tokens per group by (score desc, token
+    * asc) with a deterministic rank.
+    *
+    * Scale shape: explode → (group, token) partial-aggregated counts,
+    * one global-frequency aggregation over the vocab, one total scalar.
+    * The final top-k windows PER GROUP — groups are the parallel unit;
+    * for a single giant group compose with the salted two-phase top-k
+    * instead ([[SimilarityOps]]'s `topKTwoPhase` shape).
+    */
+  def groupKeywords(df: DataFrame, groupCol: String, textCol: String,
+      k: Int = 10): DataFrame = {
+    require(k > 0, "k must be positive")
+    def bitlen(x: Column): Column = length(bin(x))
+    val tok = df.select(col(groupCol).as("__grp"),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(col("__grp"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val gf = tf.groupBy(col("token")).agg(sum(col("tf")).as("gf"))
+    val total = gf.select(sum(col("gf"))).head().getLong(0)
+    val scored = tf.join(gf, "token")
+      .withColumn("idf", (bitlen(lit(total)) - bitlen(col("gf"))).cast("bigint"))
+      .where(col("idf") > 0)
+      .withColumn("score", col("tf") * col("idf"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("__grp"))
+          .orderBy(col("score").desc, col("token"))).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("__grp").as(groupCol), col("token"), col("score"), col("rank"))
+  }
+
   /** EXACT corpus heavy hitters — every token with global frequency
     * ≥ total/k — with BOUNDED memory and no full-vocabulary shuffle.
     *

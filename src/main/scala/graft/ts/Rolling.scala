@@ -67,4 +67,30 @@ object Rolling {
   private def outName(a: Agg) =
     if (a.col == "*") s"${a.fn}_rows_w"
     else s"${a.fn}_${a.col.replaceAll("[^a-zA-Z0-9_]", "_")}_w"
+
+  /** Per-entity last-N event sequence (sequence-model training input:
+    * "the user's most recent N actions, oldest first"): one row per
+    * entity with the total observation count and the last `n` values of
+    * `attrCol` in (time, tieCols...) order joined by `sep`.
+    *
+    * Ordering must be total (supply tiebreaks) or the sequence string is
+    * nondeterministic. One hash aggregation on the entity; a hot
+    * entity's history collects on one task, which is the natural unit —
+    * bound it upstream if single entities exceed task memory (the
+    * sequence semantics itself is last-N, so a time-bounded pre-filter
+    * loses nothing once the filter window covers N observations).
+    */
+  def lastNSequence(df: DataFrame, entityCol: String, timeCol: String,
+      attrCol: String, n: Int, tieCols: Seq[String] = Nil,
+      sep: String = ">"): DataFrame = {
+    require(n > 0, "n must be positive")
+    val ordered = struct((col(timeCol) +: tieCols.map(col)) :+ col(attrCol): _*)
+    val h = df.groupBy(col(entityCol))
+      .agg(sort_array(collect_list(ordered)).as("__h"))
+    val lastN = when(size(col("__h")) > n, slice(col("__h"), -n, n))
+      .otherwise(col("__h"))
+    h.select(col(entityCol),
+      size(col("__h")).cast("bigint").as("n_events"),
+      concat_ws(sep, transform(lastN, x => x.getField(attrCol))).as("seq"))
+  }
 }

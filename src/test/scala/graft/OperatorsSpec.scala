@@ -344,6 +344,45 @@ class OperatorsSpec extends SparkTestBase {
       SimilarityOps.appendIvfIndex(badDim, "vec_id", "embedding", path))
   }
 
+  test("groupKeywords: shared tokens drop, per-group ranks deterministic") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "apple apple shared"),
+      ("a", "apple cherry"),
+      ("b", "banana shared cherry")
+    ).toDF("grp", "text")
+    val out = TextOps.groupKeywords(df, "grp", "text", 2)
+      .orderBy(col("grp"), col("rank")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // total=8 tokens, bitlen(8)=4; idf: apple 4-2=2 (freq 3), banana
+    // 4-1=3, shared/cherry 4-2=2. Group a: apple 3*2=6, cherry==shared
+    // at 2 -> token asc keeps cherry at rank 2. Group b: banana 3,
+    // cherry 2 (before shared by token order).
+    assert(out.toSeq == Seq(
+      ("a", "apple", 6L, 1L),
+      ("a", "cherry", 2L, 2L),
+      ("b", "banana", 3L, 1L),
+      ("b", "cherry", 2L, 2L)))
+  }
+
+  test("lastNSequence: last-N oldest-first, short histories whole, ties by tiebreak") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "a"),
+      (1L, "2024-01-02 00:00:00", 2L, "b"),
+      (1L, "2024-01-03 00:00:00", 3L, "c"),
+      (1L, "2024-01-04 00:00:00", 4L, "d"),
+      (2L, "2024-01-01 00:00:00", 6L, "y"), // same instant: event 5 first
+      (2L, "2024-01-01 00:00:00", 5L, "x")
+    ).toDF("ent", "t", "seq_id", "ev")
+      .select(col("ent"), col("t").cast("timestamp").as("t"), col("seq_id"), col("ev"))
+    val out = graft.ts.Rolling.lastNSequence(df, "ent", "t", "ev", n = 3,
+      tieCols = Seq("seq_id"))
+      .orderBy("ent").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 4L, "b>c>d"), (2L, 2L, "x>y")))
+  }
+
   test("heavyHitters == brute-force threshold count, independent of partitioning") {
     import spark.implicits._
     // skewed synthetic stream: token 'hot' ~ 30%, 'warm' ~ 10%, the rest
