@@ -491,6 +491,21 @@ object Fixtures {
       table
     })
 
+  private val histStores = TrieMap[String, String]()
+
+  /** Persisted reference histogram of the latest click view over the
+    * `fs_drift_hist` gate's reference window — the store side of
+    * `fs_drift_stored`, which must equal the two-window profileDrift.
+    */
+  def histStorePath(spark: SparkSession, sfDir: String): String =
+    histStores.getOrElseUpdate(sfDir, {
+      val path = s"${tmpRoot}/hist_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      store(spark, sfDir).buildHistStore("events/click",
+        "2024-01-01 00:00:00", "2024-01-09 23:59:59",
+        lo = 0.0, hi = 500.0, bins = 20, path = path)
+      path
+    })
+
   private val lmModels = TrieMap[String, String]()
 
   /** Persisted bigram-LM model trained once per (JVM, sf) on the lang='en'

@@ -343,6 +343,20 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // the same drift report against a PERSISTED reference histogram —
+    // only the current window is scanned; result identical to
+    // fs_drift_hist (same oracle)
+    "fs_drift_stored" -> ((s, dir) =>
+      Fixtures.store(s, dir).profileDriftStored("events/click",
+        "2024-01-10 00:00:00", "2024-01-31 00:00:00",
+        Fixtures.histStorePath(s, dir)).orderBy(col("bin"))),
+
+    // dataset-card corpus report: per-language doc/token/char counts +
+    // integer-ppm doc shares in one pass
+    "corpus_report" -> ((s, dir) =>
+      operators.TextOps.corpusReport(Tables.documents(s, dir), "lang", "text")
+        .orderBy(col("lang"))),
+
     // distribution-drift report: first-9-days window vs rest-of-month
     // window of the latest click view, 20 fixed bins over [0, 500),
     // integer-ppm shares + delta (sum(abs(delta_ppm))/2 = exact TV
@@ -1551,6 +1565,9 @@ object SparkEntry {
     // composition (same centroids, codebooks, cells, tie-breaks) — one
     // oracle, two execution paths
     ("ann_ivfpq_persisted" -> oracleSqlBase("ann_ivfpq_topk")) +
+    // the stored-reference drift probe computes the same report as the
+    // two-window scan — one oracle, two execution paths
+    ("fs_drift_stored" -> oracleSqlBase("fs_drift_hist")) +
     // the pre-cut scale path keeps the exact cut's answer by construction
     // (containment checked at run time) — one oracle, two execution paths
     ("quality_quantile_keep_large" -> oracleSqlBase("quality_quantile_keep")) +
@@ -1847,6 +1864,16 @@ object SparkEntry {
          WHERE user_id % 256 BETWEEN 32 AND 63
            AND CAST(floor(value) AS BIGINT) BETWEEN 100 AND 199
          ORDER BY event_id""",
+
+    "corpus_report" ->
+      """WITH h AS (SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) n_tokens,
+             CAST(sum(length(text)) AS BIGINT) n_chars
+           FROM documents GROUP BY lang),
+         t AS (SELECT h.*, sum(n_docs) OVER () total FROM h)
+         SELECT lang, n_docs, n_tokens, n_chars,
+           CAST(n_docs * 1000000 // total AS BIGINT) AS docs_ppm
+         FROM t ORDER BY lang""",
 
     "fs_rolling_agg" ->
       """SELECT user_id, CAST(ts AS TIMESTAMP) AS time,

@@ -663,6 +663,66 @@ class FeatureStore(
       .withColumn("delta_ppm", col("cur_ppm") - col("ref_ppm"))
   }
 
+  /** Persist the REFERENCE side of [[profileDrift]] — build once, probe
+    * many (the monitoring-tier member of the store-family pattern): the
+    * reference window's histogram and its binning parameters land under
+    * `path` (`hist` + one-row `meta`), so recurring drift checks against
+    * a frozen training-time reference never rescan the reference window.
+    */
+  def buildHistStore(qualified: String, refFrom: String, refTo: String,
+      lo: Double, hi: Double, bins: Int, path: String,
+      timeTravel: Option[String] = None): Unit = {
+    val (ns, n) = Catalog.splitName(qualified)
+    require(bins > 0, s"buildHistStore: bins must be positive, got $bins")
+    require(hi > lo, s"buildHistStore: need hi > lo, got [$lo, $hi)")
+    val width = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((col(ValueCol) - lit(lo)) / lit(width)).cast("bigint"),
+      lit(0L)), lit((bins - 1).toLong))
+    storage.load(ns, n, Some(TimeUtil.parseTimestamp(refFrom)),
+        Some(TimeUtil.parseTimestamp(refTo)), timeTravel = timeTravel)
+      .select(bin.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_ref"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/hist")
+    import spark.implicits._
+    Seq((lo, hi, bins, refFrom, refTo))
+      .toDF("lo", "hi", "bins", "ref_from", "ref_to")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** [[profileDrift]] against a persisted reference histogram
+    * ([[buildHistStore]]): bins the CURRENT window under the store's
+    * frozen binning and emits the same integer-exact report — identical
+    * output to the two-window [[profileDrift]] over the same windows,
+    * with only the current window scanned.
+    */
+  def profileDriftStored(qualified: String, curFrom: String, curTo: String,
+      path: String, timeTravel: Option[String] = None): DataFrame = {
+    val (ns, n) = Catalog.splitName(qualified)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (lo, hi, bins) = (meta.getDouble(0), meta.getDouble(1), meta.getInt(2))
+    val width = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((col(ValueCol) - lit(lo)) / lit(width)).cast("bigint"),
+      lit(0L)), lit((bins - 1).toLong))
+    val cur = storage.load(ns, n, Some(TimeUtil.parseTimestamp(curFrom)),
+        Some(TimeUtil.parseTimestamp(curTo)), timeTravel = timeTravel)
+      .select(bin.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
+    val ref = spark.read.parquet(s"$path/hist")
+    val h = ref.join(cur, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    h.withColumn("__tr", sum(col("n_ref")).over(all))
+      .withColumn("__tc", sum(col("n_cur")).over(all))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        when(col("__tr") > 0, expr("n_ref * 1000000 div __tr")).as("ref_ppm"),
+        when(col("__tc") > 0, expr("n_cur * 1000000 div __tc")).as("cur_ppm"))
+      .withColumn("delta_ppm", col("cur_ppm") - col("ref_ppm"))
+  }
+
   /** Point-in-time per-entity join: each spine row (keys..., time, payload)
     * gets the feature's last value for the SAME entity at-or-before its
     * time — the per-entity training-set constructor

@@ -807,6 +807,22 @@ object TextOps {
       .select(col("__grp").as(groupCol), col("token"), col("score"), col("rank"))
   }
 
+  /** Dataset-card corpus report: per-language doc / token / char counts
+    * with integer-ppm doc shares — the one-pass release summary. One
+    * partial-aggregated groupBy over the language key plus a share
+    * window bounded by the language count (never by data volume).
+    */
+  def corpusReport(df: DataFrame, langCol: String, textCol: String): DataFrame = {
+    val h = df.groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("bigint")).as("n_tokens"),
+        sum(length(col(textCol)).cast("bigint")).as("n_chars"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    h.withColumn("__t", sum(col("n_docs")).over(all))
+      .select(col(langCol), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("n_docs * 1000000 div __t").as("docs_ppm"))
+  }
+
   /** EXACT corpus heavy hitters — every token with global frequency
     * ≥ total/k — with BOUNDED memory and no full-vocabulary shuffle.
     *
