@@ -491,6 +491,30 @@ object Fixtures {
       table
     })
 
+  private val bucketed = TrieMap[String, (String, String)]()
+
+  /** Bucketed fact + dim tables on user_id (16 buckets, sorted) — the
+    * co-located-join fixture: the `layout_bucketed_join` gate joins them
+    * with zero exchanges (pay the shuffle once at write). Table names
+    * carry the sf suffix so scales don't collide in the shared catalog.
+    */
+  def bucketedTables(spark: SparkSession, sfDir: String): (String, String) =
+    bucketed.getOrElseUpdate(sfDir, {
+      val sfx = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+      val (fact, dim) = (s"bk_events$sfx", s"bk_users$sfx")
+      val ev = Tables.events(spark, sfDir)
+      graft.sources.Sources.writeBucketed(
+        ev.select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("bigint").as("cents")),
+        fact, Seq("user_id"), 16, sortCols = Seq("user_id"))
+      graft.sources.Sources.writeBucketed(
+        ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("user_rows"),
+            countDistinct(col("event_type")).as("user_types")),
+        dim, Seq("user_id"), 16, sortCols = Seq("user_id"))
+      (fact, dim)
+    })
+
   private val histStores = TrieMap[String, String]()
 
   /** Persisted reference histogram of the latest click view over the

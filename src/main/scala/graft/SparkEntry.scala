@@ -308,6 +308,17 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", window = 32, stride = 16)
         .orderBy(col("doc_id"), col("win"))),
 
+    // co-located bucketed join: fact and dim pre-bucketed on user_id, so
+    // the join (forced off broadcast) runs bucket-to-bucket with ZERO
+    // exchanges — the pay-the-shuffle-once-at-write strategy. Result
+    // identical to the plain join.
+    // (the zero-exchange plan shape is gated in SourcesSpec/PlanSpec —
+    // here the gate owns RESULT correctness through the bucketed path)
+    "layout_bucketed_join" -> ((s, dir) => {
+      val (fact, dim) = Fixtures.bucketedTables(s, dir)
+      s.table(fact).join(s.table(dim), "user_id").orderBy(col("event_id"))
+    }),
+
     // streaming z-layout maintenance: 3 cold-start micro-batches each land
     // as a manifested batch; the pruned read over the streamed table must
     // equal the one-shot full-scan filter (same oracle as layout_zorder)
@@ -1864,6 +1875,17 @@ object SparkEntry {
          WHERE user_id % 256 BETWEEN 32 AND 63
            AND CAST(floor(value) AS BIGINT) BETWEEN 100 AND 199
          ORDER BY event_id""",
+
+    "layout_bucketed_join" ->
+      """SELECT e.user_id, e.event_id, e.event_type,
+           CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents,
+           u.user_rows, u.user_types
+         FROM events e
+         JOIN (SELECT user_id, count(*) AS user_rows,
+                 count(DISTINCT event_type) AS user_types
+               FROM events GROUP BY 1) u
+           ON e.user_id = u.user_id
+         ORDER BY e.event_id""",
 
     "corpus_report" ->
       """WITH h AS (SELECT lang, CAST(count(*) AS BIGINT) n_docs,

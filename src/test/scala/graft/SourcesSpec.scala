@@ -47,6 +47,19 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("layout_bucketed_join fixture joins bucket-to-bucket with no exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (fact, dim) = Fixtures.bucketedTables(spark, "/root/testdata/sf0.001")
+      val joined = spark.table(fact).join(spark.table(dim), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed fixture join must not shuffle:\n$plan")
+      assert(joined.count() == spark.table(fact).count(),
+        "inner join on a complete dim must preserve the fact row count")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("explicit csv schema skips inference and pins types") {
     import org.apache.spark.sql.types._
     val df = seriesDf(Seq("2021-01-01" -> 7.0))
