@@ -515,6 +515,25 @@ object Fixtures {
       (fact, dim)
     })
 
+  private val scdStores = TrieMap[String, String]()
+
+  /** SCD2 store built in TWO steps — base = events before Jan 15, update
+    * batch = the rest — so the `fs_scd2_incremental` gate's resolved view
+    * exercises the open-interval close + append path and must equal the
+    * one-shot scdIntervals over all events (shared fs_scd2 oracle).
+    */
+  def scdStorePath(spark: SparkSession, sfDir: String): String =
+    scdStores.getOrElseUpdate(sfDir, {
+      val path = s"${tmpRoot}/scd_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val ev = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+      graft.ts.Scd.buildScdStore(ev.where(col("ts") < cut),
+        "user_id", "ts", Seq("event_type"), Seq("event_id"), path)
+      graft.ts.Scd.updateScdStore(ev.where(col("ts") >= cut), path, "b1")
+      path
+    })
+
   private val histStores = TrieMap[String, String]()
 
   /** Persisted reference histogram of the latest click view over the

@@ -339,6 +339,15 @@ object SparkEntry {
           ts.Rolling.Agg("cents", "max")))
         .orderBy(col("user_id"), col("time"))),
 
+    // incremental SCD2 store: base (events < Jan 15) + update batch (the
+    // rest); touched entities' open intervals close by shadowing, new
+    // intervals append — the resolved latest-wins view must equal the
+    // one-shot change capture (shared fs_scd2 oracle)
+    "fs_scd2_incremental" -> ((s, dir) =>
+      ts.Scd.loadScd(s, Fixtures.scdStorePath(s, dir))
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"),
+          col("valid_to").asc_nulls_last)),
+
     // SCD2 point-in-time lookup: each (user, purchase time + 37 min)
     // spine instant serves the event_type valid THEN — a backward as-of
     // on valid_from (intervals abut), per-entity windows only.
@@ -1579,6 +1588,9 @@ object SparkEntry {
     // the stored-reference drift probe computes the same report as the
     // two-window scan — one oracle, two execution paths
     ("fs_drift_stored" -> oracleSqlBase("fs_drift_hist")) +
+    // the incremental store's resolved view equals the one-shot change
+    // capture — one oracle, two execution paths
+    ("fs_scd2_incremental" -> oracleSqlBase("fs_scd2")) +
     // the pre-cut scale path keeps the exact cut's answer by construction
     // (containment checked at run time) — one oracle, two execution paths
     ("quality_quantile_keep_large" -> oracleSqlBase("quality_quantile_keep")) +

@@ -90,4 +90,147 @@ object Scd {
     Align.asOfJoinKeyed(spine, live.withColumnRenamed("valid_from", timeCol),
       Seq(entityCol), timeCol, attrCols)
   }
+
+  // ---- persisted SCD2 store (build / update / load / compact) -------------
+  //
+  // The dimension-history MERGE every warehouse runs nightly, as a member
+  // of the repo's persisted-store family. Layout:
+  //   {path}/meta                    one row: column names
+  //   {path}/intervals/batch=<tok>   interval rows + a numeric `seq`
+  // An interval row is addressed by (entity, valid_from); a later batch
+  // SHADOWS an earlier row at the same address (latest-wins on seq) —
+  // that is how an update CLOSES a previously-open interval without
+  // rewriting the old batch. Update cost ∝ touched entities + batch:
+  // only the LAST stored interval of entities present in the batch is
+  // read back (semi-join prune before the latest-wins aggregate — the
+  // cluster-store lesson), closed history is never re-emitted.
+  //
+  // Arrival contract: observations append IN ORDER per entity — a batch
+  // row older than its entity's open interval would rewrite closed
+  // history, so the update REFUSES it loudly (rebuild from raw history
+  // is the correct tool for late data). Replaying a batch token deletes
+  // the token's own dir first; single-writer appends, like every store
+  // in the family.
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Build (overwrite) the SCD2 store from the full observation history. */
+  def buildScdStore(df: DataFrame, entityCol: String, timeCol: String,
+      attrCols: Seq[String], tieCols: Seq[String], path: String): Unit = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(p)) fs.delete(p, true)
+    import spark.implicits._
+    Seq((entityCol, timeCol, attrCols.mkString(","), tieCols.mkString(",")))
+      .toDF("entity_col", "time_col", "attr_cols", "tie_cols")
+      .coalesce(1).write.parquet(s"$path/meta")
+    scdIntervals(df, entityCol, timeCol, attrCols, tieCols)
+      .withColumn("seq", lit(0L))
+      .write.parquet(s"$path/intervals/batch=base")
+  }
+
+  private def readMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (String, String, Seq[String], Seq[String]) = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    def split(s: String) = if (s.isEmpty) Nil else s.split(",").toSeq
+    (m.getString(0), m.getString(1), split(m.getString(2)), split(m.getString(3)))
+  }
+
+  private def rawIntervals(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$path/intervals")
+
+  /** Fold one batch of NEW observations into the store. Touched entities'
+    * open intervals close (shadowed at the same (entity, valid_from) by
+    * the new seq) and their new intervals append; unseen entities start
+    * fresh; untouched entities cost nothing.
+    */
+  def updateScdStore(df: DataFrame, path: String, batchToken: String): Unit = {
+    require(batchToken != "base", "batch token 'base' is reserved for the build")
+    val spark = df.sparkSession
+    val (entityCol, timeCol, attrCols, tieCols) = readMeta(spark, path)
+    require(!((attrCols :+ entityCol :+ timeCol) ++ tieCols).contains("__nb"),
+      "column name __nb is reserved by updateScdStore")
+    val fs = fsOf(spark, path)
+    val own = new org.apache.hadoop.fs.Path(s"$path/intervals/batch=$batchToken")
+    if (fs.exists(own)) fs.delete(own, true) // replay safety
+    val seqN = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/intervals"))
+      .count(_.getPath.getName.startsWith("batch=")).toLong
+
+    val touched = df.select(col(entityCol)).distinct()
+    val pruned = rawIntervals(spark, path)
+      .join(touched, Seq(entityCol), "left_semi")
+    // latest version of the LAST interval per touched entity: max_by the
+    // lexicographic (valid_from, seq) — shadowed rows share valid_from
+    // with a lower seq, earlier intervals have lower valid_from
+    val payload = struct((attrCols.map(col) :+ col("valid_from")) :+ col("seq"): _*)
+    val last = pruned.groupBy(col(entityCol))
+      .agg(max_by(payload, struct(col("valid_from"), col("seq"))).as("__r"))
+      .select(col(entityCol) +: (attrCols.map(a => col(s"__r.$a").as(a)) :+
+        col("__r.valid_from").as("valid_from")): _*)
+
+    // arrival contract: no batch row may precede its entity's open interval
+    val viol = df.groupBy(col(entityCol))
+      .agg(min(col(timeCol)).as("__minT"))
+      .join(last, Seq(entityCol))
+      .where(col("__minT") < col("valid_from"))
+      .count()
+    require(viol == 0L,
+      s"updateScdStore: $viol entities have batch observations OLDER than " +
+        "their open interval — late data rewrites closed history; rebuild " +
+        "from raw observations instead")
+
+    // the open interval re-enters as a pseudo-observation ordered before
+    // every batch row at the same instant (__nb 0 < 1)
+    val pseudo = last.select(
+      (col(entityCol) +: col("valid_from").as(timeCol) +: attrCols.map(col)) ++
+        tieCols.map(t => lit(null).cast(df.schema(t).dataType).as(t)) :+
+        lit(0).as("__nb"): _*)
+    val fresh = df.select(
+      (col(entityCol) +: col(timeCol) +: attrCols.map(col)) ++
+        tieCols.map(col) :+ lit(1).as("__nb"): _*)
+    scdIntervals(pseudo.unionByName(fresh), entityCol, timeCol, attrCols,
+      tieCols = "__nb" +: tieCols)
+      .withColumn("seq", lit(seqN))
+      .write.parquet(s"$path/intervals/batch=$batchToken")
+  }
+
+  /** The store's current SCD2 view: latest-wins per (entity, valid_from).
+    * This materializes the WHOLE table (the compaction/export read); for
+    * point-in-time probes prefer [[scdAsOf]] over a loaded (or compacted)
+    * view with the probe's entities pruned first.
+    */
+  def loadScd(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val (entityCol, _, attrCols, _) = readMeta(spark, path)
+    val raw = rawIntervals(spark, path)
+    val payload = struct((attrCols.map(col) :+ col("valid_to")) :+ col("seq"): _*)
+    raw.groupBy(col(entityCol), col("valid_from"))
+      .agg(max_by(payload, col("seq")).as("__r"))
+      .select((col(entityCol) +: attrCols.map(a => col(s"__r.$a").as(a))) :+
+        col("valid_from") :+ col("__r.valid_to").as("valid_to"): _*)
+  }
+
+  /** Re-materialize the resolved view at a NEW path as one base batch
+    * (crash-safe: the source store stays readable throughout; the caller
+    * swaps paths after completion — the family's compaction contract).
+    */
+  def compactScdStore(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    require(srcPath != dstPath, "compaction must target a NEW path")
+    val (entityCol, timeCol, attrCols, tieCols) = readMeta(spark, srcPath)
+    val resolved = loadScd(spark, srcPath)
+    val fs = fsOf(spark, dstPath)
+    val p = new org.apache.hadoop.fs.Path(dstPath)
+    if (fs.exists(p)) fs.delete(p, true)
+    import spark.implicits._
+    Seq((entityCol, timeCol, attrCols.mkString(","), tieCols.mkString(",")))
+      .toDF("entity_col", "time_col", "attr_cols", "tie_cols")
+      .coalesce(1).write.parquet(s"$dstPath/meta")
+    resolved.withColumn("seq", lit(0L))
+      .write.parquet(s"$dstPath/intervals/batch=base")
+  }
 }

@@ -198,6 +198,42 @@ class LayoutSpec extends SparkTestBase {
     assert(out.toSeq == Seq(null, "a", "b", "x"))
   }
 
+  test("SCD2 store: update closes open intervals by shadowing; replay safe; late data refused") {
+    val root = tmpDir("scdstore")
+    def obs(rows: Seq[(Long, String, String, Long)]) =
+      rows.toDF("ent", "t", "attr", "seq_id")
+        .select(col("ent"), col("t").cast("timestamp").as("t"),
+          col("attr"), col("seq_id"))
+    val base = obs(Seq(
+      (1L, "2024-01-01 00:00:00", "a", 1L),
+      (1L, "2024-01-03 00:00:00", "b", 2L),
+      (2L, "2024-01-02 00:00:00", "x", 3L)))
+    Scd.buildScdStore(base, "ent", "t", Seq("attr"), Seq("seq_id"), root)
+    // batch: entity 1 keeps b then flips to c; entity 3 is brand new;
+    // entity 2 untouched
+    val b1 = obs(Seq(
+      (1L, "2024-01-05 00:00:00", "b", 4L), // same attr -> open interval extends
+      (1L, "2024-01-07 00:00:00", "c", 5L),
+      (3L, "2024-01-06 00:00:00", "z", 6L)))
+    Scd.updateScdStore(b1, root, "b1")
+    Scd.updateScdStore(b1, root, "b1") // replay must not duplicate
+    val got = Scd.loadScd(spark, root)
+    val oneShot = Scd.scdIntervals(base.unionByName(b1), "ent", "t",
+      Seq("attr"), Seq("seq_id"))
+    assert(got.exceptAll(oneShot).isEmpty && oneShot.exceptAll(got).isEmpty,
+      "resolved store view must equal the one-shot change capture")
+    // late data (older than entity 1's open interval) refuses loudly
+    val late = obs(Seq((1L, "2024-01-02 00:00:00", "q", 9L)))
+    val e = intercept[IllegalArgumentException](
+      Scd.updateScdStore(late, root, "b2"))
+    assert(e.getMessage.contains("OLDER"))
+    // compaction to a new path preserves the resolved view exactly
+    val dst = tmpDir("scdcompact")
+    Scd.compactScdStore(spark, root, dst)
+    val compacted = Scd.loadScd(spark, dst)
+    assert(compacted.exceptAll(got).isEmpty && got.exceptAll(compacted).isEmpty)
+  }
+
   test("scdIntervals physical plan windows partition by the entity (no global sort)") {
     val df = spark.range(1000).select(
       (col("id") % 50).as("ent"),
