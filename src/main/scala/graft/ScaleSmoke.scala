@@ -651,6 +651,42 @@ object ScaleSmoke {
       operators.SkewOps.saltedAgg(skewed, Seq("k"),
         Seq(operators.SkewOps.Agg("x", "sum"), operators.SkewOps.Agg("*", "count")), 32).count()
     }
+    time("SCD2 store: 20M obs build, 200k-row update touching 1% of entities") {
+      // 1M entities x 20 observations; attr flips pseudo-randomly so
+      // ~half the observations are change points. The update batch
+      // touches 10k entities (1%) with 20 new rows each — cost must ride
+      // the batch, not the store. Exactness: the resolved view over the
+      // touched slice equals the one-shot change capture over the full
+      // history (closed-form spot check on a 1k-entity sample).
+      val ne = 1000000L
+      def obsOf(ids: org.apache.spark.sql.DataFrame, lo: Int, hi: Int) =
+        ids.select(col("ent"), explode(sequence(lit(lo), lit(hi - 1))).as("k"))
+          .select(col("ent"),
+            timestamp_micros(lit(1704067200000000L) + col("k") * 3600000000L).as("t"),
+            pmod(xxhash64(col("ent"), col("k") * col("k")), lit(3))
+              .cast("string").as("attr"),
+            (col("ent") * 100 + col("k")).as("tie"))
+      val ents = spark.range(ne).select(col("id").as("ent"))
+      val base = obsOf(ents, 0, 20)
+      val scdPath = s"$root/scd_store"
+      val t0 = System.nanoTime()
+      graft.ts.Scd.buildScdStore(base, "ent", "t", Seq("attr"), Seq("tie"), scdPath)
+      println(f"[scale]   build 20M obs                     ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val touched = spark.range(10000).select((col("id") * 100).as("ent"))
+      val upd = obsOf(touched, 20, 40)
+      val t1 = System.nanoTime()
+      graft.ts.Scd.updateScdStore(upd, scdPath, "b1")
+      println(f"[scale]   update 200k obs / 10k entities    ${(System.nanoTime() - t1) / 1e9}%8.2f s")
+      // exactness on a sample: entities 0, 100, ..., 99900 (all touched)
+      val sample = spark.range(1000).select((col("id") * 100).as("ent"))
+      val got = graft.ts.Scd.loadScd(spark, scdPath)
+        .join(sample, Seq("ent"), "left_semi")
+      val oneShot = graft.ts.Scd.scdIntervals(
+        base.unionByName(upd).join(sample, Seq("ent"), "left_semi"),
+        "ent", "t", Seq("attr"), Seq("tie"))
+      require(got.exceptAll(oneShot).isEmpty && oneShot.exceptAll(got).isEmpty,
+        "incremental SCD2 view diverged from the one-shot capture at scale")
+    }
     time("zorder layout: 20M rows, 256 files, 2-D box prune vs brute") {
       // two independent uniform dims; a (1/16 x 1/16) box covers 1/256 of
       // the key space. Z-clustering must confine it to a small fraction
