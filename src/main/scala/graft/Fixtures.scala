@@ -549,6 +549,49 @@ object Fixtures {
       path
     })
 
+  private val streamDrift = TrieMap[String, String]()
+
+  /** Stream-maintained CURRENT histogram for the drift tier: the
+    * fs_drift_hist gate's current-window latest-click values drain in 3
+    * micro-batches against [[histStorePath]]'s frozen reference binning.
+    * Returns the curPath consumed by the `stream_drift` gate, whose
+    * report must equal the two-window profileDrift exactly.
+    */
+  def streamDriftPath(spark: SparkSession, sfDir: String): String =
+    streamDrift.getOrElseUpdate(sfDir, {
+      val base = s"${tmpRoot}/sdr_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val (src, cur, cp, stage) =
+        (s"$base/src", s"$base/cur", s"$base/cp", s"$base/stage")
+      val hfs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (hfs.exists(new org.apache.hadoop.fs.Path(base)))
+        hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+      hfs.mkdirs(new org.apache.hadoop.fs.Path(src))
+      val ref = histStorePath(spark, sfDir)
+      val curRows = store(spark, sfDir).storage.load("events", "click",
+        from = Some(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")),
+        to = Some(java.sql.Timestamp.valueOf("2024-01-31 00:00:00")))
+        .select(col("value"), pmod(xxhash64(col("time")), lit(3)).as("k"))
+      (0 until 3).foreach { i =>
+        val st = s"$stage/$i"
+        curRows.where(col("k") === i).select(col("value")).coalesce(1)
+          .write.mode("overwrite").parquet(st)
+        val part = hfs.listStatus(new org.apache.hadoop.fs.Path(st))
+          .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+        val dst = new org.apache.hadoop.fs.Path(s"$src/batch_$i.parquet")
+        hfs.rename(part, dst)
+        hfs.setTimes(dst, 1000000L * (i + 1), -1)
+      }
+      hfs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      val stream = spark.readStream
+        .schema("value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      graft.streaming.StreamingOps.histAvailableNow(
+        stream, "value", ref, cur, cp).awaitTermination()
+      cur
+    })
+
   private val lmModels = TrieMap[String, String]()
 
   /** Persisted bigram-LM model trained once per (JVM, sf) on the lang='en'

@@ -371,6 +371,15 @@ object SparkEntry {
         "2024-01-10 00:00:00", "2024-01-31 00:00:00",
         Fixtures.histStorePath(s, dir)).orderBy(col("bin"))),
 
+    // stream-maintained drift: the current window drains in 3
+    // micro-batches into an additive histogram; the report vs the frozen
+    // reference equals the two-window profileDrift (shared oracle)
+    "stream_drift" -> ((s, dir) => {
+      val cur = Fixtures.streamDriftPath(s, dir)
+      streaming.StreamingOps.driftReport(s, Fixtures.histStorePath(s, dir), cur)
+        .orderBy(col("bin"))
+    }),
+
     // dataset-card corpus report: per-language doc/token/char counts +
     // integer-ppm doc shares in one pass
     "corpus_report" -> ((s, dir) =>
@@ -1591,6 +1600,9 @@ object SparkEntry {
     // the incremental store's resolved view equals the one-shot change
     // capture — one oracle, two execution paths
     ("fs_scd2_incremental" -> oracleSqlBase("fs_scd2")) +
+    // the stream-maintained current histogram reproduces the two-window
+    // drift report — one oracle, three execution paths now
+    ("stream_drift" -> oracleSqlBase("fs_drift_hist")) +
     // the pre-cut scale path keeps the exact cut's answer by construction
     // (containment checked at run time) — one oracle, two execution paths
     ("quality_quantile_keep_large" -> oracleSqlBase("quality_quantile_keep")) +

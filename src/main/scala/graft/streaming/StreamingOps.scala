@@ -740,6 +740,74 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming drift-histogram maintenance: each micro-batch of
+    * CURRENT-window observations bins under the REFERENCE store's frozen
+    * binning ([[graft.api.FeatureStore.buildHistStore]]) and appends its
+    * per-bin counts as one batch dir under `curPath/hist` — histogram
+    * counts are ADDITIVE across disjoint batches, so the maintained
+    * current histogram is exact at every micro-batch boundary and a
+    * replayed batch just overwrites its own dir. [[driftReport]] folds
+    * ref + current into the same integer-ppm report as
+    * [[graft.api.FeatureStore.profileDrift]].
+    */
+  def histAvailableNow(stream: DataFrame, valueCol: String, refPath: String,
+      curPath: String, checkpoint: String): StreamingQuery =
+    histStream(stream, valueCol, refPath, curPath, checkpoint,
+      Trigger.AvailableNow())
+
+  /** [[histAvailableNow]] as a LIVE TAIL (ProcessingTime trigger). */
+  def histProcessingTime(stream: DataFrame, valueCol: String, refPath: String,
+      curPath: String, checkpoint: String,
+      interval: String = "1 second"): StreamingQuery =
+    histStream(stream, valueCol, refPath, curPath, checkpoint,
+      Trigger.ProcessingTime(interval))
+
+  private def histStream(stream: DataFrame, valueCol: String, refPath: String,
+      curPath: String, checkpoint: String, trigger: Trigger): StreamingQuery = {
+    val meta = stream.sparkSession.read.parquet(s"$refPath/meta").head()
+    val (lo, hi, bins) = (meta.getDouble(0), meta.getDouble(1), meta.getInt(2))
+    val width = (hi - lo) / bins
+    stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val bin = least(greatest(
+            floor((col(valueCol) - lit(lo)) / lit(width)).cast("bigint"),
+            lit(0L)), lit((bins - 1).toLong))
+          batch.select(bin.as("bin"))
+            .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$curPath/hist/batch=b$bid")
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** The drift report from a frozen reference store + a stream-maintained
+    * current histogram: identical output to
+    * [[graft.api.FeatureStore.profileDrift]] over the same two windows.
+    */
+  def driftReport(spark: SparkSession, refPath: String,
+      curPath: String): DataFrame = {
+    val ref = spark.read.parquet(s"$refPath/hist")
+    val cur = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$curPath/hist")
+      .groupBy(col("bin")).agg(sum(col("n")).as("n_cur"))
+    val h = ref.join(cur, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    h.withColumn("__tr", sum(col("n_ref")).over(all))
+      .withColumn("__tc", sum(col("n_cur")).over(all))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        when(col("__tr") > 0, expr("n_ref * 1000000 div __tr")).as("ref_ppm"),
+        when(col("__tc") > 0, expr("n_cur * 1000000 div __tc")).as("cur_ppm"))
+      .withColumn("delta_ppm", col("cur_ppm") - col("ref_ppm"))
+  }
+
   /** Batch gaps-and-islands sessionization — the SQL-expressible oracle
     * twin of [[sessionizeStateful]].
     */
