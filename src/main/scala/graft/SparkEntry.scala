@@ -380,6 +380,19 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // z-score feature scaling from exact integer moments (quantize-then-
+    // sum; double accumulation would be partial-agg-order-dependent)
+    "fs_normalize" -> ((s, dir) =>
+      Fixtures.store(s, dir).normalizeFeature("events/click")
+        .orderBy(col("time"))),
+
+    // deterministic k-fold assignment: md5 slot through 5 equal ppm
+    // ranges — disjoint + total, stable under corpus growth, no shuffle
+    "sample_folds" -> ((s, dir) =>
+      operators.SampleOps.foldAssign(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", k = 5).orderBy(col("doc_id"))),
+
     // dataset-card corpus report: per-language doc/token/char counts +
     // integer-ppm doc shares in one pass
     "corpus_report" -> ((s, dir) =>
@@ -1899,6 +1912,25 @@ object SparkEntry {
          WHERE user_id % 256 BETWEEN 32 AND 63
            AND CAST(floor(value) AS BIGINT) BETWEEN 100 AND 199
          ORDER BY event_id""",
+
+    "fs_normalize" ->
+      s"""WITH v AS (SELECT time, CAST(floor(value * 100 + 0.5) AS BIGINT) c
+                     FROM (${ev("click")})),
+          m AS (SELECT CAST(sum(c) AS DOUBLE) s1,
+                  CAST(sum(c * c) AS DOUBLE) s2,
+                  CAST(count(*) AS BIGINT) n FROM v)
+          SELECT time, c AS cents,
+            (CAST(c AS DOUBLE) - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)) AS z
+          FROM v, m ORDER BY time""",
+
+    "sample_folds" ->
+      """SELECT doc_id, lang,
+           CAST(slot * 5 // 1000000 AS BIGINT) AS fold
+         FROM (SELECT doc_id, lang,
+                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 1000000 AS slot
+               FROM documents)
+         ORDER BY doc_id""",
 
     "layout_bucketed_join" ->
       """SELECT e.user_id, e.event_id, e.event_type,

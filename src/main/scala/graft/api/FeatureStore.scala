@@ -663,6 +663,34 @@ class FeatureStore(
       .withColumn("delta_ppm", col("cur_ppm") - col("ref_ppm"))
   }
 
+  /** Z-score-normalized latest view (feature scaling for training): the
+    * moments come from EXACT integer cents sums (a double mean/variance
+    * accumulates in partial-aggregation order and is irreproducible
+    * across runs; quantize-then-sum is exact), and the per-row transform
+    * is one deterministic IEEE expression over those exact longs —
+    * bit-reproducible across engines up to double formatting. One
+    * moment aggregation + a broadcast scalar join; the transform itself
+    * is map-side.
+    */
+  def normalizeFeature(qualified: String, from: Option[String] = None,
+      to: Option[String] = None,
+      timeTravel: Option[String] = None): DataFrame = {
+    val (ns, n) = Catalog.splitName(qualified)
+    val data = storage.load(ns, n, from.map(TimeUtil.parseTimestamp),
+        to.map(TimeUtil.parseTimestamp), timeTravel = timeTravel)
+      .select(col(TimeCol),
+        floor(col(ValueCol) * 100 + 0.5).cast("bigint").as("cents"))
+    val m = data.agg(
+      sum(col("cents").cast("decimal(38,0)")).as("__s1"),
+      sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("__s2"),
+      count(lit(1)).as("__n"))
+    val mean = col("__s1").cast("double") / col("__n")
+    data.crossJoin(broadcast(m))
+      .select(col(TimeCol), col("cents"),
+        ((col("cents").cast("double") - mean) /
+          sqrt(col("__s2").cast("double") / col("__n") - mean * mean)).as("z"))
+  }
+
   /** Persist the REFERENCE side of [[profileDrift]] — build once, probe
     * many (the monitoring-tier member of the store-family pattern): the
     * reference window's histogram and its binning parameters land under

@@ -40,6 +40,21 @@ object SampleOps {
     df.where(slot(col(idCol), salt) < lit(math.floor(rate * Ppm).toLong))
   }
 
+  /** Deterministic k-fold assignment (cross-validation / sharded eval):
+    * `fold` = the id's md5 slot mapped through k equal ppm ranges — the
+    * same slot machinery as [[splitAssign]], so folds are disjoint and
+    * total by construction, rerun- and partitioning-independent, and
+    * STABLE under corpus growth (a row's fold never changes when other
+    * rows appear). Map-side projection, no shuffle.
+    */
+  def foldAssign(df: DataFrame, idCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 1, s"foldAssign: need k > 1, got $k")
+    DedupOps.ensureHashRegistered(df)
+    df.withColumn("fold",
+      (slot(col(idCol), salt) * k / Ppm).cast("bigint"))
+  }
+
   /** Stratified deterministic sample: per-stratum keep rates, e.g.
     * `Map("en" -> 0.5, "de" -> 0.25)` over a language column, with
     * `defaultRate` for strata not in the map.

@@ -344,6 +344,31 @@ class OperatorsSpec extends SparkTestBase {
       SimilarityOps.appendIvfIndex(badDim, "vec_id", "embedding", path))
   }
 
+  test("foldAssign: disjoint+total folds, stable when the corpus grows") {
+    import spark.implicits._
+    val small = spark.range(500).toDF("id")
+    val folds = SampleOps.foldAssign(small, "id", 5)
+    val counts = folds.groupBy("fold").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts.keySet.subsetOf(Set(0L, 1L, 2L, 3L, 4L)))
+    assert(counts.values.sum == 500L, "folds must partition the corpus")
+    assert(counts.values.forall(c => c > 50 && c < 150),
+      s"folds badly unbalanced: $counts")
+    // growth stability: a row's fold never changes when rows are added
+    val grown = SampleOps.foldAssign(spark.range(2000).toDF("id"), "id", 5)
+      .where(col("id") < 500)
+    val a = folds.orderBy("id").collect().map(_.getLong(1)).toSeq
+    val b = grown.orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(a == b, "fold assignment must be stable under corpus growth")
+  }
+
+  test("normalizeFeature: z has exact-moment zero mean and unit variance shape") {
+    val z = Fixtures.store(spark, dir).normalizeFeature("events/click")
+      .agg(avg(col("z")).as("m"), stddev_pop(col("z")).as("s")).head()
+    assert(math.abs(z.getDouble(0)) < 1e-9, s"mean ${z.getDouble(0)}")
+    assert(math.abs(z.getDouble(1) - 1.0) < 1e-9, s"std ${z.getDouble(1)}")
+  }
+
   test("groupKeywords: shared tokens drop, per-group ranks deterministic") {
     import spark.implicits._
     val df = Seq(
