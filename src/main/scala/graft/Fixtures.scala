@@ -502,6 +502,16 @@ object Fixtures {
     bucketed.getOrElseUpdate(sfDir, {
       val sfx = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
       val (fact, dim) = (s"bk_events$sfx", s"bk_users$sfx")
+      // a previous JVM's managed-table dir survives in the warehouse while
+      // this JVM's in-memory catalog has never heard of the table —
+      // saveAsTable then refuses the orphan LOCATION; clear both sides
+      Seq(fact, dim).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+        val whFs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (whFs.exists(wh)) whFs.delete(wh, true)
+      }
       val ev = Tables.events(spark, sfDir)
       graft.sources.Sources.writeBucketed(
         ev.select(col("event_id"), col("user_id"), col("event_type"),
