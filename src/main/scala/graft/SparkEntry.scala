@@ -327,6 +327,21 @@ object SparkEntry {
         Seq(("x", 32L, 63L), ("y", 100L, 199L)))
         .orderBy(col("event_id"))),
 
+    // point-in-time-correct windowed features at arbitrary spine
+    // instants: prefix-aggregate DIFFERENCES (events age out of the
+    // horizon — a plain as-of would serve stale counts), (t-7d, t]
+    "fs_rolling_spine" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val spine = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (col("ts") + expr("INTERVAL 37 MINUTES")).as("ts"), col("event_id"))
+      val obs = ev.select(col("user_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
+      ts.Rolling.trailingAtSpine(spine, obs, "user_id", "ts", "7d",
+        Seq(ts.Rolling.Agg("*", "count"), ts.Rolling.Agg("cents", "sum")))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // trailing-window per-entity aggregates: 7-day count + cents sum +
     // max at each event time, RANGE-framed (time distance, not rows)
     "fs_rolling_agg" -> ((s, dir) =>
@@ -1952,6 +1967,21 @@ object SparkEntry {
          SELECT lang, n_docs, n_tokens, n_chars,
            CAST(n_docs * 1000000 // total AS BIGINT) AS docs_ppm
          FROM t ORDER BY lang""",
+
+    "fs_rolling_spine" ->
+      """WITH sp AS (SELECT user_id,
+             CAST(ts AS TIMESTAMP) + INTERVAL 37 MINUTE AS ts, event_id
+           FROM events WHERE event_type = 'purchase')
+         SELECT sp.user_id, sp.ts, sp.event_id,
+           CAST(count(e.ts) AS BIGINT) AS count_rows_w,
+           CAST(coalesce(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)), 0)
+             AS BIGINT) AS sum_cents_w
+         FROM sp LEFT JOIN events e
+           ON e.user_id = sp.user_id
+           AND CAST(e.ts AS TIMESTAMP) > sp.ts - INTERVAL 7 DAY
+           AND CAST(e.ts AS TIMESTAMP) <= sp.ts
+         GROUP BY sp.user_id, sp.ts, sp.event_id
+         ORDER BY sp.user_id, sp.ts, sp.event_id""",
 
     "fs_rolling_agg" ->
       """SELECT user_id, CAST(ts AS TIMESTAMP) AS time,

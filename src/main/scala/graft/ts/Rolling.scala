@@ -68,6 +68,73 @@ object Rolling {
     if (a.col == "*") s"${a.fn}_rows_w"
     else s"${a.fn}_${a.col.replaceAll("[^a-zA-Z0-9_]", "_")}_w"
 
+  /** Trailing-window aggregates at ARBITRARY spine instants — the
+    * point-in-time-correct windowed feature ("user's 7-day order count
+    * as of each training example's timestamp"). A plain as-of from the
+    * last observation is WRONG between observations: events age OUT of
+    * the horizon, so the true value at a spine instant t can be SMALLER
+    * than at the last observation before t. Exact construction: each
+    * windowed count/sum at t is the difference of the per-entity PREFIX
+    * aggregate F at t and at t−window, both served by the same backward
+    * as-of machinery ([[Align.asOfJoinKeyed]]). Window semantics are
+    * half-open `(t−window, t]` — the differenceable form (an
+    * observation exactly at t−window belongs to F(t−window) and
+    * cancels).
+    *
+    * Only `count` and integral `sum` are supported: they difference;
+    * min/max do not (and a double sum would be order-dependent —
+    * [[trailingAgg]]'s rule). Observations are pre-aggregated per
+    * (entity, instant) first, so tied instants carry one deterministic
+    * prefix row. Cost: one per-entity prefix pass over observations +
+    * two as-of joins — three entity-keyed shuffles, no per-spine-row
+    * explode, no range join.
+    */
+  def trailingAtSpine(spine: DataFrame, obs: DataFrame, entityCol: String,
+      timeCol: String, window: String, aggs: Seq[Agg]): DataFrame = {
+    require(aggs.nonEmpty, "need at least one aggregate")
+    val micros = TimeUtil.parseMicros(window)
+    require(micros > 0, s"trailingAtSpine: window must be positive, got '$window'")
+    val intTypes = Set("ByteType", "ShortType", "IntegerType", "LongType")
+    val perInstant = aggs.zipWithIndex.map { case (a, i) =>
+      (a.fn match {
+        case "count" => count(if (a.col == "*") lit(1) else col(a.col))
+        case "sum" =>
+          val dt = obs.schema(a.col).dataType.toString
+          require(intTypes.contains(dt) || dt.startsWith("DecimalType"),
+            s"trailingAtSpine: sum over $dt is evaluation-order-dependent; " +
+              "integerize first (cents/micros/counts)")
+          sum(col(a.col))
+        case other => throw new IllegalArgumentException(
+          s"trailingAtSpine supports count|sum (differenceable), got: $other")
+      }).as(s"__v$i")
+    }
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = obs.groupBy(col(entityCol), col(timeCol))
+      .agg(perInstant.head, perInstant.tail: _*)
+      .select(col(entityCol) +: col(timeCol) +:
+        aggs.indices.map(i => sum(col(s"__v$i")).over(w).as(s"__F$i")): _*)
+
+    val fCols = aggs.indices.map(i => s"__F$i")
+    val at = Align.asOfJoinKeyed(spine, cum, Seq(entityCol), timeCol, fCols)
+    val renamedA = aggs.indices.foldLeft(at) { (d, i) =>
+      d.withColumnRenamed(s"__F$i", s"__Fa$i")
+    }
+    val shifted = renamedA
+      .withColumn("__t_orig", col(timeCol))
+      .withColumn(timeCol,
+        timestamp_micros(unix_micros(col(timeCol)) - micros))
+    val atPrev = Align.asOfJoinKeyed(shifted, cum, Seq(entityCol), timeCol, fCols)
+    val withOuts = aggs.zipWithIndex.foldLeft(atPrev) { case (d, (a, i)) =>
+      d.withColumn(outName(a),
+        coalesce(col(s"__Fa$i"), lit(0L)) - coalesce(col(s"__F$i"), lit(0L)))
+    }
+    withOuts
+      .withColumn(timeCol, col("__t_orig"))
+      .drop("__t_orig")
+      .drop(aggs.indices.flatMap(i => Seq(s"__Fa$i", s"__F$i")): _*)
+  }
+
   /** Per-entity last-N event sequence (sequence-model training input:
     * "the user's most recent N actions, oldest first"): one row per
     * entity with the total observation count and the last `n` values of

@@ -452,6 +452,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(e.getMessage.contains("order-dependent"))
   }
 
+  test("trailingAtSpine: events age OUT between observations; boundary is half-open") {
+    import spark.implicits._
+    val obs = Seq(
+      (1L, "2024-01-01 00:00:00", 10L),
+      (1L, "2024-01-02 00:00:00", 20L)
+    ).toDF("ent", "t", "v")
+      .select(col("ent"), col("t").cast("timestamp").as("t"), col("v"))
+    val spine = Seq(
+      (1L, "2024-01-02 12:00:00"), // both inside 7d -> 2 events
+      (1L, "2024-01-08 00:00:00"), // 01-01 exactly at t-7d -> EXCLUDED (half-open)
+      (1L, "2024-01-20 00:00:00"), // all aged out -> 0 (a plain as-of would say 2)
+      (2L, "2024-01-02 00:00:00") // unseen entity -> 0
+    ).toDF("ent", "t").select(col("ent"), col("t").cast("timestamp").as("t"))
+    val out = graft.ts.Rolling.trailingAtSpine(spine, obs, "ent", "t", "7d",
+      Seq(graft.ts.Rolling.Agg("*", "count"), graft.ts.Rolling.Agg("v", "sum")))
+      .orderBy(col("ent"), col("t")).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((2L, 30L), (1L, 20L), (0L, 0L), (0L, 0L)))
+  }
+
   test("stripHtml: scripts/styles/comments vanish, tags counted, entities decode once") {
     import spark.implicits._
     val df = Seq(
