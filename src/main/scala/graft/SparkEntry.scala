@@ -395,6 +395,28 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // categorical drift: event_type shares between the two drift windows
+    // — vanished/new categories surface with zero counts, never dropped
+    "fs_drift_cat" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def win(f: String, t: String) = ev.where(
+        col("ts") >= lit(java.sql.Timestamp.valueOf(f)) &&
+          col("ts") <= lit(java.sql.Timestamp.valueOf(t)))
+      operators.DriftOps.categoricalDrift(
+        win("2024-01-01 00:00:00", "2024-01-09 23:59:59"),
+        win("2024-01-10 00:00:00", "2024-01-31 00:00:00"), "event_type")
+        .orderBy(col("category"))
+    }),
+
+    // one-row drift summary: exact TV distance + the bitlen-quantized
+    // PSI surrogate over the numeric drift report
+    "fs_drift_summary" -> ((s, dir) =>
+      operators.DriftOps.driftSummary(
+        Fixtures.store(s, dir).profileDrift("events/click",
+          "2024-01-01 00:00:00", "2024-01-09 23:59:59",
+          "2024-01-10 00:00:00", "2024-01-31 00:00:00",
+          lo = 0.0, hi = 500.0, bins = 20))),
+
     // z-score feature scaling from exact integer moments (quantize-then-
     // sum; double accumulation would be partial-agg-order-dependent)
     "fs_normalize" -> ((s, dir) =>
@@ -1625,6 +1647,15 @@ object SparkEntry {
     // the stored-reference drift probe computes the same report as the
     // two-window scan — one oracle, two execution paths
     ("fs_drift_stored" -> oracleSqlBase("fs_drift_hist")) +
+    // the drift summary folds the numeric report into the exact TV
+    // distance + bitlen-PSI scalars (report oracle nested as a CTE)
+    ("fs_drift_summary" ->
+      s"""WITH rep AS (${oracleSqlBase("fs_drift_hist")})
+          SELECT CAST(sum(abs(delta_ppm)) // 2 AS BIGINT) AS tv_ppm,
+            CAST(sum((coalesce(cur_ppm, 0) - coalesce(ref_ppm, 0)) *
+              (length(bin(coalesce(cur_ppm, 0) + 1))
+                - length(bin(coalesce(ref_ppm, 0) + 1)))) AS BIGINT) AS psi_q
+          FROM rep""") +
     // the incremental store's resolved view equals the one-shot change
     // capture — one oracle, two execution paths
     ("fs_scd2_incremental" -> oracleSqlBase("fs_scd2")) +
@@ -1927,6 +1958,28 @@ object SparkEntry {
          WHERE user_id % 256 BETWEEN 32 AND 63
            AND CAST(floor(value) AS BIGINT) BETWEEN 100 AND 199
          ORDER BY event_id""",
+
+    "fs_drift_cat" ->
+      """WITH u AS (
+           SELECT event_type AS category, 0 AS w FROM events
+             WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+               AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-09 23:59:59'
+           UNION ALL
+           SELECT event_type, 1 FROM events
+             WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+               AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-31 00:00:00'
+         ),
+         h AS (SELECT category,
+                 CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT) n_ref,
+                 CAST(sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT) n_cur
+               FROM u GROUP BY 1),
+         t AS (SELECT h.*, sum(n_ref) OVER () tr, sum(n_cur) OVER () tc FROM h)
+         SELECT category, n_ref, n_cur,
+           CASE WHEN tr > 0 THEN CAST(n_ref * 1000000 // tr AS BIGINT) END AS ref_ppm,
+           CASE WHEN tc > 0 THEN CAST(n_cur * 1000000 // tc AS BIGINT) END AS cur_ppm,
+           (CASE WHEN tc > 0 THEN CAST(n_cur * 1000000 // tc AS BIGINT) END)
+             - (CASE WHEN tr > 0 THEN CAST(n_ref * 1000000 // tr AS BIGINT) END) AS delta_ppm
+         FROM t ORDER BY category""",
 
     "fs_normalize" ->
       s"""WITH v AS (SELECT time, CAST(floor(value * 100 + 0.5) AS BIGINT) c
