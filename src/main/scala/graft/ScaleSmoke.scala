@@ -651,6 +651,25 @@ object ScaleSmoke {
       operators.SkewOps.saltedAgg(skewed, Seq("k"),
         Seq(operators.SkewOps.Agg("x", "sum"), operators.SkewOps.Agg("*", "count")), 32).count()
     }
+    time("spine rolling: 20M obs, 1M spine instants, closed-form exactness") {
+      // 1M entities x 20 daily observations; each entity's spine instant
+      // sits at noon of day d = entity % 20, so its (t-7d, t] count is
+      // min(d+1, 7) in closed form — checked for every spine row.
+      val t0us = 1704067200000000L
+      val dayUs = 86400000000L
+      val robs = spark.range(20000000L).select(
+        (col("id") % 1000000L).as("ent"),
+        timestamp_micros(lit(t0us) + (col("id") / 1000000L).cast("bigint") * dayUs).as("t"),
+        lit(1L).as("v"))
+      val rspine = spark.range(1000000L).select(
+        col("id").as("ent"), (col("id") % 20).as("d"),
+        timestamp_micros(lit(t0us) + (col("id") % 20) * dayUs + lit(dayUs / 2)).as("t"))
+      val out = graft.ts.Rolling.trailingAtSpine(rspine, robs, "ent", "t",
+        "7d", Seq(graft.ts.Rolling.Agg("*", "count")))
+      val bad = out.where(col("count_rows_w") =!= least(col("d") + 1, lit(7))).count()
+      require(bad == 0L, s"spine rolling: $bad of 1M spine rows off closed form")
+      println(s"[scale]   1M spine instants exact (min(d+1,7) law)")
+    }
     time("SCD2 store: 20M obs build, 200k-row update touching 1% of entities") {
       // 1M entities x 20 observations; attr flips pseudo-randomly so
       // ~half the observations are change points. The update batch
