@@ -1927,7 +1927,8 @@ object SparkEntry {
          FROM h ORDER BY user_id""",
 
     "text_heavy_hitters" ->
-      """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) tok FROM documents),
+      """WITH t AS (SELECT unnest(string_split(lower(coalesce(text, '')), ' ')) tok
+                    FROM documents),
          n AS (SELECT CAST(count(*) AS BIGINT) total FROM t)
          SELECT tok AS token, CAST(count(*) AS BIGINT) AS freq
          FROM t, n GROUP BY tok, total HAVING count(*) * 200 >= total
@@ -1988,7 +1989,9 @@ object SparkEntry {
                   CAST(sum(c * c) AS DOUBLE) s2,
                   CAST(count(*) AS BIGINT) n FROM v)
           SELECT time, c AS cents,
-            (CAST(c AS DOUBLE) - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)) AS z
+            CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+              THEN (CAST(c AS DOUBLE) - s1 / n)
+                   / sqrt(s2 / n - (s1 / n) * (s1 / n)) END AS z
           FROM v, m ORDER BY time""",
 
     "sample_folds" ->

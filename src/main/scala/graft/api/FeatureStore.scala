@@ -654,13 +654,7 @@ class FeatureStore(
       .groupBy("bin")
       .agg(sum(when(col("__w") === 0, 1L).otherwise(0L)).as("n_ref"),
         sum(when(col("__w") === 1, 1L).otherwise(0L)).as("n_cur"))
-    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    h.withColumn("__tr", sum(col("n_ref")).over(all))
-      .withColumn("__tc", sum(col("n_cur")).over(all))
-      .select(col("bin"), col("n_ref"), col("n_cur"),
-        when(col("__tr") > 0, expr("n_ref * 1000000 div __tr")).as("ref_ppm"),
-        when(col("__tc") > 0, expr("n_cur * 1000000 div __tc")).as("cur_ppm"))
-      .withColumn("delta_ppm", col("cur_ppm") - col("ref_ppm"))
+    graft.operators.DriftOps.ppmShares(h, Seq("bin"))
   }
 
   /** Z-score-normalized latest view (feature scaling for training): the
@@ -685,10 +679,13 @@ class FeatureStore(
       sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("__s2"),
       count(lit(1)).as("__n"))
     val mean = col("__s1").cast("double") / col("__n")
+    val variance = col("__s2").cast("double") / col("__n") - mean * mean
     data.crossJoin(broadcast(m))
       .select(col(TimeCol), col("cents"),
-        ((col("cents").cast("double") - mean) /
-          sqrt(col("__s2").cast("double") / col("__n") - mean * mean)).as("z"))
+        // constant feature → null z, never NaN (0/0 or sqrt of a tiny
+        // negative rounding residue would flow silently into training)
+        when(variance > 0,
+          (col("cents").cast("double") - mean) / sqrt(variance)).as("z"))
   }
 
   /** Persist the REFERENCE side of [[profileDrift]] — build once, probe
@@ -742,13 +739,7 @@ class FeatureStore(
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    h.withColumn("__tr", sum(col("n_ref")).over(all))
-      .withColumn("__tc", sum(col("n_cur")).over(all))
-      .select(col("bin"), col("n_ref"), col("n_cur"),
-        when(col("__tr") > 0, expr("n_ref * 1000000 div __tr")).as("ref_ppm"),
-        when(col("__tc") > 0, expr("n_cur * 1000000 div __tc")).as("cur_ppm"))
-      .withColumn("delta_ppm", col("cur_ppm") - col("ref_ppm"))
+    graft.operators.DriftOps.ppmShares(h, Seq("bin"))
   }
 
   /** Point-in-time per-entity join: each spine row (keys..., time, payload)

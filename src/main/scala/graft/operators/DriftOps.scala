@@ -25,12 +25,24 @@ object DriftOps {
     val h = u.groupBy(col("category"))
       .agg(sum(when(col("__w") === 0, 1L).otherwise(0L)).as("n_ref"),
         sum(when(col("__w") === 1, 1L).otherwise(0L)).as("n_cur"))
+    ppmShares(h, Seq("category"))
+  }
+
+  /** The shared report tail of every drift flavor: append integer
+    * floor-ppm shares of each side + the delta to an
+    * `(keyCols..., n_ref, n_cur)` frame. The total window is bounded by
+    * the key count (bins/categories), never data volume; empty-side
+    * shares are null, never a division error. ONE implementation —
+    * numeric, stored, streamed, and categorical reports must stay
+    * bit-identical to their shared oracles.
+    */
+  private[graft] def ppmShares(h: DataFrame, keyCols: Seq[String]): DataFrame = {
     val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     h.withColumn("__tr", sum(col("n_ref")).over(all))
       .withColumn("__tc", sum(col("n_cur")).over(all))
-      .select(col("category"), col("n_ref"), col("n_cur"),
+      .select(keyCols.map(col) ++ Seq(col("n_ref"), col("n_cur"),
         when(col("__tr") > 0, expr("n_ref * 1000000 div __tr")).as("ref_ppm"),
-        when(col("__tc") > 0, expr("n_cur * 1000000 div __tc")).as("cur_ppm"))
+        when(col("__tc") > 0, expr("n_cur * 1000000 div __tc")).as("cur_ppm")): _*)
       .withColumn("delta_ppm", col("cur_ppm") - col("ref_ppm"))
   }
 

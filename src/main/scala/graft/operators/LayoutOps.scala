@@ -88,9 +88,16 @@ object LayoutOps {
     * batch z-sorts WITHIN ITSELF (build-local clustering): pruning stays
     * exact via the manifest, a box just intersects up to one batch's
     * worth of extra files until [[compactZOrdered]] re-clusters
-    * globally. Re-running a token replays cleanly: both the batch's data
-    * and manifest dirs are deleted before the rewrite, and readers never
-    * see a batch whose manifest has not landed.
+    * globally.
+    *
+    * Token replay is STAGED: the new data fully materializes under the
+    * reader-invisible `_staging/` dir BEFORE the committed batch is
+    * touched, so a crash during the (dominant) write phase leaves the
+    * previously committed batch fully visible. Only the short
+    * unpublish → rename → manifest-write tail can leave the token
+    * unpublished (data intact, invisible) — re-running the token
+    * converges, and readers never see a batch whose manifest has not
+    * landed.
     */
   def appendZOrdered(df: DataFrame, zCols: Seq[String], path: String,
       batchToken: String, nFiles: Int = 64): Unit = {
@@ -103,27 +110,44 @@ object LayoutOps {
         s"append asked for ${zCols.mkString(",")}")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // replay safety: a crashed earlier attempt's partial dirs go first
-    Seq(s"$path/batch=$batchToken", s"$path/_manifest/batch=$batchToken")
-      .foreach { d =>
-        val dp = new org.apache.hadoop.fs.Path(d)
-        if (fs.exists(dp)) fs.delete(dp, true)
-      }
-    writeBatch(df, zCols, path, nFiles, bits, batchToken)
+    def del(d: String): Unit = {
+      val dp = new org.apache.hadoop.fs.Path(d)
+      if (fs.exists(dp)) { fs.delete(dp, true); () }
+    }
+    val staging = s"$path/_staging/batch=$batchToken"
+    del(staging)
+    writeData(df, zCols, staging, nFiles, bits)
+    // commit: unpublish the old token, swap the staged data in, publish
+    del(s"$path/_manifest/batch=$batchToken")
+    del(s"$path/batch=$batchToken")
+    fs.rename(new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(s"$path/batch=$batchToken"))
+    writeManifestFor(spark, s"$path/batch=$batchToken", zCols,
+      s"$path/_manifest/batch=$batchToken")
   }
 
   private def writeBatch(df: DataFrame, zCols: Seq[String], path: String,
       nFiles: Int, bits: Int, batchToken: String): Unit = {
     val dataDir = s"$path/batch=$batchToken"
+    writeData(df, zCols, dataDir, nFiles, bits)
+    writeManifestFor(df.sparkSession, dataDir, zCols,
+      s"$path/_manifest/batch=$batchToken")
+  }
+
+  private def writeData(df: DataFrame, zCols: Seq[String], dataDir: String,
+      nFiles: Int, bits: Int): Unit =
     df.withColumn("__z", zValue(zCols.map(col), bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(dataDir)
-    // manifest pass re-reads only zCols of the batch just written
-    // (column-pruned) to record TRUE per-file min/max — stats derive
-    // from the bytes on disk, not from the pre-write frame
-    val spark = df.sparkSession
+
+  /** Manifest pass re-reads only zCols of the files just written
+    * (column-pruned) to record TRUE per-file min/max — stats derive
+    * from the bytes on disk, not from the pre-write frame.
+    */
+  private def writeManifestFor(spark: SparkSession, dataDir: String,
+      zCols: Seq[String], manifestDir: String): Unit = {
     val aggs = zCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
       count(lit(1)).as("n_rows")
@@ -132,7 +156,7 @@ object LayoutOps {
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_manifest/batch=$batchToken")
+      .write.mode("overwrite").parquet(manifestDir)
   }
 
   /** (Re)build a manifest for an EXISTING plain parquet dir that was not

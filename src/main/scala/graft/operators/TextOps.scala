@@ -850,7 +850,9 @@ object TextOps {
     require(k > 1, s"heavyHitters: k must be > 1, got $k")
     val spark = df.sparkSession
     import spark.implicits._
-    val toks = df.select(tokens(col(textCol)).as("__t"))
+    // null text = empty text (the module convention) — an un-coalesced
+    // null array would NPE inside the imperative candidate pass
+    val toks = df.select(tokens(coalesce(col(textCol), lit(""))).as("__t"))
     val cands = toks.as[Seq[String]].mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach(_.foreach { tok =>
@@ -866,9 +868,10 @@ object TextOps {
       })
       counters.keysIterator
     }.distinct().collect()
-    val totalN = toks.select(sum(size(col("__t")))).head().getLong(0)
+    val totRow = toks.select(sum(size(col("__t")))).head()
+    val totalN = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
     val cdf = broadcast(cands.toSeq.toDF("token"))
-    df.select(explode(tokens(col(textCol))).as("token"))
+    df.select(explode(tokens(coalesce(col(textCol), lit("")))).as("token"))
       .join(cdf, "token")
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
       .where(col("freq") * k >= lit(totalN))

@@ -799,13 +799,7 @@ object StreamingOps {
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    h.withColumn("__tr", sum(col("n_ref")).over(all))
-      .withColumn("__tc", sum(col("n_cur")).over(all))
-      .select(col("bin"), col("n_ref"), col("n_cur"),
-        when(col("__tr") > 0, expr("n_ref * 1000000 div __tr")).as("ref_ppm"),
-        when(col("__tc") > 0, expr("n_cur * 1000000 div __tc")).as("cur_ppm"))
-      .withColumn("delta_ppm", col("cur_ppm") - col("ref_ppm"))
+    graft.operators.DriftOps.ppmShares(h, Seq("bin"))
   }
 
   /** Batch gaps-and-islands sessionization — the SQL-expressible oracle

@@ -110,10 +110,14 @@ object Rolling {
     }
     val w = Window.partitionBy(col(entityCol)).orderBy(col(timeCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = obs.groupBy(col(entityCol), col(timeCol))
-      .agg(perInstant.head, perInstant.tail: _*)
-      .select(col(entityCol) +: col(timeCol) +:
-        aggs.indices.map(i => sum(col(s"__v$i")).over(w).as(s"__F$i")): _*)
+    // persisted: both as-of joins below consume `cum` — without the
+    // persist the observation aggregation + prefix window run twice
+    // (CacheScope convention; callers release between batches)
+    val cum = graft.CacheScope.persist(
+      obs.groupBy(col(entityCol), col(timeCol))
+        .agg(perInstant.head, perInstant.tail: _*)
+        .select(col(entityCol) +: col(timeCol) +:
+          aggs.indices.map(i => sum(col(s"__v$i")).over(w).as(s"__F$i")): _*))
 
     val fCols = aggs.indices.map(i => s"__F$i")
     val at = Align.asOfJoinKeyed(spine, cum, Seq(entityCol), timeCol, fCols)
@@ -158,6 +162,10 @@ object Rolling {
       .otherwise(col("__h"))
     h.select(col(entityCol),
       size(col("__h")).cast("bigint").as("n_events"),
-      concat_ws(sep, transform(lastN, x => x.getField(attrCol))).as("seq"))
+      // null attrs render as EMPTY segments (concat_ws would silently
+      // drop them, making seq length disagree with the consumed slots)
+      concat_ws(sep,
+        transform(lastN, x => coalesce(x.getField(attrCol), lit(""))))
+        .as("seq"))
   }
 }

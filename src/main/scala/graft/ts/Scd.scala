@@ -83,12 +83,32 @@ object Scd {
     * deterministic at tied instants: the tie's LAST change (by the SCD2
     * build's tiebreak) owns the instant. Spine rows before an entity's
     * first interval get nulls.
+    *
+    * The attribute tuple carries through the as-of as ONE struct column,
+    * never per-column: `asOfJoinKeyed`'s per-column ignoreNulls carry
+    * would skip an interval whose attribute is legitimately NULL (null
+    * is a value in SCD2 — a spine row inside a null interval must see
+    * null, not the previous interval's value) and could stitch a mixed
+    * tuple from different intervals when several attrs are tracked. The
+    * struct itself is non-null on every interval row, so the carry is
+    * interval-atomic.
     */
   def scdAsOf(spine: DataFrame, scd: DataFrame, entityCol: String,
       timeCol: String, attrCols: Seq[String]): DataFrame = {
+    val clash = attrCols.filter(spine.columns.contains)
+    require(clash.isEmpty,
+      s"scdAsOf: spine columns collide with tracked attrs: ${clash.mkString(", ")} " +
+        "(the as-of would serve the spine's own values); rename the spine columns")
+    require(!spine.columns.contains("__scd_attrs"),
+      "column name __scd_attrs is reserved by scdAsOf")
     val live = scd.where(col("valid_to").isNull || col("valid_to") > col("valid_from"))
-    Align.asOfJoinKeyed(spine, live.withColumnRenamed("valid_from", timeCol),
-      Seq(entityCol), timeCol, attrCols)
+      .select(col(entityCol), col("valid_from").as(timeCol),
+        struct(attrCols.map(col): _*).as("__scd_attrs"))
+    val joined = Align.asOfJoinKeyed(spine, live,
+      Seq(entityCol), timeCol, Seq("__scd_attrs"))
+    attrCols.foldLeft(joined) { (d, a) =>
+      d.withColumn(a, col(s"__scd_attrs.$a"))
+    }.drop("__scd_attrs")
   }
 
   // ---- persisted SCD2 store (build / update / load / compact) -------------
@@ -105,16 +125,36 @@ object Scd {
   // read back (semi-join prune before the latest-wins aggregate — the
   // cluster-store lesson), closed history is never re-emitted.
   //
-  // Arrival contract: observations append IN ORDER per entity — a batch
-  // row older than its entity's open interval would rewrite closed
-  // history, so the update REFUSES it loudly (rebuild from raw history
-  // is the correct tool for late data). Replaying a batch token deletes
-  // the token's own dir first; single-writer appends, like every store
-  // in the family.
+  // Arrival contract: observations append STRICTLY AFTER the entity's
+  // last stored OBSERVATION (tracked as `last_obs` on the open interval
+  // row — the open interval's valid_from is only the last CHANGE time;
+  // discarded repeats after it are real observations the one-shot
+  // semantics orders against, so a batch row at or before last_obs
+  // would silently diverge from a rebuild). Violations REFUSE loudly;
+  // rebuild from raw history is the correct tool for late data.
+  // Replaying a batch token reuses the token's ORIGINAL seq (read from
+  // its own dir before the delete), so a replay of any token —
+  // latest or not — is idempotent and never collides with newer
+  // batches' seqs; single-writer appends, like every store in the
+  // family.
 
   private def fsOf(spark: org.apache.spark.sql.SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Intervals + the per-entity `last_obs` marker on each entity's open
+    * (last) interval row — what the arrival guard orders against.
+    */
+  private def intervalsWithLastObs(df: DataFrame, entityCol: String,
+      timeCol: String, attrCols: Seq[String],
+      tieCols: Seq[String]): DataFrame = {
+    val iv = scdIntervals(df, entityCol, timeCol, attrCols, tieCols)
+    val lastT = df.groupBy(col(entityCol)).agg(max(col(timeCol)).as("__lastT"))
+    iv.join(lastT, Seq(entityCol))
+      .withColumn("last_obs",
+        when(col("valid_to").isNull, col("__lastT")))
+      .drop("__lastT")
+  }
 
   /** Build (overwrite) the SCD2 store from the full observation history. */
   def buildScdStore(df: DataFrame, entityCol: String, timeCol: String,
@@ -127,7 +167,7 @@ object Scd {
     Seq((entityCol, timeCol, attrCols.mkString(","), tieCols.mkString(",")))
       .toDF("entity_col", "time_col", "attr_cols", "tie_cols")
       .coalesce(1).write.parquet(s"$path/meta")
-    scdIntervals(df, entityCol, timeCol, attrCols, tieCols)
+    intervalsWithLastObs(df, entityCol, timeCol, attrCols, tieCols)
       .withColumn("seq", lit(0L))
       .write.parquet(s"$path/intervals/batch=base")
   }
@@ -157,9 +197,20 @@ object Scd {
       "column name __nb is reserved by updateScdStore")
     val fs = fsOf(spark, path)
     val own = new org.apache.hadoop.fs.Path(s"$path/intervals/batch=$batchToken")
-    if (fs.exists(own)) fs.delete(own, true) // replay safety
-    val seqN = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/intervals"))
-      .count(_.getPath.getName.startsWith("batch=")).toLong
+    // replay keeps the token's ORIGINAL seq (idempotent, never collides
+    // with newer batches); a fresh token takes max(seq)+1. A crashed
+    // attempt's unreadable dir falls through to the fresh path.
+    val replaySeq: Option[Long] =
+      if (!fs.exists(own)) None
+      else {
+        val s = scala.util.Try(
+          spark.read.parquet(own.toString).select(col("seq")).head().getLong(0)
+        ).toOption
+        fs.delete(own, true)
+        s
+      }
+    val seqN = replaySeq.getOrElse(
+      rawIntervals(spark, path).agg(max(col("seq"))).head().getLong(0) + 1L)
 
     val touched = df.select(col(entityCol)).distinct()
     val pruned = rawIntervals(spark, path)
@@ -167,22 +218,28 @@ object Scd {
     // latest version of the LAST interval per touched entity: max_by the
     // lexicographic (valid_from, seq) — shadowed rows share valid_from
     // with a lower seq, earlier intervals have lower valid_from
-    val payload = struct((attrCols.map(col) :+ col("valid_from")) :+ col("seq"): _*)
+    val payload = struct((attrCols.map(col) :+ col("valid_from")) :+
+      col("last_obs") :+ col("seq"): _*)
     val last = pruned.groupBy(col(entityCol))
       .agg(max_by(payload, struct(col("valid_from"), col("seq"))).as("__r"))
       .select(col(entityCol) +: (attrCols.map(a => col(s"__r.$a").as(a)) :+
-        col("__r.valid_from").as("valid_from")): _*)
+        col("__r.valid_from").as("valid_from") :+
+        col("__r.last_obs").as("last_obs")): _*)
 
-    // arrival contract: no batch row may precede its entity's open interval
+    // arrival contract: every batch row must be STRICTLY after its
+    // entity's last stored OBSERVATION (not just its last change — a
+    // repeat after the last change is a real observation the one-shot
+    // ordering respects, so admitting a batch row at or before it would
+    // silently diverge from a rebuild)
     val viol = df.groupBy(col(entityCol))
       .agg(min(col(timeCol)).as("__minT"))
       .join(last, Seq(entityCol))
-      .where(col("__minT") < col("valid_from"))
+      .where(col("__minT") <= coalesce(col("last_obs"), col("valid_from")))
       .count()
     require(viol == 0L,
-      s"updateScdStore: $viol entities have batch observations OLDER than " +
-        "their open interval — late data rewrites closed history; rebuild " +
-        "from raw observations instead")
+      s"updateScdStore: $viol entities have batch observations at or " +
+        "OLDER than their last stored observation — late data rewrites " +
+        "history; rebuild from raw observations instead")
 
     // the open interval re-enters as a pseudo-observation ordered before
     // every batch row at the same instant (__nb 0 < 1)
@@ -193,8 +250,15 @@ object Scd {
     val fresh = df.select(
       (col(entityCol) +: col(timeCol) +: attrCols.map(col)) ++
         tieCols.map(col) :+ lit(1).as("__nb"): _*)
-    scdIntervals(pseudo.unionByName(fresh), entityCol, timeCol, attrCols,
+    val merged = pseudo.unionByName(fresh)
+    val iv = scdIntervals(merged, entityCol, timeCol, attrCols,
       tieCols = "__nb" +: tieCols)
+    // new last_obs = max batch time per entity (every batch time is
+    // strictly after the stored last_obs by the guard above)
+    val lastT = df.groupBy(col(entityCol)).agg(max(col(timeCol)).as("__lastT"))
+    iv.join(lastT, Seq(entityCol))
+      .withColumn("last_obs", when(col("valid_to").isNull, col("__lastT")))
+      .drop("__lastT")
       .withColumn("seq", lit(seqN))
       .write.parquet(s"$path/intervals/batch=$batchToken")
   }
@@ -222,7 +286,17 @@ object Scd {
       srcPath: String, dstPath: String): Unit = {
     require(srcPath != dstPath, "compaction must target a NEW path")
     val (entityCol, timeCol, attrCols, tieCols) = readMeta(spark, srcPath)
-    val resolved = loadScd(spark, srcPath)
+    // resolve WITH last_obs: the compacted store must keep the arrival
+    // guard's marker (the resolved view alone only remembers changes,
+    // not the discarded repeats last_obs orders against)
+    val raw = rawIntervals(spark, srcPath)
+    val payload = struct((attrCols.map(col) :+ col("valid_to")) :+
+      col("last_obs") :+ col("seq"): _*)
+    val resolved = raw.groupBy(col(entityCol), col("valid_from"))
+      .agg(max_by(payload, col("seq")).as("__r"))
+      .select((col(entityCol) +: attrCols.map(a => col(s"__r.$a").as(a))) :+
+        col("valid_from") :+ col("__r.valid_to").as("valid_to") :+
+        col("__r.last_obs").as("last_obs"): _*)
     val fs = fsOf(spark, dstPath)
     val p = new org.apache.hadoop.fs.Path(dstPath)
     if (fs.exists(p)) fs.delete(p, true)

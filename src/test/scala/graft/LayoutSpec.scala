@@ -234,6 +234,74 @@ class LayoutSpec extends SparkTestBase {
     assert(compacted.exceptAll(got).isEmpty && got.exceptAll(compacted).isEmpty)
   }
 
+  test("scdAsOf: a legitimately-null interval serves null, not the previous value") {
+    val obs = Seq(
+      (1L, "2024-01-01 00:00:00", Option("a"), 1L),
+      (1L, "2024-01-03 00:00:00", Option.empty[String], 2L), // null IS a value
+      (1L, "2024-01-05 00:00:00", Option("b"), 3L)
+    ).toDF("ent", "t", "attr", "seq")
+      .select(col("ent"), col("t").cast("timestamp").as("t"), col("attr"), col("seq"))
+    val scd = Scd.scdIntervals(obs, "ent", "t", Seq("attr"), Seq("seq"))
+    val spine = Seq((1L, "2024-01-04 00:00:00"), (1L, "2024-01-06 00:00:00"))
+      .toDF("ent", "t").select(col("ent"), col("t").cast("timestamp").as("t"))
+    val out = Scd.scdAsOf(spine, scd, "ent", "t", Seq("attr"))
+      .orderBy(col("t")).collect().map(r => Option(r.getString(2)).orNull)
+    assert(out.toSeq == Seq(null, "b"),
+      "a spine instant inside the null interval must see null, never 'a'")
+  }
+
+  test("scdAsOf refuses a spine column that collides with a tracked attr") {
+    val obs = Seq((1L, "2024-01-01 00:00:00", "a", 1L)).toDF("ent", "t", "attr", "seq")
+      .select(col("ent"), col("t").cast("timestamp").as("t"), col("attr"), col("seq"))
+    val scd = Scd.scdIntervals(obs, "ent", "t", Seq("attr"), Seq("seq"))
+    val spine = Seq((1L, "2024-01-02 00:00:00", "spinal"))
+      .toDF("ent", "t", "attr")
+      .select(col("ent"), col("t").cast("timestamp").as("t"), col("attr"))
+    val e = intercept[IllegalArgumentException](
+      Scd.scdAsOf(spine, scd, "ent", "t", Seq("attr")))
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("SCD2 store refuses a batch row between the last change and the last observation") {
+    val root = tmpDir("scdlastobs")
+    val base = Seq(
+      (1L, "2024-01-01 00:00:00", "A", 1L),
+      (1L, "2024-01-05 00:00:00", "A", 2L) // repeat: discarded by change
+    ).toDF("ent", "t", "attr", "seq_id") // capture, but still an observation
+      .select(col("ent"), col("t").cast("timestamp").as("t"),
+        col("attr"), col("seq_id"))
+    Scd.buildScdStore(base, "ent", "t", Seq("attr"), Seq("seq_id"), root)
+    // t=01-03 is after the open interval's valid_from (01-01) but BEFORE
+    // the last observation (01-05): a rebuild would order it between the
+    // two 'A' observations — the incremental path must refuse, not
+    // silently diverge
+    val sneaky = Seq((1L, "2024-01-03 00:00:00", "B", 3L))
+      .toDF("ent", "t", "attr", "seq_id")
+      .select(col("ent"), col("t").cast("timestamp").as("t"),
+        col("attr"), col("seq_id"))
+    val e = intercept[IllegalArgumentException](
+      Scd.updateScdStore(sneaky, root, "b1"))
+    assert(e.getMessage.contains("OLDER"))
+    // and exactly AT the last observation is refused too (ambiguous order)
+    val tied = Seq((1L, "2024-01-05 00:00:00", "B", 4L))
+      .toDF("ent", "t", "attr", "seq_id")
+      .select(col("ent"), col("t").cast("timestamp").as("t"),
+        col("attr"), col("seq_id"))
+    val e2 = intercept[IllegalArgumentException](
+      Scd.updateScdStore(tied, root, "b1"))
+    assert(e2.getMessage.contains("OLDER"))
+    // strictly after passes and matches the one-shot capture
+    val ok = Seq((1L, "2024-01-06 00:00:00", "B", 5L))
+      .toDF("ent", "t", "attr", "seq_id")
+      .select(col("ent"), col("t").cast("timestamp").as("t"),
+        col("attr"), col("seq_id"))
+    Scd.updateScdStore(ok, root, "b1")
+    val got = Scd.loadScd(spark, root)
+    val oneShot = Scd.scdIntervals(base.unionByName(ok), "ent", "t",
+      Seq("attr"), Seq("seq_id"))
+    assert(got.exceptAll(oneShot).isEmpty && oneShot.exceptAll(got).isEmpty)
+  }
+
   test("scdIntervals physical plan windows partition by the entity (no global sort)") {
     val df = spark.range(1000).select(
       (col("id") % 50).as("ent"),
