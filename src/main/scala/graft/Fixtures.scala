@@ -544,6 +544,52 @@ object Fixtures {
       path
     })
 
+  private val streamScd = TrieMap[String, String]()
+
+  /** SCD2 store maintained by the STREAMING path: events drain in 3
+    * time-ordered micro-batches (global time cutoffs keep every entity's
+    * arrivals strictly increasing — the store's arrival contract) —
+    * the `stream_scd2` gate's resolved view must equal the one-shot
+    * change capture (shared fs_scd2 oracle).
+    */
+  def streamScdPath(spark: SparkSession, sfDir: String): String =
+    streamScd.getOrElseUpdate(sfDir, {
+      val base = s"${tmpRoot}/sscd_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val (src, store0, cp, stage) =
+        (s"$base/src", s"$base/store", s"$base/cp", s"$base/stage")
+      val hfs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (hfs.exists(new org.apache.hadoop.fs.Path(base)))
+        hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+      hfs.mkdirs(new org.apache.hadoop.fs.Path(src))
+      val ev = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      val cuts = Seq(
+        ("1970-01-01 00:00:00", "2024-01-11 00:00:00"),
+        ("2024-01-11 00:00:00", "2024-01-21 00:00:00"),
+        ("2024-01-21 00:00:00", "2100-01-01 00:00:00"))
+      cuts.zipWithIndex.foreach { case ((f, t), i) =>
+        val st = s"$stage/$i"
+        ev.where(col("ts") >= lit(java.sql.Timestamp.valueOf(f)) &&
+            col("ts") < lit(java.sql.Timestamp.valueOf(t)))
+          .coalesce(1).write.mode("overwrite").parquet(st)
+        val part = hfs.listStatus(new org.apache.hadoop.fs.Path(st))
+          .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+        val dst = new org.apache.hadoop.fs.Path(s"$src/batch_$i.parquet")
+        hfs.rename(part, dst)
+        hfs.setTimes(dst, 1000000L * (i + 1), -1)
+      }
+      hfs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      val stream = spark.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      graft.streaming.StreamingOps.scdAvailableNow(
+        stream, "user_id", "ts", Seq("event_type"), Seq("event_id"),
+        store0, cp).awaitTermination()
+      store0
+    })
+
   private val histStores = TrieMap[String, String]()
 
   /** Persisted reference histogram of the latest click view over the

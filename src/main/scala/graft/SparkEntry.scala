@@ -363,6 +363,13 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from"), col("event_type"),
           col("valid_to").asc_nulls_last)),
 
+    // streaming SCD2 maintenance: 3 time-ordered micro-batches fold into
+    // the store; the resolved view equals the one-shot change capture
+    "stream_scd2" -> ((s, dir) =>
+      ts.Scd.loadScd(s, Fixtures.streamScdPath(s, dir))
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"),
+          col("valid_to").asc_nulls_last)),
+
     // SCD2 point-in-time lookup: each (user, purchase time + 37 min)
     // spine instant serves the event_type valid THEN — a backward as-of
     // on valid_from (intervals abut), per-entity windows only.
@@ -1659,6 +1666,9 @@ object SparkEntry {
     // the incremental store's resolved view equals the one-shot change
     // capture — one oracle, two execution paths
     ("fs_scd2_incremental" -> oracleSqlBase("fs_scd2")) +
+    // the streamed store's resolved view equals the one-shot change
+    // capture — one oracle, three execution paths now
+    ("stream_scd2" -> oracleSqlBase("fs_scd2")) +
     // the stream-maintained current histogram reproduces the two-window
     // drift report — one oracle, three execution paths now
     ("stream_drift" -> oracleSqlBase("fs_drift_hist")) +

@@ -740,6 +740,52 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming SCD2 maintenance: each micro-batch of observations folds
+    * into the persisted dimension-history store
+    * ([[graft.ts.Scd.updateScdStore]]) — open intervals close by
+    * latest-wins shadowing, new intervals append, untouched entities
+    * cost nothing. Cold start builds the store from the first non-empty
+    * batch. The store's arrival contract (strictly after each entity's
+    * last observation) holds automatically for a time-ordered source;
+    * replayed batches reuse their original seq (idempotent). Between any
+    * two micro-batches the resolved view IS the one-shot change capture
+    * of everything seen so far.
+    */
+  def scdAvailableNow(stream: DataFrame, entityCol: String, timeCol: String,
+      attrCols: Seq[String], tieCols: Seq[String], storePath: String,
+      checkpoint: String): StreamingQuery =
+    scdStream(stream, entityCol, timeCol, attrCols, tieCols, storePath,
+      checkpoint, Trigger.AvailableNow())
+
+  /** [[scdAvailableNow]] as a LIVE TAIL (ProcessingTime trigger). */
+  def scdProcessingTime(stream: DataFrame, entityCol: String, timeCol: String,
+      attrCols: Seq[String], tieCols: Seq[String], storePath: String,
+      checkpoint: String, interval: String = "1 second"): StreamingQuery =
+    scdStream(stream, entityCol, timeCol, attrCols, tieCols, storePath,
+      checkpoint, Trigger.ProcessingTime(interval))
+
+  private def scdStream(stream: DataFrame, entityCol: String, timeCol: String,
+      attrCols: Seq[String], tieCols: Seq[String], storePath: String,
+      checkpoint: String, trigger: Trigger): StreamingQuery =
+    stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val scope = graft.CacheScope.snapshot()
+          val mp = new org.apache.hadoop.fs.Path(s"$storePath/meta")
+          if (mp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mp))
+            graft.ts.Scd.updateScdStore(batch, storePath, s"b$bid")
+          else
+            graft.ts.Scd.buildScdStore(batch, entityCol, timeCol, attrCols,
+              tieCols, storePath)
+          graft.CacheScope.releaseNewSince(scope)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming drift-histogram maintenance: each micro-batch of
     * CURRENT-window observations bins under the REFERENCE store's frozen
     * binning ([[graft.api.FeatureStore.buildHistStore]]) and appends its
