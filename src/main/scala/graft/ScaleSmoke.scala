@@ -643,6 +643,22 @@ object ScaleSmoke {
         .where(col("mx") =!= col("s")).count()
       require(bad == 0L, "per-group running sum must end at the group total")
     }
+    time("salted join: 20M skewed fact rows vs 1k-row dim, vs plain join") {
+      // 90% of fact rows share one key — a plain shuffle join funnels
+      // them through one reducer task; the salt-replicate join spreads
+      // them 32 ways. Row-count parity against the plain join (full
+      // exceptAll at 20M would dominate the entry; counts + the unit
+      // spec's exact parity cover it).
+      val fact = spark.range(n).select(
+        when(col("id") % 10 < 9, lit(0L)).otherwise(col("id") % 1000).as("k"),
+        col("id").as("x"))
+      val dim = spark.range(1000).select(col("id").as("k"),
+        (col("id") * 7 % 97).as("tag"))
+      val got = operators.SkewOps.saltedJoin(fact, dim, Seq("k"), 32).count()
+      val plain = fact.join(dim, Seq("k")).count()
+      require(got == plain, s"salted join $got != plain $plain")
+      println(s"[scale]   $got joined rows (== plain join)")
+    }
     time("salted aggregation over skewed key") {
       // 90% of rows share one key — the shape AQE can't fix for groupBy
       val skewed = spark.range(n).select(

@@ -493,6 +493,39 @@ class StreamingSpec extends SparkTestBase {
     assert(pruned.exceptAll(brute).isEmpty && brute.exceptAll(pruned).isEmpty)
   }
 
+  test("live-tail SCD2 store: file lands mid-query, resolved view == one-shot capture") {
+    import spark.implicits._
+    val root = tmpDir("livescd")
+    val src = s"$root/src"
+    def obs(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      (col("id") % 100).as("ent"),
+      timestamp_seconds(lit(1704067200L) + col("id") * 60).as("t"),
+      (col("id") % 3).cast("string").as("attr"),
+      col("id").as("seq_id"))
+    obs(0L, 5000L).repartition(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = StreamingOps.pacedFileSource(spark, src, schema,
+      maxFilesPerTrigger = 1)
+    val baseline = graft.CacheScope.trackedCount
+    val q = StreamingOps.scdProcessingTime(stream, "ent", "t", Seq("attr"),
+      Seq("seq_id"), s"$root/store", s"$root/ckpt")
+    q.processAllAvailable()
+    // live tail: later observations land while the query runs (ids
+    // strictly increasing -> per-entity times strictly increasing, the
+    // arrival contract holds)
+    obs(5000L, 8000L).repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    assert(graft.CacheScope.trackedCount == baseline,
+      "per-batch scope must release every cache a live tail creates")
+    val got = graft.ts.Scd.loadScd(spark, s"$root/store")
+    val oneShot = graft.ts.Scd.scdIntervals(obs(0L, 8000L), "ent", "t",
+      Seq("attr"), Seq("seq_id"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(oneShot).isEmpty && oneShot.exceptAll(got).isEmpty,
+      "live-tail SCD2 view must equal the one-shot change capture")
+  }
+
   test("streaming cluster maintenance drains to the one-shot CC labeling") {
     val labels = spark.read.parquet(
       Fixtures.streamClustersPath(spark, "/root/testdata/sf0.001"))
