@@ -342,6 +342,22 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // recency-decayed spend at spine instants: cents halve per elapsed
+    // 3-day half-life (bucket-granular integer halving — engine-exact,
+    // unlike a float exp decay), 4 half-lives of horizon, computed as 5
+    // as-of prefix lookups per spine row — never a pairs join
+    "fs_decayed_spine" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val spine = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (col("ts") + expr("INTERVAL 37 MINUTES")).as("ts"), col("event_id"))
+      val obs = ev.select(col("user_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
+      ts.Rolling.decayedAtSpine(spine, obs, "user_id", "ts", "cents",
+        halflife = "3d", halfLives = 4)
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // trailing-window per-entity aggregates: 7-day count + cents sum +
     // max at each event time, RANGE-framed (time distance, not rows)
     "fs_rolling_agg" -> ((s, dir) =>
@@ -2033,6 +2049,27 @@ object SparkEntry {
          SELECT lang, n_docs, n_tokens, n_chars,
            CAST(n_docs * 1000000 // total AS BIGINT) AS docs_ppm
          FROM t ORDER BY lang""",
+
+    "fs_decayed_spine" ->
+      """WITH sp AS (SELECT user_id,
+             CAST(ts AS TIMESTAMP) + INTERVAL 37 MINUTE AS ts, event_id
+           FROM events WHERE event_type = 'purchase'),
+         jj AS (SELECT unnest(generate_series(0, 3)) AS j),
+         b AS (SELECT sp.user_id, sp.ts, sp.event_id, jj.j,
+                 CAST(coalesce(sum(CASE
+                   WHEN epoch_us(CAST(e.ts AS TIMESTAMP))
+                          > epoch_us(sp.ts) - (jj.j + 1) * 259200000000
+                    AND epoch_us(CAST(e.ts AS TIMESTAMP))
+                          <= epoch_us(sp.ts) - jj.j * 259200000000
+                   THEN CAST(floor(e.value * 100 + 0.5) AS BIGINT) END), 0)
+                 AS BIGINT) s
+               FROM sp CROSS JOIN jj
+               LEFT JOIN events e ON e.user_id = sp.user_id
+               GROUP BY 1, 2, 3, 4)
+         SELECT user_id, ts, event_id,
+           CAST(sum(CAST(floor(s / pow(2, j)) AS BIGINT)) AS BIGINT)
+             AS decayed_cents
+         FROM b GROUP BY 1, 2, 3 ORDER BY user_id, ts, event_id""",
 
     "fs_rolling_spine" ->
       """WITH sp AS (SELECT user_id,

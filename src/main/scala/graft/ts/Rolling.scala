@@ -139,6 +139,69 @@ object Rolling {
       .drop(aggs.indices.flatMap(i => Seq(s"__Fa$i", s"__F$i")): _*)
   }
 
+  /** Exponentially-DECAYED trailing sum at arbitrary spine instants
+    * ("recency-weighted spend"), exact and engine-reproducible: the
+    * contribution of an observation aged `a` halves once per elapsed
+    * `halflife`, at BUCKET granularity — observations in age bucket
+    * j (age ∈ [jH, (j+1)H)) contribute `floor(bucketSum / 2^j)`, and
+    * buckets older than `halfLives` contribute nothing. Integer halving
+    * instead of `exp(-λa)` is what makes the result bit-identical
+    * across engines (a float decay sum is accumulation-order-dependent).
+    *
+    * Scale shape: bucket j's sum at spine instant t is
+    * `F(t−jH) − F(t−(j+1)H)` of the per-entity PREFIX aggregate F —
+    * so the whole feature is k+1 as-of lookups on ONE exploded spine
+    * pass (explode × (k+1), one as-of join, a (k+1)-row window per
+    * spine row), never a spine×observations pairs join. Values must be
+    * NON-NEGATIVE integers (enforced against the frame's type; bucket
+    * sums must stay < 2^52 for the exact floored division).
+    */
+  def decayedAtSpine(spine: DataFrame, obs: DataFrame, entityCol: String,
+      timeCol: String, valueCol: String, halflife: String,
+      halfLives: Int): DataFrame = {
+    val h = TimeUtil.parseMicros(halflife)
+    require(h > 0, s"decayedAtSpine: halflife must be positive, got '$halflife'")
+    require(halfLives >= 1 && halfLives <= 52,
+      s"decayedAtSpine: halfLives must be in [1, 52], got $halfLives")
+    val intTypes = Set("ByteType", "ShortType", "IntegerType", "LongType")
+    require(intTypes.contains(obs.schema(valueCol).dataType.toString),
+      s"decayedAtSpine: $valueCol must be an integral type (quantize first)")
+    require(!spine.columns.exists(c => c.startsWith("__")),
+      "decayedAtSpine: spine columns must not start with __")
+    val k = halfLives
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = graft.CacheScope.persist(
+      obs.groupBy(col(entityCol), col(timeCol))
+        .agg(sum(col(valueCol)).as("__v"))
+        .select(col(entityCol), col(timeCol), sum(col("__v")).over(w).as("__F")))
+
+    val spineCols = spine.columns.toSeq
+    val exploded = spine
+      .withColumn("__t_orig", col(timeCol))
+      .withColumn("__j", explode(sequence(lit(0), lit(k))))
+      .withColumn(timeCol,
+        timestamp_micros(unix_micros(col(timeCol)) - col("__j") * h))
+    val at = Align.asOfJoinKeyed(exploded, cum, Seq(entityCol), timeCol,
+      Seq("__F"))
+    // bucket j's decayed contribution: floor((F_j - F_{j+1}) / 2^j),
+    // F monotone per entity so the difference is >= 0 for non-negative
+    // values; the j=k row exists only to close bucket k-1
+    val perSpine = Window
+      .partitionBy((spineCols.filterNot(_ == timeCol).map(col) :+
+        col("__t_orig")): _*)
+      .orderBy(col("__j"))
+    at.withColumn("__Fn", lead(col("__F"), 1).over(perSpine))
+      .where(col("__j") < k)
+      .withColumn("__c", floor(
+        (coalesce(col("__F"), lit(0L)) - coalesce(col("__Fn"), lit(0L)))
+          .cast("double") / pow(lit(2.0), col("__j"))).cast("bigint"))
+      .groupBy((spineCols.filterNot(_ == timeCol).map(col) :+
+        col("__t_orig").as(timeCol)): _*)
+      .agg(sum(col("__c")).cast("bigint").as(s"decayed_${valueCol}"))
+      .select((spineCols.map(col) :+ col(s"decayed_${valueCol}")): _*)
+  }
+
   /** Per-entity last-N event sequence (sequence-model training input:
     * "the user's most recent N actions, oldest first"): one row per
     * entity with the total observation count and the last `n` values of

@@ -472,6 +472,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.toSeq == Seq((2L, 30L), (1L, 20L), (0L, 0L), (0L, 0L)))
   }
 
+  test("decayedAtSpine: halves per bucket, sums before shifting, horizon drops") {
+    import spark.implicits._
+    // half-life 1d, 4 half-lives; spine at 2024-01-10 00:00
+    val obs = Seq(
+      (1L, "2024-01-09 12:00:00", 100L), // age 0.5H -> bucket 0 -> 100
+      (1L, "2024-01-08 12:00:00", 100L), // age 1.5H -> bucket 1 -> 50
+      (1L, "2024-01-07 12:00:00", 51L), // age 2.5H -> bucket 2
+      (1L, "2024-01-07 13:00:00", 51L), // same bucket: floor(102/4)=25,
+      (1L, "2024-01-05 00:00:00", 999L) // NOT floor(51/4)*2=24; age 5H dropped
+    ).toDF("ent", "t", "v")
+      .select(col("ent"), col("t").cast("timestamp").as("t"), col("v"))
+    val spine = Seq((1L, "2024-01-10 00:00:00"), (2L, "2024-01-10 00:00:00"))
+      .toDF("ent", "t").select(col("ent"), col("t").cast("timestamp").as("t"))
+    val out = graft.ts.Rolling.decayedAtSpine(spine, obs, "ent", "t", "v",
+      halflife = "1d", halfLives = 4)
+      .orderBy(col("ent")).collect().map(_.getLong(2))
+    assert(out.toSeq == Seq(100L + 50L + 25L, 0L), s"got ${out.toSeq}")
+  }
+
   test("stripHtml: scripts/styles/comments vanish, tags counted, entities decode once") {
     import spark.implicits._
     val df = Seq(
