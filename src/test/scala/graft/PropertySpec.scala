@@ -274,6 +274,91 @@ class PropertySpec extends SparkTestBase {
       }
   }
 
+  // random per-entity observation streams for the SCD2 / rolling tier:
+  // few entities + coarse time grid forces collisions, runs, and repeats
+  private val obsGen: Gen[List[(Long, Int, String, Long)]] =
+    Gen.listOfN(60, for {
+      ent <- Gen.choose(0L, 4L)
+      minute <- Gen.choose(0, 500)
+      attr <- Gen.oneOf("a", "b", "c")
+      seq <- Gen.choose(0L, 1000000L)
+    } yield (ent, minute, attr, seq))
+
+  private def obsDf(rows: List[(Long, Int, String, Long)]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // dedupe the (ent, minute, seq) key so the tiebreak order is total
+    rows.distinctBy(r => (r._1, r._2, r._4))
+      .toDF("ent", "minute", "attr", "seq")
+      .select(col("ent"),
+        timestamp_seconds(lit(1704067200L) + col("minute") * 60).as("t"),
+        col("attr"), col("seq"))
+  }
+
+  test("property: scdAsOf == brute-force last-observation lookup at random instants") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    (1 to 5).flatMap(i => obsGen.apply(Gen.Parameters.default, Seed(400L + i)))
+      .foreach { raw =>
+        val rows = raw.distinctBy(r => (r._1, r._2, r._4))
+        if (rows.nonEmpty) {
+          val df = obsDf(raw)
+          val scd = graft.ts.Scd.scdIntervals(df, "ent", "t", Seq("attr"), Seq("seq"))
+          val probes = (0 until 20).map(i => (i % 5L, (i * 37) % 520))
+          val spine = probes.toDF("ent", "minute")
+            .select(col("ent"),
+              timestamp_seconds(lit(1704067200L) + col("minute") * 60).as("t"))
+          val got = graft.ts.Scd.scdAsOf(spine, scd, "ent", "t", Seq("attr"))
+            .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+              Option(r.getString(2)).orNull)).toSet
+          // brute force: attr of the last observation at-or-before t in
+          // (time, seq) order
+          val expected = probes.map { case (e, m) =>
+            val tMs = (1704067200L + m * 60) * 1000L
+            val hist = rows.filter(_._1 == e)
+              .filter { case (_, om, _, _) => (1704067200L + om * 60) * 1000L <= tMs }
+            val attr = if (hist.isEmpty) null
+              else hist.maxBy { case (_, om, _, sq) => (om, sq) }._3
+            (e, tMs, attr)
+          }.toSet
+          assert(got == expected, s"scdAsOf diverged from brute force")
+        }
+      }
+  }
+
+  test("property: trailingAtSpine == brute-force window filter at random instants") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    (1 to 5).flatMap(i => obsGen.apply(Gen.Parameters.default, Seed(500L + i)))
+      .foreach { raw =>
+        val rows = raw.distinctBy(r => (r._1, r._2, r._4))
+        if (rows.nonEmpty) {
+          val obs = obsDf(raw).withColumn("v", col("seq") % 100)
+          val probes = (0 until 20).map(i => (i % 5L, (i * 53) % 520))
+          val spine = probes.toDF("ent", "minute")
+            .select(col("ent"),
+              timestamp_seconds(lit(1704067200L) + col("minute") * 60).as("t"))
+          val got = graft.ts.Rolling.trailingAtSpine(spine, obs, "ent", "t",
+            "1h", Seq(graft.ts.Rolling.Agg("*", "count"),
+              graft.ts.Rolling.Agg("v", "sum")))
+            .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+              r.getLong(2), r.getLong(3))).toSet
+          val expected = probes.map { case (e, m) =>
+            val tS = 1704067200L + m * 60
+            // (t - 1h, t] in seconds; values v = seq % 100 per DISTINCT
+            // (ent, minute, seq) row — minute collisions are real rows
+            val in = rows.filter(_._1 == e).filter { case (_, om, _, _) =>
+              val oS = 1704067200L + om * 60
+              oS > tS - 3600 && oS <= tS
+            }
+            (e, tS * 1000L, in.size.toLong, in.map(_._4 % 100).sum)
+          }.toSet
+          assert(got == expected, "trailingAtSpine diverged from brute force")
+          graft.CacheScope.release()
+        }
+      }
+  }
+
   test("property: curationReport outcomes always partition the corpus") {
     import spark.implicits._
     (1 to 4).flatMap(i => corpusGen.apply(Gen.Parameters.default, Seed(300L + i)))
