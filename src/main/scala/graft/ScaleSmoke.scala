@@ -721,6 +721,14 @@ object ScaleSmoke {
         "ent", "t", Seq("attr"), Seq("tie"))
       require(got.exceptAll(oneShot).isEmpty && oneShot.exceptAll(got).isEmpty,
         "incremental SCD2 view diverged from the one-shot capture at scale")
+      // pruned store probe: 10k spine rows against the 20M-obs store —
+      // cost must ride the probed entities, not the store
+      val t2 = System.nanoTime()
+      val spine = spark.range(10000).select((col("id") * 100 % 1000000L).as("ent"),
+        timestamp_micros(lit(1704067200000000L) + (col("id") % 30) * 86400000000L).as("t"))
+      val probed = graft.ts.Scd.scdAsOfStored(spine, scdPath, "t").count()
+      println(f"[scale]   pruned as-of probe, 10k spine      ${(System.nanoTime() - t2) / 1e9}%8.2f s ($probed rows)")
+      require(probed == 10000L, s"probe must return one row per spine row, got $probed")
     }
     time("zorder layout: 20M rows, 256 files, 2-D box prune vs brute") {
       // two independent uniform dims; a (1/16 x 1/16) box covers 1/256 of

@@ -386,6 +386,18 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from"), col("event_type"),
           col("valid_to").asc_nulls_last)),
 
+    // the same point-in-time lookup straight against the PERSISTED
+    // store: spine entities prune the raw rows before the latest-wins
+    // resolve — result identical to fs_scd2_asof (shared oracle)
+    "fs_scd2_asof_stored" -> ((s, dir) => {
+      val spine = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (col("ts") + expr("INTERVAL 37 MINUTES")).as("ts"), col("event_id"))
+      ts.Scd.scdAsOfStored(spine, Fixtures.scdStorePath(s, dir), "ts")
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // SCD2 point-in-time lookup: each (user, purchase time + 37 min)
     // spine instant serves the event_type valid THEN — a backward as-of
     // on valid_from (intervals abut), per-entity windows only.
@@ -1685,6 +1697,9 @@ object SparkEntry {
     // the streamed store's resolved view equals the one-shot change
     // capture — one oracle, three execution paths now
     ("stream_scd2" -> oracleSqlBase("fs_scd2")) +
+    // the pruned store probe serves the same lookups as the in-memory
+    // as-of — one oracle, two execution paths
+    ("fs_scd2_asof_stored" -> oracleSqlBase("fs_scd2_asof")) +
     // the stream-maintained current histogram reproduces the two-window
     // drift report — one oracle, three execution paths now
     ("stream_drift" -> oracleSqlBase("fs_drift_hist")) +

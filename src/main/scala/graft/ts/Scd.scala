@@ -278,6 +278,29 @@ object Scd {
         col("valid_from") :+ col("__r.valid_to").as("valid_to"): _*)
   }
 
+  /** Point-in-time lookup straight against the persisted store — the
+    * production probe path: the spine's entities prune the store's raw
+    * rows BEFORE the latest-wins resolve (the family lesson: never run
+    * the resolving aggregate over the full store on a hot path; the
+    * prune is trivially exact here because the resolve groups BY
+    * entity), then the pruned resolved slice serves [[scdAsOf]]. Cost ∝
+    * the probed entities' history + spine, not the store.
+    */
+  def scdAsOfStored(spine: DataFrame, path: String,
+      timeCol: String): DataFrame = {
+    val spark = spine.sparkSession
+    val (entityCol, _, attrCols, _) = readMeta(spark, path)
+    val touched = spine.select(col(entityCol)).distinct()
+    val pruned = rawIntervals(spark, path)
+      .join(touched, Seq(entityCol), "left_semi")
+    val payload = struct((attrCols.map(col) :+ col("valid_to")) :+ col("seq"): _*)
+    val resolved = pruned.groupBy(col(entityCol), col("valid_from"))
+      .agg(max_by(payload, col("seq")).as("__r"))
+      .select((col(entityCol) +: attrCols.map(a => col(s"__r.$a").as(a))) :+
+        col("valid_from") :+ col("__r.valid_to").as("valid_to"): _*)
+    scdAsOf(spine, resolved, entityCol, timeCol, attrCols)
+  }
+
   /** Re-materialize the resolved view at a NEW path as one base batch
     * (crash-safe: the source store stays readable throughout; the caller
     * swaps paths after completion — the family's compaction contract).
