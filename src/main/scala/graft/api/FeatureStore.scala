@@ -646,7 +646,11 @@ class FeatureStore(
       storage.load(ns, n, Some(TimeUtil.parseTimestamp(f)),
           Some(TimeUtil.parseTimestamp(t)), timeTravel = timeTravel)
         .select(col(ValueCol), lit(tag).as("__w"))
+    // null/NaN values are DROPPED, not binned: floor(null|NaN) casts to
+    // null and greatest(null, 0L) would silently route them into bin 0,
+    // inflating the lowest bin instead of reporting missing data
     val u = slice(refFrom, refTo, 0).unionAll(slice(curFrom, curTo, 1))
+      .where(col(ValueCol).isNotNull && !isnan(col(ValueCol)))
     val bin = least(greatest(
       floor((col(ValueCol) - lit(lo)) / lit(width)).cast("bigint"),
       lit(0L)), lit((bins - 1).toLong))
@@ -706,6 +710,7 @@ class FeatureStore(
       lit(0L)), lit((bins - 1).toLong))
     storage.load(ns, n, Some(TimeUtil.parseTimestamp(refFrom)),
         Some(TimeUtil.parseTimestamp(refTo)), timeTravel = timeTravel)
+      .where(col(ValueCol).isNotNull && !isnan(col(ValueCol))) // never bin 0
       .select(bin.as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n_ref"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/hist")
@@ -732,6 +737,7 @@ class FeatureStore(
       lit(0L)), lit((bins - 1).toLong))
     val cur = storage.load(ns, n, Some(TimeUtil.parseTimestamp(curFrom)),
         Some(TimeUtil.parseTimestamp(curTo)), timeTravel = timeTravel)
+      .where(col(ValueCol).isNotNull && !isnan(col(ValueCol))) // never bin 0
       .select(bin.as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
     val ref = spark.read.parquet(s"$path/hist")

@@ -261,9 +261,10 @@ object DedupOps {
     * lazily from storage (usually exactly one), so task memory is one
     * shard's sketch regardless of total store size. The surviving
     * bloom-positive fingerprints drive the same exact store-confirm join.
-    * The per-partition loader reads via a fresh default Hadoop
-    * configuration on the executor (the sketch paths live beside the
-    * store, any FS the store itself works on resolves the same way).
+    * The per-partition loader opens sketch files through a BROADCAST copy
+    * of the driver's Hadoop configuration ([[graft.HadoopConfSer]]) —
+    * injected `spark.hadoop.*` credentials and filesystem impls resolve
+    * on executors exactly as they do for the store itself.
     */
   def shardedBloomProbeExactDedup(newDocs: DataFrame, idCol: String,
       textCol: String, path: String): DataFrame = {
@@ -290,6 +291,8 @@ object DedupOps {
     import spark.implicits._
     val fresh = newDocs.select(col(idCol).as("id"),
       TextOps.fingerprint(col(textCol)).as("fp"))
+    val confB = spark.sparkContext.broadcast(
+      new graft.HadoopConfSer(spark.sparkContext.hadoopConfiguration))
     val positives = fresh
       .select(col("fp"), pmod(xxhash64(col("fp")), lit(shards.toLong)).as("__s"))
       .distinct()
@@ -299,7 +302,7 @@ object DedupOps {
         val loaded = scala.collection.mutable.Map[Long, org.apache.spark.util.sketch.BloomFilter]()
         def sketch(s: Long) = loaded.getOrElseUpdate(s, {
           val p = new org.apache.hadoop.fs.Path(s"$shardDir/shard=$s/sketch.bin")
-          val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+          val in = p.getFileSystem(confB.value.value).open(p)
           try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
         })
         rows.collect { case (fp, s) if fp != null && sketch(s).mightContainString(fp) => fp }

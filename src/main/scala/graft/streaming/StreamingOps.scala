@@ -222,9 +222,15 @@ object StreamingOps {
             hfs.delete(own, true)
             spark.catalog.refreshByPath(storePath)
           }
+          // cold start is decided by OTHER committed batch dirs, not bare
+          // dir existence: a batch-0 crash-retry leaves storePath present
+          // but empty after its own dir is dropped, and reading it would
+          // throw schema inference and wedge the stream permanently
           val sp = new org.apache.hadoop.fs.Path(storePath)
+          val hasOthers = hfs.exists(sp) && hfs.listStatus(sp)
+            .exists(_.getPath.getName.startsWith("batch="))
           val pairs =
-            if (hfs.exists(sp))
+            if (hasOthers)
               graft.operators.SimilarityOps.incrementalCosinePairs(
                 batch, idCol, vecCol, storePath, minCosine)
             else
@@ -821,7 +827,10 @@ object StreamingOps {
           val bin = least(greatest(
             floor((col(valueCol) - lit(lo)) / lit(width)).cast("bigint"),
             lit(0L)), lit((bins - 1).toLong))
-          batch.select(bin.as("bin"))
+          // null/NaN dropped, never silently binned into bin 0 (matches
+          // the batch-side FeatureStore binning sites)
+          batch.where(col(valueCol).isNotNull && !isnan(col(valueCol)))
+            .select(bin.as("bin"))
             .groupBy(col("bin")).agg(count(lit(1)).as("n"))
             .coalesce(1)
             .write.mode("overwrite").parquet(s"$curPath/hist/batch=b$bid")

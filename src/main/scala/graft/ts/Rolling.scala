@@ -35,15 +35,30 @@ object Rolling {
 
   /** Output columns: all of `df`, then `{fn}_{col}_w` per agg
     * (`count_rows_w` for count over "*").
+    *
+    * Frame convention (`closed`, pandas naming): `"both"` (default) is
+    * the inclusive `[t − window, t]` pandas `rolling("7d")` frame;
+    * `"right"` is the half-open `(t − window, t]` frame. NOTE
+    * [[trailingAtSpine]] is ALWAYS half-open (the differenceable form) —
+    * the two "trailing" APIs agree at observation instants ONLY under
+    * `closed = "right"`: with the default an event sitting exactly at
+    * `t − window` is inside this frame but outside the spine one, a
+    * silent offline/serving skew if the conventions are mixed.
     */
   def trailingAgg(df: DataFrame, entityCol: String, timeCol: String,
-      window: String, aggs: Seq[Agg]): DataFrame = {
+      window: String, aggs: Seq[Agg], closed: String = "both"): DataFrame = {
     require(aggs.nonEmpty, "need at least one aggregate")
     val micros = TimeUtil.parseMicros(window)
     require(micros > 0, s"trailingAgg: window must be positive, got '$window'")
+    val lo = closed match {
+      case "both"  => -micros      // [t − window, t]
+      case "right" => -micros + 1L // (t − window, t] — trailingAtSpine's frame
+      case other => throw new IllegalArgumentException(
+        s"trailingAgg: closed must be 'both' or 'right', got '$other'")
+    }
     val w = Window.partitionBy(col(entityCol))
       .orderBy(unix_micros(col(timeCol)))
-      .rangeBetween(-micros, 0)
+      .rangeBetween(lo, 0)
     val intTypes = Set("ByteType", "ShortType", "IntegerType", "LongType")
     val outs = aggs.map { a =>
       val c = a.fn match {
@@ -79,7 +94,12 @@ object Rolling {
     * as-of machinery ([[Align.asOfJoinKeyed]]). Window semantics are
     * half-open `(t−window, t]` — the differenceable form (an
     * observation exactly at t−window belongs to F(t−window) and
-    * cancels).
+    * cancels). NOTE this differs from [[trailingAgg]]'s DEFAULT
+    * inclusive-both-ends pandas frame: at a spine instant equal to an
+    * observation time the two agree only with `trailingAgg(closed =
+    * "right")` — pick one convention per pipeline or the offline and
+    * spine-served values skew whenever an event sits exactly on the
+    * horizon edge.
     *
     * Only `count` and integral `sum` are supported: they difference;
     * min/max do not (and a double sum would be order-dependent —

@@ -132,10 +132,15 @@ object Scd {
   // semantics orders against, so a batch row at or before last_obs
   // would silently diverge from a rebuild). Violations REFUSE loudly;
   // rebuild from raw history is the correct tool for late data.
-  // Replaying a batch token reuses the token's ORIGINAL seq (read from
-  // its own dir before the delete), so a replay of any token —
-  // latest or not — is idempotent and never collides with newer
-  // batches' seqs; single-writer appends, like every store in the
+  // Replaying a batch token reuses the token's ORIGINAL seq AND
+  // recomputes against the store state AS OF that seq (rows with
+  // seq < token's seq), so a replay of any token — latest or not —
+  // reproduces the token's original output byte-for-byte: the arrival
+  // guard sees exactly the state it passed against the first time, and
+  // newer batches' higher-seq shadowing rows still win the latest-wins
+  // resolve. The token dir is only touched by the FINAL overwrite
+  // write — a guard failure (or any earlier error) leaves the store
+  // exactly as it was. Single-writer appends, like every store in the
   // family.
 
   private def fsOf(spark: org.apache.spark.sql.SparkSession, p: String) =
@@ -197,24 +202,39 @@ object Scd {
       "column name __nb is reserved by updateScdStore")
     val fs = fsOf(spark, path)
     val own = new org.apache.hadoop.fs.Path(s"$path/intervals/batch=$batchToken")
-    // replay keeps the token's ORIGINAL seq (idempotent, never collides
-    // with newer batches); a fresh token takes max(seq)+1. A crashed
-    // attempt's unreadable dir falls through to the fresh path.
+    // Replay keeps the token's ORIGINAL seq and recomputes against the
+    // store AS OF that seq (rows with seq < it — excludes the token's
+    // own rows AND later batches), so any token replays idempotently.
+    // The dir is NOT deleted here: the guard below must be able to fail
+    // without having touched committed intervals; the final write
+    // overwrites it. Only a crashed attempt's UNREADABLE dir is removed
+    // up front (it would poison the recursive store read and carries
+    // nothing committed) and falls through to the fresh path.
     val replaySeq: Option[Long] =
       if (!fs.exists(own)) None
-      else {
-        val s = scala.util.Try(
-          spark.read.parquet(own.toString).select(col("seq")).head().getLong(0)
-        ).toOption
-        fs.delete(own, true)
-        s
+      else scala.util.Try(
+        spark.read.parquet(own.toString).select(col("seq")).head().getLong(0)
+      ).toOption match {
+        case s @ Some(_) => s
+        case None => fs.delete(own, true); None
       }
+    // read every batch dir EXCEPT the token's own: the final overwrite
+    // targets that dir, so it must never be part of the (lazy) read plan
+    val otherDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/intervals"))
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("batch=") &&
+        p.getName != s"batch=$batchToken")
+      .map(_.toString).toSeq
+    require(otherDirs.nonEmpty,
+      s"updateScdStore: no store at $path — run buildScdStore first")
+    val raw = spark.read.option("recursiveFileLookup", "true")
+      .parquet(otherDirs: _*)
+    val store = replaySeq.fold(raw)(s => raw.where(col("seq") < s))
     val seqN = replaySeq.getOrElse(
-      rawIntervals(spark, path).agg(max(col("seq"))).head().getLong(0) + 1L)
+      raw.agg(max(col("seq"))).head().getLong(0) + 1L)
 
     val touched = df.select(col(entityCol)).distinct()
-    val pruned = rawIntervals(spark, path)
-      .join(touched, Seq(entityCol), "left_semi")
+    val pruned = store.join(touched, Seq(entityCol), "left_semi")
     // latest version of the LAST interval per touched entity: max_by the
     // lexicographic (valid_from, seq) — shadowed rows share valid_from
     // with a lower seq, earlier intervals have lower valid_from
@@ -260,7 +280,10 @@ object Scd {
       .withColumn("last_obs", when(col("valid_to").isNull, col("__lastT")))
       .drop("__lastT")
       .withColumn("seq", lit(seqN))
-      .write.parquet(s"$path/intervals/batch=$batchToken")
+      // overwrite is the ONLY mutation of the token dir in this method:
+      // everything above (including the arrival guard) ran against the
+      // untouched store, so a throw anywhere earlier changes nothing
+      .write.mode("overwrite").parquet(s"$path/intervals/batch=$batchToken")
   }
 
   /** The store's current SCD2 view: latest-wins per (entity, valid_from).

@@ -234,6 +234,38 @@ class LayoutSpec extends SparkTestBase {
     assert(compacted.exceptAll(got).isEmpty && got.exceptAll(compacted).isEmpty)
   }
 
+  test("SCD2 store: replaying a NON-latest token after newer batches is idempotent, never corrupting") {
+    val root = tmpDir("scdreplay")
+    def obs(rows: Seq[(Long, String, String, Long)]) =
+      rows.toDF("ent", "t", "attr", "seq_id")
+        .select(col("ent"), col("t").cast("timestamp").as("t"),
+          col("attr"), col("seq_id"))
+    val base = obs(Seq((1L, "2024-01-01 00:00:00", "a", 1L)))
+    Scd.buildScdStore(base, "ent", "t", Seq("attr"), Seq("seq_id"), root)
+    val b1 = obs(Seq((1L, "2024-01-03 00:00:00", "b", 2L)))
+    val b2 = obs(Seq((1L, "2024-01-05 00:00:00", "c", 3L)))
+    Scd.updateScdStore(b1, root, "b1")
+    Scd.updateScdStore(b2, root, "b2")
+    val before = Scd.loadScd(spark, root).collect().toSet
+    // replay the NON-latest token b1: its rows (t=Jan 3) sit at-or-before
+    // b2's observations — the pre-fix delete-then-guard path destroyed
+    // b1's committed intervals and then threw; now the replay recomputes
+    // against the as-of-b1 store state and reproduces itself exactly
+    Scd.updateScdStore(b1, root, "b1")
+    val after = Scd.loadScd(spark, root).collect().toSet
+    assert(after == before, "non-latest replay must leave the resolved view unchanged")
+    // a genuinely-late batch under a NEW token still refuses loudly AND
+    // leaves the store untouched (guard before any mutation)
+    val late = obs(Seq((1L, "2024-01-02 00:00:00", "q", 9L)))
+    intercept[IllegalArgumentException](Scd.updateScdStore(late, root, "b3"))
+    assert(Scd.loadScd(spark, root).collect().toSet == before,
+      "a refused batch must not have deleted or altered any committed intervals")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/intervals/batch=b3")),
+      "a refused batch must not leave a batch dir behind")
+  }
+
   test("scdAsOf: a legitimately-null interval serves null, not the previous value") {
     val obs = Seq(
       (1L, "2024-01-01 00:00:00", Option("a"), 1L),

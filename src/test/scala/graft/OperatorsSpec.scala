@@ -452,6 +452,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(e.getMessage.contains("order-dependent"))
   }
 
+  test("trailingAgg closed='right' matches trailingAtSpine at observation instants (horizon-edge event)") {
+    import spark.implicits._
+    // 01-08 sits EXACTLY 7d after 01-01: inclusive [t-7d, t] counts it,
+    // half-open (t-7d, t] does not — the convention skew ADVICE flagged
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 10L),
+      (1L, "2024-01-08 00:00:00", 20L)
+    ).toDF("ent", "t", "v")
+      .select(col("ent"), col("t").cast("timestamp").as("t"), col("v"))
+    val aggs = Seq(graft.ts.Rolling.Agg("*", "count"), graft.ts.Rolling.Agg("v", "sum"))
+    val both = graft.ts.Rolling.trailingAgg(df, "ent", "t", "7d", aggs)
+      .orderBy(col("t")).collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(both.toSeq == Seq((1L, 10L), (2L, 30L)), "default stays pandas-inclusive")
+    val right = graft.ts.Rolling.trailingAgg(df, "ent", "t", "7d", aggs, closed = "right")
+      .orderBy(col("t")).collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(right.toSeq == Seq((1L, 10L), (1L, 20L)), "closed='right' excludes the edge")
+    // and that equals trailingAtSpine probed at the observation instants
+    val spine = df.select(col("ent"), col("t"))
+    val atSpine = graft.ts.Rolling.trailingAtSpine(spine, df, "ent", "t", "7d", aggs)
+      .orderBy(col("t")).collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(atSpine.toSeq == right.toSeq,
+      "the two trailing APIs must agree under the half-open convention")
+    graft.CacheScope.release()
+    intercept[IllegalArgumentException](
+      graft.ts.Rolling.trailingAgg(df, "ent", "t", "7d", aggs, closed = "left"))
+  }
+
   test("trailingAtSpine: events age OUT between observations; boundary is half-open") {
     import spark.implicits._
     val obs = Seq(

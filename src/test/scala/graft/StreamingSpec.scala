@@ -182,6 +182,38 @@ class StreamingSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("embNearDup stream: batch-0 crash-retry (store dir exists, only own batch) cold-starts, never wedges") {
+    import org.apache.spark.sql.functions._
+    // simulate batch 0 crashing AFTER its store append but BEFORE the
+    // checkpoint commit: on retry the store root exists but holds ONLY the
+    // batch's own dir. Pre-fix, the replay deleted the own dir and then
+    // gated incremental-vs-cold on bare dir existence — reading an empty
+    // store root throws schema inference and wedges the stream forever.
+    val root = tmpDir("embretry")
+    val (src, out, cp, store) =
+      (s"$root/src", s"$root/out", s"$root/cp", s"$root/store")
+    val e = Tables.embeddings(spark, dir).where(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    e.repartition(1).write.mode("append").parquet(src)
+    // the half-committed own dir of the crashed first attempt
+    e.limit(5).write.parquet(s"$store/batch=b0")
+    val stream = spark.readStream.schema(e.schema).parquet(src)
+    graft.streaming.StreamingOps.embNearDupAvailableNow(
+      stream, "vec_id", "embedding", store, out, cp, minCosine = 0.4)
+      .awaitTermination()
+    // drained pairs == the one-shot batch pairs (cold start, no self-pairs)
+    val got = spark.read.parquet(out)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = graft.operators.SimilarityOps.cosineNearDupPairs(
+        e, "vec_id", "embedding", 0.4)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == oneShot, "crash-retry cold start must equal a clean first run")
+    assert(got.forall { case (a, b) => a != b }, "no self-pairs from the stale own dir")
+    graft.CacheScope.release()
+  }
+
   test("live-tail incremental dedup: processing-time trigger, cache scope drains per batch") {
     import org.apache.spark.sql.functions._
     val root = tmpDir("livetail")
