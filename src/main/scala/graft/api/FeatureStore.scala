@@ -245,9 +245,7 @@ class FeatureStore(
     // balance, never answers)
     val memoKey = s"align|$how|${frames.map(_._1).mkString(",")}|$from|$to|$freq|$timeTravel"
     if (how == "interp")
-      Align.alignInterp(TimeCol, frames,
-        memoFwd = Some(cutsMemoFor(s"$memoKey|fwd")),
-        memoBwd = Some(cutsMemoFor(s"$memoKey|bwd")))
+      Align.alignInterp(TimeCol, frames, memo = Some(cutsMemoFor(memoKey)))
     else
       Align.alignOuter(TimeCol, frames, memo = Some(cutsMemoFor(memoKey)))
   }
@@ -312,9 +310,7 @@ class FeatureStore(
       s"$ns/$n" -> loadOne(f, None, None, None, timeTravel, Set.empty, memo)
     }
     val key = s"asofinterp|${frames.map(_._1).mkString(",")}|$timeTravel"
-    Align.asOfJoinInterp(spine, TimeCol, frames,
-      memoFwd = Some(cutsMemoFor(s"$key|fwd")),
-      memoBwd = Some(cutsMemoFor(s"$key|bwd")))
+    Align.asOfJoinInterp(spine, TimeCol, frames, memo = Some(cutsMemoFor(key)))
   }
 
   /** Recursive, cycle-checked feature load (T2 — reference

@@ -213,17 +213,28 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
     freq match {
       case None => dedupLatest(scanned).select(TimeCol, ValueCol)
       case Some(fr) =>
+        val memo = cutsMemoFor(s"$namespace/$name|$from|$to|$fr|$timeTravel|$how")
         // spine needs concrete bounds; default to data min/max like the
         // reference (src/qafs/backend/pandas.py:151-154). When bounds must
         // be computed, persist the scan+dedup frame FIRST so the bounds
         // job materializes the same cache the fill reads — one evaluation
-        // of the storage pipeline instead of two.
+        // of the storage pipeline instead of two — and compute the fill's
+        // quantile CUTS in the SAME aggregation (seeded into the memo), so
+        // the bounds probe and the cuts job are ONE driver action, not
+        // two, even on the first read. Bounds are semantics (the grid
+        // extent) and are recomputed per read; only the cuts — pure
+        // load-balancing hints — are memoized.
         val (deduped, bounds) = (from, to) match {
           case (Some(a), Some(b)) =>
             (dedupLatest(scanned), Some((a, if (b.before(a)) a else b)))
           case _ =>
             val cached = graft.CacheScope.persist(dedupLatest(scanned))
-            val r = cached.agg(min(TimeCol), max(TimeCol)).head()
+            val us = unix_micros(col(TimeCol))
+            val nb = spark.sparkContext.defaultParallelism
+            val probs = (1 until nb).map(_.toDouble / nb)
+            val r = cached.agg(min(TimeCol), max(TimeCol),
+              percentile_approx(us, array(probs.map(lit): _*), lit(1000))).head()
+            if (!r.isNullAt(0)) memo.seed(r.getSeq[Long](2))
             (cached,
               if (r.isNullAt(0)) None
               else Some((from.getOrElse(r.getTimestamp(0)), to.getOrElse(r.getTimestamp(1)))))
@@ -232,14 +243,11 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
           case None => deduped.select(TimeCol, ValueCol) // empty feature
           case Some((a, b)) if how == "interp" =>
             Align.resampleInterp(deduped.select(TimeCol, ValueCol), TimeCol, Seq(ValueCol),
-              a, b, TimeUtil.parseMicros(fr),
-              memoFwd = Some(cutsMemoFor(s"$namespace/$name|$from|$to|$fr|$timeTravel|if")),
-              memoBwd = Some(cutsMemoFor(s"$namespace/$name|$from|$to|$fr|$timeTravel|ib")))
+              a, b, TimeUtil.parseMicros(fr), memo = Some(memo))
               .select(TimeCol, ValueCol)
           case Some((a, b)) =>
             Align.resampleFfill(deduped.select(TimeCol, ValueCol), TimeCol, Seq(ValueCol),
-              a, b, TimeUtil.parseMicros(fr),
-              memo = Some(cutsMemoFor(s"$namespace/$name|$from|$to|$fr|$timeTravel")))
+              a, b, TimeUtil.parseMicros(fr), memo = Some(memo))
               .select(TimeCol, ValueCol)
         }
     }

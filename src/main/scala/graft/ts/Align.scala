@@ -24,7 +24,13 @@ object Align {
     * common production access pattern.
     */
   final class CutsMemo {
-    @volatile private[Align] var cuts: Option[Seq[Long]] = None
+    @volatile private[graft] var cuts: Option[Seq[Long]] = None
+    /** Seed cuts computed OUTSIDE the fill (e.g. fused into a bounds probe
+      * that was running anyway) so even the FIRST fill pass skips its cuts
+      * job. Never overwrites an existing memo.
+      */
+    private[graft] def seed(cs: Seq[Long]): Unit =
+      if (cuts.isEmpty) cuts = Some(cs.distinct.sorted)
   }
 
   /** Forward-fill (LOCF) of `valueCols` ordered by `timeCol`.
@@ -81,16 +87,19 @@ object Align {
     * holds are what the ffill flavor is for). Interpolated columns come
     * back as DOUBLE.
     *
-    * Scale shape: two [[ffill]]-style quantile-bucketed prefix scans — one
-    * forward carrying each column's last (t, v) observation struct, one on
-    * a REVERSED time axis carrying the next — then one equi-join of the
-    * two grid projections on the grid instant. No global-sort window at
-    * any size, same as every time-axis operator here.
+    * Scale shape: ONE fused bidirectional quantile-bucketed prefix scan
+    * ([[biFill]]) — the forward direction carries each column's last
+    * (t, v) observation struct, the backward one the next — one cache,
+    * one carries aggregate, one bucket exchange with two window sorts,
+    * and the interpolation projects in place (no fwd⋈bwd grid join). No
+    * global-sort window at any size, same as every time-axis operator
+    * here. The (time, __spine) secondary order — ascending forward,
+    * descending backward — makes an observation AT the grid instant
+    * visible from both directions, so t0 == t1 == g there.
     */
   def resampleInterp(df: DataFrame, timeCol: String, valueCols: Seq[String],
       from: java.sql.Timestamp, to: java.sql.Timestamp, freqMicros: Long,
-      memoFwd: Option[CutsMemo] = None,
-      memoBwd: Option[CutsMemo] = None): DataFrame = {
+      memo: Option[CutsMemo] = None): DataFrame = {
     require(freqMicros > 0, "resample frequency must be positive")
     val spark = df.sparkSession
     val us = unix_micros(col(timeCol))
@@ -103,24 +112,15 @@ object Align {
         df.schema(c).dataType).as(c)) :+ col("__spine")): _*)
       .unionByName(data)
     // per-column observation structs: only DATA rows carry (t, v)
-    def withObs(prefix: String) = unioned.select(
-      (col(timeCol) +: col("__spine") +: valueCols.map(c =>
-        when(col("__spine") === 0 && col(c).isNotNull,
-          struct(us.as("t"), col(c).as("v"))).as(s"$prefix$c"))): _*)
-    val fwd = ffillOrdered(withObs("__p_"), timeCol,
-        Seq(col(timeCol), col("__spine")), valueCols.map(c => s"__p_$c"),
-        memo = memoFwd)
-      .where(col("__spine") === 1)
-      .select((col(timeCol) +: valueCols.map(c => col(s"__p_$c"))): _*)
-    // the backward pass is the forward pass on a reversed axis: the same
-    // (axis, __spine) secondary order makes an observation AT the grid
-    // instant visible from both directions, so t0 == t1 == g there
-    val bwd = ffillOrdered(
-        withObs("__n_").withColumn("__rt", timestamp_micros(-us)),
-        "__rt", Seq(col("__rt"), col("__spine")), valueCols.map(c => s"__n_$c"),
-        memo = memoBwd)
-      .where(col("__spine") === 1)
-      .select((col(timeCol) +: valueCols.map(c => col(s"__n_$c"))): _*)
+    val seeded = unioned.select(
+      col(timeCol) +: col("__spine") +: valueCols.flatMap { c =>
+        val obs = when(col("__spine") === 0 && col(c).isNotNull,
+          struct(us.as("t"), col(c).as("v")))
+        Seq(obs.as(s"__p_$c"), obs.as(s"__n_$c"))
+      }: _*)
+    val both = biFill(seeded, timeCol, Some("__spine"),
+      valueCols.map(c => s"__p_$c"), valueCols.map(c => s"__n_$c"),
+      memo = memo)
     val g = unix_micros(col(timeCol))
     val outCols = valueCols.map { c =>
       val p = col(s"__p_$c"); val n = col(s"__n_$c")
@@ -131,7 +131,8 @@ object Align {
         .otherwise(v0 + (v1 - v0) *
           ((g - t0).cast("double") / (t1 - t0).cast("double"))).as(c)
     }
-    fwd.join(bwd, Seq(timeCol)).select((col(timeCol) +: outCols): _*)
+    both.where(col("__spine") === 1)
+      .select((col(timeCol) +: outCols): _*)
   }
 
   /** Point-in-time (as-of) join of N value frames onto an ARBITRARY spine of
@@ -288,16 +289,18 @@ object Align {
     * signal is continuous (sensor readings, prices) and a stale LOCF
     * carry would bias the training set.
     *
-    * Scale shape: the [[alignOuter]] stack + the spine union ride TWO
-    * sequential quantile-bucketed prefix scans (forward last-obs struct,
-    * reversed-axis next-obs) exactly like [[alignInterp]] — spine rows
-    * carry a tag through both passes and filter out at the end; no grid
-    * join, no global-sort window.
+    * Scale shape: the [[alignOuter]] stack + the spine union ride ONE
+    * fused bidirectional quantile-bucketed prefix scan ([[biFill]]:
+    * forward last-obs struct, backward next-obs — one cache, one carries
+    * aggregate, one bucket exchange) — spine rows carry a tag through the
+    * pass and filter out at the end; no grid join, no global-sort window.
+    * The (time, __spine) tie order — data before spine forward, spine
+    * before data backward — makes an observation AT a spine instant
+    * visible from both directions.
     */
   def asOfJoinInterp(spine: DataFrame, timeCol: String,
       frames: Seq[(String, DataFrame)],
-      memoFwd: Option[CutsMemo] = None,
-      memoBwd: Option[CutsMemo] = None): DataFrame = {
+      memo: Option[CutsMemo] = None): DataFrame = {
     require(frames.nonEmpty, "asOfJoinInterp needs at least one frame")
     val names = frames.map(_._1)
     val wide = alignOuter(timeCol, frames, doFfill = false)
@@ -315,19 +318,8 @@ object Align {
         struct(us.as("t"), col(c).as("v")))
       d.withColumn(s"__p_$c", obs).withColumn(s"__n_$c", obs)
     }
-    // data rows order before spine at equal instants on the forward axis
-    // (and after on the reversed axis via the same ordering column), so
-    // an observation AT a spine instant is seen from both directions
-    val fwd = ffillOrdered(seeded, timeCol,
-      Seq(col(timeCol), col("__spine")), names.map(c => s"__p_$c"),
-      memo = memoFwd)
-    // same (axis, __spine) secondary order on the reversed axis: data rows
-    // still precede spine rows at equal instants, so the spine sees an
-    // observation AT its own instant from this direction too
-    val both = ffillOrdered(
-      fwd.withColumn("__rt", timestamp_micros(-us)),
-      "__rt", Seq(col("__rt"), col("__spine")), names.map(c => s"__n_$c"),
-      memo = memoBwd)
+    val both = biFill(seeded, timeCol, Some("__spine"),
+      names.map(c => s"__p_$c"), names.map(c => s"__n_$c"), memo = memo)
     val g = unix_micros(col(timeCol))
     val outCols = names.map { c =>
       val p = col(s"__p_$c"); val n = col(s"__n_$c")
@@ -471,24 +463,66 @@ object Align {
       .select((keys.map(col) :+ col(timeCol)) ++ spineCols.map(col) ++ outCols: _*)
   }
 
+  /** Bucket boundaries from approximate time QUANTILES, not uniform range
+    * splits: under event-time skew (90% of rows in one hour of a 2-year
+    * span) uniform buckets funnel the hot mass through ONE window
+    * partition. Accuracy 1000 is plenty: the cuts are load-balancing
+    * hints, not semantics (any monotone bucketing is correct). A memo hit
+    * skips this job entirely — this is the ONLY driver action left in the
+    * fill machinery. Returns None on empty input with no memo.
+    */
+  private def bucketCuts(cached: DataFrame, us: Column, nb: Int,
+      memo: Option[CutsMemo]): Option[Seq[Long]] =
+    memo.flatMap(_.cuts).orElse {
+      val probs = (1 until nb).map(_.toDouble / nb)
+      val r = cached.agg(min(us).as("lo"),
+        percentile_approx(us, array(probs.map(lit): _*), lit(1000)).as("cuts")).head()
+      if (r.isNullAt(0)) None
+      else {
+        val cs = r.getSeq[Long](1).distinct.sorted
+        memo.foreach(_.cuts = Some(cs))
+        Some(cs)
+      }
+    }
+
+  /** Monotone codegen'd bucket id: #cuts <= t (equal times → equal
+    * bucket). A null time has no defined fill order — it fails LOUDLY
+    * in-plan (there is no driver materialization left to check it on).
+    */
+  private def bucketCol(us: Column, cuts: Seq[Long], timeCol: String): Column = {
+    val bucketOf = cuts.zipWithIndex.reverse.foldLeft(lit(cuts.length.toLong): Column) {
+      case (acc, (c, i)) => when(us < lit(c), lit(i.toLong)).otherwise(acc)
+    }
+    when(us.isNull, raise_error(lit(
+      s"ffill: rows with null '$timeCol' cannot be ordered — filter them upstream"))
+      .cast("bigint"))
+      .otherwise(bucketOf)
+  }
+
   /** Generalized bucketed forward-fill with a compound ordering (e.g.
     * `(time, is_spine)` so data rows precede spine rows at equal
-    * timestamps). The two-pass parallel-prefix shape:
+    * timestamps). The two-pass parallel-prefix shape, ENTIRELY in one
+    * Catalyst plan:
     *
-    *  1. persist the input (MEMORY_AND_DISK — reclaimed by the
-    *     ContextCleaner once the result plan is unreachable), so the three
-    *     required reads (bounds, carries, fill) evaluate the upstream ONCE;
-    *  2. QUANTILE-bucket rows by time (boundaries from percentile_approx,
-    *     computed in the same job as the bounds — skew-robust: every
-    *     bucket holds ≈1/nb of the rows whatever the time distribution);
-    *     carry-out per bucket is derived by a plain aggregation —
-    *     `max(struct(order..., c))` over non-null rows — NOT a second
-    *     window pass;
-    *  3. prefix-scan the O(buckets) carries on the driver, broadcast the
-    *     carry-ins back, intra-bucket window-fill, coalesce.
+    *  1. persist the input (MEMORY_AND_DISK — released by CacheScope), so
+    *     the carries and fill subtrees evaluate the upstream ONCE;
+    *  2. QUANTILE-bucket rows by time ([[bucketCuts]] — a driver action
+    *     only on a memo miss); carry-out per bucket is a plain aggregation
+    *     — `max(struct(order..., c))` over non-null rows — NOT a window;
+    *  3. carry-IN of bucket b = last non-null carry-out over buckets < b:
+    *     a prefix window over the O(buckets)-row aggregate (single
+    *     partition of ≈#parallelism rows — trivially small), BROADCAST
+    *     back and coalesced under the intra-bucket window fill.
     *
-    * Cost at any data size: one upstream evaluation + one small shuffle +
-    * one broadcast of #buckets rows.
+    * The prefix scan used to be a driver-side collect + loop; in-plan it
+    * costs the same tiny rows but ZERO extra driver actions — on a memo
+    * hit the whole fill is ONE action (the consumer's), which at the
+    * ~0.2-0.3 s-per-action local floor is the difference between a
+    * 0.3 s and a 0.9 s feature-store read, and on a real cluster removes
+    * two plan→schedule→collect round-trips per read.
+    *
+    * Cost at any data size: one upstream evaluation + one bucket-key
+    * shuffle + one broadcast of #buckets rows.
     */
   private def ffillOrdered(df: DataFrame, timeCol: String, order: Seq[Column],
       valueCols: Seq[String], buckets: Int = 0,
@@ -500,79 +534,109 @@ object Align {
     // ContextCleaner otherwise reclaims it only once the plan is unreachable)
     val cached = graft.CacheScope.persist(df)
     val us = unix_micros(col(timeCol))
-
-    // bucket boundaries from approximate time QUANTILES, not uniform range
-    // splits: under event-time skew (90% of rows in one hour of a 2-year
-    // span) uniform buckets funnel the hot mass through ONE window
-    // partition. percentile_approx rides the SAME single aggregation job
-    // that was already computing the bounds — no extra pass. A memo hit
-    // skips this job entirely (see [[CutsMemo]]: reuse is correctness-free,
-    // the carries/fill below never assume cuts match the data).
-    val memoized = memo.flatMap(_.cuts)
-    val computed = if (memoized.isDefined) None else Some {
-      val probs = (1 until nb).map(_.toDouble / nb)
-      // accuracy 1000 is plenty: the cuts are load-balancing hints, not
-      // semantics (any monotone bucketing is correct); higher accuracy just
-      // taxes the aggregation
-      cached.agg(min(us).as("lo"),
-        percentile_approx(us, array(probs.map(lit): _*), lit(1000)).as("cuts")).head()
+    val cuts = bucketCuts(cached, us, nb, memo) match {
+      case None => cached.unpersist(false); return df // empty input
+      case Some(cs) => cs
     }
-    if (computed.exists(_.isNullAt(0))) { cached.unpersist(false); return df } // empty input
-    val cuts = memoized.getOrElse {
-      val cs = computed.get.getSeq[Long](1).distinct.sorted
-      memo.foreach(_.cuts = Some(cs))
-      cs
-    }
-    // monotone codegen'd bucket id: #cuts <= t (equal times → equal bucket);
-    // null time stays a null bucket so the guard below still fires
-    val bucketOf = cuts.zipWithIndex.reverse.foldLeft(lit(cuts.length.toLong): Column) {
-      case (acc, (c, i)) => when(us < lit(c), lit(i.toLong)).otherwise(acc)
-    }
-    val withB = cached.withColumn("__b", when(us.isNull, lit(null)).otherwise(bucketOf))
+    val withB = cached.withColumn("__b", bucketCol(us, cuts, timeCol))
 
     // carry-out per bucket per column: the column value on the last
     // (by `order`) row where it is non-null — an aggregation, not a window
     val carryAggs = valueCols.map { c =>
       max(when(col(c).isNotNull, struct((order :+ col(c).as("__v")): _*))).as(s"__s_$c")
     }
-    val carryRows: Array[Row] = {
-      val rows = withB.groupBy(col("__b"))
-        .agg(carryAggs.head, carryAggs.tail: _*).collect()
-      // a null time yields a null bucket — such rows have no defined fill
-      // order; fail loudly instead of NPE-ing in the sort below
-      if (rows.exists(_.isNullAt(0)))
-        throw new IllegalArgumentException(
-          s"ffill: rows with null '$timeCol' cannot be ordered — filter them upstream")
-      rows.sortBy(_.getLong(0))
-    }
+    val carries = withB.groupBy(col("__b")).agg(carryAggs.head, carryAggs.tail: _*)
+    // in-plan prefix scan over ≤ #buckets rows (the single-partition window
+    // is exactly the right tool at this cardinality)
+    val wPrev = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = carries.select(
+      col("__b") +: valueCols.map(c =>
+        last(col(s"__s_$c"), ignoreNulls = true).over(wPrev)
+          .getField("__v").as(s"__carry_$c")): _*)
 
-    // driver prefix scan: carry-in of bucket b = last non-null over buckets < b
-    val running = scala.collection.mutable.Map[String, Any]()
-    val carryIn = scala.collection.mutable.ArrayBuffer[Row]()
-    carryRows.foreach { r =>
-      val b = r.getLong(0)
-      carryIn += Row.fromSeq(b +: valueCols.indices.map(i => running.getOrElse(valueCols(i), null)))
-      valueCols.zipWithIndex.foreach { case (c, i) =>
-        val s = r.getStruct(i + 1)
-        if (s != null) running(c) = s.get(s.size - 1)
-      }
-    }
-    val carrySchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("__b", org.apache.spark.sql.types.LongType) +:
-        valueCols.map(c => df.schema(c).copy(name = s"__carry_$c", nullable = true)))
-    val carryDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(carryIn.toSeq, 1), carrySchema)
-
-    // intra-bucket fill + carry-in coalesce
+    // intra-bucket fill + broadcast carry-in coalesce
     val w = Window.partitionBy(col("__b")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = valueCols.foldLeft(withB) { (d, c) =>
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
-    val joined = filled.join(broadcast(carryDf), Seq("__b"), "left")
+    val joined = filled.join(broadcast(carryIn), Seq("__b"), "left")
     valueCols.foldLeft(joined) { (d, c) =>
       d.withColumn(c, coalesce(col(c), col(s"__carry_$c")))
     }.drop("__b").drop(valueCols.map(c => s"__carry_$c"): _*)
+  }
+
+  /** One-pass BIDIRECTIONAL bucketed fill: `fwdCols` forward-fill (LOCF)
+    * and `bwdCols` backward-fill (NOCB, reading direction reversed) over
+    * the SAME quantile bucketing — one cache, ONE carries aggregate
+    * computing both directions' bucket edges, one bucket-key exchange
+    * carrying two window sorts, and both carry-ins from the same
+    * broadcast. Replaces the old chained two-pass shape (two caches, two
+    * cuts jobs, two carry collects, and — on the grid path — a fwd⋈bwd
+    * join); the fusion is what VERDICT r6 priced as the remaining
+    * read-path action count.
+    *
+    * `tie` (the spine flag) breaks equal-time order: ascending on the
+    * forward axis (data rows sort before spine rows, so a spine row sees
+    * an observation AT its instant) and DESCENDING on the backward one
+    * (spine rows sort before data rows, so the same observation is
+    * visible from the other side too). With `tie = None` the time axis
+    * must be unique (the aligned-union case).
+    */
+  private def biFill(df: DataFrame, timeCol: String, tie: Option[String],
+      fwdCols: Seq[String], bwdCols: Seq[String], buckets: Int = 0,
+      memo: Option[CutsMemo] = None): DataFrame = {
+    val spark = df.sparkSession
+    val nb = if (buckets > 0) buckets else spark.sparkContext.defaultParallelism
+    val cached = graft.CacheScope.persist(df)
+    val us = unix_micros(col(timeCol))
+    val cuts = bucketCuts(cached, us, nb, memo) match {
+      case None => cached.unpersist(false); return df // empty input
+      case Some(cs) => cs
+    }
+    val withB = cached.withColumn("__b", bucketCol(us, cuts, timeCol))
+    val ordFwd = col(timeCol) +: tie.map(col).toSeq
+    val ordBwd = col(timeCol) +: tie.map(t => col(t).desc).toSeq
+    // both directions' carry-outs in ONE aggregate: fwd = value on the
+    // LAST (time, tie asc) non-null row = max struct; bwd = value on the
+    // FIRST (time, tie desc) non-null row = min struct over (time, -tie)
+    val aggs =
+      fwdCols.map(c => max(when(col(c).isNotNull, struct(
+        (ordFwd :+ col(c).as("__v")): _*))).as(s"__s_$c")) ++
+      bwdCols.map(c => min(when(col(c).isNotNull, struct(
+        (col(timeCol) +: tie.map(t => (-col(t)).as("__td")).toSeq :+
+          col(c).as("__v")): _*))).as(s"__e_$c"))
+    val carries = withB.groupBy(col("__b")).agg(aggs.head, aggs.tail: _*)
+    val wPrev = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.orderBy(col("__b"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carryIn = carries.select(
+      col("__b") +:
+        (fwdCols.map(c => last(col(s"__s_$c"), ignoreNulls = true).over(wPrev)
+          .getField("__v").as(s"__cp_$c")) ++
+         bwdCols.map(c => first(col(s"__e_$c"), ignoreNulls = true).over(wNext)
+          .getField("__v").as(s"__cn_$c"))): _*)
+    // two window sorts over ONE bucket exchange (same partitioning key)
+    val wF = Window.partitionBy(col("__b")).orderBy(ordFwd: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wB = Window.partitionBy(col("__b")).orderBy(ordBwd: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filledF = fwdCols.foldLeft(withB) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(wF))
+    }
+    val filled = bwdCols.foldLeft(filledF) { (d, c) =>
+      d.withColumn(c, first(col(c), ignoreNulls = true).over(wB))
+    }
+    val joined = filled.join(broadcast(carryIn), Seq("__b"), "left")
+    val coalescedF = fwdCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), col(s"__cp_$c")))
+    }
+    bwdCols.foldLeft(coalescedF) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), col(s"__cn_$c")))
+    }.drop("__b")
+      .drop(fwdCols.map(c => s"__cp_$c") ++ bwdCols.map(c => s"__cn_$c"): _*)
   }
 
   /** Above this many frames (with one common value dtype), [[alignOuter]]
@@ -633,17 +697,15 @@ object Align {
     * that is what the ffill flavor holds for). All feature columns come
     * back DOUBLE.
     *
-    * Scale shape: the [[alignOuter]] join (or wide stack-pivot), then TWO
-    * sequential quantile-bucketed prefix scans over the aligned frame —
-    * forward carrying each column's last (t, v) observation struct,
-    * backward (reversed axis) carrying the next. No per-column branch, no
-    * grid join ([[resampleInterp]] joins because each pass filters to
-    * spine rows; here every union row is output, so the passes chain), no
-    * global-sort window at any size.
+    * Scale shape: the [[alignOuter]] join (or wide stack-pivot), then ONE
+    * fused bidirectional quantile-bucketed prefix scan over the aligned
+    * frame ([[biFill]]) — forward carrying each column's last (t, v)
+    * observation struct, backward carrying the next; one cache, one
+    * carries aggregate, one bucket exchange. No per-column branch, no
+    * grid join, no global-sort window at any size.
     */
   def alignInterp(timeCol: String, frames: Seq[(String, DataFrame)],
-      memoFwd: Option[CutsMemo] = None,
-      memoBwd: Option[CutsMemo] = None): DataFrame = {
+      memo: Option[CutsMemo] = None): DataFrame = {
     require(frames.nonEmpty, "alignInterp needs at least one frame")
     val names = frames.map(_._1)
     val wide = alignOuter(timeCol, frames, doFfill = false)
@@ -654,10 +716,8 @@ object Align {
     }
     // union times are unique (the outer join / pivot keys on the instant),
     // so the axis alone is a total order — no tie-break column needed
-    val fwd = ffillOrdered(seeded, timeCol, Seq(col(timeCol)),
-      names.map(c => s"__p_$c"), memo = memoFwd)
-    val both = ffillOrdered(fwd.withColumn("__rt", timestamp_micros(-us)),
-      "__rt", Seq(col("__rt")), names.map(c => s"__n_$c"), memo = memoBwd)
+    val both = biFill(seeded, timeCol, None,
+      names.map(c => s"__p_$c"), names.map(c => s"__n_$c"), memo = memo)
     val g = unix_micros(col(timeCol))
     val outCols = names.map { c =>
       val p = col(s"__p_$c"); val n = col(s"__n_$c")

@@ -22,8 +22,15 @@ class AlignSpec extends SparkTestBase {
   test("ffill fails loudly on null time rows instead of NPE") {
     val df = seriesDf(Seq("2021-01-01" -> 1.0))
       .unionByName(spark.sql("SELECT CAST(NULL AS TIMESTAMP) time, 2.0 value"))
-    intercept[IllegalArgumentException](
+    // the guard is plan-side now (raise_error in the bucket projection —
+    // no driver materialization exists to check on), so it surfaces as a
+    // Spark execution failure carrying the message
+    val e = intercept[Exception](
       Align.ffill(df, "time", Seq("value"), buckets = 2).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null 'time'")),
+      s"expected the null-time message, got: ${msgs(e).mkString(" | ")}")
   }
 
   test("bucketed ffill == global-window ffill on random data") {

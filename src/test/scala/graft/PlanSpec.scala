@@ -125,4 +125,44 @@ class PlanSpec extends SparkTestBase {
     // cartesian of two unbounded sides
     assert(!plan("ann_ivf_topk").contains("CartesianProduct"))
   }
+
+  test("read-path action count: memoized resample/as-of fills run as ONE driver action (few jobs)") {
+    // The VERDICT r6 contract: the carry prefix scan is in-plan (a window
+    // over the O(buckets) carries aggregate, broadcast back), so on a cuts
+    // memo HIT the whole fill costs the consumer's single action. Count
+    // Spark jobs around the second (memo-hit) run — a regression back to
+    // driver-side carries or chained interp passes adds 2+ jobs per read
+    // and fails this ceiling.
+    val fs = Fixtures.store(spark, dir)
+    def countJobs(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(200) } // let the listener bus drain
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    def resample(how: String) = fs.storage.load("events", "click",
+      from = Some(ts("2024-01-01 00:00:00")), to = Some(ts("2024-01-08 00:00:00")),
+      freq = Some("2h"), how = how).count()
+    def spineInterp() = {
+      val spine = spark.range(0, 50).select(
+        org.apache.spark.sql.functions.expr(
+          "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,cast(id*7 as int),0,0)")
+          .as("time"),
+        org.apache.spark.sql.functions.col("id").as("spine_id"))
+      fs.loadFeaturesAsOfInterp(spine, Seq("events/click", "events/purchase")).count()
+    }
+    resample("ffill"); resample("interp"); spineInterp() // warm the memos
+    // memo-hit ceilings: 1 action = main job + its broadcast-subtree job
+    // (+1 slack for an AQE stage job); the old shape cost 3-5 here
+    assert(countJobs(resample("ffill")) <= 3, "resample ffill: too many jobs on a memo hit")
+    assert(countJobs(resample("interp")) <= 3, "resample interp: too many jobs on a memo hit")
+    assert(countJobs(spineInterp()) <= 3, "as-of spine interp: too many jobs on a memo hit")
+    graft.CacheScope.release()
+  }
 }
