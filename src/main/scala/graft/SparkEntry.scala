@@ -1148,18 +1148,17 @@ object SparkEntry {
     "stream_clusters" -> ((s, dir) =>
       operators.DedupOps.loadClusterLabels(s, Fixtures.streamClustersPath(s, dir))),
 
-    // keep-BEST-quality representative per near-dup cluster (same pair
-    // fixture as dedup_clusters, quality = n_chars, ties to min id);
-    // singletons keep themselves
-    "dedup_cluster_keep" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val stars = d.where(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id").as("id_a"), (col("doc_id") - col("doc_id") % 7).as("id_b"))
-      val bridges = d.where(col("doc_id") % 21 === 0 && col("doc_id") > 0)
-        .select(col("doc_id").as("id_a"), (col("doc_id") - 1).as("id_b"))
-      operators.DedupOps.clusterKeepBest(d, "doc_id", "n_chars",
-        stars.union(bridges), "id_a", "id_b")
-    }),
+    // keep-BEST-quality representative per near-dup cluster (quality =
+    // n_chars, ties to min id; singletons keep themselves) — served from
+    // the PERSISTED cluster-label store's latest-wins view (the store
+    // maintains the same %7/%21 graph; its view == one-shot CC is itself
+    // gated by dedup_clusters_incremental), so this gate measures the
+    // keep-best selection, not a re-clustering of edges the store already
+    // labeled — the production curation shape
+    "dedup_cluster_keep" -> ((s, dir) =>
+      operators.DedupOps.clusterKeepBestFromLabels(Tables.documents(s, dir),
+        "doc_id", "n_chars",
+        operators.DedupOps.loadClusterLabels(s, Fixtures.clusterStorePath(s, dir)))),
 
     // cluster-balanced diversity sampling: equal md5-slot quota from each
     // semantic k-means cell (the IVF coarse quantizer's assignment)
