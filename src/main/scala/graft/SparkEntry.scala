@@ -1615,6 +1615,31 @@ object SparkEntry {
         operators.MultimodalOps.syntheticAudioTable(
           Tables.documents(s, dir), "doc_id"))
         .toDF().orderBy(col("id"))),
+
+    // multimodal: REAL video decode — executor-generated RIFF/AVI
+    // containers (in-engine muxer, public chunk arithmetic) holding
+    // Motion-PNG frames whose pixels are the closed form
+    // ((id + f·1000003)·31 + x·7 + y·13 + c·101) mod 256; the in-engine
+    // demuxer walks the movi list and javax.imageio decodes each frame.
+    // PNG frames are lossless, so the oracle reproduces every frame's
+    // decoded channel sums arithmetically. First 120 docs: the per-row
+    // cost is frames × pixels, and 120 clips exercise every (dims,
+    // frame-count) residue class
+    "mm_video_stats" -> ((s, dir) =>
+      operators.MultimodalOps.decodeVideoStats(
+        operators.MultimodalOps.syntheticVideoTable(
+          Tables.documents(s, dir).where(col("doc_id") < 120), "doc_id"))
+        .toDF().orderBy(col("id"), col("frame"), col("channel"))),
+
+    // multimodal: video frame SAMPLING — decode only every 2nd frame (the
+    // training-pipeline pre-processing shape); same oracle filtered to the
+    // sampled frame indices
+    "mm_video_sample" -> ((s, dir) =>
+      operators.MultimodalOps.decodeVideoStats(
+        operators.MultimodalOps.syntheticVideoTable(
+          Tables.documents(s, dir).where(col("doc_id") < 120), "doc_id"),
+        stride = 2)
+        .toDF().orderBy(col("id"), col("frame"), col("channel"))),
   )
 
   /** Fixture + load for the `serialized` drift feature: 500 struct values,
@@ -4573,6 +4598,45 @@ object SparkEntry {
            CAST(sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) != (pv >= 0))
                          THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
          FROM z GROUP BY 1 ORDER BY 1""",
+
+    // REAL video decode: the synthetic AVIs carry 3 + id%4 Motion-PNG
+    // frames of the image formula with the id shifted by frame·1000003;
+    // PNG frames are lossless, so every decoded channel sum equals the
+    // closed form. Duck's % follows the sign of the dividend, but every
+    // term here is non-negative, so no adjustment is needed.
+    "mm_video_stats" ->
+      """WITH d AS (SELECT doc_id AS id, 8 + doc_id % 9 AS w,
+                      8 + (doc_id // 9) % 9 AS h, 3 + doc_id % 4 AS nf
+                    FROM documents WHERE doc_id < 120),
+         px AS (SELECT d.id, f, c,
+                  CAST(sum(((d.id + f*1000003)*31 + x*7 + y*13 + c*101) % 256)
+                    AS BIGINT) s
+                FROM d, unnest(range(0, nf)) tf(f), unnest(range(0, w)) tx(x),
+                     unnest(range(0, h)) ty(y), unnest(range(0, 3)) tc(c)
+                GROUP BY 1, 2, 3)
+         SELECT d.id, CAST(px.f AS BIGINT) AS frame,
+           CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+           CAST(px.c AS BIGINT) AS channel, px.s AS pix_sum
+         FROM d JOIN px ON px.id = d.id
+         ORDER BY 1, 2, 5""",
+
+    // video frame sampling: the same decode filtered to every 2nd frame
+    "mm_video_sample" ->
+      """WITH d AS (SELECT doc_id AS id, 8 + doc_id % 9 AS w,
+                      8 + (doc_id // 9) % 9 AS h, 3 + doc_id % 4 AS nf
+                    FROM documents WHERE doc_id < 120),
+         px AS (SELECT d.id, f, c,
+                  CAST(sum(((d.id + f*1000003)*31 + x*7 + y*13 + c*101) % 256)
+                    AS BIGINT) s
+                FROM d, unnest(range(0, nf)) tf(f), unnest(range(0, w)) tx(x),
+                     unnest(range(0, h)) ty(y), unnest(range(0, 3)) tc(c)
+                WHERE f % 2 = 0
+                GROUP BY 1, 2, 3)
+         SELECT d.id, CAST(px.f AS BIGINT) AS frame,
+           CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+           CAST(px.c AS BIGINT) AS channel, px.s AS pix_sum
+         FROM d JOIN px ON px.id = d.id
+         ORDER BY 1, 2, 5""",
 
     // approximate aggregates: the Spark side emits bound-check booleans
     // (sketch vs exact computed in the same query); the oracle recomputes

@@ -12,12 +12,17 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * actual compressed bytes. AUDIO decode is REAL too:
   * [[decodeAudioStats]] parses WAV containers with the JDK's
   * `javax.sound.sampled` and folds the 16-bit PCM stream into exact
-  * integer statistics. Only VIDEO remains STUBBED with a deterministic
-  * fake ([[MultimodalOps.fakeDecode]], a rolling hash of the bytes) because
-  * this environment ships no video codecs; the Spark-side plumbing —
-  * schema, partitioning, iterator-based batch processing, typed encoders —
-  * is identical for all three, so swapping the fake for a real codec call
-  * changes nothing else.
+  * integer statistics. VIDEO decode is REAL as of round 7:
+  * [[decodeVideoStats]] demuxes a RIFF/AVI container in-engine (public
+  * chunk arithmetic — no codec library needed for the container) and
+  * decodes each sampled frame as a self-contained still through
+  * `javax.imageio` — Motion-PNG for the lossless oracle-exact gate,
+  * Motion-JPEG byte-exactly through the same demux (spec-verified). The
+  * historical [[fakeDecode]] stays only as the oracle-expressible
+  * pseudo-feature path of `mm_decode_features`; no modality is stubbed
+  * anymore. The Spark-side plumbing — schema, partitioning,
+  * iterator-based batch processing, typed encoders — is identical for
+  * all three modalities.
   */
 object MultimodalOps {
 
@@ -66,7 +71,9 @@ object MultimodalOps {
     */
   def fakeDecode(bytes: Array[Byte], dims: Int,
       md: java.security.MessageDigest = java.security.MessageDigest.getInstance("MD5")): (Int, Int, Array[Double]) = {
-    // ??? real codec goes here; deterministic fake below
+    // real decodes live in decodeImageStats / decodeAudioStats /
+    // decodeVideoStats; this digest-based fake remains ONLY because it is
+    // oracle-expressible for the feature-vector plumbing gate
     val acc = new Array[Long](dims)
     val nBlocks = bytes.length / 64
     var i = 0
@@ -297,6 +304,285 @@ object MultimodalOps {
           }
           require(n > 0, s"decodeAudioStats: empty PCM payload for id=$id")
           AudioStats(id, n.toLong, sum, sumAbs, mn, mx, zc)
+        }
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL video path: RIFF/AVI container (public arithmetic — RIFF chunk
+  // grammar + the AVI main/stream headers) muxed and demuxed in-engine,
+  // each frame a self-contained still decoded by javax.imageio. PNG
+  // frames (fourcc MPNG, Motion-PNG) are lossless, so the decoded
+  // per-frame pixel statistics equal the synthesis formula and the gate
+  // oracle reproduces them arithmetically; MJPEG (fourcc MJPG) rides the
+  // SAME mux/demux byte-exactly — the container hands back each frame's
+  // payload untouched (spec-verified) — but JPEG's lossy round trip makes
+  // its pixel sums codec-dependent, so the oracle-exact gate uses MPNG.
+  // ---------------------------------------------------------------------
+
+  case class VideoStats(id: Long, frame: Long, width: Long, height: Long,
+      channel: Long, pix_sum: Long)
+  case class VideoFrame(id: Long, frame_idx: Long, frame_bytes: Array[Byte])
+
+  /** Synthetic clip length in frames: 3–6, id-derived. */
+  def synthFrameCount(id: Long): Int = 3 + ((id % 4 + 4) % 4).toInt
+
+  /** Frame f of video id reuses [[synthPixel]] with the id shifted by
+    * f·1000003 — closed form, so a SQL oracle reproduces every frame's
+    * decoded channel sums: v = ((id + f·1000003)·31 + x·7 + y·13 + c·101)
+    * mod 256 over the video's [[synthDims]] grid.
+    */
+  private def synthVideoPixel(id: Long, f: Int, x: Int, y: Int, c: Int): Int =
+    synthPixel(id + f * 1000003L, x, y, c)
+
+  private def writeLe32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+    o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+  }
+  private def writeFcc(o: java.io.ByteArrayOutputStream, s: String): Unit = {
+    require(s.length == 4); s.foreach(c => o.write(c.toInt & 0xff))
+  }
+  private def chunk(fcc: String, data: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    writeFcc(o, fcc); writeLe32(o, data.length.toLong); o.write(data)
+    if (data.length % 2 == 1) o.write(0) // RIFF chunks are word-aligned
+    o.toByteArray
+  }
+  private def list(listType: String, payload: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    writeFcc(o, "LIST"); writeLe32(o, (payload.length + 4).toLong)
+    writeFcc(o, listType); o.write(payload)
+    o.toByteArray
+  }
+
+  /** Mux pre-encoded still frames into a REAL AVI container: RIFF('AVI ')
+    * { LIST(hdrl){ avih, LIST(strl){ strh, strf=BITMAPINFOHEADER } },
+    * LIST(movi){ 00dc... }, idx1 }. One video stream, every frame a
+    * keyframe (self-contained still — the Motion-JPEG/Motion-PNG model).
+    * All fields little-endian per the RIFF spec; odd-length frame chunks
+    * pad to word alignment.
+    */
+  def muxAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+      handler: String = "MPNG", fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty, "muxAvi: need at least one frame")
+    val maxFrame = frames.map(_.length).max.toLong
+    val avih = {
+      val o = new java.io.ByteArrayOutputStream()
+      writeLe32(o, 1000000L / fps) // dwMicroSecPerFrame
+      writeLe32(o, maxFrame * fps) // dwMaxBytesPerSec (upper bound)
+      writeLe32(o, 0)              // dwPaddingGranularity
+      writeLe32(o, 0x10)           // dwFlags: AVIF_HASINDEX
+      writeLe32(o, frames.size.toLong) // dwTotalFrames
+      writeLe32(o, 0)              // dwInitialFrames
+      writeLe32(o, 1)              // dwStreams
+      writeLe32(o, maxFrame)       // dwSuggestedBufferSize
+      writeLe32(o, w.toLong)       // dwWidth
+      writeLe32(o, h.toLong)       // dwHeight
+      (0 until 4).foreach(_ => writeLe32(o, 0)) // dwReserved
+      chunk("avih", o.toByteArray)
+    }
+    val strh = {
+      val o = new java.io.ByteArrayOutputStream()
+      writeFcc(o, "vids"); writeFcc(o, handler)
+      writeLe32(o, 0); writeLe32(o, 0) // flags, priority+language
+      writeLe32(o, 0)                  // initialFrames
+      writeLe32(o, 1); writeLe32(o, fps.toLong) // scale, rate → rate/scale fps
+      writeLe32(o, 0); writeLe32(o, frames.size.toLong) // start, length
+      writeLe32(o, maxFrame)           // suggestedBufferSize
+      writeLe32(o, 0xffffffffL)        // quality (default)
+      writeLe32(o, 0)                  // sampleSize (varies per frame)
+      writeLe32(o, 0); writeLe32(o, (h.toLong << 16) | w.toLong) // rcFrame
+      chunk("strh", o.toByteArray)
+    }
+    val strf = {
+      val o = new java.io.ByteArrayOutputStream()
+      writeLe32(o, 40)          // biSize
+      writeLe32(o, w.toLong); writeLe32(o, h.toLong)
+      writeLe32(o, (24L << 16) | 1L) // biPlanes=1, biBitCount=24
+      writeFcc(o, handler)      // biCompression = codec fourcc
+      writeLe32(o, maxFrame)    // biSizeImage (upper bound, informative)
+      writeLe32(o, 0); writeLe32(o, 0); writeLe32(o, 0); writeLe32(o, 0)
+      chunk("strf", o.toByteArray)
+    }
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val moviChunks = frames.map(f => chunk("00dc", f))
+    val movi = list("movi", moviChunks.toArray.flatten)
+    val idx1 = {
+      val o = new java.io.ByteArrayOutputStream()
+      var off = 4L // offsets are relative to the 'movi' fourcc
+      frames.zip(moviChunks).foreach { case (f, ck) =>
+        writeFcc(o, "00dc"); writeLe32(o, 0x10) // AVIIF_KEYFRAME
+        writeLe32(o, off); writeLe32(o, f.length.toLong)
+        off += ck.length
+      }
+      chunk("idx1", o.toByteArray)
+    }
+    val body = hdrl ++ movi ++ idx1
+    val out = new java.io.ByteArrayOutputStream()
+    writeFcc(out, "RIFF"); writeLe32(out, (body.length + 4).toLong)
+    writeFcc(out, "AVI "); out.write(body)
+    out.toByteArray
+  }
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+  private def fcc(b: Array[Byte], off: Int): String =
+    new String(Array(b(off), b(off + 1), b(off + 2), b(off + 3)), "US-ASCII")
+
+  /** Demux an AVI: walk the RIFF chunk tree WITHOUT trusting idx1 (the
+    * index is advisory; the movi list is the data of record), return
+    * (width, height, declaredFrames, frame payloads byte-identical to the
+    * muxed chunks). Fails loudly on a malformed container.
+    */
+  def demuxAvi(bytes: Array[Byte]): (Int, Int, Int, Seq[Array[Byte]]) = {
+    require(bytes.length >= 12 && fcc(bytes, 0) == "RIFF" &&
+      fcc(bytes, 8) == "AVI ", "demuxAvi: not a RIFF/AVI payload")
+    var w = -1; var h = -1; var declared = -1
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = fcc(bytes, off)
+        val size = le32(bytes, off + 4).toInt
+        val dataOff = off + 8
+        if (id == "LIST") {
+          val lt = fcc(bytes, dataOff)
+          if (lt == "hdrl" || lt == "movi" || lt == "strl")
+            walk(dataOff + 4, dataOff + size)
+        } else if (id == "avih") {
+          declared = le32(bytes, dataOff + 16).toInt
+          w = le32(bytes, dataOff + 32).toInt
+          h = le32(bytes, dataOff + 36).toInt
+        } else if (id.endsWith("dc") || id.endsWith("db")) {
+          frames += java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + size)
+        }
+        off = dataOff + size + (size % 2) // word alignment
+      }
+    }
+    walk(12, bytes.length)
+    require(w > 0 && h > 0 && declared >= 0,
+      "demuxAvi: missing avih main header")
+    require(frames.size == declared,
+      s"demuxAvi: header declares $declared frames, movi carries ${frames.size}")
+    (w, h, declared, frames.toSeq)
+  }
+
+  /** One frame of the synthetic video, encoded by the requested still
+    * codec ("png" → lossless, the oracle path; "jpg" → real MJPEG).
+    */
+  private def encodeFrame(id: Long, f: Int, w: Int, h: Int,
+      still: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (synthVideoPixel(id, f, x, y, 0) << 16) |
+            (synthVideoPixel(id, f, x, y, 1) << 8) |
+            synthVideoPixel(id, f, x, y, 2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, still, bos)
+    bos.toByteArray
+  }
+
+  /** A REAL AVI payload for an id: [[synthFrameCount]] frames of
+    * [[synthDims]] stills following [[synthVideoPixel]], muxed by
+    * [[muxAvi]]. `still = "png"` (default) is the lossless/oracle path
+    * (fourcc MPNG); `still = "jpg"` produces true Motion-JPEG.
+    */
+  def syntheticAvi(id: Long, still: String = "png"): Array[Byte] = {
+    val (w, h) = synthDims(id)
+    val frames = (0 until synthFrameCount(id)).map(encodeFrame(id, _, w, h, still))
+    muxAvi(frames, w, h, if (still == "png") "MPNG" else "MJPG")
+  }
+
+  /** Media table of real AVI payloads, one per id — generated in executors
+    * (narrow map over the id frame), mirroring [[syntheticImageTable]].
+    */
+  def syntheticVideoTable(df: DataFrame, idCol: String,
+      still: String = "png"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map(id => (id, syntheticAvi(id, still), "video/avi"))
+      }
+      .toDF("id", "media", "format")
+  }
+
+  /** REAL video decode over the opaque binary column: demux the AVI
+    * container, decode every `stride`-th frame (frame SAMPLING — the
+    * standard pre-processing step: training pipelines never decode all
+    * frames) with `javax.imageio`, and emit exact per-channel integer
+    * pixel sums — (id, frame, width, height, channel, pix_sum).
+    * mapPartitions keeps the batched-codec shape; a malformed container, a
+    * frame/header count mismatch, or a frame whose decoded dimensions
+    * disagree with the container header fails loudly with the offending
+    * id. At 100 TB this is a narrow map over the media column — no
+    * shuffle, decoder state amortized per partition.
+    */
+  def decodeVideoStats(media: DataFrame, stride: Int = 1): Dataset[VideoStats] = {
+    require(stride >= 1, s"decodeVideoStats: stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val (w, h, _, frames) = demuxAvi(bytes)
+          frames.zipWithIndex
+            .filter(_._2 % stride == 0)
+            .flatMap { case (fb, f) =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(fb))
+              require(img != null,
+                s"decodeVideoStats: undecodable frame $f of id=$id")
+              require(img.getWidth == w && img.getHeight == h,
+                s"decodeVideoStats: id=$id frame $f is ${img.getWidth}x" +
+                  s"${img.getHeight}, container says ${w}x$h")
+              val sums = new Array[Long](3)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sums(0) += (rgb >> 16) & 0xff
+                  sums(1) += (rgb >> 8) & 0xff
+                  sums(2) += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              (0 until 3).map(c =>
+                VideoStats(id, f.toLong, w.toLong, h.toLong, c.toLong, sums(c)))
+            }
+        }
+      }
+  }
+
+  /** Frame EXTRACTION without decode — the transcode/shipping shape: every
+    * `stride`-th frame's still payload, byte-identical to what was muxed
+    * (the container adds nothing around the codec payload).
+    */
+  def sampleVideoFrames(media: DataFrame, stride: Int = 1): Dataset[VideoFrame] = {
+    require(stride >= 1, s"sampleVideoFrames: stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val (_, _, _, frames) = demuxAvi(bytes)
+          frames.zipWithIndex.collect {
+            case (fb, f) if f % stride == 0 => VideoFrame(id, f.toLong, fb)
+          }
         }
       }
   }
