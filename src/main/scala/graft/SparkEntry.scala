@@ -1273,6 +1273,21 @@ object SparkEntry {
         emb.where(col("vec_id") < 10), "vec_id", "embedding", path, 10)
     }),
 
+    // ANN recall-drift probe (the codebook-staleness monitoring signal):
+    // sampled exact top-k vs the persisted PQ index's top-k, one
+    // integer-exact aggregate row (n_queries, possible, hits, recall_ppm).
+    // Both sides are deterministic, so the oracle replays the exact chain
+    // AND the PQ chain and counts the overlap — the probe VALUE is gated,
+    // not just its shape
+    "ann_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = s"${Fixtures.tmpRoot}/pq_recall_gate_index"
+      operators.SimilarityOps.buildPqIndex(emb, "vec_id", "embedding", path,
+        m = 4, ksub = 8, refineIters = 1)
+      operators.SimilarityOps.pqRecallProbe(emb,
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", path, 10)
+    }),
+
     // IVF + PQ composed ANN (the billion-scale serving shape): IVF cells
     // prune the ADC scan to nProbe/nCells of the corpus, PQ codes compress
     // what is scanned, exact rescore of the survivors — both constructions
@@ -3880,6 +3895,74 @@ object SparkEntry {
             (SELECT *, row_number() OVER (PARTITION BY query_id
                ORDER BY cosine DESC, neighbor_id) rank FROM scored)
           WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // recall probe: the ann_pq_topk chain's served top-10 intersected with
+    // the exact top-10 (ann_cosine_topk chain), folded to one integer
+    // aggregate row — the probe VALUE is hash-gated, not just its shape
+    "ann_pq_recall" ->
+      s"""WITH $embFlat,
+          nn AS (SELECT vec_id, sqrt(CAST(n2 AS DOUBLE)) nrm FROM norms),
+          sub AS (SELECT vec_id, i // 16 AS j, i % 16 AS p, x FROM flat),
+          c0 AS (SELECT s.j, s.vec_id AS cell, s.p, s.x AS cx FROM sub s
+                 WHERE s.vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
+          d0 AS (SELECT s.vec_id, s.j, c.cell,
+                   CAST(2*sum(s.x*c.cx) - sum(c.cx*c.cx) AS BIGINT) sc
+                 FROM sub s JOIN c0 c ON c.j = s.j AND c.p = s.p
+                 GROUP BY 1, 2, 3),
+          a0 AS (SELECT vec_id, j, cell FROM d0
+                 QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                   ORDER BY sc DESC, cell) = 1),
+          m1 AS (SELECT a0.j, a0.cell, s.p,
+                   CAST(floor(avg(CAST(s.x AS DOUBLE))) AS BIGINT) cx
+                 FROM a0 JOIN sub s ON s.vec_id = a0.vec_id AND s.j = a0.j
+                 GROUP BY 1, 2, 3),
+          d1 AS (SELECT s.vec_id, s.j, c.cell,
+                   CAST(2*sum(s.x*c.cx) - sum(c.cx*c.cx) AS BIGINT) sc
+                 FROM sub s JOIN m1 c ON c.j = s.j AND c.p = s.p
+                 GROUP BY 1, 2, 3),
+          a1 AS (SELECT vec_id, j, cell FROM d1
+                 QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                   ORDER BY sc DESC, cell) = 1),
+          qd AS (SELECT s.vec_id qid, c.j, c.cell, CAST(sum(s.x*c.cx) AS BIGINT) dot
+                 FROM sub s JOIN m1 c ON c.j = s.j AND c.p = s.p
+                 WHERE s.vec_id < 10 GROUP BY 1, 2, 3),
+          sc AS (SELECT q.qid, a.vec_id nid, CAST(sum(q.dot) AS BIGINT) s8
+                 FROM a1 a JOIN qd q ON q.j = a.j AND q.cell = a.cell
+                 WHERE q.qid != a.vec_id GROUP BY 1, 2),
+          cand AS (SELECT qid, nid FROM sc
+                   QUALIFY row_number() OVER (PARTITION BY qid
+                     ORDER BY s8 DESC, nid) <= 40),
+          pdots AS (SELECT c.qid, c.nid, sum(q.x * n.x) dot
+                    FROM cand c JOIN flat q ON q.vec_id = c.qid
+                      JOIN flat n ON n.vec_id = c.nid AND n.i = q.i
+                    GROUP BY 1, 2),
+          pqtop AS (SELECT qid query_id, nid neighbor_id FROM
+              (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                 ORDER BY CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) DESC, nid) rank
+               FROM pdots JOIN nn nq ON nq.vec_id = qid
+                 JOIN nn nc ON nc.vec_id = nid)
+            WHERE rank <= 10),
+          xq AS (SELECT * FROM flat WHERE vec_id < 10),
+          xdots AS (SELECT xq.vec_id qid, c.vec_id nid, sum(xq.x * c.x) dot
+                    FROM xq JOIN flat c ON xq.i = c.i AND xq.vec_id != c.vec_id
+                    GROUP BY 1, 2),
+          extop AS (SELECT qid query_id, nid neighbor_id FROM
+              (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                 ORDER BY CAST(dot AS DOUBLE) /
+                   (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+                   nid) rank
+               FROM xdots JOIN norms nq ON nq.vec_id = qid
+                 JOIN norms nc ON nc.vec_id = nid)
+            WHERE rank <= 10),
+          agg AS (SELECT
+              (SELECT count(DISTINCT query_id) FROM extop) nq,
+              (SELECT count(*) FROM extop) poss,
+              (SELECT count(*) FROM extop e
+                 JOIN pqtop p ON p.query_id = e.query_id
+                   AND p.neighbor_id = e.neighbor_id) h)
+          SELECT CAST(nq AS BIGINT) AS n_queries, CAST(poss AS BIGINT) AS possible,
+            CAST(h AS BIGINT) AS hits, CAST(h * 1000000 // poss AS BIGINT) AS recall_ppm
+          FROM agg""",
 
     // IVF + PQ composed: the ann_ivf_topk chain (2 Lloyd rounds, assign by
     // (cos DESC, cell), probe 4 cells/query) supplies the candidate POOL;

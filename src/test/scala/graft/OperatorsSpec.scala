@@ -2352,6 +2352,55 @@ class OperatorsSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("pq recall-drift probe detects stale codebooks; retrain-compaction == fresh build") {
+    val src = s"${Fixtures.tmpRoot}/pq_drift_src"
+    val base = emb.where(col("vec_id") < 300).select(col("vec_id"), col("embedding"))
+    SimilarityOps.buildPqIndex(base, "vec_id", "embedding", src,
+      m = 4, ksub = 8, refineIters = 1)
+    val fresh = SimilarityOps.pqRecallProbe(base,
+      base.where(col("vec_id") < 15), "vec_id", "embedding", src, 10).head()
+    val freshPpm = fresh.getAs[Long]("recall_ppm")
+    assert(fresh.getAs[Long]("n_queries") == 15 &&
+      fresh.getAs[Long]("possible") == 150)
+    // appended mass far from the trained distribution: the same manifold
+    // NEGATED — base sub-codebooks have no centroids near it, so its codes
+    // collapse and ADC stops discriminating among drifted vectors
+    val drifted = emb.where(col("vec_id") >= 300 && col("vec_id") < 600)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(-1.0f)).as("embedding"))
+    SimilarityOps.appendPqIndex(drifted, "vec_id", "embedding", src, "b1")
+    val full = base.unionByName(drifted)
+    val driftQ = drifted.where(col("vec_id") < 100315L) // 15 drifted queries
+    val driftRow = SimilarityOps.pqRecallProbe(full, driftQ,
+      "vec_id", "embedding", src, 10).head()
+    val driftPpm = driftRow.getAs[Long]("recall_ppm")
+    assert(driftPpm < freshPpm,
+      s"drift must sag the probe: fresh=$freshPpm drifted=$driftPpm")
+    // retrain-compaction: fresh codebooks over the store's CURRENT ids ==
+    // a fresh build over the same corpus slice, probe-for-probe
+    val dst = s"${Fixtures.tmpRoot}/pq_drift_retrained"
+    SimilarityOps.compactPqIndexRetrain(full, "vec_id", "embedding", src, dst)
+    val ref = s"${Fixtures.tmpRoot}/pq_drift_freshbuild"
+    SimilarityOps.buildPqIndex(full, "vec_id", "embedding", ref,
+      m = 4, ksub = 8, refineIters = 1)
+    def probe(p: String) = SimilarityOps.pqTopKIndexed(full, driftQ,
+        "vec_id", "embedding", p, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe(dst) == probe(ref),
+      "retrained compaction must probe exactly like a fresh build")
+    val retrainPpm = SimilarityOps.pqRecallProbe(full, driftQ,
+      "vec_id", "embedding", dst, 10).head().getAs[Long]("recall_ppm")
+    assert(retrainPpm > driftPpm,
+      s"retrain must recover recall: drifted=$driftPpm retrained=$retrainPpm")
+    // a corpus that lost stored ids cannot retrain — loud refusal
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityOps.compactPqIndexRetrain(base, "vec_id", "embedding",
+        src, s"${Fixtures.tmpRoot}/pq_drift_bad")
+    }
+    assert(ex.getMessage.contains("must still resolve"), ex.getMessage)
+    graft.CacheScope.release()
+  }
+
   test("ivfpq persisted index: probe == in-memory; cell-pruned scan; append under frozen everything") {
     val path = s"${Fixtures.tmpRoot}/ivfpq_spec_index"
     val queries = emb.where(col("vec_id") < 10)
