@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Another writer holds (or held) the store lock past the wait budget. */
+class StoreLockTimeoutException(msg: String) extends RuntimeException(msg)
+
+/** Our lock vanished or changed owner while the mutation ran — a stale-break
+  * racer took it. The mutation's writes may have interleaved with the
+  * thief's; the store needs inspection (batch dirs are replay-idempotent,
+  * so re-running the losing append under a fresh lock is the usual repair).
+  */
+class StoreLockStolenException(msg: String) extends RuntimeException(msg)
+
+/** Cross-writer mutual exclusion for the persisted-store family
+  * (fingerprint / minhash / simhash / winnow / cluster / postings / emb /
+  * SQ8 / PQ / IVF / SCD2 ...): every store MUTATOR runs its body under an
+  * exclusive-create lock file, so two concurrent appenders can no longer
+  * interleave a batch dir's overwrite, double-admit ids past a committed-
+  * only clash check, or lose a check-then-write sidecar update (the winnow
+  * meta race: two cold starts at different (k, w) both passing the
+  * missing-meta check). The protocol is [[graft.catalog.JsonFileCatalog]]'s
+  * proven one, generalized:
+  *
+  *  - acquire = atomic exclusive create of a token-bearing lock file
+  *    (`java.io.File.createNewFile` — O_CREAT|O_EXCL — on `file://`, where
+  *    Hadoop's LocalFileSystem `create(overwrite = false)` is
+  *    check-then-create; `create(overwrite = false)` elsewhere: atomic
+  *    server-side on HDFS, best-effort on object stores);
+  *  - a lock older than `staleMs` is presumed abandoned and broken with
+  *    exactly ONE winner (re-stat + atomic rename to a unique tombstone —
+  *    N racing breakers cannot delete each other's fresh locks);
+  *  - waiting writers poll up to `waitMs`, then fail LOUDLY
+  *    ([[StoreLockTimeoutException]]) instead of silently racing;
+  *  - release deletes the lock only while it still carries OUR token;
+  *  - after the body completes, ownership is re-verified — a stolen lock
+  *    raises [[StoreLockStolenException]] so an interleaving is REPORTED,
+  *    never silent (batch-dir writes are replay-idempotent, so the losing
+  *    writer re-runs its token under a fresh lock).
+  *
+  * The lock file lives BESIDE the store root (`<parent>/.<name>.lock`),
+  * not under it: builders legitimately delete the store root inside their
+  * critical section, which must not release the lock. Re-entrant per
+  * thread (builders call their own appenders). `staleMs` defaults to 30
+  * minutes — store critical sections run real Spark jobs, and a lease that
+  * outlives the longest append is what makes stale-breaking safe (the
+  * standard lease caveat; raise it for huge backfill batches). Reads never
+  * lock: probes see committed batch dirs, and sidecar-staleness guards
+  * (bloom/sharded-bloom) refuse rather than misread.
+  */
+object StoreLock {
+
+  private val held = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue() = scala.collection.mutable.Set.empty[String]
+  }
+
+  private def lockPathFor(storePath: String): Path = {
+    val p = new Path(storePath)
+    val parent = Option(p.getParent).getOrElse(
+      throw new IllegalArgumentException(s"store path has no parent: $storePath"))
+    new Path(parent, s".${p.getName}.lock")
+  }
+
+  private def tryCreate(fs: org.apache.hadoop.fs.FileSystem, lock: Path,
+      token: String): Boolean = {
+    fs.mkdirs(lock.getParent)
+    if (fs.getScheme == "file") {
+      val f = new java.io.File(lock.toUri.getPath)
+      if (!f.createNewFile()) false
+      else {
+        java.nio.file.Files.write(f.toPath, token.getBytes("UTF-8"))
+        true
+      }
+    } else {
+      try {
+        val out = fs.create(lock, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  private def readToken(fs: org.apache.hadoop.fs.FileSystem,
+      lock: Path): Option[String] =
+    try {
+      val in = fs.open(lock)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  private def breakStale(fs: org.apache.hadoop.fs.FileSystem, lock: Path,
+      staleMs: Long): Unit = {
+    val st = try fs.getFileStatus(lock)
+      catch { case _: java.io.FileNotFoundException => return }
+    if (System.currentTimeMillis() - st.getModificationTime <= staleMs) return
+    val tomb = new Path(lock.getParent,
+      s"${lock.getName}.broken.${java.util.UUID.randomUUID()}")
+    if (scala.util.Try(fs.rename(lock, tomb)).getOrElse(false))
+      fs.delete(tomb, false)
+  }
+
+  /** Run `body` as the store's exclusive writer. Re-entrant per thread. */
+  def withLock[T](spark: SparkSession, storePath: String,
+      waitMs: Long = 30000, staleMs: Long = 30 * 60 * 1000L)(body: => T): T = {
+    val lock = lockPathFor(storePath)
+    val key = lock.toString
+    if (held.get.contains(key)) return body // re-entrant: already ours
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + waitMs
+    var acquired = false
+    while (!acquired) {
+      if (tryCreate(fs, lock, token)) acquired = true
+      else {
+        breakStale(fs, lock, staleMs)
+        if (System.currentTimeMillis() > deadline)
+          throw new StoreLockTimeoutException(
+            s"store $storePath locked by another writer ($lock held past " +
+              s"${waitMs}ms); delete the lock only if that writer is dead")
+        else Thread.sleep(20)
+      }
+    }
+    held.get += key
+    try {
+      val out = body
+      // commit-time ownership check: a stale-break thief between acquire
+      // and here means our writes may have interleaved with its — report
+      // loudly, never silently
+      if (!readToken(fs, lock).contains(token))
+        throw new StoreLockStolenException(
+          s"store lock for $storePath changed owner while writing — " +
+            "another writer interleaved; re-run this batch token")
+      out
+    } finally {
+      held.get -= key
+      if (readToken(fs, lock).contains(token)) fs.delete(lock, false)
+    }
+  }
+}

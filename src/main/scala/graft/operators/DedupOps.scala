@@ -123,7 +123,7 @@ object DedupOps {
     * machinery for what survives. The corpus-side md5 pass runs once, here.
     */
   def buildFingerprintStore(df: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = {
+      path: String): Unit = graft.StoreLock.withLock(df.sparkSession, path) {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true) // full rebuild: no stale batch dirs
@@ -138,8 +138,10 @@ object DedupOps {
   def appendFingerprintStore(df: DataFrame, idCol: String, textCol: String,
       path: String,
       batchToken: String = java.util.UUID.randomUUID.toString): Unit =
-    df.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
-      .write.mode("overwrite").parquet(s"$path/batch=$batchToken")
+    graft.StoreLock.withLock(df.sparkSession, path) {
+      df.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
+        .write.mode("overwrite").parquet(s"$path/batch=$batchToken")
+    }
 
   /** [[exactDedupMap]] of a NEW batch against a persisted fingerprint store:
     * each new row keyed to the min id sharing its fingerprint across
@@ -199,7 +201,8 @@ object DedupOps {
     * store and hold one bloom per shard.
     */
   def buildFingerprintBloom(spark: org.apache.spark.sql.SparkSession,
-      path: String, fpp: Double = 0.01): Unit = {
+      path: String, fpp: Double = 0.01): Unit =
+      graft.StoreLock.withLock(spark, path) {
     val tokens = storeBatchTokens(spark, path)
     require(tokens.nonEmpty, s"buildFingerprintBloom: no batch dirs under $path")
     val fps = spark.read.parquet(path).select(col("fp"))
@@ -233,7 +236,8 @@ object DedupOps {
     * refuse to probe.
     */
   def buildShardedFingerprintBloom(spark: org.apache.spark.sql.SparkSession,
-      path: String, shards: Int = 16, fpp: Double = 0.01): Unit = {
+      path: String, shards: Int = 16, fpp: Double = 0.01): Unit =
+      graft.StoreLock.withLock(spark, path) {
     require(shards > 0, s"shards must be positive, got $shards")
     val tokens = storeBatchTokens(spark, path)
     require(tokens.nonEmpty, s"buildShardedFingerprintBloom: no batch dirs under $path")
@@ -473,7 +477,8 @@ object DedupOps {
     * re-scanning any stored text.
     */
   def buildLineStore(df: DataFrame, idCol: String, textCol: String,
-      path: String, delim: String = "\n"): Unit = {
+      path: String, delim: String = "\n"): Unit =
+      graft.StoreLock.withLock(df.sparkSession, path) {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
@@ -484,7 +489,8 @@ object DedupOps {
     * batches); same-token re-runs overwrite rather than double-count. */
   def appendLineStore(df: DataFrame, idCol: String, textCol: String,
       path: String, delim: String = "\n",
-      batchToken: String = java.util.UUID.randomUUID.toString): Unit = {
+      batchToken: String = java.util.UUID.randomUUID.toString): Unit =
+      graft.StoreLock.withLock(df.sparkSession, path) {
     ensureHashRegistered(df)
     writeStoreBatch(
       lineRows(df, idCol, textCol, delim)
@@ -629,7 +635,8 @@ object DedupOps {
     * [[incrementalDuplicateSpans]] / [[incrementalDropDuplicateSpans]].
     */
   def buildWindowStore(df: DataFrame, idCol: String, textCol: String,
-      path: String, k: Int = 4): Unit = {
+      path: String, k: Int = 4): Unit =
+      graft.StoreLock.withLock(df.sparkSession, path) {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true) // full rebuild: no stale batch dirs
@@ -642,7 +649,8 @@ object DedupOps {
     */
   def appendWindowStore(df: DataFrame, idCol: String, textCol: String,
       path: String, k: Int = 4,
-      batchToken: String = java.util.UUID.randomUUID.toString): Unit = {
+      batchToken: String = java.util.UUID.randomUUID.toString): Unit =
+      graft.StoreLock.withLock(df.sparkSession, path) {
     windowHashRows(df, idCol, textCol, k)
       .groupBy(col("h"))
       .agg(min(struct(col("id"), col("p"))).as("__first"))
@@ -968,7 +976,8 @@ object DedupOps {
     * pass is the expensive part and must not be repeated per probe.
     */
   def buildMinhashStore(df: DataFrame, idCol: String, textCol: String,
-      path: String, shingleK: Int = 3, numHashes: Int = 128): Unit = {
+      path: String, shingleK: Int = 3, numHashes: Int = 128): Unit =
+      graft.StoreLock.withLock(df.sparkSession, path) {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true) // full rebuild: no stale batch dirs
@@ -983,7 +992,8 @@ object DedupOps {
     */
   def appendMinhashStore(df: DataFrame, idCol: String, textCol: String,
       path: String, shingleK: Int = 3, numHashes: Int = 128,
-      batchToken: String = java.util.UUID.randomUUID.toString): Unit = {
+      batchToken: String = java.util.UUID.randomUUID.toString): Unit =
+      graft.StoreLock.withLock(df.sparkSession, path) {
     // keep the store homogeneous: an append at a different numHashes would
     // make the probe-time one-row length guard nondeterministic and slice
     // short sigs into per-band mega-buckets
@@ -1236,7 +1246,8 @@ object DedupOps {
     * and silently match nothing, so mismatches throw.
     */
   def buildWinnowStore(df: DataFrame, idCol: String, textCol: String,
-      path: String, k: Int = 4, w: Int = 5): Unit = {
+      path: String, k: Int = 4, w: Int = 5): Unit =
+      graft.StoreLock.withLock(df.sparkSession, path) {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
@@ -1247,7 +1258,8 @@ object DedupOps {
     * Same-token re-runs overwrite rather than duplicate. */
   def appendWinnowStore(df: DataFrame, idCol: String, textCol: String,
       path: String, k: Int = 4, w: Int = 5,
-      batchToken: String = java.util.UUID.randomUUID.toString): Unit = {
+      batchToken: String = java.util.UUID.randomUUID.toString): Unit =
+      graft.StoreLock.withLock(df.sparkSession, path) {
     val spark = df.sparkSession
     val p = new org.apache.hadoop.fs.Path(s"$path/meta")
     val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1593,7 +1605,8 @@ object DedupOps {
     * substring arithmetic, never touching stored text.
     */
   def buildSimhashStore(df: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = {
+      path: String): Unit =
+      graft.StoreLock.withLock(df.sparkSession, path) {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
@@ -1605,9 +1618,11 @@ object DedupOps {
   def appendSimhashStore(df: DataFrame, idCol: String, textCol: String,
       path: String,
       batchToken: String = java.util.UUID.randomUUID.toString): Unit =
-    writeStoreBatch(
-      simhashDf(df, idCol, textCol).select(col(idCol).as("id"), col("simhash")),
-      path, batchToken)
+    graft.StoreLock.withLock(df.sparkSession, path) {
+      writeStoreBatch(
+        simhashDf(df, idCol, textCol).select(col(idCol).as("id"), col("simhash")),
+        path, batchToken)
+    }
 
   /** SimHash near-dup pairs of a NEW batch against a persisted signature
     * store (plus new-new pairs) — [[simhashNearDupPairs]] over
@@ -1894,7 +1909,8 @@ object DedupOps {
     * touched-components-only recompute equal to the one-shot answer.
     */
   def buildClusterStore(pairs: DataFrame, aCol: String, bCol: String,
-      path: String): Unit = {
+      path: String): Unit =
+      graft.StoreLock.withLock(pairs.sparkSession, path) {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(pairs.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
@@ -1923,7 +1939,8 @@ object DedupOps {
     */
   def updateClusterStore(newPairs: DataFrame, aCol: String, bCol: String,
       path: String,
-      batchToken: String = java.util.UUID.randomUUID.toString): DataFrame = {
+      batchToken: String = java.util.UUID.randomUUID.toString): DataFrame =
+      graft.StoreLock.withLock(newPairs.sparkSession, path) {
     val spark = newPairs.sparkSession
     require(batchToken != "base", "batchToken 'base' is reserved for the build")
     // a crashed prior attempt of THIS token may have left a partial batch

@@ -72,7 +72,8 @@ object LayoutOps {
     * it).
     */
   def writeZOrdered(df: DataFrame, zCols: Seq[String], path: String,
-      nFiles: Int = 64, bits: Int = 21, batchToken: String = "base"): Unit = {
+      nFiles: Int = 64, bits: Int = 21, batchToken: String = "base"): Unit =
+      graft.StoreLock.withLock(df.sparkSession, path) {
     require(zCols.nonEmpty, "writeZOrdered needs at least one layout column")
     val spark = df.sparkSession
     val p = new org.apache.hadoop.fs.Path(path)
@@ -100,7 +101,8 @@ object LayoutOps {
     * landed.
     */
   def appendZOrdered(df: DataFrame, zCols: Seq[String], path: String,
-      batchToken: String, nFiles: Int = 64): Unit = {
+      batchToken: String, nFiles: Int = 64): Unit =
+      graft.StoreLock.withLock(df.sparkSession, path) {
     val spark = df.sparkSession
     val meta = spark.read.parquet(s"$path/_layout_meta").head()
     val storedCols = meta.getString(0).split(",").toSeq
@@ -165,7 +167,8 @@ object LayoutOps {
     * without clustering). Writes the whole manifest as one `full` batch.
     */
   def buildManifest(spark: SparkSession, path: String,
-      statCols: Seq[String]): Unit = {
+      statCols: Seq[String]): Unit =
+      graft.StoreLock.withLock(spark, path) {
     val aggs = statCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
       count(lit(1)).as("n_rows")

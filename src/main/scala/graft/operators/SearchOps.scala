@@ -35,7 +35,8 @@ object SearchOps {
 
   /** Build (overwrite) the index at `path` from scratch. */
   def buildPostingsIndex(docs: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = {
+      path: String): Unit =
+      graft.StoreLock.withLock(docs.sparkSession, path) {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true) // full rebuild: no stale batch dirs
@@ -49,7 +50,8 @@ object SearchOps {
     */
   def appendPostingsIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String,
-      batchToken: String = java.util.UUID.randomUUID.toString): Unit = {
+      batchToken: String = java.util.UUID.randomUUID.toString): Unit =
+      graft.StoreLock.withLock(docs.sparkSession, path) {
     DedupOps.ensureHashRegistered(docs)
     val spark = docs.sparkSession
     // null text = empty text: the doc must still reach the postings (as its

@@ -160,7 +160,8 @@ object SimilarityOps {
     * at ingest, per-query cost is nProbe/nCells of the corpus.
     */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String, path: String,
-      nCells: Int = 16, refineIters: Int = 2): Unit = {
+      nCells: Int = 16, refineIters: Int = 2): Unit =
+      graft.StoreLock.withLock(corpus.sparkSession, path) {
     ensureRegistered(corpus)
     // full rebuild: clear stale append batches too (mirrors
     // [[DedupOps.buildMinhashStore]])
@@ -201,7 +202,8 @@ object SimilarityOps {
     */
   def appendIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
       path: String,
-      batchToken: String = java.util.UUID.randomUUID.toString): Unit = {
+      batchToken: String = java.util.UUID.randomUUID.toString): Unit =
+      graft.StoreLock.withLock(newVecs.sparkSession, path) {
     ensureRegistered(newVecs)
     val spark = newVecs.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
@@ -352,7 +354,8 @@ object SimilarityOps {
     * embeddings.
     */
   def buildEmbStore(df: DataFrame, idCol: String, vecCol: String,
-      path: String): Unit = {
+      path: String): Unit =
+      graft.StoreLock.withLock(df.sparkSession, path) {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
@@ -363,7 +366,8 @@ object SimilarityOps {
     * same-token re-runs overwrite rather than duplicate. */
   def appendEmbStore(df: DataFrame, idCol: String, vecCol: String,
       path: String,
-      batchToken: String = java.util.UUID.randomUUID.toString): Unit = {
+      batchToken: String = java.util.UUID.randomUUID.toString): Unit =
+      graft.StoreLock.withLock(df.sparkSession, path) {
     ensureRegistered(df)
     prep(df, idCol, vecCol, "id", "v", "nrm")
       .write.mode("overwrite").parquet(s"$path/batch=$batchToken")
@@ -607,7 +611,8 @@ object SimilarityOps {
     * a rebuild, which recomputes the scale.
     */
   def buildSq8Index(corpus: DataFrame, idCol: String, vecCol: String,
-      path: String): Unit = {
+      path: String): Unit =
+      graft.StoreLock.withLock(corpus.sparkSession, path) {
     ensureRegistered(corpus)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
@@ -643,7 +648,8 @@ object SimilarityOps {
   def appendSq8Index(newVecs: DataFrame, idCol: String, vecCol: String,
       path: String,
       batchToken: String = java.util.UUID.randomUUID.toString,
-      checkIds: Boolean = true): Unit = {
+      checkIds: Boolean = true): Unit =
+      graft.StoreLock.withLock(newVecs.sparkSession, path) {
     ensureRegistered(newVecs)
     val spark = newVecs.sparkSession
     val meta = spark.read.parquet(s"$path/meta").limit(1).collect()
@@ -1015,7 +1021,8 @@ object SimilarityOps {
     */
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, nCells: Int = 16, ivfRefine: Int = 2,
-      m: Int = 4, ksub: Int = 8, pqRefine: Int = 1): Unit = {
+      m: Int = 4, ksub: Int = 8, pqRefine: Int = 1): Unit =
+      graft.StoreLock.withLock(corpus.sparkSession, path) {
     ensureRegistered(corpus)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -1059,7 +1066,8 @@ object SimilarityOps {
   def appendIvfPqIndex(newVecs: DataFrame, idCol: String, vecCol: String,
       path: String,
       batchToken: String = java.util.UUID.randomUUID.toString,
-      checkIds: Boolean = true): Unit = {
+      checkIds: Boolean = true): Unit =
+      graft.StoreLock.withLock(newVecs.sparkSession, path) {
     ensureRegistered(newVecs)
     val spark = newVecs.sparkSession
     val meta = spark.read.parquet(s"$path/meta").limit(1).collect()
@@ -1140,7 +1148,8 @@ object SimilarityOps {
     * rescore point-looks-up the corpus like every store in the family.
     */
   def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      path: String, m: Int = 4, ksub: Int = 8, refineIters: Int = 1): Unit = {
+      path: String, m: Int = 4, ksub: Int = 8, refineIters: Int = 1): Unit =
+      graft.StoreLock.withLock(corpus.sparkSession, path) {
     ensureRegistered(corpus)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -1182,7 +1191,8 @@ object SimilarityOps {
   def appendPqIndex(newVecs: DataFrame, idCol: String, vecCol: String,
       path: String,
       batchToken: String = java.util.UUID.randomUUID.toString,
-      checkIds: Boolean = true): Unit = {
+      checkIds: Boolean = true): Unit =
+      graft.StoreLock.withLock(newVecs.sparkSession, path) {
     ensureRegistered(newVecs)
     val spark = newVecs.sparkSession
     val meta = spark.read.parquet(s"$path/meta").limit(1).collect()

@@ -318,7 +318,8 @@ object TextOps {
     * model REBUILDS per reference snapshot by design (trusted corpora are
     * curated releases, not streams); [[buildLmModel]] overwrites.
     */
-  def buildLmModel(ref: DataFrame, textCol: String, path: String): Unit = {
+  def buildLmModel(ref: DataFrame, textCol: String, path: String): Unit =
+      graft.StoreLock.withLock(ref.sparkSession, path) {
     val spark = ref.sparkSession
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -163,7 +163,8 @@ object Scd {
 
   /** Build (overwrite) the SCD2 store from the full observation history. */
   def buildScdStore(df: DataFrame, entityCol: String, timeCol: String,
-      attrCols: Seq[String], tieCols: Seq[String], path: String): Unit = {
+      attrCols: Seq[String], tieCols: Seq[String], path: String): Unit =
+      graft.StoreLock.withLock(df.sparkSession, path) {
     val spark = df.sparkSession
     val fs = fsOf(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
@@ -194,7 +195,8 @@ object Scd {
     * the new seq) and their new intervals append; unseen entities start
     * fresh; untouched entities cost nothing.
     */
-  def updateScdStore(df: DataFrame, path: String, batchToken: String): Unit = {
+  def updateScdStore(df: DataFrame, path: String, batchToken: String): Unit =
+      graft.StoreLock.withLock(df.sparkSession, path) {
     require(batchToken != "base", "batch token 'base' is reserved for the build")
     val spark = df.sparkSession
     val (entityCol, timeCol, attrCols, tieCols) = readMeta(spark, path)

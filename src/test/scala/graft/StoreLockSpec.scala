@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Two-writer race gates for the persisted-store family: every store
+  * mutator runs under [[StoreLock]], so concurrent appenders SERIALIZE (the
+  * store ends exactly as some sequential order of the appends would leave
+  * it) or fail LOUDLY — never silent interleaving, lost sidecar updates, or
+  * double-counted ids. These specs drive real racing threads against real
+  * stores; `local[32]` gives them genuine overlap.
+  */
+class StoreLockSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Run the thunks concurrently, return each one's failure (if any). */
+  private def race(thunks: Seq[() => Unit]): Seq[Option[Throwable]] = {
+    val results = new Array[Option[Throwable]](thunks.size)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = thunks.zipWithIndex.map { case (t, i) =>
+      val th = new Thread(() => {
+        start.await()
+        results(i) = try { t(); None } catch { case e: Throwable => Some(e) }
+      })
+      th.start(); th
+    }
+    start.countDown()
+    threads.foreach(_.join(300000))
+    results.toSeq
+  }
+
+  test("fingerprint store: four concurrent appenders serialize — union exact, no lock residue") {
+    val store = tmpDir("race_fp")
+    val d = Tables.documents(spark, dir)
+    graft.operators.DedupOps.buildFingerprintStore(
+      d.where(col("doc_id") < 100), "doc_id", "text", store)
+    val slices = (0 until 4).map(i =>
+      d.where(col("doc_id") >= 100 + i * 50 && col("doc_id") < 150 + i * 50))
+    val errs = race(slices.zipWithIndex.map { case (s, i) => () =>
+      graft.operators.DedupOps.appendFingerprintStore(
+        s, "doc_id", "text", store, s"b$i")
+    })
+    assert(errs.forall(_.isEmpty), s"appends must serialize, got: $errs")
+    // the store is the exact union: every id exactly once
+    val back = spark.read.parquet(store).select(col("id"))
+    assert(back.count() == 300 && back.distinct().count() == 300)
+    assert(!new java.io.File(
+      new java.io.File(store).getParent, s".${new java.io.File(store).getName}.lock").exists(),
+      "released lock must not linger")
+  }
+
+  test("postings index: three concurrent appenders serialize — sidecars additive, probe == serial build") {
+    val store = tmpDir("race_post") + "/idx"
+    val d = Tables.documents(spark, dir).where(col("doc_id") < 300)
+    graft.operators.SearchOps.buildPostingsIndex(
+      d.where(col("doc_id") < 60), "doc_id", "text", store)
+    val slices = (0 until 3).map(i =>
+      d.where(col("doc_id") >= 60 + i * 80 && col("doc_id") < 140 + i * 80))
+    val errs = race(slices.zipWithIndex.map { case (s, i) => () =>
+      graft.operators.SearchOps.appendPostingsIndex(
+        s, "doc_id", "text", store, s"b$i")
+    })
+    assert(errs.forall(_.isEmpty), s"appends must serialize, got: $errs")
+    // the n_docs/n_tokens sidecars are additive and none was lost
+    val counts = spark.read.parquet(s"$store/counts")
+      .agg(sum(col("n_docs")), sum(col("n_tokens"))).head()
+    assert(counts.getLong(0) == 300, s"lost sidecar update: ${counts.getLong(0)} docs")
+    // probe equals a serially-built index over the same corpus
+    val serial = tmpDir("race_post_serial") + "/idx"
+    graft.operators.SearchOps.buildPostingsIndex(d, "doc_id", "text", serial)
+    def probe(p: String) = graft.operators.SearchOps.keywordTopKIndexed(
+        spark, p, Seq("ipsum", "lorem"), 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe(store) == probe(serial))
+  }
+
+  test("winnow store: concurrent cold-starts at DIFFERENT (k, w) — one wins, one refuses, never mixed") {
+    val store = tmpDir("race_winnow") + "/store"
+    val d = Tables.documents(spark, dir)
+    val errs = race(Seq(
+      () => graft.operators.DedupOps.appendWinnowStore(
+        d.where(col("doc_id") < 50), "doc_id", "text", store, k = 4, w = 5, "a"),
+      () => graft.operators.DedupOps.appendWinnowStore(
+        d.where(col("doc_id") >= 50 && col("doc_id") < 100),
+        "doc_id", "text", store, k = 5, w = 9, "b")))
+    // pre-lock, BOTH passed the missing-meta check and the second writer's
+    // meta overwrote the first's under incompatible fingerprints — now the
+    // loser sees the winner's meta inside the lock and refuses loudly
+    assert(errs.count(_.isEmpty) == 1 && errs.count(_.isDefined) == 1,
+      s"exactly one cold-start may win, got: $errs")
+    val loser = errs.flatten.head
+    assert(loser.getMessage.contains("incompatible"), loser.getMessage)
+    // the store is homogeneous: meta matches the single surviving batch
+    val m = spark.read.parquet(s"$store/meta").head()
+    val fpBatches = new java.io.File(s"$store/fps").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName)
+    assert(fpBatches.length == 1, s"mixed batches: ${fpBatches.mkString(",")}")
+    assert((m.getAs[Int]("k"), fpBatches.head) == ((4, "batch=a"))
+      || (m.getAs[Int]("k"), fpBatches.head) == ((5, "batch=b")))
+  }
+
+  test("lock: a held store refuses a second writer loudly after the wait budget") {
+    val store = tmpDir("race_timeout") + "/store"
+    val barrier = new java.util.concurrent.CountDownLatch(1)
+    val inLock = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      StoreLock.withLock(spark, store) { inLock.countDown(); barrier.await() })
+    holder.start()
+    inLock.await()
+    try {
+      val e = intercept[StoreLockTimeoutException] {
+        StoreLock.withLock(spark, store, waitMs = 300) { fail("must not enter") }
+      }
+      assert(e.getMessage.contains("locked by another writer"))
+    } finally { barrier.countDown(); holder.join(60000) }
+    // after release the store is writable again (and re-entrancy works:
+    // a build that calls its own append takes the lock once)
+    StoreLock.withLock(spark, store) {
+      StoreLock.withLock(spark, store) { () } // re-entrant, no deadlock
+    }
+  }
+
+  test("lock: a stale (crashed-writer) lock is broken with one winner") {
+    val store = tmpDir("race_stale") + "/store"
+    // a crashed writer's abandoned lock, mtime far in the past
+    val lock = new java.io.File(
+      new java.io.File(store).getParent, s".${new java.io.File(store).getName}.lock")
+    java.nio.file.Files.write(lock.toPath, "dead-writer".getBytes("UTF-8"))
+    assert(lock.setLastModified(System.currentTimeMillis() - 3600 * 1000L))
+    var ran = false
+    StoreLock.withLock(spark, store, staleMs = 60000) { ran = true }
+    assert(ran, "stale lock must be broken and the writer admitted")
+    assert(!lock.exists(), "broken+released lock must be gone")
+  }
+}
