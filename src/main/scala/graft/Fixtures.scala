@@ -64,6 +64,15 @@ object Fixtures {
         tripled.where(col("event_type") === et).drop("event_type", "v"),
         name = Some(s"events/$et"))
     }
+    // ORC-backend namespace (the Backends dispatch seam): the same tripled
+    // click series stored through the "spark-orc" engine — loads must be
+    // value-identical to the parquet namespace's
+    store.createNamespace("events_orc", "ORC-backed twin", backend = "spark-orc")
+    store.createFeature("events_orc/click", "click via the spark-orc backend")
+    store.saveDf(
+      tripled.where(col("event_type") === "click").drop("event_type", "v"),
+      name = Some("events_orc/click"))
+
     // transforms over the click series (T1/T2 DAG)
     store.registerSqlTransform("events/click_sq", Seq("click"), "click * click")
     store.registerSqlTransform("events/click_comb", Seq("click", "click_sq"), "click + click_sq")

@@ -43,6 +43,15 @@ object SparkEntry {
     "fs_time_travel" -> ((s, dir) =>
       Fixtures.store(s, dir).storage.load("events", "click", timeTravel = Some("-30s"))),
 
+    // Backends dispatch seam: the SAME bounded latest-dedup read served
+    // from the "spark-orc" namespace — ORC writer/reader stack end-to-end
+    // (ingest, hive partitioning, time-bound pruning, dedup), value-equal
+    // to the parquet path and to the recomputing oracle
+    "fs_orc_backend" -> ((s, dir) =>
+      Fixtures.store(s, dir).storage.load("events_orc", "click",
+        from = Some(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")),
+        to = Some(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))),
+
     // R1: resample to a 2h grid with as-of (last-known-value) semantics
     "fs_resample_2h" -> ((s, dir) =>
       Fixtures.store(s, dir).storage.load("events", "click",
@@ -1767,6 +1776,12 @@ object SparkEntry {
 
     "fs_time_travel" ->
       s"SELECT time, value * 2 AS value FROM (${ev("click")}) ORDER BY time",
+
+    // the ORC-backend namespace serves the same bounded latest view
+    "fs_orc_backend" ->
+      s"""SELECT time, value FROM (${ev("click")})
+          WHERE time >= TIMESTAMP '2024-01-10 00:00:00'
+            AND time <= TIMESTAMP '2024-01-20 00:00:00' ORDER BY time""",
 
     "fs_resample_2h" ->
       s"""WITH d AS (${ev("click")}),

@@ -34,16 +34,26 @@ class FeatureStore(
 
   GraftSession.tune(spark)
   val catalog: Catalog = new JsonFileCatalog(storageRoot, spark.sparkContext.hadoopConfiguration)
-  val storage = new TimeseriesStorage(storageRoot, spark)
+  // storage format dispatches per namespace through the Backends table
+  // (the reference's available_backends seam, src/qafs/model.py:104-110)
+  val storage = new TimeseriesStorage(storageRoot, spark,
+    ns => graft.catalog.Backends.formatFor(
+      catalog.getNamespace(ns).map(_.backend).getOrElse("spark")))
   val registry = new TransformRegistry
 
   import TimeseriesStorage._
 
   // ---- namespace CRUD (C1) -------------------------------------------------
 
+  /** `backend` picks the namespace's storage engine from
+    * [[graft.catalog.Backends.available]] ("spark" = parquet, "spark-orc" =
+    * ORC); unknown selectors refuse loudly, and the selector is immutable
+    * after creation.
+    */
   def createNamespace(name: String, description: String = "",
-      meta: Map[String, String] = Map.empty): Unit =
-    catalog.createNamespace(NamespaceDef(name, description, meta))
+      meta: Map[String, String] = Map.empty,
+      backend: String = "spark"): Unit =
+    catalog.createNamespace(NamespaceDef(name, description, meta, backend = backend))
 
   def updateNamespace(name: String, description: Option[String] = None,
       metaPatch: Map[String, Option[String]] = Map.empty): Unit =

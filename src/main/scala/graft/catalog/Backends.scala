@@ -1,0 +1,39 @@
+package graft.catalog
+
+/** Per-namespace execution/storage backend dispatch — the engine's analogue
+  * of the reference's `available_backends` table
+  * (/root/reference/src/qafs/model.py:104-110, where a namespace's
+  * `backend` selector picks the processor serving it and an unavailable
+  * selector raises). Here every backend executes on Spark — what a selector
+  * picks is the STORAGE ENGINE a namespace's feature data lives in:
+  *
+  *  - `"spark"` (default): snappy parquet — the columnar default.
+  *  - `"spark-orc"`: ORC — a genuinely distinct reader/writer stack inside
+  *    Spark (own encodings, own predicate pushdown path); the selector of
+  *    record for ORC-standardized lakes.
+  *
+  * The selector is validated LOUDLY at namespace creation and is IMMUTABLE
+  * afterwards (`updateNamespace` patches description/meta only): data
+  * written under one format must never be re-read as another. Every
+  * [[graft.storage.TimeseriesStorage]] IO site resolves its format through
+  * this table via the namespace, so hive partitioning, time-bound pruning,
+  * and filter pushdown behave identically across backends — the spec
+  * parity gate drives both.
+  */
+object Backends {
+
+  /** backend selector → Spark datasource format. */
+  val available: Map[String, String] = Map(
+    "spark" -> "parquet",
+    "spark-orc" -> "orc")
+
+  /** Resolve a selector (empty/null = default "spark"); unknown selectors
+    * fail loudly, mirroring the reference's RuntimeError.
+    */
+  def formatFor(backend: String): String = {
+    val b = if (backend == null || backend.isEmpty) "spark" else backend
+    available.getOrElse(b, throw new FeatureStoreException(
+      s"backend '$b' is not available: this engine serves " +
+        available.keys.toSeq.sorted.mkString("[", ", ", "]")))
+  }
+}

@@ -228,14 +228,15 @@ class JsonFileCatalog(root: String, hadoopConf: Configuration = new Configuratio
   override def createNamespace(ns: NamespaceDef): Unit = mutate { doc =>
     Catalog.validateName(ns.name)
     // the reference dispatches per-namespace execution backends
-    // (src/qafs/model.py:104-110); this engine executes everything on
-    // Spark — reject other selectors LOUDLY at create time instead of
-    // storing a promise that would never be honored. Foreign documents
-    // carrying other values still LOAD (lenient read, strict write).
-    if (ns.backend.nonEmpty && ns.backend != "spark")
-      throw new FeatureStoreException(
-        s"unsupported backend '${ns.backend}' for namespace ${ns.name}: " +
-          "this engine executes namespaces on Spark (backend=\"spark\")")
+    // (src/qafs/model.py:104-110); this engine dispatches the STORAGE
+    // backend per namespace through [[Backends.available]] — unknown
+    // selectors are rejected LOUDLY at create time instead of storing a
+    // promise that would never be honored. Foreign documents carrying
+    // other values still LOAD (lenient read, strict write). The selector
+    // is immutable after creation (updateNamespace patches description/
+    // meta only): data written under one format is never re-read as
+    // another.
+    Backends.formatFor(ns.backend)
     if (doc.namespaces.exists(_.name == ns.name))
       throw new FeatureStoreException(s"namespace exists: ${ns.name}")
     doc.copy(namespaces = doc.namespaces :+ ns)

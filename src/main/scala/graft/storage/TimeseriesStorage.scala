@@ -26,10 +26,24 @@ import scala.util.control.NonFatal
   *  - dedup is an agg with map-side partial aggregation (`max_by`-shaped
   *    `max(struct(created_time, value))`), not a full-sort window.
   */
-class TimeseriesStorage(val root: String, spark: SparkSession) {
+class TimeseriesStorage(val root: String, spark: SparkSession,
+    backendFormat: String => String = _ => "parquet") {
   import TimeseriesStorage._
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Per-namespace storage format (the [[graft.catalog.Backends]] dispatch
+    * seam): resolved once and memoized — a namespace's backend is immutable
+    * after creation, so the memo can never serve a stale format, and IO
+    * sites never pay a catalog read per query.
+    */
+  private val fmtMemo = new scala.collection.concurrent.TrieMap[String, String]()
+  private def fmt(namespace: String): String =
+    fmtMemo.getOrElseUpdate(namespace, backendFormat(namespace))
+
+  /** Format-dispatched reader for one namespace's feature data. */
+  private def readFmt(namespace: String, path: String): DataFrame =
+    spark.read.format(fmt(namespace)).load(path)
 
   def featurePath(namespace: String, name: String): String =
     s"$root/feature/$namespace/$name"
@@ -67,7 +81,7 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
         // the wreckage, so there the read failure propagates. Only NonFatal
         // probe failures count as "unreadable" — OOM/interrupts propagate.
         val existingOpt =
-          try Some(spark.read.parquet(p.toString).schema(ValueCol).dataType)
+          try Some(readFmt(namespace, p.toString).schema(ValueCol).dataType)
           catch { case e: Throwable if !append && NonFatal(e) => None }
         existingOpt.foreach { existing =>
           val incoming = df.schema(ValueCol).dataType
@@ -100,7 +114,7 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
       // small files — a scan-killer at scale and locally)
       .repartition(col(PartCol))
       .write
-      .format("parquet")
+      .format(fmt(namespace))
       .option("compression", "snappy")
       .partitionBy(PartCol)
       .mode(if (append) "append" else "overwrite")
@@ -142,7 +156,7 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
     // more remote call per feature per query — N+ on a wide loadFeatures);
     // a feature that was never written (or written then emptied) maps to
     // the empty frame, same as before
-    var df = try reader.parquet(path) catch {
+    var df = try reader.format(fmt(namespace)).load(path) catch {
       case e: org.apache.spark.sql.AnalysisException
           if Option(e.getCondition).exists(c =>
             c == "PATH_NOT_FOUND" || c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
@@ -318,7 +332,7 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
       case None => all
     }
     parts.iterator.map { p =>
-      var df = spark.read.parquet(s"${featurePath(namespace, name)}/$PartCol=$p")
+      var df = readFmt(namespace, s"${featurePath(namespace, name)}/$PartCol=$p")
       bound.foreach { b =>
         df = if (reverse) df.where(col(TimeCol) <= lit(b)) else df.where(col(TimeCol) >= lit(b))
       }
@@ -360,7 +374,8 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
     val paths = cands.toSeq.map(p => s"${featurePath(namespace, name)}/$PartCol=$p")
     // dedupLatest across the union is per-partition-equivalent: time keys
     // never span partition dirs (the partition value derives from the time)
-    val d = dedupLatest(spark.read.parquet(paths: _*))
+    val d = dedupLatest(
+      spark.read.format(fmt(namespace)).load(paths: _*))
     // each bounded slot is confined to ITS candidate dir's rows (partition
     // value re-derived map-side from the time — it's a function of it):
     // without the confinement, a qualifying row from the OTHER edge dir in
@@ -426,7 +441,7 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
     coerced
       .select((Seq(TimeCol, CreatedCol) ++ columns :+ PartCol).map(col): _*)
       .repartition(col(PartCol))
-      .write.format("parquet").option("compression", "snappy")
+      .write.format(fmt(namespace)).option("compression", "snappy")
       .partitionBy(PartCol).mode("append")
       .save(groupPath(namespace, name))
   }
@@ -449,7 +464,7 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    var df = spark.read.parquet(path)
+    var df = readFmt(namespace, path)
     val (f, t) = (from, to) match {
       case (Some(a), Some(b)) if b.before(a) => (Some(a), Some(a))
       case other => other
@@ -493,7 +508,7 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
     coerced
       .select((keys ++ Seq(TimeCol, CreatedCol) ++ columns :+ PartCol).map(col): _*)
       .repartition(col(PartCol))
-      .write.format("parquet").option("compression", "snappy")
+      .write.format(fmt(namespace)).option("compression", "snappy")
       .partitionBy(PartCol).mode("append")
       .save(groupPath(namespace, name))
   }
@@ -517,7 +532,7 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    var df = spark.read.parquet(path)
+    var df = readFmt(namespace, path)
     val (f, t) = (from, to) match {
       case (Some(a), Some(b)) if b.before(a) => (Some(a), Some(a))
       case other => other
@@ -569,7 +584,7 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
     coerced
       .select((keys ++ Seq(TimeCol, ValueCol, CreatedCol) :+ PartCol).map(col): _*)
       .repartition(col(PartCol))
-      .write.format("parquet").option("compression", "snappy")
+      .write.format(fmt(namespace)).option("compression", "snappy")
       .partitionBy(PartCol).mode("append")
       .save(keyedPath(namespace, name))
   }
@@ -595,7 +610,7 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
           Seq(StructField(TimeCol, TimestampType), StructField(ValueCol, DoubleType))))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    var df = spark.read.parquet(path)
+    var df = readFmt(namespace, path)
     val (f, t) = (from, to) match {
       case (Some(a), Some(b)) if b.before(a) => (Some(a), Some(a))
       case other => other
@@ -680,8 +695,8 @@ class TimeseriesStorage(val root: String, spark: SparkSession) {
   def copy(fromNs: String, fromName: String, toNs: String, toName: String): Unit = {
     val src = featurePath(fromNs, fromName)
     if (fs.exists(new Path(src)))
-      spark.read.parquet(src).write
-        .format("parquet").option("compression", "snappy")
+      readFmt(fromNs, src).write
+        .format(fmt(toNs)).option("compression", "snappy")
         .partitionBy(PartCol).mode("overwrite")
         .save(featurePath(toNs, toName))
   }

@@ -144,11 +144,16 @@ class CatalogSpec extends AnyFunSuite {
     assert(c2.getFeature("ns", "g").get.description == "d2")
   }
 
-  test("non-spark backend selector is rejected at create, loaded leniently") {
+  test("unknown backend selector is rejected at create; known ones dispatch; lenient load") {
     val dir = Files.createTempDirectory("cat").toString
     val c = new JsonFileCatalog(dir)
-    intercept[FeatureStoreException](c.createNamespace(NamespaceDef("p", backend = "pandas")))
+    val e = intercept[FeatureStoreException](
+      c.createNamespace(NamespaceDef("p", backend = "pandas")))
+    assert(e.getMessage.contains("not available"))
     c.createNamespace(NamespaceDef("s", backend = "spark"))
+    c.createNamespace(NamespaceDef("o", backend = "spark-orc"))
+    assert(Backends.formatFor("spark") == "parquet" &&
+      Backends.formatFor("spark-orc") == "orc" && Backends.formatFor("") == "parquet")
     // a foreign document carrying another selector still loads (strict
     // write, lenient read) — written into a FRESH root: overwriting a
     // Hadoop-written file out-of-band would orphan its .crc sidecar
