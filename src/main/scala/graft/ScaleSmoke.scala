@@ -424,6 +424,90 @@ object ScaleSmoke {
         s"planted probe docs must lose exactly their 16 passage tokens, total $tok")
       println(f"[scale]   probe cut                          ${(System.nanoTime() - t2) / 1e9}%8.2f s")
     }
+    time("connected components 100m-edges: 9M stars + 1M-node chain") {
+      // the 100 TB-story stress (VERDICT r6 #5): 100M edges — 9M disjoint
+      // 12-node stars (99M edges, components known exactly) + one 1M-node
+      // path (diameter 1M: min-label propagation would need 1M rounds).
+      // Gates: per-node exactness, component count, and the ROUND COUNT —
+      // star contraction must stay O(log n) at this scale or the 100 TB
+      // claim is fiction (checkpoint lineage and the active-set freeze are
+      // exactly what 10× scale exposes).
+      val blocks = 9000000L; val bsize = 12L
+      val stars = spark.range(blocks * (bsize - 1)).select(
+        ((col("id") / (bsize - 1)).cast("long") * bsize).as("id_a"),
+        ((col("id") / (bsize - 1)).cast("long") * bsize +
+          pmod(col("id"), lit(bsize - 1)) + 1).as("id_b"))
+      val cbase = 1000000000L; val chainLen = 1000000L
+      val chain = spark.range(chainLen - 1).select(
+        (col("id") + cbase).as("id_a"), (col("id") + cbase + 1).as("id_b"))
+      val cc = CacheScope.persist(operators.DedupOps.connectedComponents(
+        stars.unionByName(chain), "id_a", "id_b"))
+      val mislabeled = cc.where(
+        when(col("id") >= cbase, col("component") =!= cbase)
+          .otherwise(col("component") =!=
+            (col("id") - pmod(col("id"), lit(bsize))))).count()
+      val counts = cc.agg(count(lit(1)), count_distinct(col("component"))).head()
+      require(mislabeled == 0, s"$mislabeled nodes got a wrong component label")
+      require(counts.getLong(0) == blocks * bsize + chainLen &&
+        counts.getLong(1) == blocks + 1,
+        s"expected ${blocks * bsize + chainLen} nodes in ${blocks + 1} " +
+          s"components, got ${counts.getLong(0)} in ${counts.getLong(1)}")
+      val rounds = operators.DedupOps.lastCcRounds.get()
+      println(s"[scale]   cc rounds = $rounds over 100M edges (1M-diameter chain)")
+      require(rounds > 0 && rounds <= 40,
+        s"CC took $rounds rounds on a 1M chain — star contraction is " +
+          "supposed to be O(log n); something regressed")
+    }
+    time("substring store 10m-window: 10M-doc build + 1% batch probe + append") {
+      // the window-store 100 TB-story stress (VERDICT r6 #5): 10M-doc
+      // build, then a 1%-sized batch (100k docs, first 1000 carrying the
+      // planted 16-token passage) probes spans purely via store hits and
+      // APPENDS its windows — probe+append must cost ∝ batch, not ∝ store
+      // (the inner timings make the ratio visible in the log), with the
+      // same exactness gates as the 2M twin.
+      val nd = 10000000L
+      def corpus(ids: org.apache.spark.sql.Dataset[java.lang.Long], tok: String,
+          plantEvery: Long): org.apache.spark.sql.DataFrame =
+        ids.select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(59)), i =>
+            when(col("id") % plantEvery === 0 && i.between(lit(20), lit(35)),
+              concat(lit("p"), i.cast("string")))
+              .otherwise(concat(lit(tok), col("id").cast("string"),
+                lit("_"), i.cast("string"))))).as("text"))
+      val t0b = System.nanoTime()
+      operators.DedupOps.buildWindowStore(
+        corpus(spark.range(nd), "t", 10), "doc_id", "text", s"$root/wstore10m")
+      val buildS = (System.nanoTime() - t0b) / 1e9
+      println(f"[scale]   10M-doc store build                $buildS%8.2f s")
+      val probeIds = spark.range(50000000L, 50000000L + 100000L)
+      val probe = corpus(probeIds.where(col("id") < 50001000L), "u", 1)
+        .unionByName(
+          corpus(probeIds.where(col("id") >= 50001000L), "u", 100000000L))
+      val t1 = System.nanoTime()
+      val spans = operators.DedupOps.incrementalDuplicateSpans(
+        probe, "doc_id", "text", s"$root/wstore10m")
+      val r = spans.agg(count(lit(1)),
+        sum(when(col("span_from") === 20L && col("span_to") === 36L, 1L)
+          .otherwise(0L))).head()
+      require(r.getLong(0) == 1000L && r.getLong(1) == 1000L,
+        s"exactly the 1000 planted probe docs must span [20,36), " +
+          s"got ${r.getLong(1)} of ${r.getLong(0)} spans")
+      val probeS = (System.nanoTime() - t1) / 1e9
+      println(f"[scale]   1%% probe spans (store hits only)   $probeS%8.2f s")
+      CacheScope.release()
+      val t2 = System.nanoTime()
+      operators.DedupOps.appendWindowStore(
+        probe, "doc_id", "text", s"$root/wstore10m", 4, "b1")
+      val appendS = (System.nanoTime() - t2) / 1e9
+      println(f"[scale]   1%% batch append                    $appendS%8.2f s")
+      // ∝-batch gate, loose: a probe or append that rescans the store
+      // costs build-scale time; at 1% batch size they must stay well under
+      // half the build (empirically they are far lower — the bound only
+      // catches an accidental store rescan)
+      require(probeS < buildS && appendS < buildS,
+        f"1%% batch work must cost less than the full build " +
+          f"(build $buildS%.1f s, probe $probeS%.1f s, append $appendS%.1f s)")
+    }
     time("winnowing pairs: 1M docs + 2k planted passage quotes") {
       // 1M globally-unique-token docs plus 2k "quoters", each embedding
       // the first 30 tokens of its victim doc after 20 of its own — the

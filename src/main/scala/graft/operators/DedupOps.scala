@@ -1713,6 +1713,12 @@ object DedupOps {
     * `freezeStars = false` to opt out on graphs known to converge in 1-2
     * rounds.
     */
+  /** Rounds the most recent [[connectedComponents]] call on this JVM took
+    * to converge — diagnostic only (the ScaleSmoke O(log n) round gate);
+    * racing concurrent CC calls read whichever finished last.
+    */
+  private[graft] val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50, freezeStars: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
@@ -1851,6 +1857,7 @@ object DedupOps {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxRounds rounds " +
           s"(edge checksum still changing: $prev); raise maxRounds")
+    lastCcRounds.set(round) // observability: smokes assert O(log n) rounds
     // converged edge set is a union of stars (u → component root): roots
     // appear only on the right, every other node exactly once on the left
     // (min() guards the invariant rather than assuming it)
