@@ -28,9 +28,12 @@ class StoreLockStolenException(msg: String) extends RuntimeException(msg)
   *    Hadoop's LocalFileSystem `create(overwrite = false)` is
   *    check-then-create; `create(overwrite = false)` elsewhere: atomic
   *    server-side on HDFS, best-effort on object stores);
-  *  - a lock older than `staleMs` is presumed abandoned and broken with
-  *    exactly ONE winner (re-stat + atomic rename to a unique tombstone —
-  *    N racing breakers cannot delete each other's fresh locks);
+  *  - a lock older than `staleMs` is presumed abandoned and broken via
+  *    atomic rename to a unique per-breaker tombstone; after the rename
+  *    the tombstone's age is RE-CHECKED — a breaker that raced a fresh
+  *    replacement lock into its rename window restores it untouched, and
+  *    the residual (a restore losing a further race) is caught loudly by
+  *    the displaced owner's commit-time verify, never passed silently;
   *  - waiting writers poll up to `waitMs`, then fail LOUDLY
   *    ([[StoreLockTimeoutException]]) instead of silently racing;
   *  - release deletes the lock only while it still carries OUR token;
@@ -97,28 +100,50 @@ object StoreLock {
     if (System.currentTimeMillis() - st.getModificationTime <= staleMs) return
     val tomb = new Path(lock.getParent,
       s"${lock.getName}.broken.${java.util.UUID.randomUUID()}")
-    if (scala.util.Try(fs.rename(lock, tomb)).getOrElse(false))
-      fs.delete(tomb, false)
+    if (scala.util.Try(fs.rename(lock, tomb)).getOrElse(false)) {
+      // re-check AFTER the atomic rename: another breaker may have broken
+      // the stale lock and a new owner recreated it between our stat and
+      // our rename — in that case we just grabbed a FRESH lock. Restore it
+      // untouched (the owner's token is intact); if the restore loses a
+      // further race, the displaced owner's commit-time verify reports the
+      // interleaving loudly rather than letting it pass silently.
+      val fresh = scala.util.Try(
+        System.currentTimeMillis() -
+          fs.getFileStatus(tomb).getModificationTime <= staleMs).getOrElse(false)
+      if (!fresh || !scala.util.Try(fs.rename(tomb, lock)).getOrElse(false))
+        fs.delete(tomb, false)
+    }
   }
 
-  /** Run `body` as the store's exclusive writer. Re-entrant per thread. */
+  /** Run `body` as the store's exclusive writer. Re-entrant per thread.
+    * `waitMs`/`staleMs` default to 30 s / 30 min; the DEFAULTS can be
+    * raised fleet-wide via the `graft.storeLock.waitMs` /
+    * `graft.storeLock.staleMs` system properties (deployments whose
+    * serialized append trains exceed the wait budget) — an explicitly
+    * passed value always wins over the property.
+    */
   def withLock[T](spark: SparkSession, storePath: String,
-      waitMs: Long = 30000, staleMs: Long = 30 * 60 * 1000L)(body: => T): T = {
+      waitMs: Long = -1L, staleMs: Long = -1L)(body: => T): T = {
     val lock = lockPathFor(storePath)
     val key = lock.toString
     if (held.get.contains(key)) return body // re-entrant: already ours
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val token = java.util.UUID.randomUUID().toString
-    val deadline = System.currentTimeMillis() + waitMs
+    val effWait = if (waitMs >= 0) waitMs
+      else sys.props.get("graft.storeLock.waitMs").map(_.toLong).getOrElse(30000L)
+    val effStale = if (staleMs >= 0) staleMs
+      else sys.props.get("graft.storeLock.staleMs").map(_.toLong)
+        .getOrElse(30 * 60 * 1000L)
+    val deadline = System.currentTimeMillis() + effWait
     var acquired = false
     while (!acquired) {
       if (tryCreate(fs, lock, token)) acquired = true
       else {
-        breakStale(fs, lock, staleMs)
+        breakStale(fs, lock, effStale)
         if (System.currentTimeMillis() > deadline)
           throw new StoreLockTimeoutException(
             s"store $storePath locked by another writer ($lock held past " +
-              s"${waitMs}ms); delete the lock only if that writer is dead")
+              s"${effWait}ms); delete the lock only if that writer is dead")
         else Thread.sleep(20)
       }
     }

@@ -1289,14 +1289,24 @@ object SimilarityOps {
     val (m, ksub) = (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"))
     val ids = spark.read.parquet(s"$srcPath/codes").select(col("id")).distinct()
     val vecs = corpus.join(ids.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
-    val (nStored, nFound) = {
-      val r = ids.agg(count(lit(1))).head().getLong(0)
-      (r, vecs.agg(count(lit(1))).head().getLong(0))
+    // coverage compares DISTINCT ids (a duplicate corpus row must never
+    // mask a missing stored id), and duplicate rows themselves refuse:
+    // two vectors under one id would encode two code rows and corrupt
+    // every probe's top-k
+    val (nStored, nRows, nDistinct) = {
+      val s = ids.agg(count(lit(1))).head().getLong(0)
+      val r = vecs.agg(count(lit(1)),
+        count_distinct(col(idCol))).head()
+      (s, r.getLong(0), r.getLong(1))
     }
-    require(nFound == nStored,
+    require(nDistinct == nStored,
       s"compactPqIndexRetrain: the store at $srcPath holds $nStored ids but " +
-        s"the corpus serves only $nFound of them — codes carry no vectors, " +
+        s"the corpus serves only $nDistinct of them — codes carry no vectors, " +
         "so every stored id must still resolve in the source corpus")
+    require(nRows == nDistinct,
+      s"compactPqIndexRetrain: the corpus carries ${nRows - nDistinct} " +
+        "duplicate rows across stored ids — exactly one vector per id is " +
+        "required (duplicate codes corrupt top-k)")
     buildPqIndex(vecs, idCol, vecCol, dstPath, m, ksub, refineIters)
   }
 

@@ -33,13 +33,14 @@ class TimeseriesStorage(val root: String, spark: SparkSession,
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Per-namespace storage format (the [[graft.catalog.Backends]] dispatch
-    * seam): resolved once and memoized — a namespace's backend is immutable
-    * after creation, so the memo can never serve a stale format, and IO
-    * sites never pay a catalog read per query.
+    * seam). Resolved per call, NOT memoized: a namespace can be deleted
+    * and recreated under a different backend within one session (and can
+    * be probed before it exists), so a memo here would serve a stale
+    * format and write e.g. parquet files into an ORC-declared namespace.
+    * The catalog's own mtime-checked document cache makes each resolve
+    * one file stat — noise next to the IO it fronts.
     */
-  private val fmtMemo = new scala.collection.concurrent.TrieMap[String, String]()
-  private def fmt(namespace: String): String =
-    fmtMemo.getOrElseUpdate(namespace, backendFormat(namespace))
+  private def fmt(namespace: String): String = backendFormat(namespace)
 
   /** Format-dispatched reader for one namespace's feature data. */
   private def readFmt(namespace: String, path: String): DataFrame =

@@ -134,17 +134,16 @@ class PlanSpec extends SparkTestBase {
     // driver-side carries or chained interp passes adds 2+ jobs per read
     // and fails this ceiling.
     val fs = Fixtures.store(spark, dir)
+    // deterministic counting via job GROUPS (statusTracker), not a
+    // SparkListener: the async listener bus can replay earlier runs'
+    // backlogged events into a freshly added listener (overcount) or lag
+    // past a fixed drain sleep (undercount); job-group membership is
+    // assigned synchronously on submit from this thread
     def countJobs(body: => Unit): Int = {
-      val n = new java.util.concurrent.atomic.AtomicInteger
-      val l = new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          n.incrementAndGet()
-      }
-      spark.sparkContext.addSparkListener(l)
-      try { body; Thread.sleep(200) } // let the listener bus drain
-      finally spark.sparkContext.removeSparkListener(l)
-      n.get()
+      val group = s"jobcount-${java.util.UUID.randomUUID()}"
+      spark.sparkContext.setJobGroup(group, "job-count gate", false)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
     }
     def resample(how: String) = fs.storage.load("events", "click",
       from = Some(ts("2024-01-01 00:00:00")), to = Some(ts("2024-01-08 00:00:00")),

@@ -13,6 +13,18 @@ class StoreLockSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
+  // generous wait budget for the racing appenders: each runs a real Spark
+  // write inside the lock, and a cold CI machine must not turn the last
+  // waiter's queueing into a spurious StoreLockTimeoutException
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    sys.props("graft.storeLock.waitMs") = "300000"
+  }
+  override def afterAll(): Unit = {
+    sys.props.remove("graft.storeLock.waitMs")
+    super.afterAll()
+  }
+
   /** Run the thunks concurrently, return each one's failure (if any). */
   private def race(thunks: Seq[() => Unit]): Seq[Option[Throwable]] = {
     val results = new Array[Option[Throwable]](thunks.size)
