@@ -1041,6 +1041,20 @@ object SparkEntry {
         chunkTokens = 512)
     }),
 
+    // in-engine BPE: merges learned from the corpus's word-frequency table
+    // (deterministic Sennrich loop), rank-greedy encode per doc. The merge
+    // loop is not SQL-expressible, so the gate follows the approx_stats
+    // shape: SQL-recomputable word/char counts next to self-checked
+    // invariants (lossless reconstruction, piece-count bounds, prefix
+    // monotonicity) the oracle expects true; algorithmic exactness is
+    // property-gated in the spec against an independent implementation
+    "corpus_bpe_roundtrip" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.TextOps.bpeEncodeStats(d, "doc_id", "text",
+        operators.TextOps.learnBpeMerges(d, "text", 200))
+        .orderBy(col("doc_id"))
+    }),
+
     // train-ready sharded layout: write 16-chunk contiguous shards, read
     // back, and account (shard, n_chunks, n_tokens) — the write path is
     // under test, the oracle recomputes the accounting from raw docs
@@ -3514,6 +3528,18 @@ object SparkEntry {
     // piece-space packing: replay the top-200 vocab (count DESC, word),
     // the single-piece vocab hit / 2-char OOV fallback split, then the
     // same 512-cut concat machinery over the piece stream
+    // in-engine BPE roundtrip: word/char counts recomputed under the same
+    // whitespace tokenization; the encoder's invariants arrive as booleans
+    // the oracle expects true (the approx_stats pattern)
+    "corpus_bpe_roundtrip" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+                      FROM documents)
+         SELECT doc_id,
+           CAST(count(*) FILTER (WHERE t != '') AS BIGINT) AS n_words,
+           CAST(coalesce(sum(length(t)), 0) AS BIGINT) AS n_chars,
+           true AS mono_ok, true AS bounds_ok, true AS lossless
+         FROM tok GROUP BY doc_id ORDER BY doc_id""",
+
     "corpus_pack_pieces" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS wds FROM documents),
          voc AS (SELECT word FROM (SELECT unnest(wds) word FROM w) t

@@ -958,6 +958,194 @@ object TextOps {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
+  // ---- in-engine BPE: learn merges, rank-greedy encode ---------------------
+
+  /** Split a word into single-code-point symbols (surrogate-pair safe). */
+  private def bpeSyms(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** One left-to-right pass merging every (a, b) occurrence. Equivalent to
+    * repeatedly merging the FIRST occurrence until none remain (the
+    * property spec proves the equivalence against that independent form).
+    */
+  private def mergePass(s: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var j = 0
+    while (j < s.length) {
+      if (j < s.length - 1 && s(j) == a && s(j + 1) == b) { out += a + b; j += 2 }
+      else { out += s(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Standard rank-greedy BPE application: repeatedly merge the adjacent
+    * pair with the LOWEST merge rank until no ranked pair remains. Because
+    * application strictly follows rank order, encoding under a PREFIX of a
+    * merge list reaches the exact intermediate state of the full list —
+    * piece counts are monotonically non-increasing in the prefix length
+    * (the `mono_ok` gate invariant).
+    */
+  private[graft] def bpeEncodeWord(sym0: Array[String],
+      rank: collection.Map[(String, String), Int]): Array[String] = {
+    var s = sym0
+    var go = s.length > 1 && rank.nonEmpty
+    while (go) {
+      var bestR = Int.MaxValue; var ba = ""; var bb = ""
+      var i = 0
+      while (i < s.length - 1) {
+        rank.get((s(i), s(i + 1))).foreach { r =>
+          if (r < bestR) { bestR = r; ba = s(i); bb = s(i + 1) }
+        }
+        i += 1
+      }
+      if (bestR == Int.MaxValue) go = false
+      else {
+        s = mergePass(s, ba, bb)
+        if (s.length < 2) go = false
+      }
+    }
+    s
+  }
+
+  /** Learn `nMerges` BPE merge rules from the corpus — a REAL in-engine
+    * tokenizer trainer, shaped the way production trainers are: one Spark
+    * aggregation produces the (word, count) frequency table (the corpus
+    * never streams through the trainer — 100 TB of text is a few million
+    * distinct words), the table is capped at `maxWords` by (count DESC,
+    * word) and trained DRIVER-side with the classic Sennrich loop: count
+    * adjacent symbol pairs weighted by word frequency, merge the best
+    * pair everywhere, repeat. Deterministic end to end: the cap order,
+    * the best-pair choice (count DESC, then lexicographically smallest
+    * pair), and the left-to-right merge pass all tie-break identically
+    * across runs/engines. Stops early when no pair occurs twice.
+    */
+  def learnBpeMerges(docs: DataFrame, textCol: String, nMerges: Int,
+      maxWords: Int = 100000): Seq[(String, String)] = {
+    require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    require(maxWords > 0, s"maxWords must be positive, got $maxWords")
+    val wc = docs
+      .select(explode(tokens(coalesce(col(textCol), lit("")))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] =
+      wc.map { case (w, c) => (bpeSyms(w), c) }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var iter = 0
+    var done = false
+    while (iter < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (s, c) =>
+        var j = 0
+        while (j < s.length - 1) {
+          val k = (s(j), s(j + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          j += 1
+        }
+      }
+      // best = max count, ties to the lexicographically smallest pair
+      val best = counts.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, kv @ (p, c)) => acc match {
+          case Some((bp, bc)) if bc > c || (bc == c &&
+            (bp._1 < p._1 || (bp._1 == p._1 && bp._2 <= p._2))) => acc
+          case _ => Some(kv)
+        }
+      }
+      best match {
+        case Some((p, c)) if c >= 2 =>
+          merges += p
+          words = words.map { case (s, wcnt) => (mergePass(s, p._1, p._2), wcnt) }
+          iter += 1
+        case _ => done = true // nothing merges twice: further rules are noise
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Learned-tokenizer vocabulary in the (word, pieces) shape
+    * [[pieceTokens]] / [[CurationOps.packChunkPieces]] consume: the top
+    * `maxWords` corpus words encoded under `merges` — the in-engine twin
+    * of the "offline tokenizer dump" the piece-packing tier was built
+    * around, closing the train-tokenizer → pack-corpus loop without
+    * leaving the engine.
+    */
+  def bpeWordPieceVocab(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)], maxWords: Int = 100000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rank = merges.zipWithIndex.toMap
+    val rankB = spark.sparkContext.broadcast(rank)
+    docs.select(explode(tokens(coalesce(col(textCol), lit("")))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("word"))
+      .limit(maxWords)
+      .select(col("word")).as[String]
+      .mapPartitions { ws =>
+        val r = rankB.value
+        ws.map(w => (w, bpeEncodeWord(bpeSyms(w), r).toSeq))
+      }
+      .toDF("word", "pieces")
+  }
+
+  /** Per-doc BPE integrity report over the corpus — the gate-able face of
+    * the encoder. The greedy merge loop itself is not SQL-expressible, so
+    * the gate follows the `approx_stats` shape: emit the SQL-recomputable
+    * facts (word and code-point counts under the shared whitespace
+    * tokenization) next to self-checked INVARIANT booleans the oracle
+    * expects true —
+    *  - `lossless`: concatenating every word's pieces reproduces the word
+    *    (BPE merges never drop or alter characters);
+    *  - `bounds_ok`: n_words <= n_pieces <= n_chars (>= one piece per
+    *    word; merging only ever shrinks);
+    *  - `mono_ok`: pieces under ALL merges <= pieces under the first half
+    *    (rank-greedy application makes prefix encodings intermediate
+    *    states — see [[bpeEncodeWord]]).
+    * Exactness of the algorithm itself is property-gated in the spec
+    * against an independent first-occurrence-at-a-time implementation.
+    * Scale shape: merges broadcast (tiny), one narrow mapPartitions over
+    * the docs — no shuffle, the batched-codec shape.
+    */
+  def bpeEncodeStats(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fullB = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    val halfB = spark.sparkContext.broadcast(
+      merges.take(merges.size / 2).zipWithIndex.toMap)
+    docs.select(col(idCol).cast("long").as("id"),
+        tokens(coalesce(col(textCol), lit(""))).as("ws"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { rows =>
+        val full = fullB.value; val half = halfB.value
+        rows.map { case (id, ws0) =>
+          val ws = ws0.filter(_.nonEmpty)
+          var nw = 0L; var nc = 0L; var pf = 0L; var ph = 0L
+          var lossless = true
+          ws.foreach { w =>
+            val s = bpeSyms(w)
+            nw += 1; nc += s.length
+            val ef = bpeEncodeWord(s, full)
+            val eh = bpeEncodeWord(s, half)
+            pf += ef.length; ph += eh.length
+            if (ef.mkString != w) lossless = false
+          }
+          (id, nw, nc, pf <= ph, nw <= pf && pf <= nc, lossless)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_chars", "mono_ok", "bounds_ok", "lossless")
+  }
+
   /** Convenience: one row per doc with all text signals. */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -378,4 +378,82 @@ class PropertySpec extends SparkTestBase {
         assert(report.filter(_.getString(1) == "kept").map(_.getLong(2)).sum == keptN)
       }
   }
+
+  test("property: BPE rank-greedy encode == independent first-occurrence reference; lossless; monotone") {
+    import graft.operators.TextOps
+    // independent reference: repeatedly find the LOWEST-RANK adjacent pair
+    // globally and merge ONLY ITS FIRST occurrence — structurally different
+    // from the production one-pass left-to-right merge
+    def refEncode(word: String, merges: Seq[(String, String)]): List[String] = {
+      val rank = merges.zipWithIndex.toMap
+      var s = word.map(_.toString).toList
+      var go = true
+      while (go && s.length > 1) {
+        val ranked = s.zip(s.tail).zipWithIndex
+          .flatMap { case (p, i) => rank.get(p).map(r => (r, i)) }
+        if (ranked.isEmpty) go = false
+        else {
+          val (_, i) = ranked.minBy { case (r, i) => (r, i) }
+          s = s.take(i) ++ ((s(i) + s(i + 1)) :: s.drop(i + 2))
+        }
+      }
+      s
+    }
+    val wordGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val corpusGen = Gen.listOfN(30, wordGen)
+    (1 to 40).foreach { seed =>
+      val words = corpusGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val docs = {
+        import spark.implicits._
+        words.grouped(5).map(_.mkString(" ")).toSeq.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      }
+      val merges = TextOps.learnBpeMerges(docs, "text", nMerges = 10)
+      // pairwise-distinct symbols in each merge table by construction
+      words.foreach { w =>
+        val got = TextOps.bpeEncodeWord(
+          w.map(_.toString).toArray, merges.zipWithIndex.toMap).toList
+        val want = refEncode(w, merges)
+        assert(got == want, s"seed=$seed word=$w got=$got want=$want merges=$merges")
+        assert(got.mkString == w, s"lossless violated: $w -> $got")
+        // prefix monotonicity: every merge-list prefix yields >= pieces
+        (0 to merges.size).foreach { k =>
+          val pk = TextOps.bpeEncodeWord(
+            w.map(_.toString).toArray, merges.take(k).zipWithIndex.toMap).length
+          assert(pk >= got.size, s"prefix $k grew pieces for $w")
+        }
+      }
+      // empty merge table = code points
+      assert(TextOps.bpeEncodeWord("abc".map(_.toString).toArray, Map.empty).toList
+        == List("a", "b", "c"))
+    }
+  }
+
+  test("BPE-learned vocab feeds the piece packer; accounting self-consistent") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = graft.operators.TextOps.learnBpeMerges(docs, "text", 50)
+    assert(merges.nonEmpty && merges.size <= 50)
+    val vocab = graft.operators.TextOps.bpeWordPieceVocab(docs, "text", merges, 300)
+    // vocab pieces reconstruct their words
+    val bad = vocab.where(concat_ws("", col("pieces")) =!= col("word")).count()
+    assert(bad == 0, s"$bad vocab entries fail reconstruction")
+    // the learned vocab drops into the production piece packer: chunk
+    // token totals equal the corpus's piece-count total (no loss/dup)
+    val packed = graft.operators.CurationOps.packChunkPieces(
+      docs, "doc_id", "text", vocab, chunkTokens = 256)
+    // chunks are (chunk_id, text) with pieces space-joined; pieces never
+    // contain spaces (they come from whitespace-split words)
+    val packedTokens = packed
+      .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+    val vmap = map_from_arrays(collect_list(col("word")), collect_list(col("pieces")))
+    val vocabOneRow = vocab.agg(vmap.as("m"))
+    val direct = docs.crossJoin(broadcast(vocabOneRow))
+      .select(size(graft.operators.TextOps.pieceTokens(col("text"), col("m"))).as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(packedTokens == direct,
+      s"packed piece total $packedTokens != direct accounting $direct")
+    graft.CacheScope.release()
+  }
 }
