@@ -1248,15 +1248,50 @@ object SimilarityOps {
       vecCol: String, path: String, k: Int,
       candFactor: Int = 4): DataFrame = {
     require(k > 0, "k must be positive")
-    val spark = corpus.sparkSession
-    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
-      .select(col("query_id"), col("neighbor_id"))
     // both sides exclude self-matches (bruteForceTopK by its join
     // predicate, the indexed scan inside pqCandidates) — the comparison
     // is k true neighbors against k served neighbors, no freebies
-    val approx = pqTopKIndexed(corpus, queries, idCol, vecCol, path,
-        k, candFactor)
-      .select(col("query_id"), col("neighbor_id"))
+    recallReport(
+      bruteForceTopK(corpus, queries, idCol, vecCol, k),
+      pqTopKIndexed(corpus, queries, idCol, vecCol, path, k, candFactor))
+  }
+
+  /** [[pqRecallProbe]] for a persisted IVF index ([[buildIvfIndex]]):
+    * drift here means appended mass assigned under FROZEN centroids —
+    * cells stop matching the data's clusters and nProbe covers less of
+    * each query's true neighborhood. Same integer-exact report.
+    */
+  def ivfRecallProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, path: String, k: Int, nProbe: Int = 4): DataFrame = {
+    require(k > 0, "k must be positive")
+    recallReport(
+      bruteForceTopK(corpus, queries, idCol, vecCol, k),
+      ivfTopKIndexed(corpus.sparkSession, queries, idCol, vecCol, path,
+        k, nProbe))
+  }
+
+  /** [[pqRecallProbe]] for the composed IVF+PQ store
+    * ([[buildIvfPqIndex]]) — the billion-vector serving shape, where BOTH
+    * frozen layers decay under drift (cell coverage and code
+    * discrimination). Same integer-exact report.
+    */
+  def ivfPqRecallProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, path: String, k: Int, nProbe: Int = 4,
+      candFactor: Int = 4): DataFrame = {
+    require(k > 0, "k must be positive")
+    recallReport(
+      bruteForceTopK(corpus, queries, idCol, vecCol, k),
+      ivfPqTopKIndexed(corpus, queries, idCol, vecCol, path, k,
+        nProbe, candFactor))
+  }
+
+  /** Shared recall aggregate: exact-vs-served top-k overlap folded to one
+    * integer-exact row; both inputs carry (query_id, neighbor_id) with
+    * self-matches already excluded.
+    */
+  private def recallReport(exact0: DataFrame, approx0: DataFrame): DataFrame = {
+    val exact = exact0.select(col("query_id"), col("neighbor_id"))
+    val approx = approx0.select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("__h"))
     val perQ = exact.groupBy(col("query_id")).agg(count(lit(1)).as("__p"))

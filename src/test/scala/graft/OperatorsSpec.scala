@@ -2401,6 +2401,30 @@ class OperatorsSpec extends SparkTestBase {
     graft.CacheScope.release()
   }
 
+  test("ivf and ivfpq recall probes: integer-exact report, recall monotone in cell coverage") {
+    val base = emb.where(col("vec_id") < 400).select(col("vec_id"), col("embedding"))
+    val qs = base.where(col("vec_id") < 10)
+    val ivfPath = s"${Fixtures.tmpRoot}/ivf_recall_spec"
+    SimilarityOps.buildIvfIndex(base, "vec_id", "embedding", ivfPath, nCells = 16)
+    def probeIvf(nProbe: Int) = SimilarityOps.ivfRecallProbe(
+      base, qs, "vec_id", "embedding", ivfPath, 10, nProbe).head()
+    val narrow = probeIvf(1); val wide = probeIvf(16)
+    assert(narrow.getAs[Long]("n_queries") == 10 &&
+      narrow.getAs[Long]("possible") == 100)
+    // probing EVERY cell is exhaustive search — exact recall by definition
+    assert(wide.getAs[Long]("recall_ppm") == 1000000L,
+      s"all-cell probe must be exact, got ${wide.getAs[Long]("recall_ppm")}")
+    assert(narrow.getAs[Long]("recall_ppm") <= wide.getAs[Long]("recall_ppm"))
+    val ivfpqPath = s"${Fixtures.tmpRoot}/ivfpq_recall_spec"
+    SimilarityOps.buildIvfPqIndex(base, "vec_id", "embedding", ivfpqPath,
+      nCells = 16, m = 4, ksub = 8)
+    val pq = SimilarityOps.ivfPqRecallProbe(
+      base, qs, "vec_id", "embedding", ivfpqPath, 10).head()
+    assert(pq.getAs[Long]("n_queries") == 10 && pq.getAs[Long]("possible") == 100)
+    assert(pq.getAs[Long]("hits") > 0 && pq.getAs[Long]("recall_ppm") <= 1000000L)
+    graft.CacheScope.release()
+  }
+
   test("ivfpq persisted index: probe == in-memory; cell-pruned scan; append under frozen everything") {
     val path = s"${Fixtures.tmpRoot}/ivfpq_spec_index"
     val queries = emb.where(col("vec_id") < 10)
