@@ -45,12 +45,14 @@ class StoreLockStolenException(msg: String) extends RuntimeException(msg)
   * The lock file lives BESIDE the store root (`<parent>/.<name>.lock`),
   * not under it: builders legitimately delete the store root inside their
   * critical section, which must not release the lock. Re-entrant per
-  * thread (builders call their own appenders). `staleMs` defaults to 30
-  * minutes — store critical sections run real Spark jobs, and a lease that
-  * outlives the longest append is what makes stale-breaking safe (the
-  * standard lease caveat; raise it for huge backfill batches). Reads never
-  * lock: probes see committed batch dirs, and sidecar-staleness guards
-  * (bloom/sharded-bloom) refuse rather than misread.
+  * thread (builders call their own appenders). A HEARTBEAT thread
+  * refreshes the held lock's mtime every `staleMs / 3`, so staleness only
+  * ever fires on a writer whose process actually died — a live append of
+  * ANY length is never broken out from under its owner, and `staleMs`
+  * (default 30 min) is purely the crash-detection latency, not a bound on
+  * critical-section length. Reads never lock: probes see committed batch
+  * dirs, and sidecar-staleness guards (bloom/sharded-bloom) refuse rather
+  * than misread.
   */
 object StoreLock {
 
@@ -148,6 +150,23 @@ object StoreLock {
       }
     }
     held.get += key
+    // HEARTBEAT: refresh the lock's mtime while the body runs, so a
+    // critical section longer than the lease is never judged stale and
+    // broken out from under a LIVE writer — staleness only ever fires on
+    // a writer that actually died (its heartbeat stopped). Daemon thread;
+    // touches only while the lock still carries our token.
+    val beating = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val beat = new Thread(() => {
+      val interval = math.max(1000L, effStale / 3)
+      while (beating.get) {
+        try Thread.sleep(interval) catch { case _: InterruptedException => }
+        if (beating.get && readToken(fs, lock).contains(token))
+          scala.util.Try(fs.setTimes(lock, System.currentTimeMillis(), -1))
+      }
+    })
+    beat.setDaemon(true)
+    beat.setName(s"graft-store-lock-heartbeat-${lock.getName}")
+    beat.start()
     try {
       val out = body
       // commit-time ownership check: a stale-break thief between acquire
@@ -159,6 +178,8 @@ object StoreLock {
             "another writer interleaved; re-run this batch token")
       out
     } finally {
+      beating.set(false)
+      beat.interrupt()
       held.get -= key
       if (readToken(fs, lock).contains(token)) fs.delete(lock, false)
     }

@@ -132,6 +132,33 @@ class StoreLockSpec extends SparkTestBase {
     }
   }
 
+  test("lock: heartbeat keeps a LIVE long writer's lock un-breakable past the lease") {
+    val store = tmpDir("race_beat") + "/store"
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val inLock = new java.util.concurrent.CountDownLatch(1)
+    val stolen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // 3s lease, ~1s heartbeat; the body holds for 7s — without the
+    // heartbeat any waiter would judge the lock stale and break it
+    val holder = new Thread(() =>
+      try StoreLock.withLock(spark, store, staleMs = 3000) {
+        inLock.countDown(); release.await()
+      } catch { case _: StoreLockStolenException => stolen.set(true) })
+    holder.start()
+    inLock.await()
+    Thread.sleep(7000)
+    // a second writer with a short wait still times out: the heartbeat
+    // kept the lock fresh, so breakStale never fires
+    intercept[StoreLockTimeoutException] {
+      StoreLock.withLock(spark, store, waitMs = 1500, staleMs = 3000) {
+        fail("must not enter while the live writer holds the lock")
+      }
+    }
+    release.countDown(); holder.join(60000)
+    assert(!stolen.get, "the live writer's lock must never have been stolen")
+    // and after the writer finishes, the store is free again
+    StoreLock.withLock(spark, store) { () }
+  }
+
   test("lock: a stale (crashed-writer) lock is broken with one winner") {
     val store = tmpDir("race_stale") + "/store"
     // a crashed writer's abandoned lock, mtime far in the past
