@@ -30,10 +30,15 @@ class StoreLockStolenException(msg: String) extends RuntimeException(msg)
   *    server-side on HDFS, best-effort on object stores);
   *  - a lock older than `staleMs` is presumed abandoned and broken via
   *    atomic rename to a unique per-breaker tombstone; after the rename
-  *    the tombstone's age is RE-CHECKED — a breaker that raced a fresh
-  *    replacement lock into its rename window restores it untouched, and
-  *    the residual (a restore losing a further race) is caught loudly by
-  *    the displaced owner's commit-time verify, never passed silently;
+  *    the tombstone is RE-CHECKED by TOKEN (and, where rename preserves
+  *    mtimes, by age) — a breaker that raced a fresh replacement lock
+  *    into its rename window restores it untouched, and the residual (a
+  *    restore losing a further race) is caught loudly by the displaced
+  *    owner's commit-time verify, never passed silently. The token
+  *    compare makes breaking correct even on filesystems whose rename
+  *    REFRESHES the destination's mtime (where an age-only re-check
+  *    would judge every tombstone fresh and a dead writer's lock would
+  *    be unbreakable);
   *  - waiting writers poll up to `waitMs`, then fail LOUDLY
   *    ([[StoreLockTimeoutException]]) instead of silently racing;
   *  - release deletes the lock only while it still carries OUR token;
@@ -50,9 +55,19 @@ class StoreLockStolenException(msg: String) extends RuntimeException(msg)
   * ever fires on a writer whose process actually died — a live append of
   * ANY length is never broken out from under its owner, and `staleMs`
   * (default 30 min) is purely the crash-detection latency, not a bound on
-  * critical-section length. Reads never lock: probes see committed batch
-  * dirs, and sidecar-staleness guards (bloom/sharded-bloom) refuse rather
-  * than misread.
+  * critical-section length.
+  *
+  * SCOPE of that guarantee: it requires a filesystem whose `setTimes`
+  * actually works. Each FileSystem is PROBED once (a scratch file beside
+  * the lock: set a known mtime, read it back); where the probe fails —
+  * object stores like s3a no-op or reject `setTimes` — heartbeats are
+  * impossible for EVERY writer on that filesystem, so stale-breaking is
+  * DISABLED there: a crashed writer's lock must be removed by an operator
+  * (waiters keep failing loudly with [[StoreLockTimeoutException]], whose
+  * message says exactly that), and a live writer is never broken. Liveness
+  * degrades, safety never does. Reads never lock: probes see committed
+  * batch dirs, and sidecar-staleness guards (bloom/sharded-bloom) refuse
+  * rather than misread.
   */
 object StoreLock {
 
@@ -95,24 +110,91 @@ object StoreLock {
       finally in.close()
     } catch { case _: java.io.IOException => None }
 
+  // per-FileSystem capability probes, each run at most once per JVM per
+  // filesystem URI and cached: both cost one scratch-file round-trip in
+  // the lock's parent dir, paid on the FIRST acquire/break attempt only
+  private val mtimeRefreshableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val renamePreservesMtimeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def probed(cache: java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean],
+      fs: org.apache.hadoop.fs.FileSystem)(probe: => Boolean): Boolean = {
+    val key = fs.getUri.toString
+    val cached = cache.get(key)
+    if (cached != null) return cached.booleanValue
+    val ok = probe
+    cache.putIfAbsent(key, java.lang.Boolean.valueOf(ok))
+    ok
+  }
+
+  /** Does `setTimes` WORK on this filesystem — not merely not-throw, but
+    * verifiably land? Object stores (s3a & co.) no-op or reject it; there
+    * the heartbeat cannot prove liveness for ANY writer, so stale-breaking
+    * must be disabled (see object scaladoc).
+    */
+  private[graft] def canRefreshMtime(fs: org.apache.hadoop.fs.FileSystem,
+      near: Path): Boolean = probed(mtimeRefreshableCache, fs) {
+    val probe = new Path(near.getParent,
+      s".graft.mtime.probe.${java.util.UUID.randomUUID()}")
+    try {
+      val out = fs.create(probe, true); out.close()
+      // second-aligned target: coarse-mtime filesystems still compare equal
+      val want = (System.currentTimeMillis() - 120000L) / 1000L * 1000L
+      fs.setTimes(probe, want, -1)
+      fs.getFileStatus(probe).getModificationTime == want
+    } catch { case scala.util.control.NonFatal(_) => false }
+    finally scala.util.Try(fs.delete(probe, false))
+  }
+
+  /** Does rename carry the source's mtime to the destination? Where it
+    * does NOT (the destination gets a fresh mtime), a tombstone's age says
+    * nothing about the renamed lock's age and the stale re-check must rely
+    * on the token compare alone.
+    */
+  private def renamePreservesMtime(fs: org.apache.hadoop.fs.FileSystem,
+      near: Path): Boolean = probed(renamePreservesMtimeCache, fs) {
+    val a = new Path(near.getParent,
+      s".graft.rename.probe.${java.util.UUID.randomUUID()}")
+    val b = new Path(s"${a.toString}.renamed")
+    try {
+      val out = fs.create(a, true); out.close()
+      val want = (System.currentTimeMillis() - 120000L) / 1000L * 1000L
+      fs.setTimes(a, want, -1)
+      fs.rename(a, b) && fs.getFileStatus(b).getModificationTime == want
+    } catch { case scala.util.control.NonFatal(_) => false }
+    finally { scala.util.Try(fs.delete(a, false)); scala.util.Try(fs.delete(b, false)) }
+  }
+
   private def breakStale(fs: org.apache.hadoop.fs.FileSystem, lock: Path,
       staleMs: Long): Unit = {
+    // no working setTimes ⇒ no writer on this filesystem can heartbeat, so
+    // age NEVER proves abandonment — never break, let the waiter fail loudly
+    if (!canRefreshMtime(fs, lock)) return
     val st = try fs.getFileStatus(lock)
       catch { case _: java.io.FileNotFoundException => return }
     if (System.currentTimeMillis() - st.getModificationTime <= staleMs) return
+    // the token we judged stale: the rename's cargo must still carry it,
+    // or we renamed somebody else's FRESH replacement lock
+    val staleToken = readToken(fs, lock).getOrElse(return)
     val tomb = new Path(lock.getParent,
       s"${lock.getName}.broken.${java.util.UUID.randomUUID()}")
     if (scala.util.Try(fs.rename(lock, tomb)).getOrElse(false)) {
       // re-check AFTER the atomic rename: another breaker may have broken
       // the stale lock and a new owner recreated it between our stat and
-      // our rename — in that case we just grabbed a FRESH lock. Restore it
+      // our rename — in that case we just grabbed a FRESH lock. Detect it
+      // by TOKEN (rename-behavior-independent) and, where rename preserves
+      // mtimes, by age (catches the same-token residual of a heartbeat
+      // firing inside our stat→rename window). Restore a fresh lock
       // untouched (the owner's token is intact); if the restore loses a
       // further race, the displaced owner's commit-time verify reports the
       // interleaving loudly rather than letting it pass silently.
-      val fresh = scala.util.Try(
+      val sameLock = readToken(fs, tomb).contains(staleToken)
+      val freshByAge = renamePreservesMtime(fs, lock) && scala.util.Try(
         System.currentTimeMillis() -
           fs.getFileStatus(tomb).getModificationTime <= staleMs).getOrElse(false)
-      if (!fresh || !scala.util.Try(fs.rename(tomb, lock)).getOrElse(false))
+      if (sameLock && !freshByAge) fs.delete(tomb, false)
+      else if (!scala.util.Try(fs.rename(tomb, lock)).getOrElse(false))
         fs.delete(tomb, false)
     }
   }
@@ -142,10 +224,17 @@ object StoreLock {
       if (tryCreate(fs, lock, token)) acquired = true
       else {
         breakStale(fs, lock, effStale)
-        if (System.currentTimeMillis() > deadline)
+        if (System.currentTimeMillis() > deadline) {
+          val hint = if (canRefreshMtime(fs, lock))
+            "delete the lock only if that writer is dead"
+          else
+            "this filesystem has no working setTimes, so crashed writers " +
+              "are never auto-detected (stale-breaking disabled) — verify " +
+              "the writer is dead, then delete the lock"
           throw new StoreLockTimeoutException(
             s"store $storePath locked by another writer ($lock held past " +
-              s"${effWait}ms); delete the lock only if that writer is dead")
+              s"${effWait}ms); $hint")
+        }
         else Thread.sleep(20)
       }
     }
@@ -154,19 +243,25 @@ object StoreLock {
     // critical section longer than the lease is never judged stale and
     // broken out from under a LIVE writer — staleness only ever fires on
     // a writer that actually died (its heartbeat stopped). Daemon thread;
-    // touches only while the lock still carries our token.
+    // touches only while the lock still carries our token. Where the
+    // filesystem's setTimes doesn't land (object stores), the thread is
+    // not started at all: breakStale is disabled on exactly those
+    // filesystems, so the lock needs no freshening to stay safe.
     val beating = new java.util.concurrent.atomic.AtomicBoolean(true)
-    val beat = new Thread(() => {
-      val interval = math.max(1000L, effStale / 3)
-      while (beating.get) {
-        try Thread.sleep(interval) catch { case _: InterruptedException => }
-        if (beating.get && readToken(fs, lock).contains(token))
-          scala.util.Try(fs.setTimes(lock, System.currentTimeMillis(), -1))
-      }
-    })
-    beat.setDaemon(true)
-    beat.setName(s"graft-store-lock-heartbeat-${lock.getName}")
-    beat.start()
+    val beat = if (!canRefreshMtime(fs, lock)) None else Some {
+      val t = new Thread(() => {
+        val interval = math.max(1000L, effStale / 3)
+        while (beating.get) {
+          try Thread.sleep(interval) catch { case _: InterruptedException => }
+          if (beating.get && readToken(fs, lock).contains(token))
+            scala.util.Try(fs.setTimes(lock, System.currentTimeMillis(), -1))
+        }
+      })
+      t.setDaemon(true)
+      t.setName(s"graft-store-lock-heartbeat-${lock.getName}")
+      t.start()
+      t
+    }
     try {
       val out = body
       // commit-time ownership check: a stale-break thief between acquire
@@ -179,7 +274,7 @@ object StoreLock {
       out
     } finally {
       beating.set(false)
-      beat.interrupt()
+      beat.foreach(_.interrupt())
       held.get -= key
       if (readToken(fs, lock).contains(token)) fs.delete(lock, false)
     }

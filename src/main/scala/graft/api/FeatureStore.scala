@@ -35,9 +35,12 @@ class FeatureStore(
   GraftSession.tune(spark)
   val catalog: Catalog = new JsonFileCatalog(storageRoot, spark.sparkContext.hadoopConfiguration)
   // storage format dispatches per namespace through the Backends table
-  // (the reference's available_backends seam, src/qafs/model.py:104-110)
+  // (the reference's available_backends seam, src/qafs/model.py:104-110);
+  // the per-IO resolution is LENIENT — a leniently-loaded catalog doc with
+  // a foreign selector stays readable (parquet fallback, warned once) —
+  // while createNamespace stays strict
   val storage = new TimeseriesStorage(storageRoot, spark,
-    ns => graft.catalog.Backends.formatFor(
+    ns => graft.catalog.Backends.dispatchFormatFor(
       catalog.getNamespace(ns).map(_.backend).getOrElse("spark")))
   val registry = new TransformRegistry
 
@@ -714,16 +717,20 @@ class FeatureStore(
     val bin = least(greatest(
       floor((col(ValueCol) - lit(lo)) / lit(width)).cast("bigint"),
       lit(0L)), lit((bins - 1).toLong))
-    storage.load(ns, n, Some(TimeUtil.parseTimestamp(refFrom)),
-        Some(TimeUtil.parseTimestamp(refTo)), timeTravel = timeTravel)
-      .where(col(ValueCol).isNotNull && !isnan(col(ValueCol))) // never bin 0
-      .select(bin.as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as("n_ref"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/hist")
-    import spark.implicits._
-    Seq((lo, hi, bins, refFrom, refTo))
-      .toDF("lo", "hi", "bins", "ref_from", "ref_to")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // store MUTATOR ⇒ StoreLock, like every other member of the persisted-
+    // store family: two concurrent builders must not interleave hist/meta
+    graft.StoreLock.withLock(spark, path) {
+      storage.load(ns, n, Some(TimeUtil.parseTimestamp(refFrom)),
+          Some(TimeUtil.parseTimestamp(refTo)), timeTravel = timeTravel)
+        .where(col(ValueCol).isNotNull && !isnan(col(ValueCol))) // never bin 0
+        .select(bin.as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n_ref"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/hist")
+      import spark.implicits._
+      Seq((lo, hi, bins, refFrom, refTo))
+        .toDF("lo", "hi", "bins", "ref_from", "ref_to")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
   }
 
   /** [[profileDrift]] against a persisted reference histogram

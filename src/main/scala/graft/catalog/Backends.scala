@@ -28,7 +28,10 @@ object Backends {
     "spark-orc" -> "orc")
 
   /** Resolve a selector (empty/null = default "spark"); unknown selectors
-    * fail loudly, mirroring the reference's RuntimeError.
+    * fail loudly, mirroring the reference's RuntimeError. This is the
+    * WRITE-PATH/creation gate: [[graft.catalog.JsonFileCatalog]] calls it
+    * at `createNamespace`, so no namespace is ever CREATED with a foreign
+    * selector.
     */
   def formatFor(backend: String): String = {
     val b = if (backend == null || backend.isEmpty) "spark" else backend
@@ -36,4 +39,28 @@ object Backends {
       s"backend '$b' is not available: this engine serves " +
         available.keys.toSeq.sorted.mkString("[", ", ", "]")))
   }
+
+  /** Per-IO dispatch resolution — LENIENT, preserving the catalog's
+    * lenient-read contract: a catalog document carrying a selector this
+    * engine doesn't serve (e.g. the reference's `"pandas"`, whose data is
+    * plain parquet on disk) must not make the namespace UNREADABLE, so a
+    * foreign selector falls back to parquet with a one-time warning per
+    * selector. Creation stays strict ([[formatFor]]); the "written under
+    * one format is never re-read as another" invariant holds because a
+    * foreign selector resolves to parquet on EVERY dispatch.
+    */
+  def dispatchFormatFor(backend: String): String = {
+    val b = if (backend == null || backend.isEmpty) "spark" else backend
+    available.getOrElse(b, {
+      if (warned.add(b))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"namespace backend '$b' is not served by this engine; " +
+            "dispatching its storage as parquet (the reference engines' " +
+            "on-disk format) — recreate the namespace to silence this")
+      "parquet"
+    })
+  }
+
+  private val warned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

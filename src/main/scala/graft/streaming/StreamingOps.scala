@@ -828,12 +828,15 @@ object StreamingOps {
             floor((col(valueCol) - lit(lo)) / lit(width)).cast("bigint"),
             lit(0L)), lit((bins - 1).toLong))
           // null/NaN dropped, never silently binned into bin 0 (matches
-          // the batch-side FeatureStore binning sites)
-          batch.where(col(valueCol).isNotNull && !isnan(col(valueCol)))
-            .select(bin.as("bin"))
-            .groupBy(col("bin")).agg(count(lit(1)).as("n"))
-            .coalesce(1)
-            .write.mode("overwrite").parquet(s"$curPath/hist/batch=b$bid")
+          // the batch-side FeatureStore binning sites); store MUTATOR ⇒
+          // StoreLock like the rest of the persisted-store family
+          graft.StoreLock.withLock(batch.sparkSession, curPath) {
+            batch.where(col(valueCol).isNotNull && !isnan(col(valueCol)))
+              .select(bin.as("bin"))
+              .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+              .coalesce(1)
+              .write.mode("overwrite").parquet(s"$curPath/hist/batch=b$bid")
+          }
           ()
         }
       }

@@ -64,6 +64,37 @@ class FeatureStoreSpec extends SparkTestBase {
       s"ORC scan must keep partition pruning:\n${plan.take(500)}")
   }
 
+  test("foreign backend selector: creation refuses loudly, but a leniently-loaded doc stays READABLE") {
+    val root = tmpDir("fs_foreign_backend")
+    val fs = new FeatureStore(root, spark)
+    // creation gate stays strict — the reference's RuntimeError behavior
+    val e = intercept[FeatureStoreException] {
+      fs.createNamespace("nope", backend = "pandas")
+    }
+    assert(e.getMessage.contains("not available"))
+    // a valid namespace with real data...
+    fs.createNamespace("mig", "migrated from the reference")
+    fs.createFeature("mig/n")
+    fs.saveDf(seriesDf(Seq("2021-01-01" -> 1L, "2021-01-02" -> 2L)),
+      name = Some("mig/n"))
+    // ...whose catalog doc arrives hand-carrying a selector this engine
+    // doesn't serve (the catalog's lenient-read contract tolerates the doc;
+    // the data on disk is plain parquet either way)
+    val doc = new java.io.File(root, "_catalog/catalog.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(doc.toPath), "UTF-8")
+    assert(txt.contains("\"spark\""))
+    java.nio.file.Files.write(doc.toPath,
+      txt.replaceFirst("\"spark\"", "\"pandas\"").getBytes("UTF-8"))
+    // the out-of-band edit invalidates LocalFileSystem's checksum sidecar
+    new java.io.File(root, "_catalog/.catalog.json.crc").delete()
+    // a fresh store on the same root reads the namespace fine: per-IO
+    // dispatch falls back to parquet instead of refusing the read
+    val fs2 = new FeatureStore(root, spark)
+    assert(fs2.catalog.getNamespace("mig").map(_.backend).contains("pandas"))
+    val rows = fs2.loadFeatures(Seq("mig/n")).orderBy("time").collect()
+    assert(rows.map(_.getAs[Long]("mig/n")).toSeq == Seq(1L, 2L))
+  }
+
   test("quality gate: violating frame writes nothing and raises") {
     val fs = freshStore()
     fs.createNamespace("q")

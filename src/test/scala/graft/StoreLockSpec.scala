@@ -111,6 +111,37 @@ class StoreLockSpec extends SparkTestBase {
       || (m.getAs[Int]("k"), fpBatches.head) == ((5, "batch=b")))
   }
 
+  test("hist store: two concurrent builders serialize — hist always matches its meta") {
+    val root = tmpDir("race_hist_fs")
+    val fstore = new graft.api.FeatureStore(root, spark)
+    fstore.createNamespace("h")
+    fstore.createFeature("h/v")
+    val days = (0 until 59).map { i =>
+      val d = java.time.LocalDate.of(2021, 1, 1).plusDays(i)
+      (d.toString, (i + 1).toDouble: Any)
+    }
+    fstore.saveDf(seriesDf(days), name = Some("h/v"))
+    val path = tmpDir("race_hist") + "/store"
+    // two builders with DIFFERENT windows and binnings race the same path:
+    // unlocked, one's hist could land beside the other's meta
+    val errs = race(Seq(
+      () => fstore.buildHistStore("h/v", "2021-01-01", "2021-01-31",
+        lo = 0.0, hi = 32.0, bins = 8, path = path),
+      () => fstore.buildHistStore("h/v", "2021-02-01", "2021-03-01",
+        lo = 0.0, hi = 64.0, bins = 16, path = path)))
+    assert(errs.forall(_.isEmpty), s"builders must serialize, got: $errs")
+    // whichever builder won, the surviving hist must be exactly what a
+    // serial build under the surviving meta's parameters produces
+    val m = spark.read.parquet(s"$path/meta").head()
+    val serial = tmpDir("race_hist_serial") + "/store"
+    fstore.buildHistStore("h/v", m.getString(3), m.getString(4),
+      m.getDouble(0), m.getDouble(1), m.getInt(2), serial)
+    def hist(p: String) = spark.read.parquet(s"$p/hist").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hist(path) == hist(serial),
+      "hist must match the meta beside it — no interleaved build")
+  }
+
   test("lock: a held store refuses a second writer loudly after the wait budget") {
     val store = tmpDir("race_timeout") + "/store"
     val barrier = new java.util.concurrent.CountDownLatch(1)
@@ -157,6 +188,56 @@ class StoreLockSpec extends SparkTestBase {
     assert(!stolen.get, "the live writer's lock must never have been stolen")
     // and after the writer finishes, the store is free again
     StoreLock.withLock(spark, store) { () }
+  }
+
+  test("lock: no working setTimes (object store) — a live long writer is NEVER stale-broken") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.notimes.impl", classOf[NoSetTimesFileSystem].getName)
+    val store = "notimes:" + tmpDir("race_notimes") + "/store"
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val inLock = new java.util.concurrent.CountDownLatch(1)
+    val holderErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    // 1.5s lease on a filesystem where heartbeats CANNOT land: before the
+    // capability probe, the waiter judged the un-refreshable lock stale at
+    // 1.5s, broke it, and the live holder died with StoreLockStolenException
+    val holder = new Thread(() =>
+      try StoreLock.withLock(spark, store, staleMs = 1500) {
+        inLock.countDown(); release.await()
+      } catch { case e: Throwable => holderErr.set(e); inLock.countDown() })
+    holder.start()
+    inLock.await()
+    Thread.sleep(2500) // well past the lease — the lock LOOKS stale by age
+    try {
+      val e = intercept[StoreLockTimeoutException] {
+        StoreLock.withLock(spark, store, waitMs = 1500, staleMs = 1500) {
+          fail("must not enter: stale-breaking is disabled without setTimes")
+        }
+      }
+      assert(e.getMessage.contains("no working setTimes"), e.getMessage)
+    } finally { release.countDown(); holder.join(60000) }
+    assert(holderErr.get == null,
+      s"live writer must finish undisturbed, got: ${holderErr.get}")
+    // released normally: the store is acquirable again on the same filesystem
+    StoreLock.withLock(spark, store, staleMs = 1500) { () }
+  }
+
+  test("lock: rename-refreshes-mtime filesystem — a dead writer's lock is still breakable") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.touchy.impl", classOf[RenameTouchFileSystem].getName)
+    val localDir = tmpDir("race_touchy")
+    val store = "touchy:" + localDir + "/store"
+    // a crashed writer's abandoned lock, mtime far in the past
+    val lock = new java.io.File(localDir, ".store.lock")
+    java.nio.file.Files.write(lock.toPath, "dead-writer".getBytes("UTF-8"))
+    assert(lock.setLastModified(System.currentTimeMillis() - 3600 * 1000L))
+    // before the token re-check, the breaker renamed the stale lock, the
+    // rename refreshed the tombstone's mtime, the age re-check judged it
+    // "fresh" and restored it — a dead writer's lock was unbreakable and
+    // every waiter timed out forever
+    var ran = false
+    StoreLock.withLock(spark, store, waitMs = 30000, staleMs = 60000) { ran = true }
+    assert(ran, "stale lock must be broken despite the mtime-refreshing rename")
+    assert(!lock.exists(), "broken+released lock must be gone")
   }
 
   test("lock: a stale (crashed-writer) lock is broken with one winner") {

@@ -1,0 +1,32 @@
+package graft
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+
+/** Object-store stand-in for StoreLock capability specs: `setTimes` is
+  * unsupported (s3a and friends no-op or reject it), everything else is the
+  * local filesystem. Registered in a spec via
+  * `fs.notimes.impl` → this class; paths look like `notimes:/tmp/...`.
+  */
+class NoSetTimesFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "notimes"
+  override def getUri: URI = URI.create("notimes:///")
+  override def setTimes(p: Path, mtime: Long, atime: Long): Unit =
+    throw new UnsupportedOperationException(
+      "setTimes is not supported (object-store behavior)")
+}
+
+/** A filesystem whose rename REFRESHES the destination's mtime instead of
+  * carrying the source's — the behavior that made an age-only tombstone
+  * re-check judge every renamed stale lock "fresh" and restore it forever.
+  */
+class RenameTouchFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "touchy"
+  override def getUri: URI = URI.create("touchy:///")
+  override def rename(src: Path, dst: Path): Boolean = {
+    val ok = super.rename(src, dst)
+    if (ok) super.setTimes(dst, System.currentTimeMillis(), -1)
+    ok
+  }
+}
