@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Committed-read manifest for the batch-dir store family (fingerprint /
+  * minhash / simhash / winnow / window / line-census / cluster-label
+  * stores): every append writes its `batch=<token>` dir(s) FIRST and then
+  * registers the token with one marker-file create under
+  * `<storeRoot>/_commits/<token>` — readers list the marker dir and open
+  * only committed batch dirs. This closes the probe-during-append window:
+  * a store writer's parquet job materializes task files one rename at a
+  * time at commit, so a lock-free concurrent probe could previously read a
+  * PARTIAL batch (some files moved, some not) — silently under-counting
+  * duplicates. With the manifest, a batch is invisible until its marker
+  * exists, and the marker is a single atomic file create (HDFS create,
+  * object-store PUT).
+  *
+  * Multi-family stores (winnow: `fps/batch=<t>` + `sizes/batch=<t>`)
+  * commit ONE marker per token at the store root after every family's dir
+  * is written, so probes see the token's dirs across families all-or-
+  * nothing.
+  *
+  * Legacy stores (no `_commits` dir) read with the full directory view
+  * unchanged — the manifest is an opt-in layer that every builder/appender
+  * in this engine now writes.
+  *
+  * Residual window, documented: the same-token REPLAY contract (a
+  * crash-retried micro-batch overwrites its own batch dir) rewrites a dir
+  * whose marker may already exist; a probe racing that rewrite can see the
+  * partial rewrite. Mutators shrink the window by dropping the token's
+  * marker before rewriting ([[uncommit]]); the window is replay-only and
+  * never affects the common append path.
+  */
+object StoreCommit {
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def commitsDir(storeRoot: String) = new Path(s"$storeRoot/_commits")
+
+  /** Register `batchToken` as committed — call AFTER its batch dir(s) are
+    * fully written. Atomic: one marker-file create.
+    */
+  def commit(spark: SparkSession, storeRoot: String, batchToken: String): Unit = {
+    val dir = commitsDir(storeRoot)
+    val hfs = fs(spark, dir)
+    if (!hfs.exists(dir)) hfs.mkdirs(dir)
+    val out = hfs.create(new Path(dir, batchToken), true)
+    try out.write(batchToken.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Drop `batchToken`'s marker — the replay hook: a crash-retry that is
+    * about to delete/rewrite its own batch dir first makes it invisible,
+    * so racing probes see the pre-replay store instead of a half-rewrite.
+    */
+  def uncommit(spark: SparkSession, storeRoot: String, batchToken: String): Unit = {
+    val m = new Path(commitsDir(storeRoot), batchToken)
+    val hfs = fs(spark, m)
+    if (hfs.exists(m)) { hfs.delete(m, false); () }
+  }
+
+  /** The committed token set, or None for a legacy store with no manifest
+    * (full directory view applies).
+    */
+  def committedTokens(spark: SparkSession, storeRoot: String): Option[Set[String]] = {
+    val dir = commitsDir(storeRoot)
+    val hfs = fs(spark, dir)
+    if (!hfs.exists(dir)) None
+    else Some(hfs.listStatus(dir).map(_.getPath.getName).toSet)
+  }
+
+  private def listedTokens(spark: SparkSession, familyRoot: String): Seq[String] = {
+    val p = new Path(familyRoot)
+    val hfs = fs(spark, p)
+    if (!hfs.exists(p)) Seq.empty
+    else hfs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch="))
+      .sorted.toSeq
+  }
+
+  /** Batch tokens VISIBLE to readers of `storeRoot(/sub)`: the listed
+    * `batch=` dirs intersected with the committed set (all listed dirs for
+    * a legacy store). Sorted — the staleness contracts (bloom sketch
+    * coverage) compare these lists verbatim.
+    */
+  def visibleTokens(spark: SparkSession, storeRoot: String,
+      sub: Option[String] = None): Seq[String] = {
+    val familyRoot = sub.fold(storeRoot)(s => s"$storeRoot/$s")
+    val listed = listedTokens(spark, familyRoot)
+    committedTokens(spark, storeRoot).fold(listed)(c => listed.filter(c))
+  }
+
+  /** Committed-only read of the batch-dir family at `storeRoot(/sub)`.
+    * `basePath` keeps the `batch` partition column alive, so readers that
+    * filter a replayed micro-batch's own dir (`col("batch") =!= t`) are
+    * unchanged. Legacy stores (no manifest) read the plain directory view.
+    * Throws when a manifest exists but no listed dir is committed — a
+    * store in that state is mid-construction or corrupt, and reading it
+    * as empty would silently report "no duplicates".
+    */
+  def read(spark: SparkSession, storeRoot: String,
+      sub: Option[String] = None): DataFrame = {
+    val familyRoot = sub.fold(storeRoot)(s => s"$storeRoot/$s")
+    committedTokens(spark, storeRoot) match {
+      case None => spark.read.parquet(familyRoot)
+      case Some(committed) =>
+        val visible = listedTokens(spark, familyRoot).filter(committed)
+        require(visible.nonEmpty,
+          s"no committed batches under $familyRoot — the store is " +
+            "mid-construction (writer crashed before its first commit " +
+            "marker) or its _commits dir was damaged")
+        spark.read.option("basePath", familyRoot)
+          .parquet(visible.map(t => s"$familyRoot/batch=$t"): _*)
+    }
+  }
+}

@@ -68,6 +68,24 @@ class StoreLockStolenException(msg: String) extends RuntimeException(msg)
   * degrades, safety never does. Reads never lock: probes see committed
   * batch dirs, and sidecar-staleness guards (bloom/sharded-bloom) refuse
   * rather than misread.
+  *
+  * The second capability this protocol leans on is an ATOMIC
+  * `create(overwrite = false)`. Where a store offers only best-effort PUT
+  * (no conditional write — plain S3 before If-None-Match, and any
+  * eventually-consistent listing layer), two writers can both "win" the
+  * exclusive create, and the guarantee degrades from PREVENTION to
+  * DETECTION — the exact residual contract, spec-pinned against a
+  * PUT-semantics filesystem stub: overlapping writers are possible, but
+  * never silent. The displaced writer's commit-time verify raises
+  * [[StoreLockStolenException]] (its token is gone), the surviving
+  * writer's batch dirs are replay-idempotent, and the committed-read
+  * manifest ([[StoreCommit]]) keeps half-written dirs invisible to every
+  * probe throughout — so the repair is always "re-run the losing batch
+  * token", never a corrupted store. Deployments that need true mutual
+  * exclusion on such backends should point the lock's parent dir at a
+  * filesystem with atomic create (HDFS, a conditional-PUT bucket) — the
+  * lock file already lives beside, not inside, the store root, so the two
+  * can use different filesystems.
   */
 object StoreLock {
 

@@ -139,8 +139,9 @@ object DedupOps {
       path: String,
       batchToken: String = java.util.UUID.randomUUID.toString): Unit =
     graft.StoreLock.withLock(df.sparkSession, path) {
-      df.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
-        .write.mode("overwrite").parquet(s"$path/batch=$batchToken")
+      writeStoreBatch(
+        df.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp")),
+        path, batchToken)
     }
 
   /** [[exactDedupMap]] of a NEW batch against a persisted fingerprint store:
@@ -164,7 +165,7 @@ object DedupOps {
     val probeRows = newDocs.count()
     val fresh = newDocs.select(col(idCol).as("id"),
       TextOps.fingerprint(col(textCol)).as("fp"))
-    val old = newDocs.sparkSession.read.parquet(path).select(col("id"), col("fp"))
+    val old = graft.StoreCommit.read(newDocs.sparkSession, path).select(col("id"), col("fp"))
     val oldPruned = probePrune(old, fresh.select(col("fp")).distinct(),
       Seq("fp"), probeRows)
     val canon = fresh.unionByName(oldPruned)
@@ -177,13 +178,11 @@ object DedupOps {
   // ---- Bloom-filter-accelerated store probe -------------------------------
 
   private def storeBatchTokens(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch="))
-      .sorted.toSeq
-  }
+      path: String): Seq[String] =
+    // COMMITTED tokens only: the bloom staleness contract and the sketch
+    // builders must agree with the probes' committed-read view — an
+    // uncommitted (mid-append) batch dir is not part of the store yet
+    graft.StoreCommit.visibleTokens(spark, path)
 
   /** Build (or rebuild) a Bloom sketch over every fingerprint in the store
     * at `path`, persisted to `path/_bloom/` (the `_` prefix keeps Spark's
@@ -205,7 +204,7 @@ object DedupOps {
       graft.StoreLock.withLock(spark, path) {
     val tokens = storeBatchTokens(spark, path)
     require(tokens.nonEmpty, s"buildFingerprintBloom: no batch dirs under $path")
-    val fps = spark.read.parquet(path).select(col("fp"))
+    val fps = graft.StoreCommit.read(spark, path).select(col("fp"))
     val n = math.max(1L, fps.count())
     val bloom = fps.stat.bloomFilter("fp", n, fpp)
     val dir = new org.apache.hadoop.fs.Path(s"$path/_bloom")
@@ -227,12 +226,21 @@ object DedupOps {
     * the batch by shard and each partition lazily loads only the sketches
     * it actually meets from storage — no broadcast at any size.
     *
-    * Build cost: `shards + 1` column-pruned scans of the store (one count
-    * pass sizing each sketch, then one scan per shard) — a deliberate
-    * simplicity trade over a one-pass sketch aggregator whose partial
-    * buffers would serialize whole sketches between map and reduce; the
-    * build runs once per store generation. Same staleness contract as the
-    * single sketch: covered batch tokens are recorded and drifted stores
+    * Build cost: ONE data scan of the store regardless of shard count —
+    * the fingerprints repartition on the shard key and every partition
+    * builds the sketches for the shard ids it holds locally, writing each
+    * finished sketch to storage from the task (sketch insertion is a
+    * bitwise OR, so a task retry rewrites byte-identical content). Sizing
+    * comes from one metadata-only `count()` (parquet footers, no column
+    * read) spread uniformly across shards — xxhash64 distributes
+    * fingerprints evenly, and 25% headroom keeps the realized fpp at or
+    * under the dial on mildly uneven shards. The earlier shape (one
+    * `stat.bloomFilter` job per shard, `shards + 1` scans) re-read the
+    * whole store per shard at 64+ shards; partition-local builds pay the
+    * sketch memory (a few shards' bit arrays per task) instead, which is
+    * exactly the probe-side per-task budget. Same staleness contract as
+    * the single sketch: covered batch tokens are recorded (LAST, as the
+    * commit marker — probes require `batches.txt`) and drifted stores
     * refuse to probe.
     */
   def buildShardedFingerprintBloom(spark: org.apache.spark.sql.SparkSession,
@@ -244,15 +252,40 @@ object DedupOps {
     val dir = new org.apache.hadoop.fs.Path(s"$path/_bloomshards")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) fs.delete(dir, true)
-    val fps = spark.read.parquet(path)
+    val total = graft.StoreCommit.read(spark, path).count()
+    val perShard = math.max(1L, math.ceil(total * 1.25 / shards).toLong)
+    val shardDir = s"$path/_bloomshards"
+    val confB = spark.sparkContext.broadcast(
+      new graft.HadoopConfSer(spark.sparkContext.hadoopConfiguration))
+    import spark.implicits._
+    val written = graft.StoreCommit.read(spark, path)
       .select(col("fp"), pmod(xxhash64(col("fp")), lit(shards.toLong)).as("__s"))
-    val counts = fps.groupBy(col("__s")).count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    (0 until shards).foreach { s =>
-      val n = math.max(1L, counts.getOrElse(s.toLong, 0L))
-      val bloom = fps.where(col("__s") === s.toLong).stat.bloomFilter("fp", n, fpp)
+      .repartition(shards, col("__s"))
+      .as[(String, Long)]
+      .mapPartitions { rows =>
+        val sketches = scala.collection.mutable.Map[
+          Long, org.apache.spark.util.sketch.BloomFilter]()
+        rows.foreach { case (fp, s) =>
+          if (fp != null) sketches.getOrElseUpdate(s,
+            org.apache.spark.util.sketch.BloomFilter.create(perShard, fpp))
+            .putString(fp)
+        }
+        val hfs = new org.apache.hadoop.fs.Path(shardDir)
+          .getFileSystem(confB.value.value)
+        sketches.iterator.map { case (s, bloom) =>
+          val out = hfs.create(
+            new org.apache.hadoop.fs.Path(s"$shardDir/shard=$s/sketch.bin"), true)
+          try bloom.writeTo(out) finally out.close()
+          s
+        }
+      }.collect().toSet
+    // shards with zero stored fingerprints still need a sketch file: the
+    // probe's lazy loader opens exactly the files the batch's shard keys
+    // hit, and an absent file would fail the open rather than read "empty"
+    (0L until shards).filterNot(written).foreach { s =>
+      val empty = org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
       val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"shard=$s/sketch.bin"))
-      try bloom.writeTo(out) finally out.close()
+      try empty.writeTo(out) finally out.close()
     }
     val meta = fs.create(new org.apache.hadoop.fs.Path(dir, "batches.txt"))
     try meta.write((tokens.mkString("\n") + s"\n#shards=$shards fpp=$fpp\n")
@@ -315,7 +348,7 @@ object DedupOps {
     // mapPartitions pass; without the pin each would reload sketches
     val posCached = graft.CacheScope.persist(positives)
     val nPos = posCached.count()
-    val old = spark.read.parquet(path).select(col("id"), col("fp"))
+    val old = graft.StoreCommit.read(spark, path).select(col("id"), col("fp"))
     val oldPruned = probePrune(old, posCached, Seq("fp"), nPos)
     val canon = fresh.unionByName(oldPruned)
       .groupBy(col("fp")).agg(min(col("id")).as("canonical_id"))
@@ -374,7 +407,7 @@ object DedupOps {
     val positives = fresh.where(mightContain(col("fp")))
       .select(col("fp")).distinct()
     val nPos = positives.count()
-    val old = spark.read.parquet(path).select(col("id"), col("fp"))
+    val old = graft.StoreCommit.read(spark, path).select(col("id"), col("fp"))
     val oldPruned = probePrune(old, positives, Seq("fp"), nPos)
     val canon = fresh.unionByName(oldPruned)
       .groupBy(col("fp")).agg(min(col("id")).as("canonical_id"))
@@ -512,9 +545,10 @@ object DedupOps {
     val p = new org.apache.hadoop.fs.Path(dstPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    spark.read.parquet(srcPath)
+    graft.StoreCommit.read(spark, srcPath)
       .groupBy(col("h")).agg(sum(col("c")).as("c"))
       .write.mode("overwrite").parquet(s"$dstPath/batch=base")
+    graft.StoreCommit.commit(spark, dstPath, "base")
     spark.catalog.refreshByPath(dstPath)
   }
 
@@ -550,7 +584,7 @@ object DedupOps {
     val cp = new org.apache.hadoop.fs.Path(path)
     val census =
       if (cp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cp)) {
-        val c = spark.read.parquet(path)
+        val c = graft.StoreCommit.read(spark, path)
         excludeBatch.fold(c)(t => c.where(col("batch") =!= t))
           .select(col("h").as("__h"), col("c"))
       } else lines.limit(0).select(col("__h"), lit(0L).as("c"))
@@ -651,12 +685,14 @@ object DedupOps {
       path: String, k: Int = 4,
       batchToken: String = java.util.UUID.randomUUID.toString): Unit =
       graft.StoreLock.withLock(df.sparkSession, path) {
+    graft.StoreCommit.uncommit(df.sparkSession, path, batchToken)
     windowHashRows(df, idCol, textCol, k)
       .groupBy(col("h"))
       .agg(min(struct(col("id"), col("p"))).as("__first"))
       .select(col("h"), col("__first").getField("id").as("id"),
         col("__first").getField("p").as("p"))
       .write.mode("overwrite").parquet(s"$path/batch=$batchToken")
+    graft.StoreCommit.commit(df.sparkSession, path, batchToken)
     df.sparkSession.catalog.refreshByPath(path)
   }
 
@@ -679,13 +715,14 @@ object DedupOps {
     val p = new org.apache.hadoop.fs.Path(dstPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    spark.read.parquet(srcPath)
+    graft.StoreCommit.read(spark, srcPath)
       .select(col("h"), col("id"), col("p"))
       .groupBy(col("h"))
       .agg(min(struct(col("id"), col("p"))).as("__first"))
       .select(col("h"), col("__first").getField("id").as("id"),
         col("__first").getField("p").as("p"))
       .write.mode("overwrite").parquet(s"$dstPath/batch=base")
+    graft.StoreCommit.commit(spark, dstPath, "base")
     // a dst this session already probed must drop stale listing caches
     spark.catalog.refreshByPath(dstPath)
   }
@@ -704,9 +741,10 @@ object DedupOps {
     val p = new org.apache.hadoop.fs.Path(dstPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    val src = spark.read.parquet(srcPath)
+    val src = graft.StoreCommit.read(spark, srcPath)
     src.select(src.columns.filter(_ != "batch").map(col): _*)
       .write.mode("overwrite").parquet(s"$dstPath/batch=base")
+    graft.StoreCommit.commit(spark, dstPath, "base")
     spark.catalog.refreshByPath(dstPath)
   }
 
@@ -735,7 +773,7 @@ object DedupOps {
     val hashed = graft.CacheScope.persist(
       windowHashRows(newDocs, idCol, textCol, k))
     val probeWindows = hashed.count()
-    val store = newDocs.sparkSession.read.parquet(path)
+    val store = graft.StoreCommit.read(newDocs.sparkSession, path)
       .select(col("h"), col("id"), col("p"))
     // map-side prune, then fold per-batch canonicals to the store-wide min
     val storePruned = probePrune(store, hashed.select(col("h")).distinct(),
@@ -1000,7 +1038,7 @@ object DedupOps {
     val spark = df.sparkSession
     val p = new org.apache.hadoop.fs.Path(path)
     if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
-      spark.read.parquet(path).select(size(col("sig")).as("n"))
+      graft.StoreCommit.read(spark, path).select(size(col("sig")).as("n"))
         .limit(1).collect().headOption.foreach { r =>
           require(r.getInt(0) == numHashes,
             s"store at $path has signature length ${r.getInt(0)}; " +
@@ -1013,8 +1051,14 @@ object DedupOps {
 
   /** Write an already-computed [[sigAndHashes]] frame into the store. */
   private[graft] def writeStoreBatch(sigs: DataFrame, path: String,
-      batchToken: String): Unit =
+      batchToken: String): Unit = {
+    // committed-read contract ([[graft.StoreCommit]]): a replayed token
+    // drops its marker before the rewrite, every fresh batch is invisible
+    // to probes until the marker lands after the write completes
+    graft.StoreCommit.uncommit(sigs.sparkSession, path, batchToken)
     sigs.write.mode("overwrite").parquet(s"$path/batch=$batchToken")
+    graft.StoreCommit.commit(sigs.sparkSession, path, batchToken)
+  }
 
   /** Near-dup pairs of a NEW batch against a persisted corpus store (plus
     * new-new pairs), without re-pairing the corpus: the incremental shape
@@ -1033,7 +1077,7 @@ object DedupOps {
       path: String, shingleK: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
       thresholdNum: Int = 1, thresholdDen: Int = 2,
       maxBucket: Int = 1000): DataFrame = {
-    val old = newDocs.sparkSession.read.parquet(path)
+    val old = graft.StoreCommit.read(newDocs.sparkSession, path)
     val fresh = graft.CacheScope.persist(
       sigAndHashes(newDocs, idCol, textCol, shingleK, bands * rowsPerBand))
     incrementalPairsFromSigs(fresh, old, bands, rowsPerBand,
@@ -1276,9 +1320,14 @@ object DedupOps {
     val fps = graft.CacheScope.persist(
       TextOps.winnowingFingerprints(df, idCol, textCol, k, w)
         .select(col("id"), col("fingerprint").as("f")).distinct())
+    // one marker covers BOTH families: probes see the token's fps and
+    // sizes dirs all-or-nothing (a sizes-less fps batch would under-count
+    // containment denominators)
+    graft.StoreCommit.uncommit(spark, path, batchToken)
     fps.write.mode("overwrite").parquet(s"$path/fps/batch=$batchToken")
     fps.groupBy(col("id")).agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$path/sizes/batch=$batchToken")
+    graft.StoreCommit.commit(spark, path, batchToken)
     Seq("fps", "sizes", "meta").foreach(sub =>
       spark.catalog.refreshByPath(s"$path/$sub"))
   }
@@ -1300,10 +1349,11 @@ object DedupOps {
     spark.range(1)
       .select(lit(m.getAs[Int]("k")).as("k"), lit(m.getAs[Int]("w")).as("w"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dstPath/meta")
-    spark.read.parquet(s"$srcPath/fps").select(col("id"), col("f"))
+    graft.StoreCommit.read(spark, srcPath, Some("fps")).select(col("id"), col("f"))
       .write.mode("overwrite").parquet(s"$dstPath/fps/batch=base")
-    spark.read.parquet(s"$srcPath/sizes").select(col("id"), col("n"))
+    graft.StoreCommit.read(spark, srcPath, Some("sizes")).select(col("id"), col("n"))
       .write.mode("overwrite").parquet(s"$dstPath/sizes/batch=base")
+    graft.StoreCommit.commit(spark, dstPath, "base")
     Seq("fps", "sizes", "meta").foreach(sub =>
       spark.catalog.refreshByPath(s"$dstPath/$sub"))
   }
@@ -1349,7 +1399,7 @@ object DedupOps {
     def storeDir(sub: String, shape: DataFrame): DataFrame = {
       val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
       if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
-        val d = spark.read.parquet(s"$path/$sub")
+        val d = graft.StoreCommit.read(spark, path, Some(sub))
         excludeBatch.fold(d)(t => d.where(col("batch") =!= t))
       } else shape.limit(0)
     }
@@ -1648,7 +1698,7 @@ object DedupOps {
       simhashDf(newDocs, idCol, textCol).select(col(idCol).as("id"), col("simhash")))
     val freshRows = fresh.count()
     val nBlocks = maxHamming + 1
-    val old = spark.read.parquet(path).select(col("id"), col("simhash"))
+    val old = graft.StoreCommit.read(spark, path).select(col("id"), col("simhash"))
     val newBanded = simhashBanded(fresh, maxHamming)
     val oldPruned = probePrune(simhashBanded(old, maxHamming),
       newBanded.select(col("band"), col("key")).distinct(),
@@ -1903,7 +1953,7 @@ object DedupOps {
     */
   def loadClusterLabels(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    spark.read.parquet(path)
+    graft.StoreCommit.read(spark, path)
       .groupBy(col("id"))
       .agg(max(struct(col("seq"), col("component"))).as("__l"))
       .select(col("id"), col("__l").getField("component").as("component"))
@@ -1924,6 +1974,7 @@ object DedupOps {
     connectedComponents(pairs, aCol, bCol)
       .select(col("id"), col("component"), lit(0L).as("seq"))
       .write.mode("overwrite").parquet(s"$path/batch=base")
+    graft.StoreCommit.commit(pairs.sparkSession, path, "base")
   }
 
   /** Fold a NEW batch of near-dup pairs (e.g. [[incrementalNearDupPairs]]'
@@ -1957,6 +2008,9 @@ object DedupOps {
     // from a clean slate instead.
     val tokDir = new org.apache.hadoop.fs.Path(s"$path/batch=$batchToken")
     val tfs = tokDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // marker first: racing probes must stop seeing the dir BEFORE it is
+    // deleted, or a committed-read could open a path mid-removal
+    graft.StoreCommit.uncommit(spark, path, batchToken)
     if (tfs.exists(tokDir)) { tfs.delete(tokDir, true); spark.catalog.refreshByPath(path) }
     // prune the RAW store BEFORE any latest-wins aggregation — the full
     // [[loadClusterLabels]] view would cost a corpus-sized hash-agg per
@@ -1967,7 +2021,7 @@ object DedupOps {
     // rows all agree with its current component once that component is
     // current for anyone, and (b) component-pruned rows can never carry a
     // stale name that is still current elsewhere.
-    val raw = spark.read.parquet(path)
+    val raw = graft.StoreCommit.read(spark, path)
     def latest(slice: DataFrame): DataFrame = slice
       .groupBy(col("id"))
       .agg(max(struct(col("seq"), col("component"))).as("__l"))
@@ -1991,12 +2045,13 @@ object DedupOps {
     val fresh = connectedComponents(ccInput, aCol, bCol)
     // next seq: max over batches OTHER than this token, +1 — deterministic
     // under immediate crash-retry of the same token
-    val seqRow = spark.read.parquet(path)
+    val seqRow = graft.StoreCommit.read(spark, path)
       .where(col("batch") =!= batchToken)
       .agg(coalesce(max(col("seq")), lit(-1L))).head()
     val seq = seqRow.getLong(0) + 1L
     val out = fresh.select(col("id"), col("component"), lit(seq).as("seq"))
     out.write.mode("overwrite").parquet(s"$path/batch=$batchToken")
+    graft.StoreCommit.commit(spark, path, batchToken)
     spark.catalog.refreshByPath(path)
     out
   }
@@ -2017,6 +2072,7 @@ object DedupOps {
     loadClusterLabels(spark, srcPath)
       .select(col("id"), col("component"), lit(0L).as("seq"))
       .write.mode("overwrite").parquet(s"$dstPath/batch=base")
+    graft.StoreCommit.commit(spark, dstPath, "base")
     spark.catalog.refreshByPath(dstPath)
   }
 

@@ -165,10 +165,17 @@ object StreamingOps {
           // from an empty store-shaped frame instead of failing on the read —
           // the first batch then finds only its own internal pairs and seeds
           // the store for later batches
-          val sp = new org.apache.hadoop.fs.Path(storePath)
+          // committed-read: probe only batches whose commit marker landed
+          // (minus a replayed batch's own dir) — visibleTokens doubles as
+          // the cold-start test, so a store root holding only _commits or
+          // only this batch's crashed dir bootstraps empty instead of
+          // wedging on schema inference
+          val others = graft.StoreCommit.visibleTokens(spark, storePath)
+            .filter(_ != s"b$bid")
           val old =
-            if (sp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sp))
-              spark.read.parquet(storePath).where(col("batch") =!= s"b$bid")
+            if (others.nonEmpty)
+              graft.StoreCommit.read(spark, storePath)
+                .where(col("batch") =!= s"b$bid")
             else fresh.limit(0)
           graft.operators.DedupOps
             .incrementalPairsFromSigs(fresh, old, bands, rowsPerBand,
@@ -403,10 +410,17 @@ object StreamingOps {
           val scope = graft.CacheScope.snapshot()
           val fresh = graft.CacheScope.persist(graft.operators.DedupOps
             .sigAndHashes(batch, idCol, textCol, shingleK, bands * rowsPerBand))
-          val sp = new org.apache.hadoop.fs.Path(storePath)
+          // committed-read: probe only batches whose commit marker landed
+          // (minus a replayed batch's own dir) — visibleTokens doubles as
+          // the cold-start test, so a store root holding only _commits or
+          // only this batch's crashed dir bootstraps empty instead of
+          // wedging on schema inference
+          val others = graft.StoreCommit.visibleTokens(spark, storePath)
+            .filter(_ != s"b$bid")
           val old =
-            if (sp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sp))
-              spark.read.parquet(storePath).where(col("batch") =!= s"b$bid")
+            if (others.nonEmpty)
+              graft.StoreCommit.read(spark, storePath)
+                .where(col("batch") =!= s"b$bid")
             else fresh.limit(0)
           val pairs = graft.operators.DedupOps
             .incrementalPairsFromSigs(fresh, old, bands, rowsPerBand,
@@ -415,10 +429,12 @@ object StreamingOps {
           // label-store cold start: an empty base batch types the store
           // from the batch's id column; later updates shadow it
           val lp = new org.apache.hadoop.fs.Path(labelPath)
-          if (!lp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(lp))
+          if (!lp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(lp)) {
             batch.select(col(idCol).as("id"), col(idCol).as("component"),
                 lit(0L).as("seq")).limit(0)
               .write.mode("overwrite").parquet(s"$labelPath/batch=base")
+            graft.StoreCommit.commit(spark, labelPath, "base")
+          }
           // an empty pair batch has nothing to fold (and CC over an empty
           // edge set is degenerate); the skip replays identically
           if (!pairs.isEmpty)
@@ -568,10 +584,11 @@ object StreamingOps {
           val scope = graft.CacheScope.snapshot()
           val withFp = graft.CacheScope.persist(batch.withColumn("__fp",
             graft.operators.TextOps.fingerprint(col(textCol))))
-          val sp = new org.apache.hadoop.fs.Path(storePath)
+          val others = graft.StoreCommit.visibleTokens(spark, storePath)
+            .filter(_ != s"b$bid")
           val survivors =
-            if (sp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sp)) {
-              val old = spark.read.parquet(storePath)
+            if (others.nonEmpty) {
+              val old = graft.StoreCommit.read(spark, storePath)
                 .where(col("batch") =!= s"b$bid")
               val hits = old
                 .join(broadcast(withFp.select(col("__fp").as("fp")).distinct()),
@@ -583,9 +600,10 @@ object StreamingOps {
             graft.operators.CurationOps.curateKeep(survivors.drop("__fp"),
               bench, idCol, textCol, langCol, k, minTokens, maxTopTokenFrac))
           kept.write.mode("overwrite").parquet(s"$keptOut/batch=b$bid")
-          withFp.join(kept.select(col(idCol)), Seq(idCol), "left_semi")
-            .select(col(idCol).as("id"), col("__fp").as("fp"))
-            .write.mode("overwrite").parquet(s"$storePath/batch=b$bid")
+          graft.operators.DedupOps.writeStoreBatch(
+            withFp.join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+              .select(col(idCol).as("id"), col("__fp").as("fp")),
+            storePath, s"b$bid")
           graft.CacheScope.releaseNewSince(scope)
           ()
         }

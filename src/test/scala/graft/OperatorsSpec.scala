@@ -878,7 +878,8 @@ class OperatorsSpec extends SparkTestBase {
     // one batch dir, one row per distinct window content (the per-h fold is
     // pre-paid: compacted rows == distinct hashes of the source store)
     val dirs = new java.io.File(dst).listFiles.filter(_.isDirectory).map(_.getName).toSet
-    assert(dirs == Set("batch=base"))
+    assert(dirs == Set("batch=base", "_commits"),
+      "one data batch dir plus its commit manifest")
     val srcDistinct = spark.read.parquet(path).select("h").distinct().count()
     assert(spark.read.parquet(dst).count() == srcDistinct)
     // re-compacting rebuilds dst from scratch (crash-safe contract)
@@ -906,7 +907,8 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs(dst) == before && before.nonEmpty)
     graft.CacheScope.release()
     val dirs = new java.io.File(dst).listFiles.filter(_.isDirectory).map(_.getName).toSet
-    assert(dirs == Set("batch=base"))
+    assert(dirs == Set("batch=base", "_commits"),
+      "one data batch dir plus its commit manifest")
   }
 
   test("winnowingPairs: finds containment that global-Jaccard minhash misses; stop fps cut") {

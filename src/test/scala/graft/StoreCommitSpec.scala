@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Committed-read manifest gates ([[StoreCommit]]): a probe racing an
+  * append must see only batches whose commit marker landed. The "barrier"
+  * here is deterministic: a torn mid-append state is materialized directly
+  * (batch dir written, marker withheld) — exactly what a concurrent probe
+  * observes between a writer's parquet job and its marker create.
+  */
+class StoreCommitSpec extends SparkTestBase {
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val docs = Tables.documents(spark, dir)
+
+  private def fpProbe(store: String) =
+    DedupOps.incrementalExactDedup(
+      docs.where(col("doc_id") >= 250 && col("doc_id") < 300),
+      "doc_id", "text", store)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("mid-append probe sees only committed batches; commit flips visibility") {
+    val store = tmpDir("sc_fp_store")
+    DedupOps.buildFingerprintStore(docs.where(col("doc_id") < 200),
+      "doc_id", "text", store)
+    val before = fpProbe(store)
+    assert(before.nonEmpty)
+    // torn append: the batch dir lands (fully, even — worse than a partial
+    // rename) but the writer dies before its commit marker. The torn rows
+    // duplicate the probe docs' texts under SMALLER ids, so once visible
+    // they must steal every canonical assignment
+    docs.where(col("doc_id") >= 250 && col("doc_id") < 300)
+      .select((col("doc_id") - 10000).as("id"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+      .write.mode("overwrite").parquet(s"$store/batch=torn")
+    assert(fpProbe(store) == before,
+      "an uncommitted batch dir must be invisible to probes")
+    assert(StoreCommit.visibleTokens(spark, store) == Seq("base"),
+      "visible tokens must exclude the uncommitted dir")
+    // the marker commits it: canonical ids may now resolve to stored docs
+    StoreCommit.commit(spark, store, "torn")
+    val after = fpProbe(store)
+    assert(StoreCommit.visibleTokens(spark, store) == Seq("base", "torn"))
+    assert(after.forall { case (id, _, canon) => canon == id - 10000 },
+      "once committed, every probe doc must canonicalize to its torn twin")
+    assert(after != before)
+  }
+
+  test("winnow fps+sizes commit all-or-nothing under one marker") {
+    val store = tmpDir("sc_wn_store")
+    DedupOps.buildWinnowStore(docs.where(col("doc_id") < 200),
+      "doc_id", "text", store)
+    def probe() = DedupOps.incrementalWinnowingPairs(
+      docs.where(col("doc_id") >= 250 && col("doc_id") < 300),
+      "doc_id", "text", store, maxDocFreq = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probe()
+    // torn: fps dir of a new batch lands, sizes (and the marker) do not —
+    // the pre-manifest failure mode that under-counted containment sizes
+    val t = TextOps.winnowingFingerprints(
+      docs.where(col("doc_id") >= 200 && col("doc_id") < 250),
+      "doc_id", "text", 4, 5)
+      .select(col("id"), col("fingerprint").as("f")).distinct()
+    t.write.mode("overwrite").parquet(s"$store/fps/batch=torn")
+    assert(probe() == before, "a marker-less fps dir must stay invisible")
+    assert(StoreCommit.visibleTokens(spark, store, Some("fps")) == Seq("base"))
+  }
+
+  test("legacy store without a manifest keeps the full directory view") {
+    val store = tmpDir("sc_legacy")
+    docs.where(col("doc_id") < 100)
+      .select(col("doc_id").as("id"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+      .write.mode("overwrite").parquet(s"$store/batch=b1")
+    assert(StoreCommit.committedTokens(spark, store).isEmpty)
+    assert(StoreCommit.visibleTokens(spark, store) == Seq("b1"))
+    assert(StoreCommit.read(spark, store).count() == 100)
+  }
+
+  test("bloom staleness agrees with the committed view, not the dir listing") {
+    val store = tmpDir("sc_bloom")
+    DedupOps.buildFingerprintStore(docs.where(col("doc_id") < 200),
+      "doc_id", "text", store)
+    DedupOps.buildFingerprintBloom(spark, store)
+    val batch = docs.where(col("doc_id") >= 250 && col("doc_id") < 300)
+    val clean = DedupOps.bloomProbeExactDedup(batch, "doc_id", "text", store)
+      .collect().map(_.getLong(0)).toSet
+    // a torn (uncommitted) dir must NOT trip the staleness check: the
+    // sketch still covers every batch a probe can see
+    docs.where(col("doc_id") >= 200 && col("doc_id") < 250)
+      .select(col("doc_id").as("id"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+      .write.mode("overwrite").parquet(s"$store/batch=torn")
+    assert(DedupOps.bloomProbeExactDedup(batch, "doc_id", "text", store)
+      .collect().map(_.getLong(0)).toSet == clean)
+    // committing it drifts the store past the sketch -> loud refusal
+    StoreCommit.commit(spark, store, "torn")
+    val ex = intercept[IllegalArgumentException] {
+      DedupOps.bloomProbeExactDedup(batch, "doc_id", "text", store)
+    }
+    assert(ex.getMessage.contains("STALE"), ex.getMessage)
+  }
+
+  test("cluster-store replay uncommits before deleting its own batch dir") {
+    val store = tmpDir("sc_cluster")
+    val pairs = docs.where(col("doc_id") < 50)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+    DedupOps.buildClusterStore(pairs, "id_a", "id_b", store)
+    val upd = docs.where(col("doc_id") >= 100 && col("doc_id") < 110)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 200).as("id_b"))
+    DedupOps.updateClusterStore(upd, "id_a", "id_b", store, "u1")
+    assert(StoreCommit.visibleTokens(spark, store) == Seq("base", "u1"))
+    val labels = DedupOps.loadClusterLabels(spark, store).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replay of u1 (crash-retry): result and visibility converge to the
+    // same committed state
+    DedupOps.updateClusterStore(upd, "id_a", "id_b", store, "u1")
+    assert(StoreCommit.visibleTokens(spark, store) == Seq("base", "u1"))
+    assert(DedupOps.loadClusterLabels(spark, store).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == labels)
+    graft.CacheScope.release()
+  }
+}

@@ -252,4 +252,35 @@ class StoreLockSpec extends SparkTestBase {
     assert(ran, "stale lock must be broken and the writer admitted")
     assert(!lock.exists(), "broken+released lock must be gone")
   }
+
+  test("lock: best-effort create(overwrite=false) (object-store PUT) — " +
+      "double-acquire is DETECTED at commit, never silent") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.put.impl", classOf[BestEffortCreateFileSystem].getName)
+    val store = "put:" + tmpDir("race_put") + "/store"
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val inLock = new java.util.concurrent.CountDownLatch(1)
+    val holderErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val holder = new Thread(() =>
+      try StoreLock.withLock(spark, store) {
+        inLock.countDown(); release.await()
+      } catch { case e: Throwable => holderErr.set(e) })
+    holder.start()
+    inLock.await()
+    // the second writer's "exclusive" create silently overwrites A's lock
+    // on this filesystem — it is admitted despite A being live and inside
+    // its critical section. This is the residual the StoreLock scaladoc
+    // concedes for stores without an atomic conditional create.
+    var bRan = false
+    StoreLock.withLock(spark, store, waitMs = 1000) { bRan = true }
+    assert(bRan, "best-effort create admits the second writer (by design " +
+      "of the weak filesystem, not of the lock)")
+    // the displaced first writer must FAIL LOUDLY at its commit-time
+    // ownership verify — the interleaving is reported, never silent
+    release.countDown(); holder.join(60000)
+    assert(holderErr.get != null &&
+      holderErr.get.isInstanceOf[StoreLockStolenException],
+      s"displaced writer must raise StoreLockStolenException, got: " +
+        s"${holderErr.get}")
+  }
 }

@@ -30,3 +30,30 @@ class RenameTouchFileSystem extends RawLocalFileSystem {
     ok
   }
 }
+
+/** A filesystem whose `create(overwrite = false)` is BEST-EFFORT: it never
+  * rejects an existing destination — object-store PUT semantics without a
+  * conditional-write primitive (plain S3 before If-None-Match). The
+  * exclusive create StoreLock's acquire relies on silently becomes
+  * last-writer-wins, so two writers can both "acquire"; the spec pins that
+  * this degrades to loud DETECTION, never a silent interleaving. setTimes
+  * is left working so the object-store axes stay independently testable.
+  */
+class BestEffortCreateFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "put"
+  override def getUri: URI = URI.create("put:///")
+  // both overloads: FileSystem.create(path, overwrite=false) dispatches
+  // through the FsPermission variant on RawLocalFileSystem
+  override def create(p: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    super.create(p, true, bufferSize, replication, blockSize, progress)
+  override def create(p: Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    super.create(p, permission, true, bufferSize, replication, blockSize,
+      progress)
+}
