@@ -164,4 +164,52 @@ class PlanSpec extends SparkTestBase {
     assert(countJobs(spineInterp()) <= 3, "as-of spine interp: too many jobs on a memo hit")
     graft.CacheScope.release()
   }
+
+  test("sharded bloom build reads the store once, independent of shard count") {
+    // the pre-r10 shape ran one stat.bloomFilter job per shard (with 8
+    // shards: ~14 jobs incl. schema/AQE stages); the partition-local build
+    // is one sizing count + one build pass — measured 6 jobs total (2
+    // parquet schema-inference reads + AQE stage jobs for each pass), and
+    // crucially INDEPENDENT of shard count, so any per-shard re-scan
+    // regression still fails this ceiling loudly
+    val store = s"${Fixtures.tmpRoot}/bloomsh_plan_store"
+    graft.operators.DedupOps.buildFingerprintStore(
+      Tables.documents(spark, dir), "doc_id", "text", store)
+    def countJobs(body: => Unit): Int = {
+      val group = s"jobcount-${java.util.UUID.randomUUID()}"
+      spark.sparkContext.setJobGroup(group, "job-count gate", false)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val jobs = countJobs(
+      graft.operators.DedupOps.buildShardedFingerprintBloom(spark, store, shards = 8))
+    assert(jobs <= 6, s"sharded bloom build must not scan per shard: $jobs jobs")
+    assert((0 until 8).forall(s =>
+      new java.io.File(s"$store/_bloomshards/shard=$s/sketch.bin").exists()),
+      "every shard needs a sketch file, including empty shards")
+  }
+
+  test("floor-bound fs_ micro-queries hold their job counts") {
+    // BASELINE.md's disposition: at sf0.1 these five queries sit on Spark's
+    // fixed per-action floor, so wall time cannot catch a plan regression —
+    // the JOB COUNT can. Ceilings are the measured steady-state (memo-warm)
+    // counts; an extra pass, a lost memo hit, or a broadcast degrading to a
+    // shuffle adds jobs and fails here even when the clock hides it.
+    val caps = Seq("fs_load_latest" -> 4, "fs_time_range" -> 4,
+      "fs_resample_2h" -> 3, "fs_align_ffill" -> 2, "fs_transform_dag" -> 2)
+    def run(n: String): Unit = { SparkEntry.queries(n)(spark, dir).count(); () }
+    def countJobs(body: => Unit): Int = {
+      val group = s"jobcount-${java.util.UUID.randomUUID()}"
+      spark.sparkContext.setJobGroup(group, "job-count gate", false)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    caps.foreach { case (n, _) => run(n) } // warm store + memos
+    caps.foreach { case (n, cap) =>
+      val jobs = countJobs(run(n))
+      info(s"$n: $jobs jobs")
+      assert(jobs <= cap, s"$n regressed to $jobs jobs (cap $cap)")
+    }
+    graft.CacheScope.release()
+  }
 }
