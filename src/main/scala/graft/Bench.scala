@@ -23,9 +23,13 @@ object Bench {
     // one-time setup, not query time — but it IS real engine work, so it
     // is timed and reported separately as "fixtures_sec" instead of
     // leaking into the first iteration of whichever gate touches a store
-    // first (the round-8/9 "in-gate rebuild" accounting problem)
+    // first (the round-8/9 "in-gate rebuild" accounting problem).
+    // Selective triage runs (`runMain graft.Bench <filter>`) skip the full
+    // warm — they build only what their gates lazily touch, keeping the
+    // outlier-triage loop fast (and exercising the lazy path).
     val tFix0 = System.nanoTime()
-    Fixtures.warmAll(spark, sfDir)
+    if (args.isEmpty) Fixtures.warmAll(spark, sfDir)
+    else Fixtures.store(spark, sfDir)
     val fixturesSec = (System.nanoTime() - tFix0) / 1e9
     System.err.println(f"[bench] fixtures (one-time builds) ${fixturesSec}%.2f s")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
