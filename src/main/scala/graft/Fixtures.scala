@@ -1149,6 +1149,60 @@ object Fixtures {
       path
     })
 
+  // ---- SERVING-shape dedup stores (LARGE store, small probe — the
+  // production direction: at 100 TB the corpus-side signature pass ran at
+  // ingest and every new crawl batch probes it; the pre-existing
+  // *_incremental gates exercise the inverse backfill shape where the
+  // probe IS the corpus). Store side = docs >= 250, probes use docs < 250.
+
+  private val fpServing = TrieMap[String, String]()
+
+  /** Fingerprint store over docs >= 250, once per (JVM, sf). */
+  def fingerprintServingStorePath(spark: SparkSession, sfDir: String): String =
+    fpServing.getOrElseUpdate(sfDir, {
+      val path = s"${tmpRoot}/fps_srv_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      graft.operators.DedupOps.buildFingerprintStore(
+        Tables.documents(spark, sfDir).where(col("doc_id") >= 250),
+        "doc_id", "text", path)
+      path
+    })
+
+  private val mhServing = TrieMap[String, String]()
+
+  /** Minhash signature store over docs >= 250, once per (JVM, sf). */
+  def minhashServingStorePath(spark: SparkSession, sfDir: String): String =
+    mhServing.getOrElseUpdate(sfDir, {
+      val path = s"${tmpRoot}/mhs_srv_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      graft.operators.DedupOps.buildMinhashStore(
+        Tables.documents(spark, sfDir).where(col("doc_id") >= 250),
+        "doc_id", "text", path)
+      path
+    })
+
+  private val shServing = TrieMap[String, String]()
+
+  /** SimHash signature store over docs >= 250, once per (JVM, sf). */
+  def simhashServingStorePath(spark: SparkSession, sfDir: String): String =
+    shServing.getOrElseUpdate(sfDir, {
+      val path = s"${tmpRoot}/shs_srv_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      graft.operators.DedupOps.buildSimhashStore(
+        Tables.documents(spark, sfDir).where(col("doc_id") >= 250),
+        "doc_id", "text", path)
+      path
+    })
+
+  private val wnServing = TrieMap[String, String]()
+
+  /** Winnowing-fingerprint store over docs >= 250, once per (JVM, sf). */
+  def winnowServingStorePath(spark: SparkSession, sfDir: String): String =
+    wnServing.getOrElseUpdate(sfDir, {
+      val path = s"${tmpRoot}/wns_srv_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      graft.operators.DedupOps.buildWinnowStore(
+        Tables.documents(spark, sfDir).where(col("doc_id") >= 250),
+        "doc_id", "text", path)
+      path
+    })
+
   private val pieceVocabs = TrieMap[String, String]()
 
   /** Top-200 word→piece vocab of the documents table, persisted once per
@@ -1218,6 +1272,10 @@ object Fixtures {
     incrementalDedupMbPath(spark, sfDir)
     curateStreamMbPath(spark, sfDir)
     windowedCountsPath(spark, sfDir)
+    fingerprintServingStorePath(spark, sfDir)
+    minhashServingStorePath(spark, sfDir)
+    simhashServingStorePath(spark, sfDir)
+    winnowServingStorePath(spark, sfDir)
     ivfIndexPath(spark, sfDir)
     ivfAppendIndexPath(spark, sfDir)
     sq8IndexPath(spark, sfDir)

@@ -619,6 +619,32 @@ object SparkEntry {
         Tables.documents(s, dir).where(col("doc_id") >= 250), "doc_id", "text",
         Fixtures.fingerprintStorePath(s, dir))),
 
+    // the SERVING direction of the same operators: a SMALL batch
+    // (docs < 250) probes a LARGE store (docs >= 250) — the production
+    // shape where the corpus pass ran at ingest and probe cost must be
+    // ∝ batch + matches, never store size. Same code, roles flipped;
+    // the bench contrast with the backfill-shaped *_incremental twins
+    // (batch ≈ corpus) is the scale evidence.
+    "dedup_exact_serving" -> ((s, dir) =>
+      operators.DedupOps.incrementalExactDedup(
+        Tables.documents(s, dir).where(col("doc_id") < 250), "doc_id", "text",
+        Fixtures.fingerprintServingStorePath(s, dir))),
+
+    "dedup_minhash_serving" -> ((s, dir) =>
+      operators.DedupOps.incrementalNearDupPairs(
+        Tables.documents(s, dir).where(col("doc_id") < 250), "doc_id", "text",
+        Fixtures.minhashServingStorePath(s, dir))),
+
+    "dedup_simhash_serving" -> ((s, dir) =>
+      operators.DedupOps.incrementalSimhashPairs(
+        Tables.documents(s, dir).where(col("doc_id") < 250), "doc_id", "text",
+        Fixtures.simhashServingStorePath(s, dir), maxHamming = 3)),
+
+    "dedup_winnow_serving" -> ((s, dir) =>
+      operators.DedupOps.incrementalWinnowingPairs(
+        Tables.documents(s, dir).where(col("doc_id") < 250), "doc_id", "text",
+        Fixtures.winnowServingStorePath(s, dir), maxDocFreq = 20)),
+
     // the same probe behind the store's broadcast Bloom sketch: membership
     // tested map-side, only bloom-positive fingerprints drive the
     // store-confirm join; result identical to dedup_exact_incremental
@@ -2299,6 +2325,16 @@ object SparkEntry {
          SELECT doc_id, fp AS fingerprint, canonical_id
          FROM w WHERE doc_id >= 250 ORDER BY doc_id""",
 
+    // the serving twin: whole-corpus ground truth restricted to the
+    // SMALL probe batch (docs < 250); canonical = min id across
+    // store (>= 250) ∪ batch == min over the corpus per fingerprint
+    "dedup_exact_serving" ->
+      """WITH f AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) fp
+                    FROM documents),
+         w AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM f)
+         SELECT doc_id, fp AS fingerprint, canonical_id
+         FROM w WHERE doc_id < 250 ORDER BY doc_id""",
+
     "dedup_minhash_lsh" -> jaccardOracle,
 
     // CC labeling over the corpus's full near-dup pair set (the jaccard
@@ -2336,6 +2372,25 @@ object SparkEntry {
          inter AS (SELECT a.doc_id ia, b.doc_id ib, count(*) isz
                    FROM h a JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id
                    WHERE a.doc_id >= 250 OR b.doc_id >= 250
+                   GROUP BY 1, 2)
+         SELECT ia id_a, ib id_b, CAST(isz AS BIGINT) intersect_size,
+           CAST(sa.n + sb.n - isz AS BIGINT) union_size
+         FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+         WHERE 2 * isz >= (sa.n + sb.n - isz)
+         ORDER BY 1, 2""",
+
+    // serving twin of dedup_incremental: pairs touching the small batch
+    "dedup_minhash_serving" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         g AS (SELECT DISTINCT doc_id, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3] AS s
+               FROM d, unnest(range(len(tks) - 2)) t(i) WHERE len(tks) >= 3),
+         h AS (SELECT DISTINCT doc_id,
+                 CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % 2147483648 AS hh
+               FROM g),
+         sizes AS (SELECT doc_id, count(*) n FROM h GROUP BY 1),
+         inter AS (SELECT a.doc_id ia, b.doc_id ib, count(*) isz
+                   FROM h a JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id
+                   WHERE a.doc_id < 250 OR b.doc_id < 250
                    GROUP BY 1, 2)
          SELECT ia id_a, ib id_b, CAST(isz AS BIGINT) intersect_size,
            CAST(sa.n + sb.n - isz AS BIGINT) union_size
@@ -2405,6 +2460,25 @@ object SparkEntry {
                FROM pairs)
          SELECT ia AS id_a, ib AS id_b, hamming FROM h
          WHERE hamming <= 3 AND (ia >= 250 OR ib >= 250) ORDER BY 1, 2""",
+
+    // serving twin: pairs touching the small batch
+    "dedup_simhash_serving" ->
+      """WITH tok AS (SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) h FROM documents),
+         bits AS (SELECT doc_id, b,
+             sum(CASE WHEN ((strpos('0123456789abcdef', substring(h, b // 4 + 1, 1)) - 1)
+                            >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END) s
+           FROM tok, unnest(generate_series(0, 63)) t(b) GROUP BY 1, 2),
+         sh AS (SELECT doc_id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS sig
+                FROM bits GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id ia, b.doc_id ib, a.sig sa, b.sig sb
+                   FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         h AS (SELECT ia, ib,
+                 CAST(len(list_filter(range(64),
+                   i -> substring(sa, CAST(i + 1 AS INT), 1)
+                        != substring(sb, CAST(i + 1 AS INT), 1))) AS BIGINT) hamming
+               FROM pairs)
+         SELECT ia AS id_a, ib AS id_b, hamming FROM h
+         WHERE hamming <= 3 AND (ia < 250 OR ib < 250) ORDER BY 1, 2""",
 
     // RE2's \x escapes and DuckDB's nfc_normalize mirror the engine's
     // Java-regex + java.text.Normalizer pipeline exactly
@@ -2555,6 +2629,35 @@ object SparkEntry {
          FROM pairs JOIN sz sa ON pairs.ia = sa.doc_id
                     JOIN sz sb ON pairs.ib = sb.doc_id
          WHERE shared >= 2 AND (ia >= 250 OR ib >= 250)
+         ORDER BY id_a, id_b""",
+
+    // serving twin: pairs touching the small batch
+    "dedup_winnow_serving" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         g AS (SELECT doc_id, i, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3]
+                 || ' ' || tks[i+4] AS s
+               FROM d, unnest(range(len(tks) - 3)) t(i) WHERE len(tks) >= 4),
+         h AS (SELECT doc_id, i, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) hh FROM g),
+         sel AS (SELECT doc_id,
+                   min(struct_pack(hh := hh, np := -i))
+                     OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) win,
+                   count(*) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) cnt
+                 FROM h),
+         fp AS (SELECT DISTINCT doc_id, win.hh AS f FROM sel WHERE cnt = 5),
+         dfq AS (SELECT f, count(*) c FROM fp GROUP BY f),
+         live AS (SELECT fp.doc_id, fp.f FROM fp JOIN dfq ON fp.f = dfq.f
+                  WHERE dfq.c <= 20),
+         pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) shared
+                   FROM live a JOIN live b ON a.f = b.f AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         sz AS (SELECT doc_id, count(*) n FROM fp GROUP BY doc_id)
+         SELECT ia AS id_a, ib AS id_b, CAST(shared AS BIGINT) shared_fps,
+           CAST(sa.n AS BIGINT) n_a, CAST(sb.n AS BIGINT) n_b
+         FROM pairs JOIN sz sa ON pairs.ia = sa.doc_id
+                    JOIN sz sb ON pairs.ib = sb.doc_id
+         WHERE shared >= 2 AND (ia < 250 OR ib < 250)
          ORDER BY id_a, id_b""",
 
     // dedup_winnow_pairs without the df cut (500 docs can never cross the

@@ -4,8 +4,10 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Committed-read manifest for the batch-dir store family (fingerprint /
-  * minhash / simhash / winnow / window / line-census / cluster-label
-  * stores): every append writes its `batch=<token>` dir(s) FIRST and then
+  * minhash / simhash / winnow / window / line-census / cluster-label /
+  * embedding stores; the PQ/SQ8/IVF code indexes and the postings index
+  * keep their own codebook/sizes-sidecar commit contracts and stay on
+  * the legacy full-directory view): every append writes its `batch=<token>` dir(s) FIRST and then
   * registers the token with one marker-file create under
   * `<storeRoot>/_commits/<token>` — readers list the marker dir and open
   * only committed batch dirs. This closes the probe-during-append window:

@@ -369,8 +369,10 @@ object SimilarityOps {
       batchToken: String = java.util.UUID.randomUUID.toString): Unit =
       graft.StoreLock.withLock(df.sparkSession, path) {
     ensureRegistered(df)
-    prep(df, idCol, vecCol, "id", "v", "nrm")
-      .write.mode("overwrite").parquet(s"$path/batch=$batchToken")
+    // committed-read contract ([[graft.StoreCommit]]), same as the dedup
+    // store family: the batch is invisible to probes until its marker lands
+    graft.operators.DedupOps.writeStoreBatch(
+      prep(df, idCol, vecCol, "id", "v", "nrm"), path, batchToken)
   }
 
   /** EXACT embedding near-dup pairs of a NEW batch against a persisted
@@ -396,7 +398,7 @@ object SimilarityOps {
       s"incrementalCosinePairs: probe batch has $n rows (> $maxBroadcastRows)" +
         " — a backfill this size should go through the one-shot" +
         " cosineNearDupPairs over store ∪ batch instead")
-    val store = spark.read.parquet(path)
+    val store = graft.StoreCommit.read(spark, path)
       .select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val oldNew = store
       .join(broadcast(fresh.select(col("id").as("id_b"), col("v").as("vb"),

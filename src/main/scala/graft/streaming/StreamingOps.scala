@@ -222,20 +222,20 @@ object StreamingOps {
           val spark = batch.sparkSession
           val scope = graft.CacheScope.snapshot()
           // drop a replayed batch's own half-committed store dir BEFORE
-          // the probe reads the store
+          // the probe reads the store (marker first — see StoreCommit)
+          graft.StoreCommit.uncommit(spark, storePath, s"b$bid")
           val own = new org.apache.hadoop.fs.Path(s"$storePath/batch=b$bid")
           val hfs = own.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (hfs.exists(own)) {
             hfs.delete(own, true)
             spark.catalog.refreshByPath(storePath)
           }
-          // cold start is decided by OTHER committed batch dirs, not bare
+          // cold start is decided by OTHER COMMITTED batch dirs, not bare
           // dir existence: a batch-0 crash-retry leaves storePath present
           // but empty after its own dir is dropped, and reading it would
           // throw schema inference and wedge the stream permanently
-          val sp = new org.apache.hadoop.fs.Path(storePath)
-          val hasOthers = hfs.exists(sp) && hfs.listStatus(sp)
-            .exists(_.getPath.getName.startsWith("batch="))
+          val hasOthers = graft.StoreCommit.visibleTokens(spark, storePath)
+            .exists(_ != s"b$bid")
           val pairs =
             if (hasOthers)
               graft.operators.SimilarityOps.incrementalCosinePairs(
