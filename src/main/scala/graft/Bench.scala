@@ -81,6 +81,7 @@ object Bench {
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
       s""""iterations":$raw,"errors":$errs,"fixtures_sec":${f3(fixturesSec)},""" +
+      s""""nq":${results.size},""" +
       s""""load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},""" +
       s""""cpus":$cpus,"sf":"$sfDir"}"""
     println(json)
@@ -95,17 +96,30 @@ object Bench {
     // capture, so a later contended run can't shadow a clean one.
     if (args.isEmpty && results.size == SparkEntry.queries.size) {
       import java.nio.file.{Files, Paths}
+      // round inference counts the DRIVER's plain captures only — they lag
+      // the current round by exactly one. Self-stamped _clean files must
+      // NOT count: every round stamps before its driver capture lands, so
+      // counting them would misnumber the same round's second run.
       val rx = "BENCH_r(\\d+)\\.json".r
       val prior = Option(Paths.get(".").toFile.list()).getOrElse(Array.empty)
         .collect { case rx(n) => n.toInt }
       val round = if (prior.isEmpty) 1 else prior.max + 1
       val stamped = Paths.get(f"BENCH_r$round%02d_clean.json")
-      val quieter = !Files.exists(stamped) || {
-        val prevLoad = "\"load_avg_start\":([0-9.]+)".r
-          .findFirstMatchIn(Files.readString(stamped)).map(_.group(1).toDouble)
-        prevLoad.forall(_ > loadStart)
+      // Replace an existing stamp only when (a) it covers the SAME query
+      // set (an nq mismatch means the file is a different round's capture
+      // surviving a failed driver upload — never contaminate it) and
+      // (b) this run is measurably quieter: an UNKNOWN load
+      // (getSystemLoadAverage = -1 on some platforms) never overwrites a
+      // measured capture, and a measured run replaces an unknown one.
+      val replaceable = !Files.exists(stamped) || {
+        val prev = Files.readString(stamped)
+        val prevNq = "\"nq\":(\\d+)".r.findFirstMatchIn(prev).map(_.group(1).toInt)
+        val prevLoad = "\"load_avg_start\":(-?[0-9.]+)".r
+          .findFirstMatchIn(prev).map(_.group(1).toDouble)
+        prevNq.forall(_ == results.size) &&
+          loadStart >= 0 && prevLoad.forall(pl => pl < 0 || pl > loadStart)
       }
-      if (quieter) Files.writeString(stamped, json + "\n")
+      if (replaceable) Files.writeString(stamped, json + "\n")
     }
     spark.stop()
   }

@@ -41,15 +41,57 @@ object StoreCommit {
 
   private def commitsDir(storeRoot: String) = new Path(s"$storeRoot/_commits")
 
+  /** Every batch token currently LISTED anywhere in the store: `batch=`
+    * dirs directly under the root plus those one level down in family
+    * sub-dirs (winnow's `fps/`/`sizes/`) — the set a legacy (manifest-less)
+    * reader considers visible.
+    */
+  private def allListedTokens(hfs: org.apache.hadoop.fs.FileSystem,
+      storeRoot: String): Set[String] = {
+    val root = new Path(storeRoot)
+    if (!hfs.exists(root)) return Set.empty
+    val entries = hfs.listStatus(root)
+    val direct = entries.map(_.getPath.getName).filter(_.startsWith("batch="))
+    val nested = entries.filter(e => e.isDirectory &&
+        !e.getPath.getName.startsWith("batch=") &&
+        !e.getPath.getName.startsWith("_") &&
+        !e.getPath.getName.startsWith("."))
+      .flatMap(e => hfs.listStatus(e.getPath).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")))
+    (direct ++ nested).map(_.stripPrefix("batch=")).toSet
+  }
+
   /** Register `batchToken` as committed — call AFTER its batch dir(s) are
     * fully written. Atomic: one marker-file create.
+    *
+    * FIRST commit on a store that predates the manifest (batch dirs exist,
+    * `_commits` does not) ENROLLS every listed token before the manifest
+    * becomes visible: under the legacy view those batches were already
+    * readable, and a manifest listing only the new token would silently
+    * disown them — the exact under-count this layer exists to prevent.
+    * The bootstrap is atomic via build-aside + rename (a racing probe sees
+    * either no manifest = full legacy view, or the complete enrolled set);
+    * on a rename race the loser falls back to idempotent marker creates
+    * into the winner's dir.
     */
   def commit(spark: SparkSession, storeRoot: String, batchToken: String): Unit = {
     val dir = commitsDir(storeRoot)
     val hfs = fs(spark, dir)
-    if (!hfs.exists(dir)) hfs.mkdirs(dir)
-    val out = hfs.create(new Path(dir, batchToken), true)
-    try out.write(batchToken.getBytes("UTF-8")) finally out.close()
+    def mark(d: Path, token: String): Unit = {
+      val out = hfs.create(new Path(d, token), true)
+      try out.write(token.getBytes("UTF-8")) finally out.close()
+    }
+    if (!hfs.exists(dir)) {
+      val enroll = allListedTokens(hfs, storeRoot) + batchToken
+      val tmp = new Path(s"$storeRoot/_commits.tmp-${java.util.UUID.randomUUID()}")
+      hfs.mkdirs(tmp)
+      enroll.foreach(mark(tmp, _))
+      if (!scala.util.Try(hfs.rename(tmp, dir)).getOrElse(false)) {
+        // a concurrent creator won the rename — add our tokens to its dir
+        scala.util.Try(hfs.delete(tmp, true))
+        enroll.foreach(mark(dir, _))
+      }
+    } else mark(dir, batchToken)
   }
 
   /** Drop `batchToken`'s marker — the replay hook: a crash-retry that is

@@ -273,9 +273,18 @@ object DedupOps {
         val hfs = new org.apache.hadoop.fs.Path(shardDir)
           .getFileSystem(confB.value.value)
         sketches.iterator.map { case (s, bloom) =>
-          val out = hfs.create(
-            new org.apache.hadoop.fs.Path(s"$shardDir/shard=$s/sketch.bin"), true)
+          // attempt-isolated write: a speculative/zombie duplicate attempt
+          // must never interleave bytes into the final file — each attempt
+          // writes its own temp and renames; rename-refuses-overwrite
+          // means the first finisher wins and the loser's byte-identical
+          // temp is discarded
+          val fin = new org.apache.hadoop.fs.Path(s"$shardDir/shard=$s/sketch.bin")
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$shardDir/shard=$s/.sketch.${java.util.UUID.randomUUID()}.tmp")
+          val out = hfs.create(tmp, true)
           try bloom.writeTo(out) finally out.close()
+          if (!scala.util.Try(hfs.rename(tmp, fin)).getOrElse(false))
+            scala.util.Try(hfs.delete(tmp, false))
           s
         }
       }.collect().toSet

@@ -13,6 +13,19 @@ class PlanSpec extends SparkTestBase {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  /** Deterministic job counting via job GROUPS (statusTracker), not a
+    * SparkListener: the async listener bus can replay earlier runs'
+    * backlogged events into a freshly added listener (overcount) or lag
+    * past a fixed drain sleep (undercount); job-group membership is
+    * assigned synchronously on submit from this thread.
+    */
+  private def countJobs(body: => Unit): Int = {
+    val group = s"jobcount-${java.util.UUID.randomUUID()}"
+    spark.sparkContext.setJobGroup(group, "job-count gate", false)
+    try body finally spark.sparkContext.clearJobGroup()
+    spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+  }
+
   test("q1_agg: shipdate filter pushed to parquet, schema pruned to used columns") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
@@ -134,17 +147,6 @@ class PlanSpec extends SparkTestBase {
     // driver-side carries or chained interp passes adds 2+ jobs per read
     // and fails this ceiling.
     val fs = Fixtures.store(spark, dir)
-    // deterministic counting via job GROUPS (statusTracker), not a
-    // SparkListener: the async listener bus can replay earlier runs'
-    // backlogged events into a freshly added listener (overcount) or lag
-    // past a fixed drain sleep (undercount); job-group membership is
-    // assigned synchronously on submit from this thread
-    def countJobs(body: => Unit): Int = {
-      val group = s"jobcount-${java.util.UUID.randomUUID()}"
-      spark.sparkContext.setJobGroup(group, "job-count gate", false)
-      try body finally spark.sparkContext.clearJobGroup()
-      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
-    }
     def resample(how: String) = fs.storage.load("events", "click",
       from = Some(ts("2024-01-01 00:00:00")), to = Some(ts("2024-01-08 00:00:00")),
       freq = Some("2h"), how = how).count()
@@ -175,12 +177,6 @@ class PlanSpec extends SparkTestBase {
     val store = s"${Fixtures.tmpRoot}/bloomsh_plan_store"
     graft.operators.DedupOps.buildFingerprintStore(
       Tables.documents(spark, dir), "doc_id", "text", store)
-    def countJobs(body: => Unit): Int = {
-      val group = s"jobcount-${java.util.UUID.randomUUID()}"
-      spark.sparkContext.setJobGroup(group, "job-count gate", false)
-      try body finally spark.sparkContext.clearJobGroup()
-      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
-    }
     val jobs = countJobs(
       graft.operators.DedupOps.buildShardedFingerprintBloom(spark, store, shards = 8))
     assert(jobs <= 6, s"sharded bloom build must not scan per shard: $jobs jobs")
@@ -198,12 +194,6 @@ class PlanSpec extends SparkTestBase {
     val caps = Seq("fs_load_latest" -> 4, "fs_time_range" -> 4,
       "fs_resample_2h" -> 3, "fs_align_ffill" -> 2, "fs_transform_dag" -> 2)
     def run(n: String): Unit = { SparkEntry.queries(n)(spark, dir).count(); () }
-    def countJobs(body: => Unit): Int = {
-      val group = s"jobcount-${java.util.UUID.randomUUID()}"
-      spark.sparkContext.setJobGroup(group, "job-count gate", false)
-      try body finally spark.sparkContext.clearJobGroup()
-      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
-    }
     caps.foreach { case (n, _) => run(n) } // warm store + memos
     caps.foreach { case (n, cap) =>
       val jobs = countJobs(run(n))

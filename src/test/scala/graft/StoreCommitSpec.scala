@@ -102,6 +102,40 @@ class StoreCommitSpec extends SparkTestBase {
     assert(ex.getMessage.contains("STALE"), ex.getMessage)
   }
 
+  test("first commit on a pre-manifest store enrolls every legacy batch dir") {
+    val store = tmpDir("sc_migrate")
+    // a store written by the pre-manifest engine: batch dirs, no _commits
+    def fps(lo: Int, hi: Int) = docs
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+      .select(col("doc_id").as("id"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+    fps(0, 100).write.mode("overwrite").parquet(s"$store/batch=base")
+    fps(100, 200).write.mode("overwrite").parquet(s"$store/batch=b2")
+    assert(StoreCommit.committedTokens(spark, store).isEmpty)
+    // the FIRST new-style append creates the manifest — it must enroll the
+    // legacy dirs, not silently disown 200 docs of corpus
+    DedupOps.appendFingerprintStore(
+      docs.where(col("doc_id") >= 200 && col("doc_id") < 250),
+      "doc_id", "text", store, "b3")
+    assert(StoreCommit.visibleTokens(spark, store) == Seq("b2", "b3", "base"))
+    assert(StoreCommit.read(spark, store).count() == 250)
+  }
+
+  test("legacy enrollment covers nested family sub-dirs (winnow fps/sizes)") {
+    val store = tmpDir("sc_migrate_wn")
+    DedupOps.buildWinnowStore(docs.where(col("doc_id") < 200),
+      "doc_id", "text", store)
+    // strip the manifest: the store now looks pre-manifest
+    val cp = new java.io.File(s"$store/_commits")
+    cp.listFiles.foreach(_.delete()); cp.delete()
+    assert(StoreCommit.committedTokens(spark, store).isEmpty)
+    DedupOps.appendWinnowStore(
+      docs.where(col("doc_id") >= 200 && col("doc_id") < 250),
+      "doc_id", "text", store, batchToken = "b2")
+    assert(StoreCommit.visibleTokens(spark, store, Some("fps")) == Seq("b2", "base"))
+    assert(StoreCommit.visibleTokens(spark, store, Some("sizes")) == Seq("b2", "base"))
+  }
+
   test("cluster-store replay uncommits before deleting its own batch dir") {
     val store = tmpDir("sc_cluster")
     val pairs = docs.where(col("doc_id") < 50)
