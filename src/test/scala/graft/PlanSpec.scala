@@ -185,6 +185,21 @@ class PlanSpec extends SparkTestBase {
       "every shard needs a sketch file, including empty shards")
   }
 
+  test("serving-direction dedup probes prune the store map-side, never cartesian") {
+    // the production shape's contract: the LARGE store is cut by the small
+    // probe's broadcast key set (LeftSemi, BuildRight) BEFORE any wide
+    // work — a regression to a full-store shuffle or a cartesian flips
+    // probe cost from ∝ batch to ∝ corpus
+    Seq("dedup_exact_serving", "dedup_minhash_serving",
+        "dedup_simhash_serving", "dedup_winnow_serving").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("LeftSemi"), s"$q: store must prune via a semi join")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: the probe key set must broadcast into the store scan")
+      assert(!p.contains("CartesianProduct"), s"$q must never cartesian")
+    }
+  }
+
   test("floor-bound fs_ micro-queries hold their job counts") {
     // BASELINE.md's disposition: at sf0.1 these five queries sit on Spark's
     // fixed per-action floor, so wall time cannot catch a plan regression —
