@@ -1729,6 +1729,29 @@ object SparkEntry {
             lit(8L) * col("width") * col("height")).as("err_ok"))
         .orderBy(col("id"), col("frame"), col("channel"))
     }),
+
+    // perceptual image hashing: dHash over REAL decoded PNG pixels —
+    // nearest-neighbor 9x8 grid, integer-exact gray (r+g+b), 64-bit
+    // gradient signature. PNG is lossless and the grid is pure integer
+    // arithmetic, so the oracle replays every bit from the closed-form
+    // pixel formula
+    "mm_image_dhash" -> ((s, dir) =>
+      operators.MultimodalOps.imageDHash(
+        operators.MultimodalOps.syntheticImageTable(
+          Tables.documents(s, dir).where(col("doc_id") < 200), "doc_id"))
+        .select(col("id"), col("simhash").as("dhash"))
+        .orderBy(col("id"))),
+
+    // image NEAR-DUP on those hashes: the SimHash pigeonhole machinery
+    // over dHash signatures (banded exact hamming <= 3) — image dedup
+    // composed from the existing banded search, no new shuffle shapes
+    "mm_image_neardup" -> ((s, dir) =>
+      operators.DedupOps.simhashPairsFromSigs(
+        operators.MultimodalOps.imageDHash(
+          operators.MultimodalOps.syntheticImageTable(
+            Tables.documents(s, dir).where(col("doc_id") < 200), "doc_id")),
+        maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
   )
 
   /** Fixture + load for the `serialized` drift feature: 500 struct values,
@@ -4902,6 +4925,53 @@ object SparkEntry {
            CAST(c AS BIGINT) AS channel, true AS err_ok
          FROM d, unnest(range(0, nf)) tf(f), unnest(range(0, 3)) tc(c)
          ORDER BY 1, 2, 5""",
+
+    // dHash replayed bit-for-bit from the pixel formula: gray(X,Y) =
+    // sum over c of ((id*31 + X*7 + Y*13 + c*101) % 256) at the
+    // nearest-neighbor grid X = (x*w)//9, Y = (y*h)//8; bit = right
+    // neighbor strictly brighter, row-major
+    "mm_image_dhash" ->
+      """WITH d AS (SELECT doc_id AS id, 8 + doc_id % 9 AS w,
+                      8 + (doc_id // 9) % 9 AS h
+                    FROM documents WHERE doc_id < 200),
+         g AS (SELECT id, y*8 + x AS pos,
+                 ((id*31 + (((x+1)*w)//9)*7 + ((y*h)//8)*13) % 256
+                  + (id*31 + (((x+1)*w)//9)*7 + ((y*h)//8)*13 + 101) % 256
+                  + (id*31 + (((x+1)*w)//9)*7 + ((y*h)//8)*13 + 202) % 256) AS gr,
+                 ((id*31 + ((x*w)//9)*7 + ((y*h)//8)*13) % 256
+                  + (id*31 + ((x*w)//9)*7 + ((y*h)//8)*13 + 101) % 256
+                  + (id*31 + ((x*w)//9)*7 + ((y*h)//8)*13 + 202) % 256) AS gl
+               FROM d, unnest(range(0, 8)) ty(y), unnest(range(0, 8)) tx(x))
+         SELECT id, string_agg(CASE WHEN gr > gl THEN '1' ELSE '0' END,
+                               '' ORDER BY pos) AS dhash
+         FROM g GROUP BY id ORDER BY id""",
+
+    // the pairs: same hash construction, exhaustive hamming <= 3 (the
+    // engine's pigeonhole banding is exact, so the answers coincide)
+    "mm_image_neardup" ->
+      """WITH d AS (SELECT doc_id AS id, 8 + doc_id % 9 AS w,
+                      8 + (doc_id // 9) % 9 AS h
+                    FROM documents WHERE doc_id < 200),
+         g AS (SELECT id, y*8 + x AS pos,
+                 ((id*31 + (((x+1)*w)//9)*7 + ((y*h)//8)*13) % 256
+                  + (id*31 + (((x+1)*w)//9)*7 + ((y*h)//8)*13 + 101) % 256
+                  + (id*31 + (((x+1)*w)//9)*7 + ((y*h)//8)*13 + 202) % 256) AS gr,
+                 ((id*31 + ((x*w)//9)*7 + ((y*h)//8)*13) % 256
+                  + (id*31 + ((x*w)//9)*7 + ((y*h)//8)*13 + 101) % 256
+                  + (id*31 + ((x*w)//9)*7 + ((y*h)//8)*13 + 202) % 256) AS gl
+               FROM d, unnest(range(0, 8)) ty(y), unnest(range(0, 8)) tx(x)),
+         sh AS (SELECT id, string_agg(CASE WHEN gr > gl THEN '1' ELSE '0' END,
+                                      '' ORDER BY pos) AS sig
+                FROM g GROUP BY id),
+         pairs AS (SELECT a.id ia, b.id ib, a.sig sa, b.sig sb
+                   FROM sh a JOIN sh b ON a.id < b.id),
+         hm AS (SELECT ia, ib,
+                  CAST(len(list_filter(range(64),
+                    i -> substring(sa, CAST(i + 1 AS INT), 1)
+                         != substring(sb, CAST(i + 1 AS INT), 1))) AS BIGINT) hamming
+                FROM pairs)
+         SELECT ia AS id_a, ib AS id_b, hamming FROM hm
+         WHERE hamming <= 3 ORDER BY 1, 2""",
 
     // approximate aggregates: the Spark side emits bound-check booleans
     // (sketch vs exact computed in the same query); the oracle recomputes

@@ -1610,6 +1610,20 @@ object DedupOps {
     // signature pass (explode + 64 sums) evaluates once
     val sigs = graft.CacheScope.persist(
       simhashDf(df, idCol, textCol).select(col(idCol).as("id"), col("simhash")))
+    simhashPairsFromSigs(sigs, maxHamming, maxBucket)
+  }
+
+  /** Pigeonhole-exact hamming pairs over PRE-COMPUTED 64-bit signatures
+    * (`(id, simhash)` with the hash as a 64-char bitstring) — the banded
+    * search behind [[simhashNearDupPairs]], exposed for any 64-bit
+    * perceptual signature: [[MultimodalOps.imageDHash]] feeds image
+    * near-dup through exactly this machinery. Caller persists `sigs` if
+    * its derivation is expensive (it is referenced by the banding and
+    * both verify sides).
+    */
+  def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     simhashVerify(
       bandedCandidatePairs(simhashBanded(sigs, maxHamming), maxBucket),
       simhashHalves(sigs), maxHamming)

@@ -219,6 +219,54 @@ object MultimodalOps {
       }
   }
 
+  /** Perceptual difference-hash (dHash) of each image — the image-dedup
+    * primitive: decode the payload with `javax.imageio`, sample a fixed
+    * 9×8 grid by nearest-neighbor (`X(x) = ⌊x·w/9⌋`, `Y(y) = ⌊y·h/8⌋` —
+    * integer arithmetic, no resampling filter, so the hash is
+    * codec-independent and SQL-replayable), take grayness as the exact
+    * channel sum r+g+b (no division — stays integer-exact), and emit
+    * bit(y·8+x) = gray(X(x+1),Y(y)) > gray(X(x),Y(y)), row-major.
+    *
+    * Returned as `(id, simhash)` with the hash in the 64-char bitstring
+    * currency of the SimHash machinery, so
+    * [[DedupOps.simhashPairsFromSigs]] pigeonhole-bands these directly:
+    * image near-dup = dHash + the existing banded hamming search. Scale:
+    * a narrow map over the media column (batched codec state per
+    * partition), then the banding's one packed-bucket shuffle.
+    */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"imageDHash: undecodable image payload for id=$id")
+          val w = img.getWidth
+          val h = img.getHeight
+          def gray(gx: Int, gy: Int): Int = {
+            val rgb = img.getRGB(gx, gy)
+            ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          }
+          val sb = new java.lang.StringBuilder(64)
+          var y = 0
+          while (y < 8) {
+            val gy = y * h / 8
+            var x = 0
+            while (x < 8) {
+              sb.append(
+                if (gray((x + 1) * w / 9, gy) > gray(x * w / 9, gy)) '1' else '0')
+              x += 1
+            }
+            y += 1
+          }
+          (id, sb.toString)
+        }
+      }.toDF("id", "simhash")
+  }
+
   /** Synthetic 16-bit PCM sample for (id, index): a closed-form value in
     * [-32768, 32767]. WAV stores PCM losslessly, so — like [[synthPixel]]
     * for PNG — a SQL oracle reproduces the DECODED sample statistics

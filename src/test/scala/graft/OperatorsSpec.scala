@@ -616,6 +616,37 @@ class OperatorsSpec extends SparkTestBase {
       ex.getCause != null && ex.getCause.getMessage.contains("undecodable"))
   }
 
+  test("imageDHash == closed-form model; banded image near-dup == brute-force hamming") {
+    import spark.implicits._
+    // independent model: formula pixels -> 9x8 nearest-neighbor grid ->
+    // r+g+b gray -> row-major gradient bits (no codec, no engine code)
+    def model(id: Long): String = {
+      def pix(x: Int, y: Int, c: Int) =
+        (((id * 31 + x * 7L + y * 13L + c * 101L) % 256 + 256) % 256).toInt
+      def gray(x: Int, y: Int) = pix(x, y, 0) + pix(x, y, 1) + pix(x, y, 2)
+      val (w, h) = MultimodalOps.synthDims(id)
+      (for (y <- 0 until 8; x <- 0 until 8) yield {
+        val gy = y * h / 8
+        if (gray((x + 1) * w / 9, gy) > gray(x * w / 9, gy)) '1' else '0'
+      }).mkString
+    }
+    val ids = (0L until 200L).toSeq
+    val sigs = MultimodalOps.imageDHash(
+      MultimodalOps.syntheticImageTable(ids.toDF("doc_id"), "doc_id"))
+    val got = sigs.as[(Long, String)].collect().toMap
+    assert(ids.forall(id => got(id) == model(id)),
+      "decoded dHash must equal the closed-form model bit-for-bit")
+    // pairs: pigeonhole banding == exhaustive hamming over the model hashes
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      d = model(a).zip(model(b)).count { case (x, y) => x != y } if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(brute.nonEmpty, "fixture should contain near-dup images")
+    val banded = DedupOps.simhashPairsFromSigs(sigs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+  }
+
   test("multimodal: REAL WAV decode round-trips the PCM formula exactly") {
     import spark.implicits._
     // local truth: fold the closed-form samples, no codec involved
