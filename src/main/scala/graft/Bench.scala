@@ -96,28 +96,36 @@ object Bench {
     // capture, so a later contended run can't shadow a clean one.
     if (args.isEmpty && results.size == SparkEntry.queries.size) {
       import java.nio.file.{Files, Paths}
-      // round inference counts the DRIVER's plain captures only — they lag
-      // the current round by exactly one. Self-stamped _clean files must
-      // NOT count: every round stamps before its driver capture lands, so
-      // counting them would misnumber the same round's second run.
-      val rx = "BENCH_r(\\d+)\\.json".r
-      val prior = Option(Paths.get(".").toFile.list()).getOrElse(Array.empty)
-        .collect { case rx(n) => n.toInt }
-      val round = if (prior.isEmpty) 1 else prior.max + 1
+      // the round is passed explicitly when known (SPARK_GRAFT_BENCH_ROUND)
+      // — inference from directory contents depends on the convention that
+      // the driver's plain capture lags the current round by exactly one,
+      // which breaks if a same-round re-run follows the driver's capture.
+      // Inference fallback counts the DRIVER's plain captures only; self-
+      // stamped _clean files must NOT count (every round stamps before its
+      // driver capture lands).
+      val round = sys.env.get("SPARK_GRAFT_BENCH_ROUND").map(_.toInt).getOrElse {
+        val rx = "BENCH_r(\\d+)\\.json".r
+        val prior = Option(Paths.get(".").toFile.list()).getOrElse(Array.empty)
+          .collect { case rx(n) => n.toInt }
+        if (prior.isEmpty) 1 else prior.max + 1
+      }
       val stamped = Paths.get(f"BENCH_r$round%02d_clean.json")
-      // Replace an existing stamp only when (a) it covers the SAME query
-      // set (an nq mismatch means the file is a different round's capture
-      // surviving a failed driver upload — never contaminate it) and
-      // (b) this run is measurably quieter: an UNKNOWN load
-      // (getSystemLoadAverage = -1 on some platforms) never overwrites a
-      // measured capture, and a measured run replaces an unknown one.
+      // Replacement rules for an existing stamp:
+      //  - a run covering MORE queries supersedes (same round, the stamp
+      //    predates queries added later in the round — the FINAL query
+      //    count is the capture that matters); fewer queries never does
+      //    (that would shadow the final set with a partial one);
+      //  - at the SAME query count, only a measurably quieter run
+      //    replaces: an UNKNOWN load (getSystemLoadAverage = -1 on some
+      //    platforms) never overwrites a measured capture, and a measured
+      //    run replaces an unknown one.
       val replaceable = !Files.exists(stamped) || {
         val prev = Files.readString(stamped)
         val prevNq = "\"nq\":(\\d+)".r.findFirstMatchIn(prev).map(_.group(1).toInt)
         val prevLoad = "\"load_avg_start\":(-?[0-9.]+)".r
           .findFirstMatchIn(prev).map(_.group(1).toDouble)
-        prevNq.forall(_ == results.size) &&
-          loadStart >= 0 && prevLoad.forall(pl => pl < 0 || pl > loadStart)
+        prevNq.forall(p => p < results.size || (p == results.size &&
+          loadStart >= 0 && prevLoad.forall(pl => pl < 0 || pl > loadStart)))
       }
       if (replaceable) Files.writeString(stamped, json + "\n")
     }

@@ -70,9 +70,20 @@ object StoreCommit {
     * readable, and a manifest listing only the new token would silently
     * disown them — the exact under-count this layer exists to prevent.
     * The bootstrap is atomic via build-aside + rename (a racing probe sees
-    * either no manifest = full legacy view, or the complete enrolled set);
-    * on a rename race the loser falls back to idempotent marker creates
-    * into the winner's dir.
+    * either no manifest = full legacy view, or the complete enrolled set).
+    * A rename RACE cannot be detected from the rename's return value:
+    * Hadoop rename(tmp, dst) onto an EXISTING directory moves tmp INSIDE
+    * dst (posix-mv semantics on HDFS; RawLocalFileSystem's FileUtil.copy
+    * fallback does the same) and returns true — so the loser's enrolled
+    * tokens would land nested under `_commits/_commits.tmp-<uuid>/`,
+    * invisible to [[committedTokens]], silently disowning its fully-
+    * written batch. So the outcome is verified by EFFECT instead: after
+    * any rename attempt, our own marker must exist directly under
+    * `_commits/`; when it doesn't, fall back to the idempotent per-marker
+    * creates into the winner's dir and sweep any nested `_commits.tmp-*`
+    * junk dir the mis-rename left behind. Only reachable when two writers
+    * race the first-ever commit (StoreLock normally serializes mutators,
+    * but the weak-PUT backends its scaladoc concedes admit the overlap).
     */
   def commit(spark: SparkSession, storeRoot: String, batchToken: String): Unit = {
     val dir = commitsDir(storeRoot)
@@ -86,11 +97,19 @@ object StoreCommit {
       val tmp = new Path(s"$storeRoot/_commits.tmp-${java.util.UUID.randomUUID()}")
       hfs.mkdirs(tmp)
       enroll.foreach(mark(tmp, _))
-      if (!scala.util.Try(hfs.rename(tmp, dir)).getOrElse(false)) {
-        // a concurrent creator won the rename — add our tokens to its dir
+      scala.util.Try(hfs.rename(tmp, dir))
+      // verify by effect, not return value (see scaladoc): our marker must
+      // sit DIRECTLY under _commits/ — a lost race nests tmp inside the
+      // winner's dir with rename still returning true
+      if (!hfs.exists(new Path(dir, batchToken))) {
         scala.util.Try(hfs.delete(tmp, true))
         enroll.foreach(mark(dir, _))
       }
+      // sweep mis-rename junk: a nested _commits.tmp-* dir is not a real
+      // token and would pollute committedTokens forever
+      if (hfs.exists(dir))
+        hfs.listStatus(dir).filter(_.getPath.getName.startsWith("_commits.tmp-"))
+          .foreach(s => scala.util.Try(hfs.delete(s.getPath, true)))
     } else mark(dir, batchToken)
   }
 

@@ -231,10 +231,11 @@ object DedupOps {
     * builds the sketches for the shard ids it holds locally, writing each
     * finished sketch to storage from the task (sketch insertion is a
     * bitwise OR, so a task retry rewrites byte-identical content). Sizing
-    * comes from one metadata-only `count()` (parquet footers, no column
-    * read) spread uniformly across shards — xxhash64 distributes
-    * fingerprints evenly, and 25% headroom keeps the realized fpp at or
-    * under the dial on mildly uneven shards. The earlier shape (one
+    * comes from one `count_distinct(fp)` pass spread uniformly across
+    * shards — xxhash64 distributes DISTINCT fingerprints evenly (duplicate
+    * fps all land in one shard, so a plain row count would undersize hot
+    * shards on heavily-duplicated stores), and 25% headroom keeps the
+    * realized fpp at or under the dial on mildly uneven shards. The earlier shape (one
     * `stat.bloomFilter` job per shard, `shards + 1` scans) re-read the
     * whole store per shard at 64+ shards; partition-local builds pay the
     * sketch memory (a few shards' bit arrays per task) instead, which is
@@ -252,7 +253,16 @@ object DedupOps {
     val dir = new org.apache.hadoop.fs.Path(s"$path/_bloomshards")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) fs.delete(dir, true)
-    val total = graft.StoreCommit.read(spark, path).count()
+    // size from DISTINCT fingerprints, not rows: duplicate fps concentrate
+    // in ONE shard (the shard key is a function of the fp), so a row count
+    // overstates evenly-spread inserts and understates the hot shard —
+    // a heavily-duplicated store could realize fpp above the dial. Distinct
+    // counting costs a column read instead of a footer probe; it's the
+    // one-time build, not the probe path. Exactness never depends on this
+    // (the store-confirm join filters bloom false positives) — fpp is probe
+    // cost only, but the dial should mean what it says.
+    val total = graft.StoreCommit.read(spark, path)
+      .agg(count_distinct(col("fp"))).head().getLong(0)
     val perShard = math.max(1L, math.ceil(total * 1.25 / shards).toLong)
     val shardDir = s"$path/_bloomshards"
     val confB = spark.sparkContext.broadcast(
@@ -275,9 +285,12 @@ object DedupOps {
         sketches.iterator.map { case (s, bloom) =>
           // attempt-isolated write: a speculative/zombie duplicate attempt
           // must never interleave bytes into the final file — each attempt
-          // writes its own temp and renames; rename-refuses-overwrite
-          // means the first finisher wins and the loser's byte-identical
-          // temp is discarded
+          // writes its own temp and renames whole. Rename onto an existing
+          // file OVERWRITES on posix-backed filesystems (rename(2)
+          // semantics via RawLocalFileSystem), so a late attempt CAN
+          // replace the winner's file — harmless by CONTENT, not by
+          // exclusivity: insertion is an order-independent bitwise OR over
+          // the same rows, so every attempt's sketch is byte-identical
           val fin = new org.apache.hadoop.fs.Path(s"$shardDir/shard=$s/sketch.bin")
           val tmp = new org.apache.hadoop.fs.Path(
             s"$shardDir/shard=$s/.sketch.${java.util.UUID.randomUUID()}.tmp")

@@ -155,4 +155,28 @@ class StoreCommitSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == labels)
     graft.CacheScope.release()
   }
+  test("bootstrap rename race: loser's tokens land in the winner's manifest, no junk") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.crace.impl", classOf[CommitRaceFileSystem].getName)
+    val store = "crace:" + tmpDir("sc_race") + "/store"
+    // a legacy store (batch dirs, no manifest) whose first-ever commit will
+    // LOSE the bootstrap rename race: the stub filesystem materializes a
+    // winner's manifest under the loser's rename, which then nests the
+    // loser's tmp dir INSIDE it while still returning true
+    docs.where(col("doc_id") < 100)
+      .select(col("doc_id").as("id"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+      .write.mode("overwrite").parquet(s"$store/batch=base")
+    StoreCommit.commit(spark, store, "b2")
+    val committed = StoreCommit.committedTokens(spark, store).get
+    // the loser's own batch and its enrolled legacy dirs must be visible
+    // DIRECTLY in the manifest (pre-fix they nested under _commits.tmp-*
+    // and vanished), alongside the winner's token; the mis-renamed tmp dir
+    // must not survive as a junk token
+    assert(committed.contains("b2"), s"loser's own token missing: $committed")
+    assert(committed.contains("base"), s"enrolled legacy token missing: $committed")
+    assert(committed.contains(CommitRaceFileSystem.WinnerToken))
+    assert(!committed.exists(_.startsWith("_commits.tmp-")),
+      s"junk tmp-dir token polluting the manifest: $committed")
+  }
 }

@@ -57,3 +57,29 @@ class BestEffortCreateFileSystem extends RawLocalFileSystem {
     super.create(p, permission, true, bufferSize, replication, blockSize,
       progress)
 }
+
+/** A filesystem that makes [[graft.StoreCommit]]'s bootstrap LOSE the
+  * first-commit race deterministically: the first rename whose destination
+  * is a `_commits` dir finds a winner's manifest already materialized
+  * there (created inside this override, as if a concurrent writer's rename
+  * landed first). Hadoop/posix then moves the source INSIDE the existing
+  * destination (File.renameTo fails on a non-empty dir; the FileUtil.copy
+  * fallback copies into it) and still returns true — the exact
+  * undetectable-by-return-value outcome the commit path must verify by
+  * effect.
+  */
+class CommitRaceFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "crace"
+  override def getUri: URI = URI.create("crace:///")
+  override def rename(src: Path, dst: Path): Boolean = {
+    if (dst.getName == "_commits" && !exists(dst)) {
+      mkdirs(dst)
+      val out = super.create(new Path(dst, CommitRaceFileSystem.WinnerToken),
+        true, 4096, 1.toShort, 33554432L, null)
+      try out.write(CommitRaceFileSystem.WinnerToken.getBytes("UTF-8"))
+      finally out.close()
+    }
+    super.rename(src, dst)
+  }
+}
+object CommitRaceFileSystem { val WinnerToken = "winner-batch" }
