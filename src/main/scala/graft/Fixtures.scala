@@ -64,6 +64,19 @@ object Fixtures {
         tripled.where(col("event_type") === et).drop("event_type", "v"),
         name = Some(s"events/$et"))
     }
+    // compaction probe: the same tripled click series ingested as one
+    // append PER VERSION (3 part-file sets per partition dir — the
+    // streaming-ingest fragmentation shape) — the fs_compact_load gate
+    // compacts this feature in place and must read back the identical
+    // latest-version series
+    store.createFeature("events/click_compact", "click series, fragmented ingest")
+    (0 to 2).foreach { v =>
+      store.saveDf(
+        tripled.where(col("event_type") === "click" && col("v") === v)
+          .drop("event_type", "v"),
+        name = Some("events/click_compact"))
+    }
+
     // ORC-backend namespace (the Backends dispatch seam): the same tripled
     // click series stored through the "spark-orc" engine — loads must be
     // value-identical to the parquet namespace's

@@ -43,6 +43,16 @@ object SparkEntry {
     "fs_time_travel" -> ((s, dir) =>
       Fixtures.store(s, dir).storage.load("events", "click", timeTravel = Some("-30s"))),
 
+    // store maintenance: small-file compaction rewrites the fragmented
+    // 3-appends-per-partition twin in place (first run; later runs are a
+    // listing no-op), preserving every (time, created_time) version — the
+    // load after it must equal the uncompacted click read exactly
+    "fs_compact_load" -> ((s, dir) => {
+      val fs = Fixtures.store(s, dir)
+      fs.compactFeature("events/click_compact")
+      fs.storage.load("events", "click_compact")
+    }),
+
     // Backends dispatch seam: the SAME bounded latest-dedup read served
     // from the "spark-orc" namespace — ORC writer/reader stack end-to-end
     // (ingest, hive partitioning, time-bound pruning, dedup), value-equal
@@ -1855,6 +1865,11 @@ object SparkEntry {
 
   private def oracleSqlBase: Map[String, String] = Map(
     "fs_load_latest" ->
+      s"SELECT time, value FROM (${ev("click")}) ORDER BY time",
+
+    // compaction preserves every version: the rewritten fragmented twin
+    // reads back as the same latest-version series
+    "fs_compact_load" ->
       s"SELECT time, value FROM (${ev("click")}) ORDER BY time",
 
     "fs_time_range" ->

@@ -120,6 +120,40 @@ class FeatureStore(
     if (src.transform.isEmpty) storage.copy(fns, fn, tns, tn)
   }
 
+  /** Small-file compaction for one feature's stored data — the store
+    * maintenance path for append-cadence ingest (every [[saveDf]] call and
+    * streaming micro-batch appends a part-file set; see
+    * [[graft.storage.TimeseriesStorage.compactFeature]] for the rewrite
+    * contract: all `(time, created_time)` versions preserved, crash-safe
+    * swap under the store lock). Covers whichever layouts the feature
+    * has data in (plain and/or entity-keyed); stats are summed.
+    */
+  def compactFeature(qualified: String,
+      targetBytes: Long = graft.storage.TimeseriesStorage.DefaultCompactTargetBytes)
+      : graft.storage.CompactionStats = {
+    val (ns, n) = Catalog.splitName(qualified)
+    requireFeature(ns, n)
+    val plain = storage.compactFeature(ns, n, targetBytes)
+    val keyed = storage.compactKeyed(ns, n, targetBytes)
+    graft.storage.CompactionStats(
+      plain.partitionsCompacted + keyed.partitionsCompacted,
+      plain.filesBefore + keyed.filesBefore,
+      plain.filesAfter + keyed.filesAfter,
+      plain.bytesRewritten + keyed.bytesRewritten)
+  }
+
+  /** [[compactFeature]] for a feature group's single wide table. */
+  def compactGroup(qualified: String,
+      targetBytes: Long = graft.storage.TimeseriesStorage.DefaultCompactTargetBytes)
+      : graft.storage.CompactionStats = {
+    val (ns, n) = Catalog.splitName(qualified)
+    storage.compactGroup(ns, n, targetBytes)
+  }
+
+  private def requireFeature(ns: String, n: String): Unit =
+    if (catalog.getFeature(ns, n).isEmpty)
+      throw new MissingFeatureException(s"no feature: $ns/$n")
+
   // ---- save (M1 fan-out + Q1 quality gate + S1 sink) ------------------------
 
   /** Save a frame of one or more feature columns. Columns other than

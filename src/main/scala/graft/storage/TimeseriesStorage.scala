@@ -701,13 +701,210 @@ class TimeseriesStorage(val root: String, spark: SparkSession,
         .partitionBy(PartCol).mode("overwrite")
         .save(featurePath(toNs, toName))
   }
+
+  // ---- small-file compaction (store maintenance) ----------------------------
+
+  /** Rewrite a feature's over-fragmented hive partitions into right-sized
+    * files, preserving every stored row — including SUPERSEDED
+    * `(time, created_time)` versions, so time-travel reads and the
+    * `serialized` drift history survive byte-exactly. The store is
+    * append-only by design (one part-file set per [[save]] call and per
+    * streaming micro-batch — the reference shares the layout,
+    * src/qafs/backend/pandas.py:86, and mitigates only at read time
+    * with a 25 MB repartition, :118), so under ingest cadence a partition
+    * dir accumulates unbounded tiny files and scan cost grows with FILE
+    * COUNT, not data; this is the rewrite path that resets it.
+    *
+    * Shape at scale: ONE Spark job rewrites every selected partition —
+    * the candidates are read together (`basePath` keeps the partition
+    * column), salted to `ceil(bytes / targetBytes)` write tasks per
+    * partition, and written hive-partitioned to a dot-prefixed build dir
+    * that live scans never list. The swap is per-partition directory
+    * renames (metadata-only). A driver loop of per-partition jobs would
+    * be thousands of tiny jobs at ingest-partitioned scale.
+    *
+    * Crash safety ([[graft.operators.DedupOps.compactWindowStore]]'s
+    * rebuild-aside-then-swap contract, adapted to in-place hive dirs):
+    * the build dir is fully written and count-verified BEFORE any live
+    * dir moves; each swap renames the live dir into a trash dir and the
+    * rebuilt dir into place. A crash between those two renames leaves
+    * that one partition unlisted but BOTH copies on disk; the recovery
+    * sweep at the next compaction entry ([[recoverCompaction]]) completes
+    * the swap. Runs under [[graft.StoreLock]] (beside the feature dir),
+    * so a concurrent `save`'s new files can never land in a dir mid-swap.
+    * Racing READERS are the documented residual: a scan listing files
+    * exactly inside one partition's two-rename window misses that
+    * partition — compaction is a maintenance operation; schedule it like
+    * one (the dedup/index-store compactors share this contract).
+    */
+  def compactFeature(namespace: String, name: String,
+      targetBytes: Long = DefaultCompactTargetBytes): CompactionStats =
+    compactHiveDir(featurePath(namespace, name), namespace, targetBytes)
+
+  /** [[compactFeature]] for the entity-KEYED layout. */
+  def compactKeyed(namespace: String, name: String,
+      targetBytes: Long = DefaultCompactTargetBytes): CompactionStats =
+    compactHiveDir(keyedPath(namespace, name), namespace, targetBytes)
+
+  /** [[compactFeature]] for the feature-GROUP layout (plain and keyed
+    * groups share the directory).
+    */
+  def compactGroup(namespace: String, name: String,
+      targetBytes: Long = DefaultCompactTargetBytes): CompactionStats =
+    compactHiveDir(groupPath(namespace, name), namespace, targetBytes)
+
+  private def partitionDirs(base: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$PartCol="))
+
+  private def dataFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(dir).toSeq.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** Complete any swap a crashed compaction left half-done: a trash entry
+    * whose live partition dir is MISSING means the crash hit between the
+    * two swap renames — the fully-verified rebuilt dir (still in the
+    * build dir) is renamed into place; every other trash/build leftover
+    * is stale (the rebuild preceding a completed swap, or a build that
+    * never reached its swap) and is dropped. Idempotent; called on entry
+    * by [[compactFeature]] under the same lock.
+    */
+  def recoverCompaction(dir: String): Unit = {
+    val live = new Path(dir)
+    val build = new Path(dir, CompactBuildDir)
+    val trash = new Path(dir, CompactTrashDir)
+    if (fs.exists(trash)) {
+      partitionDirs(trash).foreach { t =>
+        val liveDir = new Path(live, t.getPath.getName)
+        val built = new Path(build, t.getPath.getName)
+        if (!fs.exists(liveDir)) {
+          require(fs.exists(built),
+            s"compaction recovery: $liveDir missing and no rebuilt copy in " +
+              s"$built — restore from trash ${t.getPath} manually")
+          require(fs.rename(built, liveDir),
+            s"compaction recovery: rename $built -> $liveDir failed")
+        }
+        fs.delete(t.getPath, true)
+      }
+      fs.delete(trash, true)
+    }
+    if (fs.exists(build)) fs.delete(build, true)
+  }
+
+  private def compactHiveDir(dir: String, namespace: String,
+      targetBytes: Long): CompactionStats =
+      graft.StoreLock.withLock(spark, dir) {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    recoverCompaction(dir)
+    val live = new Path(dir)
+    // candidates: partitions whose file count exceeds what their bytes
+    // justify — already-compact partitions are never rewritten (the second
+    // run of a compaction is a listing, no job)
+    val cands = partitionDirs(live).flatMap { d =>
+      val files = dataFiles(d.getPath)
+      val bytes = files.map(_.getLen).sum
+      val want = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
+      if (files.size <= want) None
+      else Some((d.getPath.getName.stripPrefix(s"$PartCol="), files.size.toLong, bytes, want))
+    }
+    if (cands.isEmpty) CompactionStats(0, 0, 0, 0)
+    else {
+      val buildDir = new Path(dir, CompactBuildDir)
+      val trashDir = new Path(dir, CompactTrashDir)
+      // ONE rewrite job over every candidate partition: basePath keeps the
+      // partition column (pinned back to its stored string form — partition
+      // type inference would otherwise read dates/years as DATE/INT); the
+      // salt spreads each partition over its target file count's worth of
+      // write tasks (hash-partitioned shuffle, so a task writes one file
+      // per (partition, salt) group it holds)
+      val nf = spark.createDataFrame(cands.map(c => (c._1, c._4)))
+        .toDF("__pv", "__nf")
+      val src = spark.read.format(fmt(namespace)).option("basePath", dir)
+        .load(cands.map(c => s"$dir/$PartCol=${c._1}"): _*)
+        .withColumn(PartCol, col(PartCol).cast(StringType))
+      // metadata-only count (footers) — sizes the row-count backstop below
+      // and verifies the rebuild afterwards
+      val srcCount = src.count()
+      val salted = src
+        .join(broadcast(nf), col(PartCol) === col("__pv"))
+        .withColumn("__salt", pmod(xxhash64(col(TimeCol), col(CreatedCol)), col("__nf")))
+        .drop("__pv", "__nf")
+      // file sizing is two-layer: the salt gives each partition ~its target
+      // file count's worth of WRITE TASKS (parallelism for huge partitions),
+      // and maxRecordsPerFile — rows-per-target derived from the store's
+      // observed bytes/row — deterministically splits any task that ended up
+      // holding more (AQE legitimately coalesces small salt groups into one
+      // task; salt-hash collisions merge groups — both land here)
+      val candBytes = cands.map(_._3).sum
+      val avgRowBytes = math.max(1L, candBytes / math.max(1L, srcCount))
+      val maxRecords = math.max(1L, targetBytes / avgRowBytes)
+      salted
+        .repartition(col(PartCol), col("__salt"))
+        .drop("__salt")
+        .write.format(fmt(namespace)).option("compression", "snappy")
+        .option("maxRecordsPerFile", maxRecords)
+        .partitionBy(PartCol).mode("overwrite")
+        .save(buildDir.toString)
+      // verify the rebuild BEFORE any live dir moves: a row lost here would
+      // silently rewrite history (metadata-only counts — parquet footers)
+      val builtParts = cands.map(c => s"$buildDir/$PartCol=${c._1}")
+        .filter(p => fs.exists(new Path(p)))
+      val builtCount =
+        if (builtParts.isEmpty) 0L
+        else spark.read.format(fmt(namespace))
+          .option("basePath", buildDir.toString).load(builtParts: _*).count()
+      require(builtCount == srcCount,
+        s"compaction rebuild of $dir dropped rows ($srcCount -> $builtCount); " +
+          "live store untouched")
+      // swap, partition by partition: rename live aside, rebuilt in, drop aside
+      fs.mkdirs(trashDir)
+      var after = 0L
+      cands.foreach { case (p, _, _, _) =>
+        val liveDir = new Path(live, s"$PartCol=$p")
+        val built = new Path(buildDir, s"$PartCol=$p")
+        val aside = new Path(trashDir, s"$PartCol=$p")
+        require(fs.rename(liveDir, aside), s"compaction swap: rename $liveDir aside failed")
+        // a candidate whose files held ZERO rows produces no rebuilt dir —
+        // the compacted form of "listed but empty" is an empty dir, not a
+        // dropped partition (listPartitions semantics survive)
+        if (fs.exists(built))
+          require(fs.rename(built, liveDir), s"compaction swap: rename $built in failed")
+        else fs.mkdirs(liveDir)
+        after += dataFiles(liveDir).size
+        fs.delete(aside, true)
+      }
+      fs.delete(trashDir, true)
+      fs.delete(buildDir, true)
+      spark.catalog.refreshByPath(dir)
+      CompactionStats(cands.size, cands.map(_._2).sum, after, cands.map(_._3).sum)
+    }
+  }
 }
+
+/** What one [[TimeseriesStorage.compactFeature]] run did: partitions
+  * rewritten, data-file count before/after, bytes rewritten. A no-op run
+  * (already compact) is all zeros.
+  */
+case class CompactionStats(partitionsCompacted: Int, filesBefore: Long,
+    filesAfter: Long, bytesRewritten: Long)
 
 object TimeseriesStorage {
   val TimeCol = "time"
   val ValueCol = "value"
   val CreatedCol = "created_time"
   val PartCol = "partition"
+
+  /** Compaction file-size target. 128 MiB locally and in tests would make
+    * every fixture a single-file no-op; at cluster scale callers pass the
+    * real target (commonly 128-512 MiB — around
+    * `spark.sql.files.maxPartitionBytes` so one file ≈ one scan split).
+    */
+  val DefaultCompactTargetBytes: Long = 128L * 1024 * 1024
+  private[storage] val CompactBuildDir = ".compact_build"
+  private[storage] val CompactTrashDir = ".compact_trash"
 
   /** Derived partition column (reference src/qafs/backend/pandas.py:62-70).
     *

@@ -347,4 +347,135 @@ class StorageSpec extends SparkTestBase {
     assert(st.deleteKeyedBefore("ns", "nope",
       java.sql.Timestamp.valueOf("2022-01-01 00:00:00")).isEmpty)
   }
+
+  // ---- small-file compaction (store maintenance) ---------------------------
+
+  private def partFiles(root: String, part: String): Seq[String] = {
+    val d = new java.io.File(s"$root/$part")
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName)
+  }
+
+  test("compactFeature: files collapse, every superseded version and time-travel survive") {
+    val st = freshStore()
+    // 6 appends over the same two dates, each with its own created_time —
+    // the superseded versions are exactly what time-travel reads
+    (1 to 6).foreach { v =>
+      st.save("ns", "c", seriesDf(
+        Seq("2021-01-01" -> (v * 1.0), "2021-01-02" -> (v * 10.0)),
+        created = Some(f"2021-01-0$v%d 00:00:00")))
+    }
+    val dir = st.featurePath("ns", "c")
+    val before1 = partFiles(dir, "partition=2021-01-01").size
+    assert(before1 >= 6, s"expected >=6 files per partition pre-compaction, got $before1")
+    def snapshot() = st.scan("ns", "c").collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1), r.getTimestamp(2)))
+      .sortBy(t => (t._1.getTime, t._3.getTime, t._2))
+    def travelled() = collectMap(st.load("ns", "c", timeTravel = Some("2d")))
+    val (rawBefore, ttBefore, partsBefore) =
+      (snapshot(), travelled(), st.listPartitions("ns", "c"))
+    assert(rawBefore.length == 12)
+
+    val stats = st.compactFeature("ns", "c")
+    assert(stats.partitionsCompacted == 2 && stats.filesBefore >= 12)
+    assert(partFiles(dir, "partition=2021-01-01").size == 1)
+    assert(partFiles(dir, "partition=2021-01-02").size == 1)
+    assert(snapshot().toSeq == rawBefore.toSeq,
+      "compaction must preserve every (time, created_time, value) version")
+    assert(travelled() == ttBefore)
+    assert(st.listPartitions("ns", "c") == partsBefore)
+    assert(st.compactFeature("ns", "c") == graft.storage.CompactionStats(0, 0, 0, 0),
+      "an already-compact store must be a no-op (listing only)")
+  }
+
+  test("compaction honors targetBytes: large partitions split across files") {
+    val st = freshStore()
+    (1 to 4).foreach { v =>
+      st.save("ns", "big", seriesDf(
+        (0 until 50).map(i => (f"2021-03-01 ${i % 24}%02d:${i / 24}%02d:00", i * 1.0 + v))))
+    }
+    val dir = st.featurePath("ns", "big")
+    val files = partFiles(dir, "partition=2021-03-01")
+    assert(files.size >= 4)
+    val bytes = files.map(f =>
+      new java.io.File(s"$dir/partition=2021-03-01/$f").length).sum
+    // target = ~half the data → 2 (or 3 with salt collisions) output files
+    val stats = st.compactFeature("ns", "big", targetBytes = bytes / 2 + 1)
+    assert(stats.partitionsCompacted == 1)
+    val after = partFiles(dir, "partition=2021-03-01").size
+    assert(after >= 2 && after < files.size,
+      s"expected ~2 right-sized files, got $after (before: ${files.size})")
+    assert(st.scan("ns", "big").count() == 200)
+  }
+
+  test("compaction: serialized drift history survives byte-exactly") {
+    val st = freshStore()
+    st.save("ns", "ser", seriesDf(Seq("2021-01-01" -> 1.5),
+      created = Some("2021-01-01 00:00:00")), serialized = true)
+    st.save("ns", "ser", seriesDf(Seq("2021-01-01" -> "drifted"),
+      created = Some("2021-01-02 00:00:00")), serialized = true)
+    st.save("ns", "ser", seriesDf(Seq("2021-01-02" -> 7),
+      created = Some("2021-01-02 00:00:00")), serialized = true)
+    def snap() = st.scan("ns", "ser", serialized = true).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getTimestamp(2))).sortBy(_.toString)
+    val before = snap()
+    assert(st.compactFeature("ns", "ser").partitionsCompacted >= 1)
+    assert(snap().toSeq == before.toSeq)
+    assert(collectMap(st.load("ns", "ser", serialized = true)) ==
+      Map(ts("2021-01-01") -> "drifted", ts("2021-01-02") -> "7"))
+  }
+
+  test("compaction: keyed and group layouts, and the ORC backend") {
+    val st = freshStore()
+    (1 to 3).foreach { v =>
+      st.saveKeyed("ns", "k", seriesDf(Seq("2021-01-01" -> (v * 1.0)))
+        .withColumn("user_id", lit(7L)), keys = Seq("user_id"))
+      st.saveGroup("ns", "g", seriesDf(Seq("2021-01-01" -> (v * 1.0)))
+        .withColumnRenamed("value", "a").withColumn("b", lit(v * 2.0)),
+        columns = Seq("a", "b"))
+    }
+    val kBefore = st.loadKeyed("ns", "k", Seq("user_id")).collect().toSeq
+    val gBefore = st.loadGroup("ns", "g", Seq("a", "b")).collect().toSeq
+    assert(st.compactKeyed("ns", "k").partitionsCompacted == 1)
+    assert(st.compactGroup("ns", "g").partitionsCompacted == 1)
+    assert(st.loadKeyed("ns", "k", Seq("user_id")).collect().toSeq == kBefore)
+    assert(st.loadGroup("ns", "g", Seq("a", "b")).collect().toSeq == gBefore)
+    assert(partFiles(st.keyedPath("ns", "k"), "partition=2021-01-01").size == 1)
+
+    val orc = new TimeseriesStorage(tmpDir("store_orc"), spark, _ => "orc")
+    (1 to 3).foreach(v => orc.save("o", "f", seriesDf(Seq("2021-01-01" -> (v * 1.0)),
+      created = Some(f"2021-01-0$v%d 00:00:00"))))
+    val oBefore = orc.scan("o", "f").collect().map(_.toString).sorted.toSeq
+    assert(orc.compactFeature("o", "f").partitionsCompacted == 1)
+    assert(orc.scan("o", "f").collect().map(_.toString).sorted.toSeq == oBefore)
+    val of = partFiles(orc.featurePath("o", "f"), "partition=2021-01-01")
+    assert(of.size == 1 && of.head.endsWith(".orc"))
+  }
+
+  test("compaction recovery: a crash between the swap renames heals on next entry") {
+    val st = freshStore()
+    (1 to 3).foreach(v => st.save("ns", "cr", seriesDf(
+      Seq("2021-01-01" -> (v * 1.0)), created = Some(f"2021-01-0$v%d 00:00:00"))))
+    val before = st.scan("ns", "cr").collect().map(_.toString).sorted.toSeq
+    val dir = st.featurePath("ns", "cr")
+    // materialize the torn state a crash between rename-aside and rename-in
+    // leaves: rebuilt copy in the build dir, original in trash, live MISSING
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val livePart = new org.apache.hadoop.fs.Path(dir, "partition=2021-01-01")
+    val built = new org.apache.hadoop.fs.Path(dir, ".compact_build/partition=2021-01-01")
+    val aside = new org.apache.hadoop.fs.Path(dir, ".compact_trash/partition=2021-01-01")
+    org.apache.hadoop.fs.FileUtil.copy(fs, livePart, fs, built, false, true,
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(aside.getParent)
+    assert(fs.rename(livePart, aside))
+    assert(st.scan("ns", "cr").count() == 0, "torn state: partition unlisted")
+    // next compaction entry recovers FIRST (completes the swap), then
+    // compacts as usual
+    st.compactFeature("ns", "cr")
+    assert(st.scan("ns", "cr").collect().map(_.toString).sorted.toSeq == before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".compact_trash")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".compact_build")))
+  }
 }
