@@ -5,9 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Committed-read manifest for the batch-dir store family (fingerprint /
   * minhash / simhash / winnow / window / line-census / cluster-label /
-  * embedding stores; the PQ/SQ8/IVF code indexes and the postings index
-  * keep their own codebook/sizes-sidecar commit contracts and stay on
-  * the legacy full-directory view): every append writes its `batch=<token>` dir(s) FIRST and then
+  * embedding stores, AND — since round 11 — the PQ/SQ8/IVF/IVF+PQ code
+  * indexes and the postings index, whose codebook/meta sidecars are
+  * written once at build and whose per-batch dirs commit through this
+  * manifest like every other store): every append writes its `batch=<token>` dir(s) FIRST and then
   * registers the token with one marker-file create under
   * `<storeRoot>/_commits/<token>` — readers list the marker dir and open
   * only committed batch dirs. This closes the probe-during-append window:

@@ -61,6 +61,10 @@ object SearchOps {
     // BM25's length normalization needs it at probe time, and a separate
     // per-doc sidecar would cost the probe an O(corpus) id-join — carrying
     // one int per posting keeps the probe fully bucket-pruned
+    // replay hook: drop the token's marker before rewriting its dirs —
+    // the three families commit ALL-OR-NOTHING under one marker after the
+    // last sidecar lands ([[graft.StoreCommit]]'s multi-family contract)
+    graft.StoreCommit.uncommit(spark, path, batchToken)
     docs.select(col(idCol).as("id"),
         explode(TextOps.tokens(coalesce(col(textCol), lit("")))).as("term"),
         TextOps.tokenCount(coalesce(col(textCol), lit(""))).as("dl"))
@@ -85,6 +89,7 @@ object SearchOps {
         sum(col("tf")).cast("long").as("n_tokens"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/counts/batch=$batchToken")
+    graft.StoreCommit.commit(spark, path, batchToken)
     // an append (or a replayed token's overwrite) mutates files under paths
     // a prior probe in this session may have LISTING-CACHED — drop those
     // entries or the next probe reads deleted part files
@@ -109,7 +114,7 @@ object SearchOps {
     val p = new org.apache.hadoop.fs.Path(dstPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    spark.read.parquet(s"$srcPath/postings")
+    graft.StoreCommit.read(spark, srcPath, Some("postings"))
       .select(col("id"), col("term"), col("tf"), col("dl"), col("bkt"))
       .repartition(TermBuckets, col("bkt"))
       .write.partitionBy("bkt").mode("overwrite")
@@ -124,6 +129,7 @@ object SearchOps {
         sum(col("tf")).cast("long").as("n_tokens"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dstPath/counts/batch=base")
+    graft.StoreCommit.commit(spark, dstPath, "base")
     // same staleness hazard as appends: a re-compaction to a dst this
     // session already probed must drop the old listing-cache entries
     Seq("postings", "terms", "counts").foreach(sub =>
@@ -149,10 +155,10 @@ object SearchOps {
     val terms = terms0.map(_.toLowerCase).distinct
     val bkts = terms.map(bucketOf).distinct
     def pruned(sub: String): DataFrame =
-      spark.read.parquet(s"$path/$sub")
+      graft.StoreCommit.read(spark, path, Some(sub))
         .where(col("bkt").cast("long").isin(bkts: _*) &&
           col("term").isin(terms: _*))
-    val n = spark.read.parquet(s"$path/counts")
+    val n = graft.StoreCommit.read(spark, path, Some("counts"))
       .agg(sum(col("n_docs"))).head().getLong(0)
     def bitlen(x: org.apache.spark.sql.Column) = length(bin(x))
     val dfT = pruned("terms")
@@ -202,10 +208,10 @@ object SearchOps {
     val terms = terms0.map(_.toLowerCase).distinct
     val bkts = terms.map(bucketOf).distinct
     def pruned(sub: String): DataFrame =
-      spark.read.parquet(s"$path/$sub")
+      graft.StoreCommit.read(spark, path, Some(sub))
         .where(col("bkt").cast("long").isin(bkts: _*) &&
           col("term").isin(terms: _*))
-    val cnt = spark.read.parquet(s"$path/counts")
+    val cnt = graft.StoreCommit.read(spark, path, Some("counts"))
       .agg(sum(col("n_docs")).cast("long").as("n"),
         sum(col("n_tokens")).cast("long").as("t")).head()
     val n = cnt.getLong(0)

@@ -172,6 +172,7 @@ object SimilarityOps {
     val cents = refinedCentroids(cq, nCells, refineIters)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     writeAssignedBatch(bestCell(cq, cents, "id", "v", "nrm"), path, "base")
+    graft.StoreCommit.commit(corpus.sparkSession, path, "base")
   }
 
   /** One batch's cell assignments land as `assigned/batch=<token>/cell=*`:
@@ -214,7 +215,9 @@ object SimilarityOps {
     require(bad.isEmpty,
       s"appendIvfIndex: appended vector dimension != index dimension $dim at $path")
     val nq = prep(newVecs, idCol, vecCol, "id", "v", "nrm")
+    graft.StoreCommit.uncommit(spark, path, batchToken)
     writeAssignedBatch(bestCell(nq, cents, "id", "v", "nrm"), path, batchToken)
+    graft.StoreCommit.commit(spark, path, batchToken)
   }
 
   /** Probe a persisted IVF index (see [[buildIvfIndex]]); same results as
@@ -224,7 +227,7 @@ object SimilarityOps {
       idCol: String, vecCol: String, path: String, k: Int, nProbe: Int = 4): DataFrame = {
     ensureRegistered(queries)
     val cents = spark.read.parquet(s"$path/centroids")
-    val assigned = spark.read.parquet(s"$path/assigned")
+    val assigned = graft.StoreCommit.read(spark, path, Some("assigned"))
     probeIvf(assigned, cents, queries, idCol, vecCol, k, nProbe)
   }
 
@@ -633,6 +636,7 @@ object SimilarityOps {
       .select(col("neighbor_id").as("id"),
         q8Expr("cv").cast("array<int>").as("c8"))
       .write.mode("overwrite").parquet(s"$path/codes/batch=base")
+    graft.StoreCommit.commit(c.sparkSession, path, "base")
   }
 
   /** Append new vectors' codes to a persisted SQ8 index without a rebuild
@@ -662,7 +666,7 @@ object SimilarityOps {
     require(bad.isEmpty,
       s"appendSq8Index: appended vector dimension != index dimension $dim at $path")
     if (checkIds) {
-      val existing = spark.read.parquet(s"$path/codes")
+      val existing = graft.StoreCommit.read(spark, path, Some("codes"))
         .where(col("batch") =!= lit(batchToken)).select(col("id"))
       val clash = existing
         .join(newVecs.select(col(idCol).as("id")), Seq("id"))
@@ -674,10 +678,15 @@ object SimilarityOps {
     }
     val c = prep(newVecs, idCol, vecCol, "neighbor_id", "cv", "cn")
     val gm = spark.read.parquet(s"$path/meta").select(col("gmax").as("__gm"))
+    // replay hook: drop the token's marker before rewriting its dir, so a
+    // probe racing the rewrite sees the pre-replay index, never a half-
+    // rewrite ([[graft.StoreCommit]]); commit lands after the write
+    graft.StoreCommit.uncommit(spark, path, batchToken)
     c.crossJoin(broadcast(gm))
       .select(col("neighbor_id").as("id"),
         q8Expr("cv").cast("array<int>").as("c8"))
       .write.mode("overwrite").parquet(s"$path/codes/batch=$batchToken")
+    graft.StoreCommit.commit(spark, path, batchToken)
   }
 
   /** Probe a persisted SQ8 index: stage-1 candidates from the stored
@@ -698,7 +707,7 @@ object SimilarityOps {
     // like appendSq8Index does on a missing index
     require(gm.limit(1).collect().nonEmpty,
       s"sq8TopKIndexed: empty SQ8 meta at $path")
-    val c8 = spark.read.parquet(s"$path/codes")
+    val c8 = graft.StoreCommit.read(spark, path, Some("codes"))
       .select(col("id").as("neighbor_id"), col("c8"))
     val q = graft.CacheScope.persist(
       prep(queries, idCol, vecCol, "query_id", "qv", "qn"))
@@ -1041,6 +1050,7 @@ object SimilarityOps {
     book.rows.toDF("j", "cell", "cv")
       .write.mode("overwrite").parquet(s"$path/codebooks")
     writeCellCodes(bestCell(c, cents, "id", "v", "nrm"), book, path, "base")
+    graft.StoreCommit.commit(corpus.sparkSession, path, "base")
   }
 
   /** One batch's (id, codes) rows land cell-partitioned under an atomic
@@ -1079,7 +1089,7 @@ object SimilarityOps {
     require(bad.isEmpty,
       s"appendIvfPqIndex: appended vector dimension != index dimension $dim at $path")
     if (checkIds) {
-      val clash = spark.read.parquet(s"$path/codes")
+      val clash = graft.StoreCommit.read(spark, path, Some("codes"))
         .where(col("batch") =!= lit(batchToken)).select(col("id"))
         .join(newVecs.select(col(idCol).as("id")), Seq("id"))
         .limit(1).collect()
@@ -1091,7 +1101,9 @@ object SimilarityOps {
     val cents = spark.read.parquet(s"$path/centroids")
     val book = readPqBook(spark, path, m, dim)
     val c = prep(newVecs, idCol, vecCol, "id", "v", "nrm")
+    graft.StoreCommit.uncommit(spark, path, batchToken)
     writeCellCodes(bestCell(c, cents, "id", "v", "nrm"), book, path, batchToken)
+    graft.StoreCommit.commit(spark, path, batchToken)
     spark.catalog.refreshByPath(s"$path/codes")
   }
 
@@ -1125,7 +1137,7 @@ object SimilarityOps {
     // scalar-bounded driver carry: <= queries * nProbe cell ids, pushed as
     // a static partition filter so unprobed cell dirs are never listed
     val cells = probes.select(col("cell")).distinct().collect().map(_.getLong(0))
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = graft.StoreCommit.read(spark, path, Some("codes"))
       .where(col("cell").cast("bigint").isin(cells: _*))
       .select(col("id").as("neighbor_id"), col("codes"),
         col("cell").cast("bigint").as("cell"))
@@ -1167,6 +1179,7 @@ object SimilarityOps {
       .write.mode("overwrite").parquet(s"$path/codebooks")
     pqEncodeAll(c.select(col("id"), col("v")), book)
       .write.mode("overwrite").parquet(s"$path/codes/batch=base")
+    graft.StoreCommit.commit(corpus.sparkSession, path, "base")
   }
 
   /** Read a persisted codebook back into driver form. */
@@ -1204,7 +1217,7 @@ object SimilarityOps {
     require(bad.isEmpty,
       s"appendPqIndex: appended vector dimension != index dimension $dim at $path")
     if (checkIds) {
-      val clash = spark.read.parquet(s"$path/codes")
+      val clash = graft.StoreCommit.read(spark, path, Some("codes"))
         .where(col("batch") =!= lit(batchToken)).select(col("id"))
         .join(newVecs.select(col(idCol).as("id")), Seq("id"))
         .limit(1).collect()
@@ -1215,8 +1228,10 @@ object SimilarityOps {
     }
     val book = readPqBook(spark, path, m, dim)
     val c = prep(newVecs, idCol, vecCol, "id", "v", "nrm")
+    graft.StoreCommit.uncommit(spark, path, batchToken)
     pqEncodeAll(c.select(col("id"), col("v")), book)
       .write.mode("overwrite").parquet(s"$path/codes/batch=$batchToken")
+    graft.StoreCommit.commit(spark, path, batchToken)
     spark.catalog.refreshByPath(s"$path/codes")
   }
 
@@ -1324,7 +1339,8 @@ object SimilarityOps {
     val meta = spark.read.parquet(s"$srcPath/meta").limit(1).collect()
       .headOption.getOrElse(throw new IllegalStateException(s"no PQ index at $srcPath"))
     val (m, ksub) = (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"))
-    val ids = spark.read.parquet(s"$srcPath/codes").select(col("id")).distinct()
+    val ids = graft.StoreCommit.read(spark, srcPath, Some("codes"))
+      .select(col("id")).distinct()
     val vecs = corpus.join(ids.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
     // coverage compares DISTINCT ids (a duplicate corpus row must never
     // mask a missing stored id), and duplicate rows themselves refuse:
@@ -1357,9 +1373,10 @@ object SimilarityOps {
       .write.mode("overwrite").parquet(s"$dstPath/meta")
     spark.read.parquet(s"$srcPath/codebooks")
       .write.mode("overwrite").parquet(s"$dstPath/codebooks")
-    val codes = spark.read.parquet(s"$srcPath/codes")
+    val codes = graft.StoreCommit.read(spark, srcPath, Some("codes"))
     codes.select(codes.columns.filter(_ != "batch").map(col): _*)
       .write.mode("overwrite").parquet(s"$dstPath/codes/batch=base")
+    graft.StoreCommit.commit(spark, dstPath, "base")
     spark.catalog.refreshByPath(s"$dstPath/codes")
   }
 
@@ -1377,11 +1394,12 @@ object SimilarityOps {
       spark.read.parquet(s"$srcPath/$side")
         .write.mode("overwrite").parquet(s"$dstPath/$side")
     }
-    val codes = spark.read.parquet(s"$srcPath/codes")
+    val codes = graft.StoreCommit.read(spark, srcPath, Some("codes"))
     codes.select(codes.columns.filter(_ != "batch").map(col): _*)
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$dstPath/codes/batch=base")
+    graft.StoreCommit.commit(spark, dstPath, "base")
     spark.catalog.refreshByPath(s"$dstPath/codes")
   }
 
@@ -1400,7 +1418,8 @@ object SimilarityOps {
       .headOption.getOrElse(throw new IllegalStateException(s"no PQ index at $path"))
     val (m, dim) = (meta.getAs[Int]("m"), meta.getAs[Int]("dim"))
     val book = readPqBook(spark, path, m, dim)
-    val codes = spark.read.parquet(s"$path/codes").select(col("id"), col("codes"))
+    val codes = graft.StoreCommit.read(spark, path, Some("codes"))
+      .select(col("id"), col("codes"))
     val c = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     val q = graft.CacheScope.persist(
       prep(queries, idCol, vecCol, "query_id", "qv", "qn"))

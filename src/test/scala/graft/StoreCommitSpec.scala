@@ -179,4 +179,69 @@ class StoreCommitSpec extends SparkTestBase {
     assert(!committed.exists(_.startsWith("_commits.tmp-")),
       s"junk tmp-dir token polluting the manifest: $committed")
   }
+  test("SQ8 code index: uncommitted code batch invisible, commit flips the probe") {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val path = tmpDir("sc_sq8") + "/index"
+    val base = emb.where(col("vec_id") >= 10)
+    val queries = emb.where(col("vec_id") < 3)
+    // the torn batch plants each query's EXACT TWIN under a shifted id —
+    // once visible it MUST take every query's top slot (cosine 1), so
+    // visibility is observable regardless of the corpus geometry
+    val delta = queries.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(delta)
+    def probe() = SimilarityOps.sq8TopKIndexed(corpus, queries,
+      "vec_id", "embedding", path, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    SimilarityOps.buildSq8Index(base, "vec_id", "embedding", path)
+    val baseOnly = probe()
+    assert(baseOnly.nonEmpty && !baseOnly.exists(_._2 >= 10000))
+    // torn append: the batch dir exists in full (the append ran) but its
+    // marker is withheld — exactly what a probe sees between a concurrent
+    // appender's parquet job and its commit marker
+    SimilarityOps.appendSq8Index(delta, "vec_id", "embedding", path, "b1")
+    StoreCommit.uncommit(spark, path, "b1")
+    spark.catalog.refreshByPath(s"$path/codes")
+    assert(StoreCommit.visibleTokens(spark, path, Some("codes")) == Seq("base"))
+    assert(probe() == baseOnly,
+      "an uncommitted code batch must be invisible to index probes")
+    StoreCommit.commit(spark, path, "b1")
+    val full = probe()
+    assert((0L to 2L).forall(q => full.contains((q, q + 10000, 1L))),
+      s"once committed, every query's twin must take rank 1: $full")
+    graft.CacheScope.release()
+  }
+
+  test("postings index: postings/terms/counts commit all-or-nothing under one marker") {
+    val path = tmpDir("sc_postings") + "/index"
+    SearchOps.buildPostingsIndex(docs.where(col("doc_id") < 100),
+      "doc_id", "text", path)
+    // the appended batch plants one doc carrying a unique term — the
+    // observable flip no matter how flat the synthetic vocabulary's idf is
+    val delta = docs.where(col("doc_id") >= 100 && col("doc_id") < 200)
+      .withColumn("text", when(col("doc_id") === 150,
+        concat(col("text"), lit(" zzzuniq"))).otherwise(col("text")))
+    def probe() = SearchOps.bm25TopKIndexed(spark, path,
+      Seq("zzzuniq"), 5, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(SearchOps.bm25TopKIndexed(spark, path,
+      Seq("table"), 5, "doc_id").count() == 5, "sanity: index serves probes")
+    assert(probe().isEmpty)
+    // torn append: all three family dirs land but the single marker is
+    // withheld — a reader must see NONE of them (a postings batch visible
+    // without its counts batch would skew idf/avgdl for every query)
+    SearchOps.appendPostingsIndex(delta, "doc_id", "text", path, "b2")
+    StoreCommit.uncommit(spark, path, "b2")
+    Seq("postings", "terms", "counts").foreach { sub =>
+      spark.catalog.refreshByPath(s"$path/$sub")
+      assert(StoreCommit.visibleTokens(spark, path, Some(sub)) == Seq("base"),
+        s"family $sub must hide the uncommitted token")
+    }
+    assert(probe().isEmpty,
+      "an uncommitted postings batch must be invisible to probes")
+    StoreCommit.commit(spark, path, "b2")
+    val after = probe()
+    assert(after.map(_._1) == Seq(150L) && after.head._3 == 1L,
+      s"once committed, the planted doc must surface: $after")
+    graft.CacheScope.release()
+  }
 }
