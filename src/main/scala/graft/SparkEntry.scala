@@ -28,6 +28,27 @@ object SparkEntry {
   private def ev(et: String) =
     s"SELECT CAST(ts AS TIMESTAMP) AS time, value FROM events WHERE event_type = '$et'"
 
+  // deterministic messy-URL fixture over documents (the table carries no
+  // URL column): scheme/WWW casing, default port, trailing slash, tracking
+  // params and fragments all vary by doc_id residues, so canonicalization
+  // has real work and URL-dedup groups form on (host, path, surviving
+  // query). The DuckDB oracle replays the SAME construction.
+  private val urlFixtureExpr =
+    """concat(
+      CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.'
+           WHEN doc_id % 4 = 1 THEN 'http://'
+           WHEN doc_id % 4 = 2 THEN 'https://www.'
+           ELSE '' END,
+      'Site', CAST(doc_id % 7 AS STRING), '.Example.COM',
+      CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+      '/Page/', CAST(doc_id % 40 AS STRING),
+      CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+      CASE WHEN doc_id % 2 = 0
+             THEN concat('?utm_source=feed&x=', CAST(doc_id % 40 AS STRING), '&gclid=abc')
+           WHEN doc_id % 3 = 1 THEN concat('?x=', CAST(doc_id % 40 AS STRING))
+           ELSE '' END,
+      CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1+S1/S2/P2-P4/M1/M2: ingest (tripled versions) → scan → latest dedup
     "fs_load_latest" -> ((s, dir) =>
@@ -576,6 +597,20 @@ object SparkEntry {
     "dedup_exact_map" -> ((s, dir) =>
       operators.DedupOps.exactDedupMap(Tables.documents(s, dir), "doc_id", "text")),
 
+    // URL canonicalization: scheme/www/case/port/tracking-param/fragment
+    // variants collapse to one canonical form + host
+    "text_url_canon" -> ((s, dir) =>
+      operators.TextOps.canonicalUrls(
+        Tables.documents(s, dir).withColumn("url", expr(urlFixtureExpr)),
+        "doc_id", "url")),
+
+    // URL-keyed exact dedup (RefinedWeb's cheapest cut): canonical URL →
+    // min doc_id per group, before any content pass
+    "dedup_url" -> ((s, dir) =>
+      operators.DedupOps.urlDedupMap(
+        Tables.documents(s, dir).withColumn("url", expr(urlFixtureExpr)),
+        "doc_id", "url")),
+
     // MinHash(128) + LSH(32 bands × 4 rows) near-dup pairs, exact-verified
     "dedup_minhash_lsh" -> ((s, dir) =>
       operators.DedupOps.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text")),
@@ -898,6 +933,22 @@ object SparkEntry {
       operators.CurationOps.curateKeep(
         d.where(col("doc_id") % 17 =!= 0), d.where(col("doc_id") % 17 === 0),
         "doc_id", "text", "lang", k = 4, minTokens = 20, maxTopTokenFrac = 0.12)
+    }),
+
+    // curateKeep behind a HOST blocklist: the doc's source is its URL's
+    // canonical host ([[TextOps.urlHost]] through the existing
+    // blockedSources seam) — blocked hosts drop FIRST, and duplicates
+    // re-canonicalize among the survivors
+    "curate_keep_hosts" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val withHost = d.withColumn("source",
+        operators.TextOps.urlHost(expr(urlFixtureExpr)))
+      import s.implicits._
+      operators.CurationOps.curateKeep(
+        withHost.where(col("doc_id") % 17 =!= 0), d.where(col("doc_id") % 17 === 0),
+        "doc_id", "text", "lang", k = 4, minTokens = 20, maxTopTokenFrac = 0.12,
+        blockedSources = Some(
+          Seq("site0.example.com", "site3.example.com").toDF("host")))
     }),
 
     // curation composed with the persisted near-dup label store: the dedup
@@ -2353,6 +2404,78 @@ object SparkEntry {
          SELECT doc_id, fp AS fingerprint, min(doc_id) OVER (PARTITION BY fp) AS canonical_id
          FROM f ORDER BY doc_id""",
 
+    // independent replay of the URL fixture construction AND the
+    // canonicalization chain (host lowercased, www./default-port stripped,
+    // tracking params cut, trailing separators trimmed)
+    "text_url_canon" ->
+      """WITH u AS (
+           SELECT doc_id, concat(
+             CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.'
+                  WHEN doc_id % 4 = 1 THEN 'http://'
+                  WHEN doc_id % 4 = 2 THEN 'https://www.'
+                  ELSE '' END,
+             'Site', CAST(doc_id % 7 AS VARCHAR), '.Example.COM',
+             CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+             '/Page/', CAST(doc_id % 40 AS VARCHAR),
+             CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+             CASE WHEN doc_id % 2 = 0
+                    THEN concat('?utm_source=feed&x=', CAST(doc_id % 40 AS VARCHAR), '&gclid=abc')
+                  WHEN doc_id % 3 = 1 THEN concat('?x=', CAST(doc_id % 40 AS VARCHAR))
+                  ELSE '' END,
+             CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+           FROM documents),
+         s2 AS (SELECT doc_id, url,
+             regexp_replace(regexp_replace(trim(url), '#.*$', ''), '(?i)^https?://', '') AS ns
+           FROM u),
+         hp AS (SELECT doc_id, url,
+             regexp_replace(regexp_replace(lower(regexp_extract(ns, '^[^/?]*')),
+               '^www\.', ''), ':(80|443)$', '') AS host,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(ns, '^[^/?]*', ''),
+               '(?i)(utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&#]*&?', '', 'g'),
+               '/+\?', '?'), '[?&]$', ''), '/+$', '') AS rest
+           FROM s2),
+         canon AS (SELECT doc_id, url, host || rest AS canon_url,
+             regexp_replace(host, ':[0-9]+$', '') AS host_only
+           FROM hp)
+         SELECT doc_id, url, canon_url, host_only AS host
+         FROM canon ORDER BY doc_id""",
+
+    "dedup_url" ->
+      """WITH u AS (
+           SELECT doc_id, concat(
+             CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.'
+                  WHEN doc_id % 4 = 1 THEN 'http://'
+                  WHEN doc_id % 4 = 2 THEN 'https://www.'
+                  ELSE '' END,
+             'Site', CAST(doc_id % 7 AS VARCHAR), '.Example.COM',
+             CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+             '/Page/', CAST(doc_id % 40 AS VARCHAR),
+             CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+             CASE WHEN doc_id % 2 = 0
+                    THEN concat('?utm_source=feed&x=', CAST(doc_id % 40 AS VARCHAR), '&gclid=abc')
+                  WHEN doc_id % 3 = 1 THEN concat('?x=', CAST(doc_id % 40 AS VARCHAR))
+                  ELSE '' END,
+             CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+           FROM documents),
+         s2 AS (SELECT doc_id, url,
+             regexp_replace(regexp_replace(trim(url), '#.*$', ''), '(?i)^https?://', '') AS ns
+           FROM u),
+         hp AS (SELECT doc_id, url,
+             regexp_replace(regexp_replace(lower(regexp_extract(ns, '^[^/?]*')),
+               '^www\.', ''), ':(80|443)$', '') AS host,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(ns, '^[^/?]*', ''),
+               '(?i)(utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&#]*&?', '', 'g'),
+               '/+\?', '?'), '[?&]$', ''), '/+$', '') AS rest
+           FROM s2),
+         canon AS (SELECT doc_id, url, host || rest AS canon_url,
+             regexp_replace(host, ':[0-9]+$', '') AS host_only
+           FROM hp)
+         SELECT doc_id, canon_url,
+           min(doc_id) OVER (PARTITION BY canon_url) AS canonical_id
+         FROM canon ORDER BY doc_id""",
+
     // store = docs < 250, batch = docs >= 250 covers the corpus, so the
     // min over store ∪ batch per fingerprint IS the corpus-wide window min
     // restricted to batch rows
@@ -3194,6 +3317,37 @@ object SparkEntry {
     // applied; fractions are IEEE divisions of exact integers on both sides
     "curate_keep" ->
       """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 17 != 0),
+         d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
+         g AS (SELECT doc_id, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3]
+                 || ' ' || tks[i+4] AS s
+               FROM d, unnest(range(len(tks) - 3)) t(i) WHERE len(tks) >= 4),
+         bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 17 = 0),
+         contam AS (SELECT doc_id FROM g WHERE doc_id % 17 != 0
+                    GROUP BY 1
+                    HAVING count(DISTINCT s) FILTER (s IN (SELECT s FROM bench)) > 0),
+         tc AS (SELECT doc_id, tok, count(*) c
+                FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) tok
+                      FROM corpus) GROUP BY 1, 2),
+         rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_tokens,
+                   CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) top_token_frac
+                 FROM tc GROUP BY 1),
+         canon AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY
+                     md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) cid
+                   FROM corpus)
+         SELECT r.doc_id, c2.lang, r.n_tokens, r.top_token_frac
+         FROM rep r
+         JOIN corpus c2 ON c2.doc_id = r.doc_id
+         JOIN canon cn ON cn.doc_id = r.doc_id AND cn.cid = r.doc_id
+         WHERE r.doc_id NOT IN (SELECT doc_id FROM contam)
+           AND r.n_tokens >= 20 AND r.top_token_frac <= 0.12
+         ORDER BY r.doc_id""",
+
+    // curate_keep behind the host blocklist: the corpus CTE drops the
+    // blocked hosts' residues FIRST (host = 'site{doc_id%7}.example.com'),
+    // then the identical dedup/contamination/quality rules apply
+    "curate_keep_hosts" ->
+      """WITH corpus AS (SELECT * FROM documents
+                        WHERE doc_id % 17 != 0 AND doc_id % 7 NOT IN (0, 3)),
          d AS (SELECT doc_id, string_split(lower(text), ' ') tks FROM documents),
          g AS (SELECT doc_id, tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3]
                  || ' ' || tks[i+4] AS s

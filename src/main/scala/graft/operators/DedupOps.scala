@@ -78,6 +78,20 @@ object DedupOps {
       .select(col(idCol), col("fp").as("fingerprint"), col("canonical_id"))
   }
 
+  /** URL-keyed exact dedup — [[exactDedupMap]] keyed on the CANONICAL URL
+    * ([[TextOps.canonicalizeUrl]]) instead of the content fingerprint: the
+    * cheapest dedup cut of a pretraining pipeline (RefinedWeb runs it
+    * before any content pass — same page recrawled under scheme/www/
+    * tracking-param variations never reaches content hashing). Same scale
+    * shape: one map-side canonicalization, one partial-agg window min per
+    * canonical key; rows with canonical_id != id are URL-duplicates.
+    */
+  def urlDedupMap(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), TextOps.canonicalizeUrl(col(urlCol)).as("canon_url"))
+      .withColumn("canonical_id", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("canon_url")))
+      .select(col(idCol), col("canon_url"), col("canonical_id"))
+
   /** Probe key sets bigger than this stop broadcasting into the store
     * prune and degrade to a shuffled hash semi join (see [[probePrune]]).
     * Sizing: 32M long keys ≈ 256 MB serialized — a heavy but deliberate

@@ -887,6 +887,54 @@ object TextOps {
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+?[0-9][0-9 ()\\-]{6,}[0-9]"
 
+  /** Tracking query parameters stripped by [[canonicalizeUrl]] — the
+    * RefinedWeb-style set: analytics campaign tags and click ids that vary
+    * per crawl of the SAME page and defeat URL-keyed dedup.
+    */
+  val TrackingParamPattern = "(?i)(utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&#]*&?"
+
+  /** Canonical form of a URL for URL-keyed dedup and host-level filtering
+    * (the cheapest cut of a pretraining pipeline — RefinedWeb/CCNet dedup
+    * by canonical URL before any content pass): drop the fragment, strip
+    * the scheme, lowercase the host and strip a leading `www.` and the
+    * default ports `:80`/`:443`, remove tracking query parameters
+    * ([[TrackingParamPattern]]), and trim trailing `?`/`&`/`/`. The path
+    * and surviving query keep their case (paths are case-sensitive).
+    *
+    * Pure regexp/string column expressions in the shared Java-regex/RE2
+    * subset (see [[UrlPattern]]) — shuffle-free, codegen'd, replayable
+    * verbatim by the DuckDB oracle. Null URLs canonicalize to ''.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(coalesce(url, lit(""))), "#.*$", "")
+    val noScheme = regexp_replace(noFrag, "(?i)^https?://", "")
+    val host0 = lower(regexp_extract(noScheme, "^[^/?]*", 0))
+    val rest0 = regexp_replace(noScheme, "^[^/?]*", "")
+    val host = regexp_replace(
+      regexp_replace(host0, "^www\\.", ""), ":(80|443)$", "")
+    val noTrack = regexp_replace(rest0, TrackingParamPattern, "")
+    // path-final slash: strip before a surviving query ("/a/?x" -> "/a?x")
+    // and at the end — RE2 has no lookahead, so the pre-query form is a
+    // literal "/+\?" -> "?" collapse the oracle replays verbatim
+    val rest = regexp_replace(regexp_replace(
+      regexp_replace(noTrack, "/+\\?", "?"), "[?&]$", ""), "/+$", "")
+    concat(host, rest)
+  }
+
+  /** The canonical HOST of a URL (lowercased, `www.`-stripped, any port
+    * dropped) — the key for host/domain blocklists, pluggable straight
+    * into [[CurationOps.curateKeep]]'s `sourceCol`/`blockedSources` seam.
+    */
+  def urlHost(url: Column): Column =
+    regexp_replace(
+      regexp_extract(canonicalizeUrl(url), "^[^/?]*", 0), ":[0-9]+$", "")
+
+  /** Per-row URL canonicalization: (id, url, canon_url, host). */
+  def canonicalUrls(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), col(urlCol).as("url"),
+      canonicalizeUrl(col(urlCol)).as("canon_url"),
+      urlHost(col(urlCol)).as("host"))
+
   /** PII/link scrubbing for training corpora: URLs, then emails, then
     * phone-shaped digit runs are replaced with sentinel tokens, with
     * per-kind match counts. Counts are taken on the PROGRESSIVELY redacted

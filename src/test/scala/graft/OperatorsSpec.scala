@@ -2718,4 +2718,36 @@ class OperatorsSpec extends SparkTestBase {
     }
     assert(shared.getMessage.contains("rename one side"), shared.getMessage)
   }
+
+  test("canonicalizeUrl: scheme/www/case/port/tracking/fragment edges") {
+    import spark.implicits._
+    val cases = Seq(
+      // (input, canonical, host)
+      ("HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&id=2#frag",
+        "example.com/A/b?id=2", "example.com"),
+      ("http://example.com:80/", "example.com", "example.com"),
+      ("example.com/path/", "example.com/path", "example.com"),     // scheme-less
+      ("https://sub.Example.com:8080/p", "sub.example.com:8080/p",  // non-default port KEPT
+        "sub.example.com"),                                         // ...but host drops it
+      ("https://example.com/?utm_a=1&utm_b=2&gclid=g", "example.com", "example.com"),
+      ("https://example.com/p?ref=abc&id=1&fbclid=f", "example.com/p?id=1", "example.com"),
+      ("  https://example.com/CaseSensitive/Path  ",
+        "example.com/CaseSensitive/Path", "example.com"),           // path case preserved
+      ("", "", ""))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalizeUrl(col("url")).as("c"),
+        TextOps.urlHost(col("url")).as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    cases.zip(got).foreach { case ((in, wantC, wantH), (gotC, gotH)) =>
+      assert(gotC == wantC, s"canon('$in') = '$gotC', want '$wantC'")
+      assert(gotH == wantH, s"host('$in') = '$gotH', want '$wantH'")
+    }
+    // null canonicalizes to '' (module convention), and urlDedupMap groups
+    // scheme/tracking variants under the min id
+    val d = Seq((1L, "https://www.A.com/x?utm_s=1"), (2L, "http://a.com/x"),
+      (3L, "a.com/y")).toDF("id", "url")
+    val m = DedupOps.urlDedupMap(d, "id", "url").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(m == Set((1L, "a.com/x", 1L), (2L, "a.com/x", 1L), (3L, "a.com/y", 3L)))
+  }
 }
