@@ -563,6 +563,34 @@ object SparkEntry {
       (all ++ regexed).toDF("namespace", "name", "version", "is_virtual", "listing")
     }),
 
+    // persisted store/index registry: catalog rows (family/path/params,
+    // upsert bumps the version) joined with LIVE committed-token coverage
+    // from each store's StoreCommit manifest; params pins verified at the
+    // mutation seam
+    "store_registry" -> ((s, dir) => {
+      val fs = Fixtures.store(s, dir)
+      if (fs.catalog.getStore("docs_winnow").isEmpty) {
+        fs.registerStore("docs_winnow", "winnow",
+          Fixtures.winnowStorePath(s, dir), Map("k" -> "4", "w" -> "5"))
+        fs.registerStore("docs_simhash", "simhash",
+          Fixtures.simhashStorePath(s, dir), Map("bits" -> "64"))
+        fs.registerStore("docs_fp", "fingerprint",
+          Fixtures.fingerprintStorePath(s, dir))
+        fs.registerStore("docs_postings", "postings",
+          Fixtures.postingsIndexPath(s, dir))
+        // re-registration = upsert: version bumps, params merge
+        fs.registerStore("docs_fp", "fingerprint",
+          Fixtures.fingerprintStorePath(s, dir), Map("algo" -> "md5"))
+      }
+      fs.verifyStoreParams("docs_winnow", Map("k" -> "4")) // pinned → passes
+      import s.implicits._
+      fs.listStores().map(st => (st.store.name, st.store.family,
+          st.store.version.toLong, st.committedTokens.mkString(","),
+          st.store.params.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+            .mkString(",")))
+        .toDF("name", "family", "version", "tokens", "params")
+    }),
+
     // M3: serialized (JSON-encoded) values surviving schema drift
     "fs_serialized" -> ((s, dir) => serializedLoad(s, dir)),
 
@@ -5159,6 +5187,17 @@ object SparkEntry {
            ('catq', 'alpha',    CAST(1 AS BIGINT), false, 'regex'),
            ('catq', 'alpha_sq', CAST(1 AS BIGINT), true,  'regex'))
          t(namespace, name, version, is_virtual, listing)""",
+
+    // deterministic registry listing: fixture stores' names/families/
+    // versions, their builders' batch tokens ("b2" sorts before "base"),
+    // and the pinned params
+    "store_registry" ->
+      """SELECT * FROM (VALUES
+           ('docs_fp',       'fingerprint', CAST(2 AS BIGINT), 'base',    'algo=md5'),
+           ('docs_postings', 'postings',    CAST(1 AS BIGINT), 'b2,base', ''),
+           ('docs_simhash',  'simhash',     CAST(1 AS BIGINT), 'b2,base', 'bits=64'),
+           ('docs_winnow',   'winnow',      CAST(1 AS BIGINT), 'b2,base', 'k=4,w=5'))
+         t(name, family, version, tokens, params)""",
 
     // M3 serialized drift: struct half JSON-encoded, long half cast to
     // string; read keeps StringType by design (SURVEY §1.2)

@@ -154,6 +154,56 @@ class FeatureStore(
     if (catalog.getFeature(ns, n).isEmpty)
       throw new MissingFeatureException(s"no feature: $ns/$n")
 
+  // ---- persisted store/index registry ---------------------------------------
+
+  /** Register a persisted store/index artifact in the catalog (see
+    * [[graft.catalog.StoreDef]]): discovery + params pinning + a stable
+    * name for staleness metadata, for the batch-dir stores the dedup/ANN/
+    * search operators otherwise address by bare path. Upsert by name
+    * (re-register after a rebuild or compact-and-swap); every path-based
+    * operator API keeps working unchanged.
+    */
+  def registerStore(name: String, family: String, path: String,
+      params: Map[String, String] = Map.empty, description: String = ""): Unit =
+    catalog.registerStore(StoreDef(name, family, path, params, description))
+
+  def unregisterStore(name: String): Unit = catalog.unregisterStore(name)
+
+  /** Registered stores with LIVE staleness metadata: the committed batch
+    * tokens currently visible in each store's [[graft.StoreCommit]]
+    * manifest (the bloom `batches.txt` coverage pattern generalized —
+    * compare a consumer's built-over list against these to decide a
+    * rebuild). Token listing costs one directory listing per store.
+    */
+  def listStores(regex: Option[String] = None): Seq[StoreStatus] =
+    catalog.listStores(regex).map(status)
+
+  def storeStatus(name: String): StoreStatus =
+    status(catalog.getStore(name).getOrElse(
+      throw new MissingFeatureException(s"no store: $name")))
+
+  private def status(sd: StoreDef): StoreStatus =
+    StoreStatus(sd, graft.StoreCommit.visibleTokens(spark, sd.path,
+      StoreStatus.tokenSub(sd.family)))
+
+  /** Enforce pinned store params before a mutation — the
+    * [[graft.operators.SimilarityOps.appendIvfIndex]] dimension check
+    * generalized: every (key, value) the caller is about to append under
+    * must match the registered pin (absent keys pass; register them to
+    * pin). A winnow appender at a different (k, w), a PQ appender at a
+    * different (m, ksub), or an IVF appender at a drifted dim corrupts
+    * probes silently — this makes the mismatch loud at the seam.
+    */
+  def verifyStoreParams(name: String, params: Map[String, String]): Unit = {
+    val sd = catalog.getStore(name).getOrElse(
+      throw new MissingFeatureException(s"no store: $name"))
+    val bad = params.filter { case (k, v) => sd.params.get(k).exists(_ != v) }
+    if (bad.nonEmpty)
+      throw new FeatureStoreException(
+        s"store $name params mismatch: " + bad.map { case (k, v) =>
+          s"$k=$v (pinned ${sd.params(k)})" }.mkString(", "))
+  }
+
   // ---- save (M1 fan-out + Q1 quality gate + S1 sink) ------------------------
 
   /** Save a frame of one or more feature columns. Columns other than
@@ -948,5 +998,27 @@ object FeatureStore {
       case t =>
         df.withColumn(column, expr(s"try_cast(`$column` AS ${t.sql})"))
     }
+  }
+}
+
+/** A registered store plus its LIVE committed-token coverage (read from
+  * the store's [[graft.StoreCommit]] manifest at listing time; empty for
+  * a store whose path holds no batch dirs yet).
+  */
+case class StoreStatus(store: graft.catalog.StoreDef, committedTokens: Seq[String])
+
+object StoreStatus {
+  /** Which sub-dir carries a family's batch tokens: multi-family stores
+    * commit ONE marker per token at the store root, so any single family
+    * listing is the committed set (winnow's `fps`, the ANN indexes'
+    * `codes`/`assigned`, the postings index's `postings`); plain stores
+    * keep their batch dirs at the root.
+    */
+  def tokenSub(family: String): Option[String] = family match {
+    case "winnow" => Some("fps")
+    case "sq8" | "pq" | "ivfpq" => Some("codes")
+    case "ivf" => Some("assigned")
+    case "postings" => Some("postings")
+    case _ => None
   }
 }

@@ -359,4 +359,43 @@ class JsonFileCatalog(root: String, hadoopConf: Configuration = new Configuratio
       throw new MissingFeatureException(s"no group: $namespace/$name")
     doc.copy(groups = doc.groups.filterNot(e => e.namespace == namespace && e.name == name))
   }
+
+  override def listStores(regex: Option[String]): Seq[StoreDef] = {
+    val all = load().stores
+    regex.fold(all)(rx => all.filter(s => rx.r.findFirstIn(s.name).isDefined))
+      .sortBy(_.name)
+  }
+
+  override def getStore(name: String): Option[StoreDef] =
+    load().stores.find(_.name == name)
+
+  override def registerStore(st: StoreDef): Unit = mutate { doc =>
+    Catalog.validateName(st.name)
+    require(st.family.nonEmpty, "store family must be non-empty")
+    require(st.path.nonEmpty, "store path must be non-empty")
+    doc.stores.find(_.name == st.name) match {
+      case None => doc.copy(stores = doc.stores :+ st)
+      case Some(existing) =>
+        // upsert: a rebuild/compact-and-swap re-registers with the fresh
+        // path/params; family is identity and stays immutable (a "pq"
+        // name silently becoming "postings" would misdirect every reader)
+        if (existing.family != st.family)
+          throw new FeatureStoreException(
+            s"cannot change family of store ${st.name}: " +
+              s"${existing.family} -> ${st.family}; unregister first")
+        val updated = existing.copy(
+          path = st.path,
+          params = existing.params ++ st.params,
+          description = if (st.description.nonEmpty) st.description else existing.description,
+          meta = existing.meta ++ st.meta,
+          version = existing.version + 1)
+        doc.copy(stores = doc.stores.map(e => if (e.name == st.name) updated else e))
+    }
+  }
+
+  override def unregisterStore(name: String): Unit = mutate { doc =>
+    if (!doc.stores.exists(_.name == name))
+      throw new MissingFeatureException(s"no store: $name")
+    doc.copy(stores = doc.stores.filterNot(_.name == name))
+  }
 }

@@ -84,6 +84,29 @@ case class GroupDef(
   def partitionScheme: PartitionScheme = PartitionScheme.from(partition)
 }
 
+/** Registered persisted store/index artifact — catalog rows for the
+  * engine's ~12 batch-dir store families (fingerprint / minhash / simhash /
+  * winnow / window / line-census / cluster / embedding / SQ8 / PQ / IVF /
+  * IVF+PQ / postings), which are otherwise addressed only by ad-hoc path
+  * convention. A row gives a deployment what features get from the
+  * catalog: DISCOVERY (list what exists), PARAMS PINNING (the
+  * dimension/band/k parameters an appender must match — the
+  * `appendIvfIndex` dimension check generalized, enforced via
+  * [[graft.api.FeatureStore.verifyStoreParams]]), and a stable name to
+  * hang staleness metadata on (live committed tokens are read from the
+  * store's [[graft.StoreCommit]] manifest at listing time, generalizing
+  * the bloom `batches.txt` pattern). Every existing path-based operator
+  * API keeps working — registration is additive.
+  */
+case class StoreDef(
+    name: String,
+    family: String,
+    path: String,
+    params: Map[String, String] = Map.empty,
+    description: String = "",
+    meta: Map[String, String] = Map.empty,
+    version: Int = 1)
+
 /** Typed accessors over the string-valued `meta` maps: the reference's meta
   * is free-form JSON with NESTED values (src/qafs/model.py:62-72 — its
   * tests store dicts), while this catalog keeps `Map[String, String]` on
@@ -132,14 +155,16 @@ case class CatalogDoc(
     formatVersion: Int = Catalog.FormatVersion,
     namespaces: Seq[NamespaceDef] = Nil,
     features: Seq[FeatureDef] = Nil,
-    groups: Seq[GroupDef] = Nil) {
+    groups: Seq[GroupDef] = Nil,
+    stores: Seq[StoreDef] = Nil) {
   /** Jackson leaves absent collections null when reading docs written by
     * older versions; normalize so the rest of the code never sees null.
     */
   def normalized: CatalogDoc = copy(
     namespaces = Option(namespaces).getOrElse(Nil),
     features = Option(features).getOrElse(Nil),
-    groups = Option(groups).getOrElse(Nil))
+    groups = Option(groups).getOrElse(Nil),
+    stores = Option(stores).getOrElse(Nil))
 }
 
 /** In-place catalog format migrations (C5) — the JSON-document analog of the
@@ -159,7 +184,11 @@ object CatalogMigrations {
         namespaces = doc.namespaces.map { ns =>
           if (ns.backend == null || ns.backend.isEmpty) ns.copy(backend = "spark") else ns
         })
-    }
+    },
+    // v2 -> v3: the store/index registry arrives; older docs simply have
+    // no rows (Jackson decodes the absent field to null — normalized)
+    2 -> { doc => doc.copy(formatVersion = 3,
+      stores = Option(doc.stores).getOrElse(Nil)) }
   )
 
   def upgrade(doc: CatalogDoc): CatalogDoc = {
@@ -211,11 +240,20 @@ trait Catalog {
   def getGroup(namespace: String, name: String): Option[GroupDef]
   def createGroup(g: GroupDef): Unit
   def deleteGroup(namespace: String, name: String): Unit
+
+  // persisted store/index registry (extension; see [[StoreDef]])
+  def listStores(regex: Option[String] = None): Seq[StoreDef]
+  def getStore(name: String): Option[StoreDef]
+  /** Upsert by name: a re-registration replaces the row and bumps its
+    * version (path/params refresh after a rebuild or a compact-and-swap).
+    */
+  def registerStore(st: StoreDef): Unit
+  def unregisterStore(name: String): Unit
 }
 
 
 object Catalog {
-  val FormatVersion = 2
+  val FormatVersion = 3
 
   /** Meta key holding a feature's pinned value dtype (catalogString). */
   val ValueDtypeKey = "value_dtype"

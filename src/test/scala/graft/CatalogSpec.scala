@@ -269,4 +269,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(f.transform.get.args == Seq("ns/a", "ns/b"))
     assert(f.check.get.predicates == Seq("value > 0"))
   }
+
+  test("store registry: upsert bumps version, family immutable, regex list, unregister") {
+    val c = freshCatalog()
+    c.registerStore(StoreDef("fp_main", "fingerprint", "/tmp/x/fp"))
+    c.registerStore(StoreDef("pq_docs", "pq", "/tmp/x/pq",
+      params = Map("m" -> "8", "ksub" -> "16")))
+    assert(c.listStores().map(_.name) == Seq("fp_main", "pq_docs"))
+    assert(c.listStores(Some("^pq")).map(_.name) == Seq("pq_docs"))
+    // upsert: fresh path + merged params, version bump
+    c.registerStore(StoreDef("pq_docs", "pq", "/tmp/x/pq2", params = Map("m" -> "8")))
+    val pq = c.getStore("pq_docs").get
+    assert(pq.version == 2 && pq.path == "/tmp/x/pq2" &&
+      pq.params == Map("m" -> "8", "ksub" -> "16"))
+    // family is identity
+    val e = intercept[FeatureStoreException] {
+      c.registerStore(StoreDef("pq_docs", "postings", "/tmp/x/pq2"))
+    }
+    assert(e.getMessage.contains("cannot change family"))
+    c.unregisterStore("fp_main")
+    assert(c.getStore("fp_main").isEmpty)
+    intercept[MissingFeatureException](c.unregisterStore("fp_main"))
+    // a v2 doc (pre-registry) loads with an empty registry
+    assert(freshCatalog().listStores().isEmpty)
+  }
+
 }

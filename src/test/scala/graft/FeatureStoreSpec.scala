@@ -405,4 +405,19 @@ class FeatureStoreSpec extends SparkTestBase {
       fs.saveDf(seriesDf(Seq("2021-01-01" -> 1.0)), name = Some("v/ghost")))
     intercept[MissingFeatureException](fs.loadFeatures(Seq("v/ghost")))
   }
+
+  test("verifyStoreParams: matching pins pass, mismatches are loud, unpinned keys pass") {
+    val root = java.nio.file.Files.createTempDirectory("cat").toString
+    val fs = new graft.api.FeatureStore(root, spark)
+    fs.registerStore("wn", "winnow", s"$root/wn", Map("k" -> "4", "w" -> "5"))
+    fs.verifyStoreParams("wn", Map("k" -> "4", "w" -> "5"))
+    fs.verifyStoreParams("wn", Map("k" -> "4", "delim" -> "\n")) // delim unpinned
+    val e = intercept[FeatureStoreException] {
+      fs.verifyStoreParams("wn", Map("k" -> "5"))
+    }
+    assert(e.getMessage.contains("k=5") && e.getMessage.contains("pinned 4"))
+    intercept[MissingFeatureException](fs.verifyStoreParams("nope", Map.empty))
+    // storeStatus on a store with no batch dirs yet: empty coverage
+    assert(fs.storeStatus("wn").committedTokens.isEmpty)
+  }
 }
