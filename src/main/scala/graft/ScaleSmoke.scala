@@ -618,6 +618,72 @@ object ScaleSmoke {
           s"got ${r.getLong(1)} planted of ${r.getLong(0)} total")
       println(f"[scale]   probe alone (store built above)   ${(System.nanoTime() - t1) / 1e9}%8.2f s")
     }
+    // Serving-direction scale evidence for the SIGNATURE families
+    // (minhash / simhash / winnow): the production probe shape is a small
+    // batch against a big store, and its cost must track the BATCH, not
+    // the store — band/bucket keys prune store rows map-side before any
+    // join. Built twice at a 7x store-size ratio and probed with the SAME
+    // 10k batch; the assertion allows 3x drift over a 2 s floor (job
+    // overhead), far below the 7x a store-bound probe would show.
+    time("serving probes: 10k batch vs 7x store sizes (minhash/simhash/winnow)") {
+      def corpus(n: Long) = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(59)),
+          i => concat(lit("t"), col("id").cast("string"),
+            lit("_"), i.cast("string")))).as("text"))
+      // 9.9k fresh docs (id-unique tokens, no cross-doc overlap) + 100
+      // planted EXACT copies of corpus docs 0-99 (present in both sizes)
+      def batch = spark.range(9900).select((col("id") + 700000000L).as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(59)),
+          i => concat(lit("f"), col("id").cast("string"),
+            lit("_"), i.cast("string")))).as("text"))
+        .unionByName(corpus(100).select((col("doc_id") + 800000000L).as("doc_id"),
+          col("text")))
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime()
+        val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      def check(fam: String, pairs: org.apache.spark.sql.DataFrame,
+          planted: org.apache.spark.sql.Column): Long = {
+        val r = pairs.agg(count(lit(1)), sum(when(planted, 1L).otherwise(0L))).head()
+        require(r.getLong(0) == 100 && r.getLong(1) == 100,
+          s"$fam probe: expected exactly the 100 planted pairs, got " +
+            s"${r.getLong(1)} planted of ${r.getLong(0)}")
+        r.getLong(0)
+      }
+      Seq(
+        ("minhash", 100000L, 700000L,
+          (d: Long) => operators.DedupOps.buildMinhashStore(
+            corpus(d), "doc_id", "text", s"$root/svmh_$d"),
+          (d: Long) => check("minhash", operators.DedupOps.incrementalNearDupPairs(
+            batch, "doc_id", "text", s"$root/svmh_$d"),
+            col("id_b") === col("id_a") + 800000000L)),
+        ("simhash", 150000L, 1050000L,
+          (d: Long) => operators.DedupOps.buildSimhashStore(
+            corpus(d), "doc_id", "text", s"$root/svsh_$d"),
+          (d: Long) => check("simhash", operators.DedupOps.incrementalSimhashPairs(
+            batch, "doc_id", "text", s"$root/svsh_$d"),
+            col("id_b") === col("id_a") + 800000000L)),
+        ("winnow", 150000L, 1050000L,
+          (d: Long) => operators.DedupOps.buildWinnowStore(
+            corpus(d), "doc_id", "text", s"$root/svwn_$d"),
+          (d: Long) => check("winnow", operators.DedupOps.incrementalWinnowingPairs(
+            batch, "doc_id", "text", s"$root/svwn_$d"),
+            col("id_b") === col("id_a") + 800000000L))
+      ).foreach { case (fam, small, large, build, probe) =>
+        build(small); build(large)
+        CacheScope.release()
+        val (_, tS) = timed(probe(small))
+        CacheScope.release()
+        val (_, tL) = timed(probe(large))
+        CacheScope.release()
+        println(f"[scale]   $fam%-8s probe ${tS}%5.1f s @ $small -> ${tL}%5.1f s @ $large " +
+          f"(${tL / tS}%.2fx for a ${large.toDouble / small}%.0fx store)")
+        require(tL <= 3 * math.max(tS, 2.0),
+          f"$fam serving probe scales with the store: ${tS}%.1f s @ $small " +
+            f"-> ${tL}%.1f s @ $large")
+      }
+    }
     time("postings index: 2M-doc build + pruned probe") {
       // 2M common-vocab docs + 1k planted docs holding rare needle terms;
       // the probe must (a) equal the direct whole-corpus scorer EXACTLY,

@@ -103,6 +103,14 @@ object DedupOps {
     */
   val BroadcastProbeRows = 32000000L
 
+  /** Candidate-id sets at or below this size are pushed to store scans as
+    * a static `In` filter (parquet row-group pruning on the range-sorted
+    * batch layout) instead of a semi join; larger sets fall back to the
+    * join. Sized for planning cost, not memory — 10k literals is where
+    * filter construction starts to show.
+    */
+  val IsinPushdownMax = 10000
+
   /** The store-probe prune shared by every persisted-store probe: the
     * probe batch's distinct key set cuts store rows MAP-SIDE via broadcast
     * semi join — the right plan when the batch is a day's crawl against a
@@ -1073,15 +1081,78 @@ object DedupOps {
     // short sigs into per-band mega-buckets
     val spark = df.sparkSession
     val p = new org.apache.hadoop.fs.Path(path)
+    // appends must also keep the LAYOUT homogeneous: a legacy store (no
+    // materialized band column) keeps receiving legacy batches — a mixed
+    // store would read the missing column as null for legacy rows and
+    // silently drop them from the banding (schema comes from one footer)
+    var legacy = false
     if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
-      graft.StoreCommit.read(spark, path).select(size(col("sig")).as("n"))
+      val existing = graft.StoreCommit.read(spark, path)
+      legacy = !existing.columns.contains(bandsColName(DefaultBands, DefaultRowsPerBand))
+      existing.select(size(col("sig")).as("n"))
         .limit(1).collect().headOption.foreach { r =>
           require(r.getInt(0) == numHashes,
             s"store at $path has signature length ${r.getInt(0)}; " +
               s"append with numHashes=$numHashes would mix lengths")
         }
     }
-    writeStoreBatch(sigAndHashes(df, idCol, textCol, shingleK, numHashes),
+    writeMinhashBatch(sigAndHashes(df, idCol, textCol, shingleK, numHashes),
+      path, batchToken, numHashes, legacy)
+  }
+
+  /** Default probe banding (32 bands x 4 rows = the 128-hash default) —
+    * the configuration whose band buckets [[writeMinhashBatch]]
+    * materializes at append time.
+    */
+  val DefaultBands = 32
+  val DefaultRowsPerBand = 4
+
+  private[graft] def bandsColName(bands: Int, rowsPerBand: Int): String =
+    s"bands_${bands}x$rowsPerBand"
+
+  /** Per-row band BUCKETS as an array column — byte-identical to the
+    * probe-side `xxhash64(band, key)` over [[bandRows]] (`band` is the
+    * posexplode position, an int; `key` the signature slice), so a probe
+    * may consume either form interchangeably.
+    */
+  private def bandBuckets(bands: Int, rowsPerBand: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+
+  /** [[writeMinhashBatch]] for the STREAMING wrappers, which append to a
+    * store they did not build: probes the existing store's layout once
+    * (one footer) so appends to a pre-banded-layout store stay legacy-
+    * homogeneous — a mixed store would read the missing band column as
+    * null for legacy rows and silently drop them from the banding.
+    */
+  private[graft] def writeMinhashStreamBatch(fresh: DataFrame, path: String,
+      batchToken: String, numHashes: Int): Unit = {
+    val spark = fresh.sparkSession
+    val legacy = graft.StoreCommit.visibleTokens(spark, path).nonEmpty &&
+      !graft.StoreCommit.read(spark, path)
+        .columns.contains(bandsColName(DefaultBands, DefaultRowsPerBand))
+    writeMinhashBatch(fresh, path, batchToken, numHashes, legacy)
+  }
+
+  /** [[writeStoreBatch]] for the minhash store, with the two scan-side
+    * layout optimizations serving probes read through:
+    *  - the default banding's buckets MATERIALIZED as a 32-long array
+    *    column, so the probe's store scan reads it instead of the
+    *    128-long signature (4x narrower stage-1 IO; other banding
+    *    configs fall back to slicing `sig`);
+    *  - batches RANGE-SORTED by id, so the verification stage's
+    *    candidate-id `In` filter prunes row groups instead of scanning
+    *    the heavy `hs` column across the whole store.
+    * `legacyLayout` keeps appends to a pre-column store homogeneous.
+    */
+  private[graft] def writeMinhashBatch(sigs: DataFrame, path: String,
+      batchToken: String, numHashes: Int, legacyLayout: Boolean = false): Unit = {
+    val withBands =
+      if (legacyLayout || numHashes != DefaultBands * DefaultRowsPerBand) sigs
+      else sigs.withColumn(bandsColName(DefaultBands, DefaultRowsPerBand),
+        bandBuckets(DefaultBands, DefaultRowsPerBand))
+    writeStoreBatch(
+      withBands.repartitionByRange(col("id")).sortWithinPartitions(col("id")),
       path, batchToken)
   }
 
@@ -1147,7 +1218,16 @@ object DedupOps {
     // (exact fan-out; fresh is persisted by every caller, so the count is
     // a cache materialization, not a recompute)
     val probeBuckets = fresh.count() * bands
-    val oldPruned = probePrune(pack(old.select(col("id"), col("sig"))),
+    // stores written since the banded layout carry this probe config's
+    // buckets materialized ([[writeMinhashBatch]]) — the store scan then
+    // reads the 32-long bucket array instead of the 128-long signature
+    // (4x narrower); legacy stores and non-default configs slice `sig`
+    val bc = bandsColName(bands, rowsPerBand)
+    val oldPacked =
+      if (old.columns.contains(bc))
+        old.select(col("id"), explode(col(bc)).as("__bucket"))
+      else pack(old.select(col("id"), col("sig")))
+    val oldPruned = probePrune(oldPacked,
       newPacked.select(col("__bucket")).distinct(), Seq("__bucket"), probeBuckets)
     val cands = packedCandidatePairs(newPacked.unionByName(oldPruned), maxBucket)
     val nids = fresh.select(col("id"))
@@ -1174,8 +1254,20 @@ object DedupOps {
     // per-probe verify cost scales with the candidate set, not the corpus
     val candIds = touchingNew.select(col("id_a").as("id"))
       .union(touchingNew.select(col("id_b").as("id"))).distinct()
-    val docs = old.select(col("id"), col("hs").as("sh"))
-      .join(broadcast(candIds), Seq("id"), "left_semi")
+    // candidate sets are banding-bounded and usually tiny: collect them
+    // and push a STATIC In filter to the store scan — on the range-sorted
+    // batch layout ([[writeMinhashBatch]]) parquet prunes whole row groups
+    // and the heavy `hs` column is read only near candidate rows, instead
+    // of store-wide under a semi join no scanner can see through. Above
+    // the cap (a backfill-scale probe), fall back to the semi join.
+    val ids = candIds.limit(IsinPushdownMax + 1).collect().map(_.get(0))
+    val oldCandDocs =
+      if (ids.length <= IsinPushdownMax)
+        old.select(col("id"), col("hs").as("sh"))
+          .where(col("id").isInCollection(ids.toSeq))
+      else old.select(col("id"), col("hs").as("sh"))
+        .join(broadcast(candIds), Seq("id"), "left_semi")
+    val docs = oldCandDocs
       .unionByName(fresh.select(col("id"), col("hs").as("sh")))
     verifyJaccard(touchingNew, docs, thresholdNum, thresholdDen)
   }

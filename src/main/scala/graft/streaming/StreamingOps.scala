@@ -181,7 +181,8 @@ object StreamingOps {
             .incrementalPairsFromSigs(fresh, old, bands, rowsPerBand,
               thresholdNum, thresholdDen, maxBucket)
             .write.mode("overwrite").parquet(s"$pairsOut/batch=b$bid")
-          graft.operators.DedupOps.writeStoreBatch(fresh, storePath, s"b$bid")
+          graft.operators.DedupOps.writeMinhashStreamBatch(fresh, storePath,
+            s"b$bid", bands * rowsPerBand)
           graft.CacheScope.releaseNewSince(scope)
           ()
         }
@@ -440,7 +441,8 @@ object StreamingOps {
           if (!pairs.isEmpty)
             graft.operators.DedupOps.updateClusterStore(
               pairs, "id_a", "id_b", labelPath, s"b$bid")
-          graft.operators.DedupOps.writeStoreBatch(fresh, storePath, s"b$bid")
+          graft.operators.DedupOps.writeMinhashStreamBatch(fresh, storePath,
+            s"b$bid", bands * rowsPerBand)
           graft.CacheScope.releaseNewSince(scope)
           ()
         }

@@ -2750,4 +2750,50 @@ class OperatorsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(m == Set((1L, "a.com/x", 1L), (2L, "a.com/x", 1L), (3L, "a.com/y", 3L)))
   }
+
+  test("minhash banded store layout: probes equal legacy layout bit-exactly") {
+    val base = docs.where(col("doc_id") < 125)
+    val delta = docs.where(col("doc_id") >= 125 && col("doc_id") < 250)
+    val probeDocs = docs.where(col("doc_id") >= 250)
+    val p1 = tmpDir("mh_banded") + "/store"
+    DedupOps.buildMinhashStore(base, "doc_id", "text", p1)
+    DedupOps.appendMinhashStore(delta, "doc_id", "text", p1, batchToken = "b2")
+    assert(spark.read.parquet(p1).columns.contains("bands_32x4"),
+      "new stores must materialize the default banding's buckets")
+    // materialized buckets must equal the sliced-signature buckets exactly
+    val st = spark.read.parquet(p1)
+    val mismatch = st.select(col("id"), col("bands_32x4"),
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(0), lit(31)),
+          b => xxhash64(b, slice(col("sig"), b * 4 + 1, lit(4)))).as("recomputed"))
+      .where(col("bands_32x4") =!= col("recomputed")).limit(1).collect()
+    assert(mismatch.isEmpty, s"materialized band buckets drifted: ${mismatch.toSeq}")
+    // legacy twin: same batches with the band column stripped
+    val p2 = tmpDir("mh_legacy") + "/store"
+    Seq("base", "b2").foreach { tok =>
+      spark.read.parquet(s"$p1/batch=$tok").drop("bands_32x4")
+        .write.mode("overwrite").parquet(s"$p2/batch=$tok")
+      StoreCommit.commit(spark, p2, tok)
+    }
+    def pairs(path: String) = DedupOps.incrementalNearDupPairs(
+      probeDocs, "doc_id", "text", path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = pairs(p1)
+    assert(banded == pairs(p2),
+      "banded-layout probe must equal the legacy-layout probe")
+    assert(banded.nonEmpty, "fixture sanity: the corpus plants near-dups")
+    // an append to the LEGACY store must stay legacy-homogeneous (a mixed
+    // store would null the column for old rows and drop them silently)
+    DedupOps.appendMinhashStore(probeDocs, "doc_id", "text", p2, batchToken = "b3")
+    assert(!spark.read.parquet(s"$p2/batch=b3").columns.contains("bands_32x4"),
+      "append to a legacy store must not introduce the band column")
+    DedupOps.appendMinhashStore(probeDocs, "doc_id", "text", p1, batchToken = "b3")
+    val probe2 = docs.where(col("doc_id") >= 200 && col("doc_id") < 250)
+    val after = DedupOps.incrementalNearDupPairs(
+      probe2, "doc_id", "text", p1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == DedupOps.incrementalNearDupPairs(
+      probe2, "doc_id", "text", p2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "mixed-history stores (built banded vs legacy) must still agree")
+    graft.CacheScope.release()
+  }
 }
