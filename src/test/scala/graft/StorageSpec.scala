@@ -478,4 +478,56 @@ class StorageSpec extends SparkTestBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".compact_trash")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".compact_build")))
   }
+
+  test("compaction chaos: pre-swap kill leaves the store byte-identical; swap states are old-or-new, never a mix") {
+    val st = freshStore()
+    (1 to 4).foreach(v => st.save("ns", "cx", seriesDf(
+      Seq("2021-01-01" -> (v * 1.0), "2021-01-02" -> (v * 2.0)),
+      created = Some(f"2021-01-0$v%d 00:00:00"))))
+    def snap() = st.scan("ns", "cx").collect().map(_.toString).sorted.toSeq
+    val before = snap()
+    val dir = st.featurePath("ns", "cx")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // (1) kill BETWEEN the verified rebuild and the first swap rename:
+    // live dirs untouched, the whole build dir is stale state
+    val built1 = new org.apache.hadoop.fs.Path(dir, ".compact_build/partition=2021-01-01")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(dir, "partition=2021-01-01"),
+      fs, built1, false, true, spark.sparkContext.hadoopConfiguration)
+    assert(snap() == before, "a pre-swap kill must leave probes untouched")
+    st.recoverCompaction(dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".compact_build")),
+      "recovery must drop the stale build dir")
+    assert(snap() == before)
+    // (2) the swap's two observable intermediate states, materialized the
+    // way the two renames produce them: after rename-aside the partition
+    // is UNLISTED (old content minus that partition — never half of it),
+    // after rename-in it is fully the rebuilt copy. At no state can a
+    // probe see old AND new files of one partition together (the rename
+    // unit is the whole dir).
+    // match on the TIME field (first column) — created_time also renders
+    // day-1 dates for day-2 rows
+    val day1 = before.filter(_.startsWith("[2021-01-01"))
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(dir, "partition=2021-01-01"),
+      fs, built1, false, true, spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, ".compact_trash"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir, "partition=2021-01-01"),
+      new org.apache.hadoop.fs.Path(dir, ".compact_trash/partition=2021-01-01")))
+    spark.catalog.refreshByPath(dir)
+    val stateA = snap()
+    assert(stateA == before.filterNot(_.startsWith("[2021-01-01")),
+      "state A (between renames): the partition is absent whole, no mix")
+    assert(fs.rename(built1, new org.apache.hadoop.fs.Path(dir, "partition=2021-01-01")))
+    spark.catalog.refreshByPath(dir)
+    assert(snap() == before, "state B (after rename-in): full new content")
+    assert(snap().count(_.startsWith("[2021-01-01")) == day1.size,
+      "no duplicated rows from a half-swapped partition")
+    // the trash left by the simulated crash after state B is swept on the
+    // next compaction entry
+    st.recoverCompaction(dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".compact_trash")))
+    assert(snap() == before)
+  }
 }
