@@ -180,6 +180,36 @@ object Fixtures {
     fs
   }
 
+  private val streamedCompact = TrieMap[String, String]()
+
+  /** The streamed-ingest feature again, but paced into ~4 micro-batches
+    * (maxFilesPerTrigger=1 over a 4-file copy of the click slice) with
+    * `compactEvery = 2` — the auto-compaction policy exercised END-TO-END:
+    * the load must equal the plain streamed twin's (compaction preserves
+    * every version) while the partition dirs hold compacted file sets.
+    */
+  def streamedCompactStore(spark: SparkSession, sfDir: String): FeatureStore = {
+    val fs = store(spark, sfDir)
+    streamedCompact.getOrElseUpdate(sfDir, {
+      fs.createFeature("events/stream_click_c", "click values, streamed + auto-compacted")
+      val srcDir = s"${tmpRoot}/scc_src_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      Tables.events(spark, sfDir)
+        .where(col("event_type") === "click")
+        .select(col("ts").as("time"), col("value"), col("ts").as("created_time"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(srcDir)
+      val cp = s"${tmpRoot}/scc_cp_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val schema = spark.read.parquet(srcDir).schema
+      val src = graft.streaming.StreamingOps.pacedFileSource(
+        spark, srcDir, schema, maxFilesPerTrigger = 1)
+      val q = graft.streaming.StreamingOps.ingestAvailableNow(
+        fs, src, "events/stream_click_c", cp, compactEvery = 2)
+      q.awaitTermination()
+      "done"
+    })
+    fs
+  }
+
   private val deduped = TrieMap[String, String]()
 
   /** Streaming watermark-bounded dedup materialized once per (JVM, sf):

@@ -1239,8 +1239,16 @@ object ScaleSmoke {
       // every (feature, id) time is distinct by construction: offsets 7s
       // apart inside a 600s id step
       require(cnt == nf * perF, s"wide align row count $cnt != ${nf * perF}")
-      require(planSecs < 60.0, f"plan build took $planSecs%.1f s — join-chain blowup is back?")
+      // plan build is dominated by 100 sequential per-feature FILE LISTINGS
+      // (driver-side InMemoryFileIndex init; ~0.5 s each here), not by
+      // Catalyst analysis of the fused plan — the failure mode this guards
+      // is the old join-chain analysis blowup, which was MINUTES
+      require(planSecs < 90.0, f"plan build took $planSecs%.1f s — join-chain blowup is back?")
       val nEx = plan.toString.linesIterator.count(_.contains("Exchange"))
+      // the r11 fused path: per-feature latest-version dedup rides INSIDE
+      // the one pivot aggregation (Align.alignOuterRaw) — pre-fuse, each
+      // feature planned its own dedup exchange before the stack and this
+      // gate read 404
       require(nEx < 30, s"wide load ran $nEx exchanges — expected the one-shuffle pivot shape")
     }
     time("media decode: 200k real WAV clips, exact stats") {

@@ -1643,6 +1643,12 @@ object SparkEntry {
     "stream_ingest_load" -> ((s, dir) =>
       Fixtures.streamedStore(s, dir).storage.load("events", "stream_click")),
 
+    // the same ingest PACED into ~4 micro-batches with compactEvery=2 —
+    // the auto-compaction policy end-to-end: content identical, files
+    // rewritten mid-stream (file-count assertion in StreamingSpec)
+    "stream_ingest_compacted" -> ((s, dir) =>
+      Fixtures.streamedCompactStore(s, dir).storage.load("events", "stream_click_c")),
+
     // watermarked tumbling-window agg over the event stream
     "stream_window_counts" -> ((s, dir) =>
       s.read.parquet(Fixtures.windowedCountsPath(s, dir))
@@ -4970,6 +4976,10 @@ object SparkEntry {
            AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-20 00:00:00' ORDER BY time""",
 
     "stream_ingest_load" ->
+      s"SELECT time, value FROM (${ev("click")}) ORDER BY time",
+
+    // auto-compacted streamed ingest reads back the identical series
+    "stream_ingest_compacted" ->
       s"SELECT time, value FROM (${ev("click")}) ORDER BY time",
 
     "stream_window_counts" ->

@@ -326,21 +326,49 @@ class FeatureStore(
       s"loadFeatures: how must be 'ffill' or 'interp', got '$how'")
     val fromTs = from.map(TimeUtil.parseTimestamp)
     val toTs = to.map(TimeUtil.parseTimestamp)
+    val defs = names.map { q =>
+      val (ns, n) = Catalog.splitName(q, defaultNamespace)
+      s"$ns/$n" -> catalog.getFeature(ns, n)
+        .getOrElse(throw new MissingFeatureException(s"no feature: $ns/$n"))
+    }
+    // per-read-shape cuts memo: the second identical read skips the ffill
+    // bucket-cuts job (cuts are load-balancing hints — stale ones cost
+    // balance, never answers)
+    val memoKey = s"align|$how|${defs.map(_._1).mkString(",")}|$from|$to|$freq|$timeTravel"
+
+    // WIDE-EXPORT FUSED PATH: past the stack-pivot threshold, when every
+    // requested feature is a plain stored series (no transform DAG to
+    // evaluate) and their value dtypes agree, the per-feature
+    // latest-version dedup FUSES into the pivot aggregation
+    // ([[graft.ts.Align.alignOuterRaw]]) — ONE shuffle for the whole
+    // width instead of one dedup exchange per feature before the stack.
+    // The general path below stays for transforms, resamples, interp, and
+    // mixed dtypes.
+    val fusible = how == "ffill" && freq.isEmpty &&
+      defs.size > Align.WideAlignThreshold &&
+      defs.forall { case (_, f) =>
+        f.transform.isEmpty && !f.meta.contains(FeatureStore.EntityKeysMeta) }
+    if (fusible) {
+      val scans = defs.map { case (q, f) =>
+        val dtype = if (f.serialized) Some("string")
+          else f.meta.get(Catalog.ValueDtypeKey)
+        q -> storage.scan(f.namespace, f.name, fromTs, toTs, None, None,
+          timeTravel, f.partitionScheme, f.serialized, dtype)
+      }
+      if (scans.map(_._2.schema(ValueCol).dataType).distinct.size == 1)
+        return Align.alignOuterRaw(TimeCol, ValueCol, CreatedCol, scans,
+          memo = Some(cutsMemoFor(memoKey)))
+      // mixed dtypes cannot stack — fall through to the join-chain path
+    }
+
     // memoize per-feature plans within this call: a DAG that references the
     // same input twice (directly + through a transform) reuses ONE subtree,
     // letting Catalyst/AQE reuse the scan+dedup exchange instead of
     // re-reading storage per reference
     val memo = scala.collection.mutable.Map[String, DataFrame]()
-    val frames = names.map { q =>
-      val (ns, n) = Catalog.splitName(q, defaultNamespace)
-      val f = catalog.getFeature(ns, n)
-        .getOrElse(throw new MissingFeatureException(s"no feature: $ns/$n"))
-      s"$ns/$n" -> loadOne(f, fromTs, toTs, freq, timeTravel, Set.empty, memo)
+    val frames = defs.map { case (q, f) =>
+      q -> loadOne(f, fromTs, toTs, freq, timeTravel, Set.empty, memo)
     }
-    // per-read-shape cuts memo: the second identical read skips the ffill
-    // bucket-cuts job (cuts are load-balancing hints — stale ones cost
-    // balance, never answers)
-    val memoKey = s"align|$how|${frames.map(_._1).mkString(",")}|$from|$to|$freq|$timeTravel"
     if (how == "interp")
       Align.alignInterp(TimeCol, frames, memo = Some(cutsMemoFor(memoKey)))
     else

@@ -41,14 +41,31 @@ object StreamingOps {
     * save path — validation, coercion, partitioning, append — one batch per
     * micro-batch. AvailableNow drains the source then stops, giving
     * deterministic catch-up ingest; swap the trigger for continuous ingest.
+    *
+    * `compactEvery` > 0 runs the store-maintenance rewrite
+    * ([[graft.api.FeatureStore.compactFeature]]) every that-many
+    * micro-batches — the policy knob for the append-per-trigger
+    * fragmentation this ingest path creates (each trigger lands a
+    * part-file set per touched partition; at trigger cadence scan cost
+    * grows with file count). Compaction preserves every version, runs
+    * under the store lock, and a replayed micro-batch composes fine with
+    * it (the batch save is an append; compaction only rewrites files).
+    * 0 disables (the default — maintenance cadence is a deployment
+    * decision; AvailableNow callers often prefer one compaction after the
+    * drain instead).
     */
   def ingestAvailableNow(fs: FeatureStore, stream: DataFrame, feature: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) fs.saveDf(batch, name = Some(feature))
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          fs.saveDf(batch, name = Some(feature))
+          if (compactEvery > 0 && (bid + 1) % compactEvery == 0) {
+            fs.compactFeature(feature); ()
+          }
+        }
       }
       .start()
 
@@ -76,12 +93,18 @@ object StreamingOps {
     * per-trigger batch size.
     */
   def ingestProcessingTime(fs: FeatureStore, stream: DataFrame, feature: String,
-      checkpoint: String, interval: String = "30 seconds"): StreamingQuery =
+      checkpoint: String, interval: String = "30 seconds",
+      compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .trigger(Trigger.ProcessingTime(interval))
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) fs.saveDf(batch, name = Some(feature))
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          fs.saveDf(batch, name = Some(feature))
+          if (compactEvery > 0 && (bid + 1) % compactEvery == 0) {
+            fs.compactFeature(feature); ()
+          }
+        }
       }
       .start()
 

@@ -689,6 +689,43 @@ object Align {
     else joined
   }
 
+  /** Wide-export FUSED align over RAW storage rows — [[alignOuter]]'s
+    * stack-pivot shape with per-feature latest-version dedup fused INTO
+    * the pivot aggregation. Inputs are raw `(time, value, created_time)`
+    * frames (multiple versions per time allowed); each output cell is
+    * `max(struct(value IS NOT NULL, created_time, value))` over that
+    * feature's rows at that time — exactly
+    * [[graft.storage.TimeseriesStorage.dedupLatest]]'s winner — computed
+    * as a conditional aggregate of the ONE stacked groupBy(time).
+    *
+    * Why it exists: the pre-fused wide path stacked ALREADY-DEDUPED
+    * frames, so a 100-feature training-set export still planned 100
+    * per-feature dedup shuffles before its "one-shuffle" pivot (the
+    * ScaleSmoke wide fan-in entry's exchange-count gate caught the gap).
+    * Here the dedup IS the pivot: one exchange on time for the whole
+    * width, partial-aggregable map-side, plus the ffill's bucket
+    * exchange — independent of feature count.
+    */
+  def alignOuterRaw(timeCol: String, valueCol: String, createdCol: String,
+      frames: Seq[(String, DataFrame)], doFfill: Boolean = true,
+      memo: Option[CutsMemo] = None): DataFrame = {
+    require(frames.nonEmpty, "alignOuterRaw needs at least one frame")
+    val stacked = frames.zipWithIndex.map { case ((_, d), i) =>
+      d.select(col(timeCol), lit(i).as("__f"), col(valueCol), col(createdCol))
+    }.reduce(_ unionByName _)
+    val aggs = frames.indices.map { i =>
+      max(when(col("__f") === i,
+        struct(col(valueCol).isNotNull.as("__nn"), col(createdCol),
+          col(valueCol)))).as(s"__s$i")
+    }
+    val pivoted = stacked.groupBy(col(timeCol)).agg(aggs.head, aggs.tail: _*)
+    val named = pivoted.select(col(timeCol) +: frames.zipWithIndex.map {
+      case ((n, _), i) => col(s"__s$i").getField(valueCol).as(n) }: _*)
+    if (doFfill && frames.size > 1)
+      ffill(named, timeCol, frames.map(_._1), memo = memo)
+    else named
+  }
+
   /** N-feature outer align with LINEAR INTERPOLATION — [[alignOuter]]'s
     * interp twin: frames outer-align on the union time axis, then each
     * feature's holes fill as v0 + (v1−v0)·(t−t0)/(t1−t0) between that

@@ -292,4 +292,48 @@ class AlignSpec extends SparkTestBase {
     assert(TimeUtil.parseMicros("10min") == 600L * 1000000)
     intercept[IllegalArgumentException](TimeUtil.parseMicros("abc"))
   }
+
+  test("alignOuterRaw: fused dedup+pivot equals dedup-then-align, exchanges flat") {
+    import org.apache.spark.sql.DataFrame
+    // 18 features (past WideAlignThreshold), each with REWRITTEN versions
+    // (later created_time wins), a null-latest case (non-null preferred),
+    // and disjoint time grids so ffill has real holes to fill
+    val frames: Seq[(String, DataFrame)] = (0 until 18).map { i =>
+      val rows = Seq(
+        (ts(f"2021-01-${i % 3 + 1}%02d 00:00:00"), Some(i * 1.0), ts("2021-02-01 00:00:00")),
+        (ts(f"2021-01-${i % 3 + 1}%02d 00:00:00"), Some(-99.0), ts("2021-01-15 00:00:00")),
+        (ts(f"2021-01-${i % 3 + 10}%02d 00:00:00"), Some(i * 10.0), ts("2021-02-01 00:00:00")))
+      val withNull =
+        if (i % 5 == 0)
+          rows :+ ((ts(f"2021-01-${i % 3 + 10}%02d 00:00:00"),
+            Option.empty[Double], ts("2021-03-01 00:00:00")))
+        else rows
+      import spark.implicits._
+      s"f$i" -> withNull.toDF("time", "value", "created_time")
+        .select(col("time"), col("value").cast("double"), col("created_time"))
+    }
+    def dedup(d: DataFrame): DataFrame =
+      d.groupBy(col("time"))
+        .agg(max(struct(col("value").isNotNull.as("nn"), col("created_time"),
+          col("value"))).as("s"))
+        .select(col("time"), col("s.value").as("value"))
+    // the point of the fuse: exchange count is a CONSTANT of the ffill
+    // machinery (pivot + bucket scan + carries), INDEPENDENT of width —
+    // the pre-fuse shape added one dedup exchange per feature. Counted on
+    // UNEXECUTED plans (an AQE-finalized plan string renders materialized
+    // stages with reused subtrees expanded, which would double-count)
+    def nEx(d: DataFrame): Int = d.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    val fusedHalfEx = nEx(Align.alignOuterRaw("time", "value", "created_time",
+      frames.take(9)))
+    val fused = Align.alignOuterRaw("time", "value", "created_time", frames)
+    assert(nEx(fused) == fusedHalfEx,
+      s"fused wide align exchanges grow with width: 9 -> $fusedHalfEx, " +
+        s"18 -> ${nEx(fused)}")
+    val expected = Align.alignOuter("time", frames.map { case (n, d) => n -> dedup(d) })
+    val f = fused.collect().map(_.toString).sorted.toSeq
+    val e = expected.collect().map(_.toString).sorted.toSeq
+    assert(f == e, s"fused path diverged\nfused: ${f.take(3)}\nexpect: ${e.take(3)}")
+    graft.CacheScope.release()
+  }
 }

@@ -576,4 +576,40 @@ class StreamingSpec extends SparkTestBase {
     assert(labels.select("batch").distinct().count() >= 2)
     graft.CacheScope.release()
   }
+
+  test("ingest compactEvery: mid-stream compaction preserves content and resets file counts") {
+    val root = tmpDir("ing_compact")
+    val fs = new graft.api.FeatureStore(root, spark)
+    fs.createNamespace("s", "stream")
+    fs.createFeature("s/f")
+    // 4-file source, one file per micro-batch -> 4 appends; compactEvery=2
+    // compacts after batches 1 and 3 (the final state is compacted)
+    val srcDir = s"$root/src"
+    val rows = (1 to 40).map(i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${i % 4 + 1}%02d 00:00:00"),
+        i.toDouble, java.sql.Timestamp.valueOf(f"2024-02-01 00:${i}%02d:00")))
+    import spark.implicits._
+    rows.toDF("time", "value", "created_time").repartition(4)
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = graft.streaming.StreamingOps.ingestAvailableNow(fs,
+      graft.streaming.StreamingOps.pacedFileSource(spark, srcDir, schema,
+        maxFilesPerTrigger = 1),
+      "s/f", s"$root/cp", compactEvery = 2)
+    q.awaitTermination()
+    // every (time, created_time, value) version survives the mid-stream
+    // compactions
+    val got = fs.storage.scan("s", "f").collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1), r.getTimestamp(2))).toSet
+    assert(got == rows.map(r => (r._1, r._2, r._3)).toSet)
+    // and the store is compacted: one right-sized file per partition (not
+    // the 4 the un-compacted ingest would leave)
+    val featureDir = new java.io.File(fs.storage.featurePath("s", "f"))
+    featureDir.listFiles.filter(_.getName.startsWith("partition=")).foreach { d =>
+      val files = d.listFiles.filter(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(files.length <= 2,
+        s"${d.getName}: ${files.length} files survive compactEvery=2")
+    }
+  }
 }
