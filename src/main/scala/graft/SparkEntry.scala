@@ -2465,9 +2465,10 @@ object SparkEntry {
              regexp_replace(regexp_replace(lower(regexp_extract(ns, '^[^/?]*')),
                '^www\.', ''), ':(80|443)$', '') AS host,
              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-               regexp_replace(ns, '^[^/?]*', ''),
-               '(?i)(utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&#]*&?', '', 'g'),
-               '/+\?', '?'), '[?&]$', ''), '/+$', '') AS rest
+               regexp_replace(regexp_replace(ns, '^[^/?]*', ''),
+               '(?i)([?&])(utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&#]*', '\1', 'g'),
+               '([?&])&+', '\1', 'g'),
+               '/+\?', '?', 'g'), '[?&]$', ''), '/+$', '') AS rest
            FROM s2),
          canon AS (SELECT doc_id, url, host || rest AS canon_url,
              regexp_replace(host, ':[0-9]+$', '') AS host_only
@@ -2499,9 +2500,10 @@ object SparkEntry {
              regexp_replace(regexp_replace(lower(regexp_extract(ns, '^[^/?]*')),
                '^www\.', ''), ':(80|443)$', '') AS host,
              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-               regexp_replace(ns, '^[^/?]*', ''),
-               '(?i)(utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&#]*&?', '', 'g'),
-               '/+\?', '?'), '[?&]$', ''), '/+$', '') AS rest
+               regexp_replace(regexp_replace(ns, '^[^/?]*', ''),
+               '(?i)([?&])(utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&#]*', '\1', 'g'),
+               '([?&])&+', '\1', 'g'),
+               '/+\?', '?', 'g'), '[?&]$', ''), '/+$', '') AS rest
            FROM s2),
          canon AS (SELECT doc_id, url, host || rest AS canon_url,
              regexp_replace(host, ':[0-9]+$', '') AS host_only

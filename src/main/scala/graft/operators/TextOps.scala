@@ -889,9 +889,20 @@ object TextOps {
 
   /** Tracking query parameters stripped by [[canonicalizeUrl]] — the
     * RefinedWeb-style set: analytics campaign tags and click ids that vary
-    * per crawl of the SAME page and defeat URL-keyed dedup.
+    * per crawl of the SAME page and defeat URL-keyed dedup. Anchored to a
+    * `?`/`&` param boundary (captured and re-emitted as `$1`) so `ref=`
+    * can't match inside param names that merely END in it (`href=`,
+    * `pref=`, `xref=`); the re-emitted separator leaves the NEXT param
+    * anchored too (adjacent tracking params all strip), at the cost of a
+    * possible `?&`/`&&` run that [[SeparatorRunPattern]] collapses.
     */
-  val TrackingParamPattern = "(?i)(utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&#]*&?"
+  val TrackingParamPattern =
+    "(?i)([?&])(utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&#]*"
+
+  /** Separator runs (`?&&x`, `a=1&&b=2`) left behind by tracking-param
+    * removal, collapsed back to the leading separator.
+    */
+  val SeparatorRunPattern = "([?&])&+"
 
   /** Canonical form of a URL for URL-keyed dedup and host-level filtering
     * (the cheapest cut of a pretraining pipeline — RefinedWeb/CCNet dedup
@@ -912,7 +923,9 @@ object TextOps {
     val rest0 = regexp_replace(noScheme, "^[^/?]*", "")
     val host = regexp_replace(
       regexp_replace(host0, "^www\\.", ""), ":(80|443)$", "")
-    val noTrack = regexp_replace(rest0, TrackingParamPattern, "")
+    val noTrack = regexp_replace(
+      regexp_replace(rest0, TrackingParamPattern, "$1"),
+      SeparatorRunPattern, "$1")
     // path-final slash: strip before a surviving query ("/a/?x" -> "/a?x")
     // and at the end — RE2 has no lookahead, so the pre-query form is a
     // literal "/+\?" -> "?" collapse the oracle replays verbatim

@@ -767,10 +767,16 @@ class TimeseriesStorage(val root: String, spark: SparkSession,
   /** Complete any swap a crashed compaction left half-done: a trash entry
     * whose live partition dir is MISSING means the crash hit between the
     * two swap renames — the fully-verified rebuilt dir (still in the
-    * build dir) is renamed into place; every other trash/build leftover
-    * is stale (the rebuild preceding a completed swap, or a build that
-    * never reached its swap) and is dropped. Idempotent; called on entry
-    * by [[compactFeature]] under the same lock.
+    * build dir) is renamed into place. If the rebuilt copy is ALSO
+    * missing (the one legitimate state: a zero-row candidate writes no
+    * built dir, and the crash landed between its rename-aside and the
+    * empty-dir mkdirs fallback), the swap is UNDONE instead — the trash
+    * copy renames back into place, so the data is live again and the next
+    * compaction run simply re-selects the partition. Every other
+    * trash/build leftover is stale (the rebuild preceding a completed
+    * swap, or a build that never reached its swap) and is dropped.
+    * Idempotent; called on entry by [[compactFeature]] under the same
+    * lock.
     */
   def recoverCompaction(dir: String): Unit = {
     val live = new Path(dir)
@@ -781,13 +787,17 @@ class TimeseriesStorage(val root: String, spark: SparkSession,
         val liveDir = new Path(live, t.getPath.getName)
         val built = new Path(build, t.getPath.getName)
         if (!fs.exists(liveDir)) {
-          require(fs.exists(built),
-            s"compaction recovery: $liveDir missing and no rebuilt copy in " +
-              s"$built — restore from trash ${t.getPath} manually")
-          require(fs.rename(built, liveDir),
-            s"compaction recovery: rename $built -> $liveDir failed")
+          if (fs.exists(built))
+            require(fs.rename(built, liveDir),
+              s"compaction recovery: rename $built -> $liveDir failed")
+          else {
+            // no rebuilt copy: undo the half-swap rather than dead-end —
+            // the trash copy IS the data, put it back
+            require(fs.rename(t.getPath, liveDir),
+              s"compaction recovery: undo rename ${t.getPath} -> $liveDir failed")
+          }
         }
-        fs.delete(t.getPath, true)
+        if (fs.exists(t.getPath)) fs.delete(t.getPath, true)
       }
       fs.delete(trash, true)
     }

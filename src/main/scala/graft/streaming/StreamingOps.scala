@@ -60,11 +60,13 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        if (!batch.isEmpty) {
-          fs.saveDf(batch, name = Some(feature))
-          if (compactEvery > 0 && (bid + 1) % compactEvery == 0) {
-            fs.compactFeature(feature); ()
-          }
+        if (!batch.isEmpty) fs.saveDf(batch, name = Some(feature))
+        // cadence check OUTSIDE the emptiness guard: an empty micro-batch
+        // landing exactly on the boundary must not silently skip a
+        // maintenance cycle (compaction of an already-compact store is a
+        // listing-only no-op, so firing on an empty trigger is free)
+        if (compactEvery > 0 && (bid + 1) % compactEvery == 0) {
+          fs.compactFeature(feature); ()
         }
       }
       .start()
@@ -99,11 +101,13 @@ object StreamingOps {
       .trigger(Trigger.ProcessingTime(interval))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        if (!batch.isEmpty) {
-          fs.saveDf(batch, name = Some(feature))
-          if (compactEvery > 0 && (bid + 1) % compactEvery == 0) {
-            fs.compactFeature(feature); ()
-          }
+        if (!batch.isEmpty) fs.saveDf(batch, name = Some(feature))
+        // cadence check OUTSIDE the emptiness guard: an empty micro-batch
+        // landing exactly on the boundary must not silently skip a
+        // maintenance cycle (compaction of an already-compact store is a
+        // listing-only no-op, so firing on an empty trigger is free)
+        if (compactEvery > 0 && (bid + 1) % compactEvery == 0) {
+          fs.compactFeature(feature); ()
         }
       }
       .start()

@@ -2733,6 +2733,24 @@ class OperatorsSpec extends SparkTestBase {
       ("https://example.com/p?ref=abc&id=1&fbclid=f", "example.com/p?id=1", "example.com"),
       ("  https://example.com/CaseSensitive/Path  ",
         "example.com/CaseSensitive/Path", "example.com"),           // path case preserved
+      // tracking match is anchored to a ?/& boundary: params merely ENDING
+      // in "ref" survive untouched (the old unanchored pattern mangled
+      // '?xref=a&id=1' into '?xid=1')
+      ("https://example.com/p?xref=a&id=1",
+        "example.com/p?xref=a&id=1", "example.com"),
+      ("https://example.com/p?href=h&pref=p&id=1",
+        "example.com/p?href=h&pref=p&id=1", "example.com"),
+      // adjacent tracking params ALL strip (the re-emitted separator keeps
+      // the next one anchored; the ?&&-run collapse cleans up after)
+      ("https://example.com/?utm_a=1&utm_b=2&utm_c=3&id=9",
+        "example.com?id=9", "example.com"),
+      // tracking param mid-list leaves no double separator behind
+      ("https://example.com/p?id=1&utm_x=9&y=2",
+        "example.com/p?id=1&y=2", "example.com"),
+      // the /+? collapse is GLOBAL (a later literal '?' in a query value
+      // collapses too — pinned so the DuckDB oracle's 'g' flag stays in
+      // lockstep with Spark's replace-all)
+      ("https://example.com/a/?x=/b/?y", "example.com/a?x=/b?y", "example.com"),
       ("", "", ""))
     val got = cases.map(_._1).toDF("url")
       .select(TextOps.canonicalizeUrl(col("url")).as("c"),

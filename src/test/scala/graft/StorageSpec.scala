@@ -479,6 +479,33 @@ class StorageSpec extends SparkTestBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".compact_build")))
   }
 
+  test("compaction recovery: rename-aside with NO rebuilt copy undoes the half-swap") {
+    // the one crash state with no forward path: a zero-row candidate writes
+    // no built dir, and the crash lands between its rename-aside and the
+    // empty-dir mkdirs fallback — trash holds the data, live AND build are
+    // missing. Recovery must put the trash copy back (undo), not dead-end.
+    val st = freshStore()
+    (1 to 3).foreach(v => st.save("ns", "cu", seriesDf(
+      Seq("2021-01-01" -> (v * 1.0)), created = Some(f"2021-01-0$v%d 00:00:00"))))
+    val before = st.scan("ns", "cu").collect().map(_.toString).sorted.toSeq
+    val dir = st.featurePath("ns", "cu")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val livePart = new org.apache.hadoop.fs.Path(dir, "partition=2021-01-01")
+    val aside = new org.apache.hadoop.fs.Path(dir, ".compact_trash/partition=2021-01-01")
+    fs.mkdirs(aside.getParent)
+    assert(fs.rename(livePart, aside))
+    // no .compact_build at all — recovery (and the compaction that calls it
+    // on entry) must restore the partition from trash and carry on
+    st.compactFeature("ns", "cu")
+    assert(st.scan("ns", "cu").collect().map(_.toString).sorted.toSeq == before,
+      "undo recovery must restore the trash copy verbatim")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".compact_trash")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".compact_build")))
+    // idempotent: a second entry is a clean no-op run
+    assert(st.compactFeature("ns", "cu").partitionsCompacted == 0)
+  }
+
   test("compaction chaos: pre-swap kill leaves the store byte-identical; swap states are old-or-new, never a mix") {
     val st = freshStore()
     (1 to 4).foreach(v => st.save("ns", "cx", seriesDf(
