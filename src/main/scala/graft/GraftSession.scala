@@ -34,6 +34,13 @@ object GraftSession {
     // the map memory bounded while covering the per-task key counts of the
     // shapes this engine runs (bestCell, latest-dedup max_by, code packs).
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+    // distributed file-listing jobs (multi-dir reads past the 32-path
+    // threshold) default to up to 10,000 listing tasks — at a wide
+    // export's 10k+ partition dirs that is pure task-scheduling overhead
+    // (~15 s for a listing 64 tasks finish in ~1 s). Scale to the
+    // cluster, not the path count.
+    spark.conf.set("spark.sql.sources.parallelPartitionDiscovery.parallelism",
+      (spark.sparkContext.defaultParallelism * 2).toString)
     // custom codegen'd functions available on every session we touch
     graft.functions.LongDotProduct.register(spark)
     graft.functions.Md5Prefix60.register(spark)

@@ -1230,20 +1230,26 @@ object ScaleSmoke {
       val names = (0 until nf).map(i => s"wide/f$i")
       val t1 = System.nanoTime()
       val wide = fstore.loadFeatures(names)
+      val assembleSecs = (System.nanoTime() - t1) / 1e9
+      println(f"[scale]   assemble (scans+cuts job)         $assembleSecs%8.2f s")
+      val t1b = System.nanoTime()
       val plan = wide.queryExecution.executedPlan // forces analysis+planning
-      val planSecs = (System.nanoTime() - t1) / 1e9
-      println(f"[scale]   plan build (analyze+optimize)     $planSecs%8.2f s")
+      val catalystSecs = (System.nanoTime() - t1b) / 1e9
+      println(f"[scale]   catalyst (analyze+optimize)       $catalystSecs%8.2f s")
+      val planSecs = assembleSecs + catalystSecs
       val t2 = System.nanoTime()
       val cnt = wide.count()
       println(f"[scale]   execute (count)                   ${(System.nanoTime() - t2) / 1e9}%8.2f s")
       // every (feature, id) time is distinct by construction: offsets 7s
       // apart inside a 600s id step
       require(cnt == nf * perF, s"wide align row count $cnt != ${nf * perF}")
-      // plan build is dominated by 100 sequential per-feature FILE LISTINGS
-      // (driver-side InMemoryFileIndex init; ~0.5 s each here), not by
-      // Catalyst analysis of the fused plan — the failure mode this guards
-      // is the old join-chain analysis blowup, which was MINUTES
-      require(planSecs < 90.0, f"plan build took $planSecs%.1f s — join-chain blowup is back?")
+      // plan build is dominated by the 100 per-feature FILE LISTINGS
+      // (driver-side InMemoryFileIndex init; ~0.5 s each here) — since
+      // r12 they run on a bounded driver pool (loadFeatures wide path),
+      // so the guard tightened 90 s -> 20 s; it still also catches the
+      // old join-chain analysis blowup, which was MINUTES
+      require(planSecs < 20.0, f"plan build took $planSecs%.1f s — " +
+        "listings no longer parallel, or the join-chain blowup is back?")
       val nEx = plan.toString.linesIterator.count(_.contains("Exchange"))
       // the r11 fused path: per-feature latest-version dedup rides INSIDE
       // the one pivot aggregation (Align.alignOuterRaw) — pre-fuse, each

@@ -349,12 +349,59 @@ class FeatureStore(
       defs.forall { case (_, f) =>
         f.transform.isEmpty && !f.meta.contains(FeatureStore.EntityKeysMeta) }
     if (fusible) {
-      val scans = defs.map { case (q, f) =>
-        val dtype = if (f.serialized) Some("string")
-          else f.meta.get(Catalog.ValueDtypeKey)
-        q -> storage.scan(f.namespace, f.name, fromTs, toTs, None, None,
-          timeTravel, f.partitionScheme, f.serialized, dtype)
+      // ONE-SCAN wide export: every feature's pruned partition dirs feed
+      // a single multi-dir read (feature identity from the file path) —
+      // one listing, one codegen'd scan leg, files coalesced across
+      // features ([[graft.storage.TimeseriesStorage.scanStacked]]).
+      // Requires a shared pinned value dtype and path-safe names; both
+      // hold for every store this library writes. The per-feature-scan
+      // union below stays as the fallback (unpinned dtypes: features
+      // created but never written, or foreign data needing inference).
+      val dtypes = defs.map { case (_, f) =>
+        if (f.serialized) Some("string") else f.meta.get(Catalog.ValueDtypeKey)
       }
+      val pathSafe = defs.forall { case (q, _) =>
+        q.matches("[A-Za-z0-9_.\\-]+/[A-Za-z0-9_.\\-]+") }
+      val oneDtype = dtypes.forall(_.isDefined) &&
+        dtypes.flatten.distinct.size == 1 &&
+        scala.util.Try(org.apache.spark.sql.types.DataType.fromDDL(
+          dtypes.head.get)).isSuccess
+      if (pathSafe && oneDtype) {
+        val sc = storage.scanStackedWithBounds(
+          defs.map { case (_, f) => (f.namespace, f.name, f.partitionScheme) },
+          fromTs, toTs, timeTravel, dtypes.head.get)
+        val memo = cutsMemoFor(memoKey)
+        // seed the ffill's bucket cuts from the bounds the LISTING already
+        // knows — uniform over the partition cover. A balance HINT only
+        // (quantile cuts would need a full read-and-aggregate job before
+        // the first task of the actual export); skewed time axes cost
+        // bucket balance, never answers.
+        sc.timeBoundsMicros.foreach { case (lo, hi) =>
+          val nb = spark.sparkContext.defaultParallelism.toLong
+          if (hi - lo >= nb)
+            memo.seed((1L until nb).map(i => lo + (hi - lo) * i / nb))
+        }
+        return Align.alignOuterStacked(TimeCol, ValueCol, CreatedCol,
+          sc.df, defs.map(_._1), memo = Some(memo))
+      }
+      // fallback: per-feature scans on a bounded driver pool (the eager
+      // per-scan listings would otherwise be sequential — linear in
+      // width), stacked through the same fused dedup+pivot
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, defs.size))
+      val scans = try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        defs.map { case (q, f) =>
+          scala.concurrent.Future {
+            val dtype = if (f.serialized) Some("string")
+              else f.meta.get(Catalog.ValueDtypeKey)
+            q -> storage.scan(f.namespace, f.name, fromTs, toTs, None, None,
+              timeTravel, f.partitionScheme, f.serialized, dtype)
+          }
+        }.map(scala.concurrent.Await.result(
+          _, scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
       if (scans.map(_._2.schema(ValueCol).dataType).distinct.size == 1)
         return Align.alignOuterRaw(TimeCol, ValueCol, CreatedCol, scans,
           memo = Some(cutsMemoFor(memoKey)))

@@ -192,6 +192,130 @@ class TimeseriesStorage(val root: String, spark: SparkSession,
     out
   }
 
+  /** ONE multi-directory scan over MANY features — the wide training-set
+    * export's input shape, returning stacked rows
+    * `(time, __f = "ns/name", value, created_time)`.
+    *
+    * Why not N [[scan]]s unioned: each scan is its own eagerly-listed file
+    * index and its own physical plan leg — at export width that is N
+    * driver-side listings, N codegen units (thrashing the JVM-wide
+    * codegen cache at N > ~100, so every execution re-compiles), and no
+    * file coalescing ACROSS features (the 100-feature 20M smoke planned
+    * 2801 scan tasks for 2M rows; ~60 s of per-leg overhead PER
+    * execution). Here every feature's pruned partition dirs feed one
+    * `load(dirs: _*)` — one listing (parallelized by Spark past 32
+    * paths), one codegen'd leg, files coalesced globally — and the
+    * feature identity is recovered from the file path, which the hive
+    * layout carries for free.
+    *
+    * Per-feature partition pruning happens at LISTING time (driver-side
+    * compare of partition-dir names against each feature's own scheme
+    * bounds — same monotonic-partition argument as [[scan]]'s pruning);
+    * the row-level time filters and the time-travel predicate still push
+    * into the one scan. Namespaces on different storage formats
+    * (parquet/ORC) split into one leg per format.
+    *
+    * Caller contract (enforced by [[graft.api.FeatureStore.loadFeatures]]
+    * before routing here): every feature is plain-stored with ONE shared
+    * pinned value dtype, and namespace/name are path-safe (no characters
+    * the path-derived identity regexp could misparse).
+    */
+  def scanStacked(feats: Seq[(String, String, PartitionScheme)],
+      from: Option[Timestamp] = None, to: Option[Timestamp] = None,
+      timeTravel: Option[String] = None,
+      valueDtype: String = "double"): DataFrame =
+    scanStackedWithBounds(feats, from, to, timeTravel, valueDtype).df
+
+  /** [[scanStacked]] plus the time bounds the LISTING already knows: the
+    * min/max selected partition values parse to a conservative
+    * `[lo, hi)` micros cover of every stored row's time (partition is
+    * monotonic in time for both schemes) — callers seed downstream
+    * bucketing hints from it instead of running a bounds job
+    * ([[graft.ts.Align.CutsMemo.seed]]).
+    */
+  def scanStackedWithBounds(feats: Seq[(String, String, PartitionScheme)],
+      from: Option[Timestamp] = None, to: Option[Timestamp] = None,
+      timeTravel: Option[String] = None,
+      valueDtype: String = "double"): StackedScan = {
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(valueDtype)
+    val schema = StructType(Seq(
+      StructField(TimeCol, TimestampType),
+      StructField(ValueCol, dt),
+      StructField(CreatedCol, TimestampType)))
+    // degenerate range clamp: to < from → to = from (same as [[scan]])
+    val (f, t) = (from, to) match {
+      case (Some(a), Some(b)) if b.before(a) => (Some(a), Some(a))
+      case other => other
+    }
+    // per-feature pruned partition-dir listing, on a bounded driver pool
+    // (one listStatus per feature; sequential would be linear in width)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, feats.size)))
+    val listed: Seq[(String, Seq[String], PartitionScheme, Seq[String])] = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      feats.map { case (ns, n, scheme) =>
+        scala.concurrent.Future {
+          val lo = f.map(partitionValue(scheme, _))
+          val hi = t.map(partitionValue(scheme, _))
+          val vals = partitionDirs(new Path(featurePath(ns, n)))
+            .map(_.getPath.getName.stripPrefix(s"$PartCol="))
+            .filter(v => lo.forall(v >= _) && hi.forall(v <= _))
+          (fmt(ns),
+            vals.map(v => s"${featurePath(ns, n)}/$PartCol=$v"),
+            scheme, vals)
+        }
+      }.map(scala.concurrent.Await.result(
+        _, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+    val dirsByFmt: Seq[(String, Seq[String])] =
+      listed.groupBy(_._1).view.mapValues(_.flatMap(_._2)).toSeq
+    // conservative [lo, hi) micros cover of every selected row's time,
+    // from partition values alone (no job): a Date dir covers its day, a
+    // Year dir its year
+    val covers = listed.flatMap { case (_, _, scheme, vals) =>
+      vals.map(v => partitionCoverMicros(scheme, v)) }
+    val bounds =
+      if (covers.isEmpty) None else Some((covers.map(_._1).min, covers.map(_._2).max))
+    val legs = dirsByFmt.filter(_._2.nonEmpty).map { case (format, dirs) =>
+      var df = spark.read.schema(schema).format(format).load(dirs: _*)
+        .withColumn("__f", regexp_extract(input_file_name(),
+          ".*/feature/([^/]+/[^/]+)/" + PartCol + "=[^/]*/[^/]*$", 1))
+        .select(col(TimeCol), col("__f"), col(ValueCol), col(CreatedCol))
+      f.foreach(a => df = df.where(col(TimeCol) >= lit(a)))
+      t.foreach(b => df = df.where(col(TimeCol) <= lit(b)))
+      timeTravel.foreach { tt =>
+        val delta = TimeUtil.parseMicros(tt)
+        df = df.where(
+          unix_micros(col(CreatedCol)) <= unix_micros(col(TimeCol)) + lit(delta))
+      }
+      df
+    }
+    val df =
+      if (legs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField(TimeCol, TimestampType),
+            StructField("__f", StringType),
+            StructField(ValueCol, dt),
+            StructField(CreatedCol, TimestampType))))
+      else org.apache.spark.sql.GraftSqlBridge.unionAll(legs)
+    StackedScan(df, bounds)
+  }
+
+  /** `[lo, hi)` micros covered by one partition value of `scheme`. */
+  private def partitionCoverMicros(scheme: PartitionScheme, v: String): (Long, Long) = {
+    def us(d: java.time.LocalDate): Long =
+      d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000L
+    scheme match {
+      case PartitionScheme.Date =>
+        val d = java.time.LocalDate.parse(v)
+        (us(d), us(d.plusDays(1)))
+      case PartitionScheme.Year =>
+        val d = java.time.LocalDate.of(v.toInt, 1, 1)
+        (us(d), us(d.plusYears(1)))
+    }
+  }
+
   // ---- A1: latest-version dedup -------------------------------------------
 
   /** Per `time`, keep the value with max `created_time` (ties broken by max
@@ -900,6 +1024,14 @@ class TimeseriesStorage(val root: String, spark: SparkSession,
   */
 case class CompactionStats(partitionsCompacted: Int, filesBefore: Long,
     filesAfter: Long, bytesRewritten: Long)
+
+/** [[TimeseriesStorage.scanStackedWithBounds]]'s result: the stacked
+  * `(time, __f, value, created_time)` frame plus the `[lo, hi)` micros
+  * cover of every selected row's time, derived from the partition listing
+  * (None when no partitions were selected).
+  */
+case class StackedScan(df: org.apache.spark.sql.DataFrame,
+    timeBoundsMicros: Option[(Long, Long)])
 
 object TimeseriesStorage {
   val TimeCol = "time"

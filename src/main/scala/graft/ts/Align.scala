@@ -670,13 +670,24 @@ object Align {
     val oneDtype = frames.map(_._2.schema("value").dataType).distinct.size == 1
     val joined =
       if (frames.size > WideAlignThreshold && oneDtype) {
-        val stacked = frames.map { case (n, d) =>
-          d.select(col(timeCol), lit(n).as("__f"), col("value"))
-        }.reduce(_ unionByName _)
-        val aggs = frames.map { case (n, _) =>
-          max(when(col("__f") === n, col("value"))).as(n)
-        }
-        stacked.groupBy(col(timeCol)).agg(aggs.head, aggs.tail: _*)
+        // N-ary union analyzed once (GraftSqlBridge): a pairwise reduce
+        // re-analyzes every intermediate Dataset's whole subtree — O(n²)
+        // plan nodes, driver-side ~minutes at export width. Pivot via a
+        // per-time entry map, not one max(when) agg per feature — the
+        // latter's agg buffer is `width` nullable slots per time key
+        // (see [[alignOuterRaw]]'s shape note); inputs here are
+        // time-unique per feature (latest-version dedup upstream), which
+        // map_from_entries' duplicate-key EXCEPTION policy enforces
+        // loudly rather than silently picking a winner
+        val stacked = org.apache.spark.sql.GraftSqlBridge.unionAll(
+          frames.map { case (n, d) =>
+            d.select(col(timeCol), lit(n).as("__f"), col("value"))
+          })
+        val pivoted = stacked.groupBy(col(timeCol))
+          .agg(map_from_entries(collect_list(
+            struct(col("__f"), col("value")))).as("__m"))
+        pivoted.select(col(timeCol) +: frames.map {
+          case (n, _) => col("__m").getItem(n).as(n) }: _*)
       } else renamed.reduce((a, b) => a.join(b, Seq(timeCol), "full_outer"))
     // ffill exists to fill the holes the outer join punches; a single frame
     // has none, so skip the bucketed-window machinery (2 driver jobs) there.
@@ -702,27 +713,56 @@ object Align {
     * frames, so a 100-feature training-set export still planned 100
     * per-feature dedup shuffles before its "one-shuffle" pivot (the
     * ScaleSmoke wide fan-in entry's exchange-count gate caught the gap).
-    * Here the dedup IS the pivot: one exchange on time for the whole
-    * width, partial-aggregable map-side, plus the ffill's bucket
-    * exchange — independent of feature count.
+    *
+    * Pivot shape (r12): NOT one `max(when(__f===i, ...))` agg column per
+    * feature — that spells a 2M-key hash aggregate whose buffer is
+    * `width` nullable structs per time key (~2.4 KB/key at width 100:
+    * GB-scale agg maps, sort-fallback spills, and ~50 s per execution on
+    * the 20M smoke, paid EVERY run). Instead two narrow-buffer stages:
+    * (1) the dedup reduction keyed (time, feature) — buffer is ONE
+    * struct, partial-aggregable map-side, collapsing the version
+    * multiplicity right at the scans; (2) the pivot keyed time collects
+    * the surviving (feature, value) entries into a map and projects one
+    * column per feature — buffer is the per-time entry list, sized by
+    * how many features observe that instant, never by export width.
+    * Exchange count stays width-independent (two narrow exchanges plus
+    * the ffill's bucket exchange); duplicate map keys are impossible
+    * after stage 1, which `map_from_entries`'s EXCEPTION dedup policy
+    * turns into a loud guard rather than a silent winner.
     */
   def alignOuterRaw(timeCol: String, valueCol: String, createdCol: String,
       frames: Seq[(String, DataFrame)], doFfill: Boolean = true,
       memo: Option[CutsMemo] = None): DataFrame = {
     require(frames.nonEmpty, "alignOuterRaw needs at least one frame")
-    val stacked = frames.zipWithIndex.map { case ((_, d), i) =>
-      d.select(col(timeCol), lit(i).as("__f"), col(valueCol), col(createdCol))
-    }.reduce(_ unionByName _)
-    val aggs = frames.indices.map { i =>
-      max(when(col("__f") === i,
-        struct(col(valueCol).isNotNull.as("__nn"), col(createdCol),
-          col(valueCol)))).as(s"__s$i")
-    }
-    val pivoted = stacked.groupBy(col(timeCol)).agg(aggs.head, aggs.tail: _*)
-    val named = pivoted.select(col(timeCol) +: frames.zipWithIndex.map {
-      case ((n, _), i) => col(s"__s$i").getField(valueCol).as(n) }: _*)
-    if (doFfill && frames.size > 1)
-      ffill(named, timeCol, frames.map(_._1), memo = memo)
+    // N-ary union analyzed once — see [[alignOuter]]'s wide path
+    val stacked = org.apache.spark.sql.GraftSqlBridge.unionAll(
+      frames.map { case (n, d) =>
+        d.select(col(timeCol), lit(n).as("__f"), col(valueCol), col(createdCol))
+      })
+    alignOuterStacked(timeCol, valueCol, createdCol, stacked,
+      frames.map(_._1), doFfill, memo)
+  }
+
+  /** [[alignOuterRaw]] over a PRE-STACKED `(time, __f, value,
+    * created_time)` frame — the entry point for
+    * [[graft.storage.TimeseriesStorage.scanStacked]]'s one-scan wide
+    * export, where the stack comes from a single multi-dir read instead
+    * of a per-feature union. `__f` values must be the entries of `names`.
+    */
+  def alignOuterStacked(timeCol: String, valueCol: String, createdCol: String,
+      stacked: DataFrame, names: Seq[String], doFfill: Boolean = true,
+      memo: Option[CutsMemo] = None): DataFrame = {
+    require(names.nonEmpty, "alignOuterStacked needs at least one name")
+    val winners = stacked.groupBy(col(timeCol), col("__f"))
+      .agg(max(struct(col(valueCol).isNotNull.as("__nn"), col(createdCol),
+        col(valueCol))).as("__w"))
+    val pivoted = winners.groupBy(col(timeCol))
+      .agg(map_from_entries(collect_list(
+        struct(col("__f"), col("__w").getField(valueCol).as("__v")))).as("__m"))
+    val named = pivoted.select(col(timeCol) +: names.map {
+      n => col("__m").getItem(n).as(n) }: _*)
+    if (doFfill && names.size > 1)
+      ffill(named, timeCol, names, memo = memo)
     else named
   }
 
