@@ -1257,6 +1257,68 @@ object ScaleSmoke {
       // gate read 404
       require(nEx < 30, s"wide load ran $nEx exchanges — expected the one-shuffle pivot shape")
     }
+    time("wide fan-in x10: 1000-feature export, constant exchange count") {
+      // 10x the export width at reduced rows/feature: the one-scan fused
+      // path's promise is that exchange count is a CONSTANT of the align
+      // machinery (independent of width) and plan build is one parallel
+      // listing (linear in dirs, not features x sequential-latency).
+      // Fixture plumbing: 1000 saveDf round-trips would be ~25 min of
+      // per-call job overhead, so the hive layout is written by ONE
+      // partitioned job (feature name as a staging partition column,
+      // renamed into the per-feature dirs) with value dtypes pinned at
+      // create time — the 100-feature entry above keeps exercising the
+      // real saveDf ingest path.
+      val fsRoot = s"$root/widefs1k"
+      val fstore = new graft.api.FeatureStore(fsRoot, spark)
+      fstore.catalog.createNamespace(graft.catalog.NamespaceDef("w1k", "wide x10 smoke"))
+      val nf = 1000
+      val perF = 2000L
+      val t0 = System.nanoTime()
+      (0 until nf).foreach { i =>
+        fstore.createFeature(s"w1k/f$i",
+          meta = Map(graft.catalog.Catalog.ValueDtypeKey -> "double"))
+      }
+      println(f"[scale]   catalog create 1000 features      ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val t1 = System.nanoTime()
+      val staging = s"$root/widefs1k_staging"
+      spark.range(nf.toLong * perF).select(
+        concat(lit("f"), (col("id") % nf).cast("string")).as("__name"),
+        timestamp_micros(lit(1609459200000000L) +
+          expr(s"id div $nf") * 600000000L + (col("id") % nf) * 7000L).as("time"),
+        (col("id") % nf * 1000000L + expr(s"id div $nf")).cast("double").as("value"),
+        timestamp_micros(lit(1609459200000000L)).as("created_time"))
+        .withColumn("partition", date_format(col("time"), "yyyy-MM-dd"))
+        .repartition(col("__name"), col("partition"))
+        .write.partitionBy("__name", "partition").mode("overwrite").parquet(staging)
+      val hfs = new org.apache.hadoop.fs.Path(staging)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (0 until nf).foreach { i =>
+        val dst = new org.apache.hadoop.fs.Path(s"$fsRoot/feature/w1k/f$i")
+        hfs.mkdirs(dst.getParent)
+        require(hfs.rename(new org.apache.hadoop.fs.Path(s"$staging/__name=f$i"), dst),
+          s"staging rename for f$i failed")
+      }
+      println(f"[scale]   bulk ingest 1000 x 2k features    ${(System.nanoTime() - t1) / 1e9}%8.2f s")
+      val names = (0 until nf).map(i => s"w1k/f$i")
+      val t2 = System.nanoTime()
+      val wide = fstore.loadFeatures(names)
+      val assembleSecs = (System.nanoTime() - t2) / 1e9
+      println(f"[scale]   assemble (one parallel listing)   $assembleSecs%8.2f s")
+      val t3 = System.nanoTime()
+      val plan = wide.queryExecution.executedPlan
+      val catalystSecs = (System.nanoTime() - t3) / 1e9
+      println(f"[scale]   catalyst (analyze+optimize)       $catalystSecs%8.2f s")
+      val t4 = System.nanoTime()
+      val cnt = wide.count()
+      println(f"[scale]   execute (count)                   ${(System.nanoTime() - t4) / 1e9}%8.2f s")
+      require(cnt == nf * perF, s"wide x10 row count $cnt != ${nf * perF}")
+      // 10x the width must NOT 10x the plan build (one listing, parallel)
+      require(assembleSecs + catalystSecs < 60.0,
+        f"1000-feature plan build took ${assembleSecs + catalystSecs}%.1f s — linear-sequential again?")
+      val nEx = plan.toString.linesIterator.count(_.contains("Exchange"))
+      require(nEx < 30,
+        s"1000-feature load ran $nEx exchanges — the fused pivot's width-independence broke")
+    }
     time("media decode: 200k real WAV clips, exact stats") {
       // codec throughput shape: executor-side encode then decode of 200k
       // genuine WAV containers (~120M samples) through the batched

@@ -555,16 +555,21 @@ object Align {
         last(col(s"__s_$c"), ignoreNulls = true).over(wPrev)
           .getField("__v").as(s"__carry_$c")): _*)
 
-    // intra-bucket fill + broadcast carry-in coalesce
+    // intra-bucket fill + broadcast carry-in coalesce. ONE select per
+    // step, not a per-column withColumn fold: a fold nests one Project
+    // node per column, and at export width (1000+ features) the analyzer
+    // recurses a 1000-deep plan into StackOverflow before the optimizer
+    // would ever collapse it.
     val w = Window.partitionBy(col("__b")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(withB) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val vset = valueCols.toSet
+    val filled = withB.select(withB.columns.toSeq.map { c =>
+      if (vset(c)) last(col(c), ignoreNulls = true).over(w).as(c) else col(c)
+    }: _*)
     val joined = filled.join(broadcast(carryIn), Seq("__b"), "left")
-    valueCols.foldLeft(joined) { (d, c) =>
-      d.withColumn(c, coalesce(col(c), col(s"__carry_$c")))
-    }.drop("__b").drop(valueCols.map(c => s"__carry_$c"): _*)
+    joined.select(filled.columns.toSeq.filter(_ != "__b").map { c =>
+      if (vset(c)) coalesce(col(c), col(s"__carry_$c")).as(c) else col(c)
+    }: _*)
   }
 
   /** One-pass BIDIRECTIONAL bucketed fill: `fwdCols` forward-fill (LOCF)
@@ -787,10 +792,11 @@ object Align {
     val names = frames.map(_._1)
     val wide = alignOuter(timeCol, frames, doFfill = false)
     val us = unix_micros(col(timeCol))
-    val seeded = names.foldLeft(wide) { (d, c) =>
+    // one select, not a withColumn fold — see [[ffillOrdered]]'s depth note
+    val seeded = wide.select(wide.columns.toSeq.map(col) ++ names.flatMap { c =>
       val obs = when(col(c).isNotNull, struct(us.as("t"), col(c).as("v")))
-      d.withColumn(s"__p_$c", obs).withColumn(s"__n_$c", obs)
-    }
+      Seq(obs.as(s"__p_$c"), obs.as(s"__n_$c"))
+    }: _*)
     // union times are unique (the outer join / pivot keys on the instant),
     // so the axis alone is a total order — no tie-break column needed
     val both = biFill(seeded, timeCol, None,
