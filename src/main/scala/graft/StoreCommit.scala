@@ -87,6 +87,7 @@ object StoreCommit {
     * but the weak-PUT backends its scaladoc concedes admit the overlap).
     */
   def commit(spark: SparkSession, storeRoot: String, batchToken: String): Unit = {
+    invalidate(storeRoot)
     val dir = commitsDir(storeRoot)
     val hfs = fs(spark, dir)
     def mark(d: Path, token: String): Unit = {
@@ -119,6 +120,7 @@ object StoreCommit {
     * so racing probes see the pre-replay store instead of a half-rewrite.
     */
   def uncommit(spark: SparkSession, storeRoot: String, batchToken: String): Unit = {
+    invalidate(storeRoot)
     val m = new Path(commitsDir(storeRoot), batchToken)
     val hfs = fs(spark, m)
     if (hfs.exists(m)) { hfs.delete(m, false); () }
@@ -134,14 +136,27 @@ object StoreCommit {
     else Some(hfs.listStatus(dir).map(_.getPath.getName).toSet)
   }
 
-  private def listedTokens(spark: SparkSession, familyRoot: String): Seq[String] = {
+  /** Listed `batch=` dirs under `familyRoot` as (token, dir modification
+    * time) — the mtime rides along from the same `listStatus` call at zero
+    * extra I/O and keys the committed-read plan cache below: a same-token
+    * REWRITE (replay) changes the dir's mtime even though the token set is
+    * unchanged, so a cached plan (which pins concrete file names) can
+    * never serve a rewritten batch's stale file list.
+    */
+  private def listedStatuses(spark: SparkSession,
+      familyRoot: String): Seq[(String, Long)] = {
     val p = new Path(familyRoot)
     val hfs = fs(spark, p)
     if (!hfs.exists(p)) Seq.empty
-    else hfs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch="))
-      .sorted.toSeq
+    else hfs.listStatus(p)
+      .filter(_.getPath.getName.startsWith("batch="))
+      .map(s => (s.getPath.getName.stripPrefix("batch="),
+        s.getModificationTime))
+      .sortBy(_._1).toSeq
   }
+
+  private def listedTokens(spark: SparkSession, familyRoot: String): Seq[String] =
+    listedStatuses(spark, familyRoot).map(_._1)
 
   /** Batch tokens VISIBLE to readers of `storeRoot(/sub)`: the listed
     * `batch=` dirs intersected with the committed set (all listed dirs for
@@ -153,6 +168,31 @@ object StoreCommit {
     val familyRoot = sub.fold(storeRoot)(s => s"$storeRoot/$s")
     val listed = listedTokens(spark, familyRoot)
     committedTokens(spark, storeRoot).fold(listed)(c => listed.filter(c))
+  }
+
+  /** Committed-read plan cache: the analyzed multi-dir DataFrame per
+    * (session, familyRoot), VALIDATED on every read against the live
+    * listing — reused only while the visible (token, dir-mtime) set is
+    * byte-identical to the one the plan was built from. This removes the
+    * per-probe driver cost the manifest layer added (a fresh
+    * InMemoryFileIndex build + one parquet-footer schema read per
+    * [[read]]) without caching any DATA: execution still scans the
+    * parquet files each action, and ANY store mutation — append (new
+    * token), replay rewrite (same token, new dir mtime), compaction
+    * (token set and mtimes both change) — misses the cache by key. The
+    * two `listStatus` calls the validation needs were already paid by the
+    * uncached path. [[commit]]/[[uncommit]] also invalidate eagerly
+    * (belt-and-braces for in-JVM mutators; cross-JVM mutators are caught
+    * by the key comparison). Bounded: one entry per store family actually
+    * probed in the session.
+    */
+  private val readCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (Seq[(String, Long)], DataFrame)]()
+
+  private[graft] def invalidate(storeRoot: String): Unit = {
+    val it = readCache.keySet().iterator()
+    while (it.hasNext) { if (it.next()._2.startsWith(storeRoot)) it.remove() }
   }
 
   /** Committed-only read of the batch-dir family at `storeRoot(/sub)`.
@@ -169,13 +209,21 @@ object StoreCommit {
     committedTokens(spark, storeRoot) match {
       case None => spark.read.parquet(familyRoot)
       case Some(committed) =>
-        val visible = listedTokens(spark, familyRoot).filter(committed)
+        val visible = listedStatuses(spark, familyRoot)
+          .filter(s => committed(s._1))
         require(visible.nonEmpty,
           s"no committed batches under $familyRoot — the store is " +
             "mid-construction (writer crashed before its first commit " +
             "marker) or its _commits dir was damaged")
-        spark.read.option("basePath", familyRoot)
-          .parquet(visible.map(t => s"$familyRoot/batch=$t"): _*)
+        val key = (spark, familyRoot)
+        val hit = readCache.get(key)
+        if (hit != null && hit._1 == visible) hit._2
+        else {
+          val df = spark.read.option("basePath", familyRoot)
+            .parquet(visible.map(t => s"$familyRoot/batch=${t._1}"): _*)
+          readCache.put(key, (visible, df))
+          df
+        }
     }
   }
 }

@@ -2814,4 +2814,94 @@ class OperatorsSpec extends SparkTestBase {
       "mixed-history stores (built banded vs legacy) must still agree")
     graft.CacheScope.release()
   }
+
+  test("simhash banded store layout: probes equal legacy layout bit-exactly") {
+    val base = docs.where(col("doc_id") < 125)
+    val delta = docs.where(col("doc_id") >= 125 && col("doc_id") < 250)
+    val probeDocs = docs.where(col("doc_id") >= 250)
+    val p1 = tmpDir("sh_banded") + "/store"
+    DedupOps.buildSimhashStore(base, "doc_id", "text", p1)
+    DedupOps.appendSimhashStore(delta, "doc_id", "text", p1, batchToken = "b2")
+    val st = spark.read.parquet(p1)
+    assert(st.columns.contains("blocks_h3") && st.columns.contains("h1") &&
+      st.columns.contains("h2"),
+      "new stores must materialize the default banding's buckets and halves")
+    // materialized columns must equal the probe-side derivations exactly:
+    // buckets = xxhash64(band, 16-char block), halves = conv of each
+    // 32-bit half of the bit-string
+    val bounds = (0 to 4).map(i => i * 64 / 4)
+    val mismatch = st.select(col("id"), col("blocks_h3"), col("h1"), col("h2"),
+        array((0 until 4).map(i => xxhash64(lit(i), substring(col("simhash"),
+          bounds(i) + 1, bounds(i + 1) - bounds(i)))): _*).as("rb"),
+        conv(substring(col("simhash"), 1, 32), 2, 10).cast("long").as("rh1"),
+        conv(substring(col("simhash"), 33, 32), 2, 10).cast("long").as("rh2"))
+      .where(col("blocks_h3") =!= col("rb") || col("h1") =!= col("rh1") ||
+        col("h2") =!= col("rh2"))
+      .limit(1).collect()
+    assert(mismatch.isEmpty, s"materialized simhash layout drifted: ${mismatch.toSeq}")
+    // legacy twin: same batches with the layout columns stripped
+    val p2 = tmpDir("sh_legacy") + "/store"
+    Seq("base", "b2").foreach { tok =>
+      spark.read.parquet(s"$p1/batch=$tok").drop("blocks_h3", "h1", "h2")
+        .write.mode("overwrite").parquet(s"$p2/batch=$tok")
+      StoreCommit.commit(spark, p2, tok)
+    }
+    def pairs(path: String) = DedupOps.incrementalSimhashPairs(
+      probeDocs, "doc_id", "text", path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = pairs(p1)
+    assert(banded == pairs(p2),
+      "banded-layout probe must equal the legacy-layout probe")
+    // an append to the LEGACY store must stay legacy-homogeneous (a mixed
+    // store would null the columns for old rows and drop them silently)
+    DedupOps.appendSimhashStore(probeDocs, "doc_id", "text", p2, batchToken = "b3")
+    assert(!spark.read.parquet(s"$p2/batch=b3").columns.contains("blocks_h3"),
+      "append to a legacy store must not introduce the layout columns")
+    DedupOps.appendSimhashStore(probeDocs, "doc_id", "text", p1, batchToken = "b3")
+    val probe2 = docs.where(col("doc_id") >= 200 && col("doc_id") < 250)
+    val after = DedupOps.incrementalSimhashPairs(
+      probe2, "doc_id", "text", p1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == DedupOps.incrementalSimhashPairs(
+      probe2, "doc_id", "text", p2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      "mixed-history stores (built banded vs legacy) must still agree")
+    // non-default maxHamming falls back to deriving blocks from the
+    // bit-string on BOTH layouts — still identical
+    val h1b = DedupOps.incrementalSimhashPairs(
+      probe2, "doc_id", "text", p1, maxHamming = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val h1l = DedupOps.incrementalSimhashPairs(
+      probe2, "doc_id", "text", p2, maxHamming = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(h1b == h1l, "non-default banding must agree across layouts")
+    graft.CacheScope.release()
+  }
+
+  test("committed-read plan cache: reuse while unmutated, fresh after mutation") {
+    import spark.implicits._
+    val p = tmpDir("sc_cache") + "/store"
+    val rows = (0L until 50L).map(i => (i, s"content $i")).toDF("doc_id", "text")
+    DedupOps.buildFingerprintStore(rows, "doc_id", "text", p)
+    val r1 = StoreCommit.read(spark, p)
+    val r2 = StoreCommit.read(spark, p)
+    assert(r1 eq r2, "unmutated store must return the cached plan object")
+    // append: new token => new plan that sees the new batch
+    val more = (50L until 60L).map(i => (i, s"content $i")).toDF("doc_id", "text")
+    DedupOps.appendFingerprintStore(more, "doc_id", "text", p, batchToken = "b2")
+    val r3 = StoreCommit.read(spark, p)
+    assert(!(r3 eq r2), "a committed append must invalidate the cached plan")
+    assert(r3.count() == 60L, "the fresh plan must see the appended batch")
+    // same-token rewrite (the replay shape): token set unchanged, but the
+    // batch dir's mtime moved — the cached plan (which pins concrete file
+    // names) must NOT be served
+    val r4 = StoreCommit.read(spark, p)
+    Thread.sleep(5) // ensure a distinct dir mtime even at coarse clocks
+    DedupOps.appendFingerprintStore(
+      (50L until 61L).map(i => (i, s"content $i")).toDF("doc_id", "text"),
+      "doc_id", "text", p, batchToken = "b2")
+    val r5 = StoreCommit.read(spark, p)
+    assert(!(r5 eq r4), "a same-token rewrite must invalidate the cached plan")
+    assert(r5.count() == 61L, "the fresh plan must see the rewritten batch")
+  }
 }
