@@ -453,12 +453,18 @@ object CurationOps {
     val withB = cached.withColumn("__b", bucketOf)
     val totalsDf = withB.groupBy(col("__b"), col(groupCol).as("__g"))
       .agg(sum(col(valueCol).cast("long")).as("__s"))
-    val nCarry = totalsDf.count()
-    require(nCarry <= maxCarryRows,
-      s"prefixSumGrouped: carry table has $nCarry (bucket, group) rows " +
-        s"(> $maxCarryRows) — '$groupCol' is too fine-grained for the " +
-        "driver-side carry scan; group by a coarser key")
-    val totals = totalsDf.collect()
+    // ONE bounded collect serves both the cardinality guard and the carry
+    // rows: `limit(max+1)` caps what can ever reach the driver (the guard's
+    // whole point), and the previous separate count() re-ran the entire
+    // (bucket, group) aggregation a second time just to learn a number the
+    // collect was about to reveal anyway.
+    val totalRows = totalsDf
+      .limit(math.min(maxCarryRows, Int.MaxValue - 1L).toInt + 1).collect()
+    require(totalRows.length <= maxCarryRows,
+      s"prefixSumGrouped: carry table exceeds $maxCarryRows (bucket, group) " +
+        s"rows — '$groupCol' is too fine-grained for the driver-side carry " +
+        "scan; group by a coarser key")
+    val totals = totalRows
       .map(row => (row.getAs[Any]("__g"), row.getLong(0), row.getLong(2)))
     val carryIn = totals.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
       var acc = 0L

@@ -111,6 +111,18 @@ object DedupOps {
     */
   val IsinPushdownMax = 10000
 
+  /** [[connectedComponents]] auto-disables `freezeStars` below this many
+    * initial (canonical, distinct) edges: the freeze variant pays one
+    * extra eager checkpoint + one label-bank persist per round, which on
+    * a graph whose rounds are scheduling-floor-bound (not compute-bound)
+    * roughly DOUBLES the per-round cost while retiring work that was
+    * already free. Above it, retiring finished stars is what keeps the
+    * skewed tail from dragging the full edge set through O(log² chain)
+    * late rounds (the 100M-edge smoke's 2× win). Output is identical on
+    * both paths by construction; the threshold only picks which one runs.
+    */
+  val FreezeMinEdges = 1000000L
+
   /** The store-probe prune shared by every persisted-store probe: the
     * probe batch's distinct key set cuts store rows MAP-SIDE via broadcast
     * semi join — the right plan when the batch is a day's crawl against a
@@ -2063,16 +2075,23 @@ object DedupOps {
   private[graft] val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
 
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 50, freezeStars: Boolean = true): DataFrame = {
+      maxRounds: Int = 50, freezeStars: Boolean = true,
+      freezeMinEdges: Long = FreezeMinEdges): DataFrame = {
     val spark = pairs.sparkSession
     val nodes = pairs.select(col(aCol).as("id"))
       .union(pairs.select(col(bCol).as("id"))).distinct()
-    // canonical directed form: u = max endpoint, v = min endpoint, no loops
-    var e = pairs
+    // canonical directed form: u = max endpoint, v = min endpoint, no loops.
+    // The INITIAL convergence checksum rides this checkpoint's
+    // materialization as an observed metric, exactly like the per-round
+    // checksums below — a separate checksum(e) action re-scanned the whole
+    // canonical edge set once per call for nothing.
+    val e0 = pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
       .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint(eager = true)
+      .observe("graft_cc_init",
+        count(lit(1)).as("n"), bit_xor(xxhash64(col("u"), col("v"))).as("x"))
+    var e = e0.localCheckpoint(eager = true)
     // freezeStars: labels banked so far for components retired from the
     // active edge set (empty on the default path)
     var banked = spark.createDataFrame(
@@ -2090,7 +2109,21 @@ object DedupOps {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var prev = checksum(e)
+    var prev = e0.queryExecution.observedMetrics.get("graft_cc_init") match {
+      case Some(r) => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      case None => checksum(e) // metrics missing on this action type: pay the scan
+    }
+    // Freezing retires finished components so LATE rounds of a skewed
+    // convergence touch only the unconverged remainder — a win when the
+    // per-round edge pass is real work (the 10M-edge smoke: 2×). Below
+    // `freezeMinEdges` every round is scheduling-floor-bound, so the
+    // freeze's extra per-round checkpoint job IS the round cost: the
+    // sf0.1 clustered gates spent ~2 jobs/round against 1 for the plain
+    // path with zero compute to save. Output is identical either way
+    // (the flag only moves work between rounds — OperatorsSpec pins
+    // equality with the threshold forced both ways), so smallness
+    // auto-disables the machinery rather than the caller guessing.
+    val doFreeze = freezeStars && prev._1 >= freezeMinEdges
     var round = 0
     var converged = prev._1 == 0L
     while (!converged && round < maxRounds) {
@@ -2133,7 +2166,7 @@ object DedupOps {
       // freeze silently degenerates to the default path (measured: the 10M
       // smoke regressed 155 → 275 s under a count gate because round 0
       // froze nothing)
-      if (freezeStars && cur._1 > 0L) {
+      if (doFreeze && cur._1 > 0L) {
         // Retire FINISHED components from the active set. A star rooted at
         // r is a complete original component iff it is isolated in the
         // current edge set (the round transformations preserve

@@ -252,14 +252,29 @@ object TextOps {
     val c12 = refBg.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("__c12"))
     val c1 = refBg.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
-    val vocabV = ref
-      .select(explode(tokens(coalesce(col(textCol), lit("")))).as("__w"))
-      .distinct().count()
-    val refChars = ref
-      .agg(coalesce(sum(length(coalesce(col(textCol), lit("")))), lit(0L)))
-      .head().getLong(0)
+    val (vocabV, refChars) = vocabAndChars(ref, textCol)
     scoreBigramModel(docs, idCol, textCol, c12, c1, vocabV, refChars,
       broadcastRefChars)
+  }
+
+  /** Vocabulary size (distinct tokens) and total text chars of a corpus in
+    * ONE pass — these fed two separate full-scan driver actions per
+    * [[bigramSurprise]] / [[buildLmModel]] call. Each row's char length is
+    * charged to its first exploded token row (the tokenizer yields [""]
+    * for empty text, so every row has one; `posexplode_outer` + the
+    * null-pos arm keep the sum exact even if a future tokenizer returns
+    * an empty array), and `count_distinct` skips the outer-explode null —
+    * both scalars equal the two-pass values by construction.
+    */
+  private def vocabAndChars(ref: DataFrame, textCol: String): (Long, Long) = {
+    val r = ref
+      .select(posexplode_outer(tokens(coalesce(col(textCol), lit("")))),
+        length(coalesce(col(textCol), lit(""))).as("__len"))
+      .agg(count_distinct(col("col")).as("v"),
+        coalesce(sum(when(col("pos") === 0 || col("pos").isNull,
+          col("__len")).otherwise(0L)), lit(0L)).as("chars"))
+      .head()
+    (r.getLong(0), r.getLong(1))
   }
 
   private def bigramRows(df: DataFrame, textCol: String,
@@ -329,12 +344,7 @@ object TextOps {
       .write.mode("overwrite").parquet(s"$path/c12")
     refBg.groupBy(col("w1")).agg(count(lit(1)).as("c"))
       .write.mode("overwrite").parquet(s"$path/c1")
-    val vocabV = ref
-      .select(explode(tokens(coalesce(col(textCol), lit("")))).as("__w"))
-      .distinct().count()
-    val refChars = ref
-      .agg(coalesce(sum(length(coalesce(col(textCol), lit("")))), lit(0L)))
-      .head().getLong(0)
+    val (vocabV, refChars) = vocabAndChars(ref, textCol)
     spark.range(1).select(lit(vocabV).as("v"), lit(refChars).as("ref_chars"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     Seq("c12", "c1", "meta").foreach(sub =>

@@ -1191,10 +1191,18 @@ class OperatorsSpec extends SparkTestBase {
       val want = DedupOps.connectedComponents(edges, "id_a", "id_b",
           freezeStars = false)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // freezeMinEdges = 0 forces the freeze machinery on this (small)
+      // graph — the default threshold would auto-disable it and the test
+      // would silently compare the plain path with itself
       val got = DedupOps.connectedComponents(edges, "id_a", "id_b",
-          freezeStars = true)
+          freezeStars = true, freezeMinEdges = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"freezeStars diverged at seed $seed")
+      // the auto-disabled default (freezeStars = true, edges below the
+      // threshold) must land on the same labels through the plain path
+      val auto = DedupOps.connectedComponents(edges, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(auto == want, s"auto-disabled freeze diverged at seed $seed")
       graft.CacheScope.release()
     }
   }
