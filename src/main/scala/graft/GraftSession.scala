@@ -41,6 +41,31 @@ object GraftSession {
     // cluster, not the path count.
     spark.conf.set("spark.sql.sources.parallelPartitionDiscovery.parallelism",
       (spark.sparkContext.defaultParallelism * 2).toString)
+    // AQE post-shuffle coalescing: target partition BYTES, not the default
+    // parallelism floor. parallelismFirst=true (the default) refuses to
+    // coalesce below defaultParallelism, so every tiny shuffle still runs
+    // one near-empty task per core — pure scheduling overhead locally, and
+    // at scale it is the advisory size that should drive partition counts
+    // anyway (optimization guide §2.2: size reduce partitions in the
+    // hundreds-of-MB band and let AQE coalesce). The advisory size is
+    // env-tunable for cluster deployments (e.g. 256m on fast networks, §9);
+    // the default stays Spark's 64m so local and driver benches share one
+    // methodology. Partitioning-only: no query result depends on partition
+    // count (no spark_partition_id / round-robin anywhere in the engine).
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    sys.env.get("SPARK_GRAFT_ADVISORY_PARTITION").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", v))
+    // columnar writes: zstd over the snappy default — markedly smaller
+    // files at similar read speed (guide §6), which at the 100 TB design
+    // point is less to scan on every probe of a persisted store; env-
+    // overridable for deployments that must match an existing layout.
+    spark.conf.set("spark.sql.parquet.compression.codec",
+      sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "zstd"))
+    // scan split size stays at Spark's 128m default unless a deployment
+    // overrides it — large sequential cluster scans want 512m-1g (§6);
+    // forcing that locally would serialize the (tiny) test scans.
+    sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES").foreach(v =>
+      spark.conf.set("spark.sql.files.maxPartitionBytes", v))
     // custom codegen'd functions available on every session we touch
     graft.functions.LongDotProduct.register(spark)
     graft.functions.Md5Prefix60.register(spark)
